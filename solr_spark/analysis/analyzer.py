@@ -1,0 +1,116 @@
+"""Analyzer chain: UAX#29-style tokenizer -> stop filter -> lowercase.
+
+Mirrors the reference's default text_general chain order (reference:
+solr/server/solr/configsets/_default/conf/managed-schema.xml:299-314 —
+StandardTokenizer -> StopFilter(ignoreCase=true) -> LowerCaseFilter, built by
+TokenizerChain, solr/core/src/java/org/apache/solr/analysis/TokenizerChain.java:36-49).
+
+Tokenizer semantics follow Unicode UAX#29 word segmentation as Lucene's
+StandardTokenizer implements it (public behavior):
+  * runs of letters / digits / underscore form one token (underscore is ExtendNumLet);
+  * apostrophes (' ’) join letter runs ("it's", "O'Brien's" stay single tokens);
+  * '.' and ':' join letter runs (MidNumLet / MidLetter: "example.com");
+  * '.' and ',' join digit runs (MidNum: "3.14", "1,000", "v2.1.0");
+  * Han / Hiragana ideographs emit ONE token per character; Katakana emits runs;
+  * tokens longer than max_token_length are split at that length;
+  * everything else (whitespace, punctuation) breaks tokens.
+
+The stop filter runs with ignoreCase=true BEFORE lowercasing in the reference chain;
+because the stop set is all-lowercase, filtering after lowercasing is observably
+identical, so the batch kernel lowercases once and then masks (documented equivalence,
+asserted by the conformance vectors in tests/test_analyzer.py).
+
+All heavy work is batch-at-a-time inside Arrow pandas UDFs: tokens for a whole batch
+are flattened into one pandas string array, lowercased and stop-filtered vectorized,
+then re-split by row counts — no per-row Python beyond the regex scan itself.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import regex
+
+from solr_spark.analysis.stopwords import ENGLISH_STOPWORDS
+from solr_spark.config import DEFAULT_CONFIG, IndexConfig
+
+# One token per Han/Hiragana char; Katakana runs; word runs with UAX#29 mid-joiners.
+_TOKEN_RE = regex.compile(
+    r"""
+      (?P<cjk>[\p{Han}\p{Hiragana}])
+    | (?P<kata>\p{Katakana}+)
+    | (?P<word>
+        [\p{L}\p{M}\p{Nd}\p{Nl}_]+
+        (?:
+            (?: (?<=\p{L})['’:.](?=\p{L}) | (?<=\p{Nd})[.,](?=\p{Nd}) )
+            [\p{L}\p{M}\p{Nd}\p{Nl}_]+
+        )*
+      )
+    """,
+    regex.VERBOSE | regex.V1,
+)
+
+
+def _scan(text: str, max_len: int) -> list[str]:
+    toks = [m.group(0) for m in _TOKEN_RE.finditer(text)]
+    if any(len(t) > max_len for t in toks):
+        out: list[str] = []
+        for t in toks:
+            if len(t) <= max_len:
+                out.append(t)
+            else:
+                out.extend(t[i : i + max_len] for i in range(0, len(t), max_len))
+        return out
+    return toks
+
+
+def _stopset(config: IndexConfig) -> frozenset[str]:
+    return ENGLISH_STOPWORDS if config.stopwords == "en" else frozenset()
+
+
+def analyze_text(text: str | None, config: IndexConfig = DEFAULT_CONFIG) -> list[str]:
+    """Scalar analyzer (driver-side query analysis + pure-Python oracle)."""
+    if not text:
+        return []
+    stops = _stopset(config)
+    return [lt for t in _scan(text, config.max_token_length) if (lt := t.lower()) not in stops]
+
+
+def analyze_series(texts: pd.Series, config: IndexConfig = DEFAULT_CONFIG) -> pd.Series:
+    """Batch analyzer: Series[str] -> Series[list[str]] (pandas-UDF kernel body)."""
+    max_len = config.max_token_length
+    raw = [_scan(t, max_len) if isinstance(t, str) and t else [] for t in texts]
+    counts = np.fromiter((len(r) for r in raw), dtype=np.int64, count=len(raw))
+    flat = pd.array(list(itertools.chain.from_iterable(raw)), dtype="str")
+    if len(flat):
+        lowered = pd.Series(flat).str.lower()
+        keep = ~lowered.isin(_stopset(config)) if config.stopwords != "none" else None
+        if keep is not None:
+            # re-split: drop stopped tokens per row without a Python inner loop
+            row_ids = np.repeat(np.arange(len(raw)), counts)
+            row_ids = row_ids[keep.to_numpy()]
+            kept = lowered.to_numpy()[keep.to_numpy()]
+            splits = np.searchsorted(row_ids, np.arange(len(raw) + 1))
+            result = [kept[splits[i] : splits[i + 1]].tolist() for i in range(len(raw))]
+        else:
+            vals = lowered.to_numpy()
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            result = [vals[starts[i] : ends[i]].tolist() for i in range(len(raw))]
+    else:
+        result = [[] for _ in raw]
+    return pd.Series(result, index=texts.index)
+
+
+def make_tokenize_udf(config: IndexConfig = DEFAULT_CONFIG):
+    """Arrow-vectorized tokenize UDF: string column -> array<string> column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokenize(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts, config)
+
+    return tokenize

@@ -1,0 +1,95 @@
+"""Vectorized LEB128-style varint codec + posting-row encode/decode (numpy kernels).
+
+The reference's posting lists are delta-encoded, block-compressed structures behind
+Lucene's PostingsFormat (selected per-field in
+solr/core/src/java/org/apache/solr/core/SchemaCodecFactory.java:102-110). We build our
+own equivalent *as data*: each posting row stores varint-compressed docID gaps and term
+frequencies plus per-block max-tf metadata for block-max WAND pruning. All kernels are
+array-at-a-time numpy — no per-value Python in the hot path.
+
+Wire format (ours, little-endian 7-bit groups, continuation bit 0x80):
+    doc_gaps: varint[n]   gaps[0] = docids[0] - range_base; gaps[i] = docids[i]-docids[i-1]
+    tfs:      varint[n]   raw term frequencies (>= 1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_U7F = np.uint64(0x7F)
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints as concatenated varints."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> _U7
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp = tmp >> _U7
+    ends = np.cumsum(nbytes)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    starts = ends - nbytes
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        byte = ((v[mask] >> np.uint64(7 * k)) & _U7F).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode concatenated varints into a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    term = (b & 0x80) == 0
+    n_vals = int(term.sum())
+    pos = np.arange(len(b), dtype=np.int64)
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    if n_vals > 1:
+        starts[1:] = pos[term][: n_vals - 1] + 1
+    gid = np.zeros(len(b), dtype=np.int64)
+    gid[1:] = np.cumsum(term)[:-1]
+    pos_in_group = (pos - starts[gid]).astype(np.uint64)
+    payload = (b.astype(np.uint64) & _U7F) << (_U7 * pos_in_group)
+    return np.add.reduceat(payload, starts)
+
+
+def encode_postings(
+    docids: np.ndarray, tfs: np.ndarray, range_base: int, block_size: int
+) -> tuple[bytes, bytes, np.ndarray, np.ndarray, int]:
+    """Encode one posting-range row.
+
+    docids must be strictly increasing, all >= range_base.
+    Returns (doc_gaps_bytes, tfs_bytes, block_first_doc, block_max_tf, max_tf).
+    """
+    d = np.ascontiguousarray(docids, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    gaps = np.empty(len(d), dtype=np.uint64)
+    gaps[0] = d[0] - range_base
+    gaps[1:] = np.diff(d).astype(np.uint64)
+    n_blocks = (len(d) + block_size - 1) // block_size
+    block_first = d[::block_size].copy()
+    block_max_tf = np.array(
+        [int(t[i * block_size : (i + 1) * block_size].max()) for i in range(n_blocks)],
+        dtype=np.int64,
+    )
+    return varint_encode(gaps), varint_encode(t), block_first, block_max_tf, int(t.max())
+
+
+def decode_postings(
+    doc_gaps: bytes, tfs: bytes, range_base: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one posting-range row back to (docids int64, tfs int64)."""
+    gaps = varint_decode(doc_gaps).astype(np.int64)
+    if len(gaps) == 0:
+        return gaps, gaps
+    docids = np.cumsum(gaps) + range_base
+    return docids, varint_decode(tfs).astype(np.int64)

@@ -1,0 +1,47 @@
+"""Engine configuration.
+
+BM25 defaults k1=1.2, b=0.75 mirror the reference's implicit default similarity
+(reference: solr/core/src/java/org/apache/solr/search/similarities/
+BM25SimilarityFactory.java:48-49, SchemaSimilarityFactory.java:106).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Tunables for the inverted-index build + query layer.
+
+    range_shift: postings for one term are chunked into docid ranges of width
+        2**range_shift.  This bounds the size of any single aggregation group during
+        the posting build (a hot term appearing in 10% of a 10^12-turn corpus still
+        never produces a group larger than 2**range_shift postings), which is the
+        Spark-native analog of the reference's hot-term special-casing
+        (solr/core/src/java/org/apache/solr/search/facet/UnInvertedField.java:108-149).
+    block_size: postings inside a range row are sub-divided into blocks of this many
+        postings; per-block max impact metadata drives block-max WAND pruning
+        (reference exposure: solr/core/.../handler/component/QueryComponent.java:448-452).
+    num_term_buckets: segment files are hive-partitioned by
+        term_bucket = crc32(term) % num_term_buckets so query-time posting reads are
+        partition-pruned to the query's terms.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    range_shift: int = 16           # 65536 docids per posting-range row
+    block_size: int = 128           # Lucene-like posting block
+    num_term_buckets: int = 64
+    max_token_length: int = 255
+    stopwords: str = "en"           # "en" | "none"
+    lucene_norms: bool = True       # SmallFloat-quantized doc lengths (parity mode)
+
+    def config_hash(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = IndexConfig()

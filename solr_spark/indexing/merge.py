@@ -1,0 +1,123 @@
+"""LSM-style segment merge + incremental document addition.
+
+Mirrors the reference's log-structured index lifecycle: new documents land in fresh
+immutable segments; a background merge folds segments together and rebuilds the global
+term dictionary (reference: TieredMergePolicy selected by
+solr/core/src/java/org/apache/solr/index/DefaultMergePolicyFactory.java:42; segment
+model in SURVEY.md §1.1).
+
+Incremental docids: documents added after the initial build get
+docid = existing n_docs + dense rank within the new batch — arrival-ordered, exactly
+like Lucene's per-segment docid spaces. The score tie-break order is therefore
+(arrival batch, conv_id, turn_idx), which the oracle reproduces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.codec.varint import decode_postings, encode_postings
+from solr_spark.config import DEFAULT_CONFIG, IndexConfig
+from solr_spark.indexing import build as B
+from solr_spark.indexing.manifest import write_manifest
+
+
+def _merge_kernel(config: IndexConfig):
+    shift, block = config.range_shift, config.block_size
+
+    def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        rid = int(pdf["range_id"].iloc[0])
+        base = rid << shift
+        ds, ts = [], []
+        for gaps, tfs in zip(pdf["doc_gaps"], pdf["tfs"]):
+            d, t = decode_postings(bytes(gaps), bytes(tfs), base)
+            ds.append(d)
+            ts.append(t)
+        d = np.concatenate(ds)
+        t = np.concatenate(ts)
+        order = np.argsort(d, kind="stable")
+        d, t = d[order], t[order]
+        gaps_b, tfs_b, bf, bmt, mx = encode_postings(d, t, base, block)
+        return pd.DataFrame(
+            [(term, rid, len(d), gaps_b, tfs_b, bf.tolist(), bmt.tolist(),
+              mx, int(t.sum()))],
+            columns=["term", "range_id", "n_docs", "doc_gaps", "tfs",
+                     "block_first", "block_max_tf", "max_tf", "range_cf"],
+        )
+
+    return merge_rows
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    config: IndexConfig = DEFAULT_CONFIG,
+    merged_name: str = "merged-000",
+) -> list[str]:
+    """Fold all live segments into one; rebuild dictionary; update live list."""
+    names = B.live_segments(index_dir)
+    if len(names) <= 1:
+        return names
+    paths = [os.path.join(index_dir, "segments", n) for n in names]
+    seg = B.read_segments(spark, paths)
+    merged_path = os.path.join(index_dir, "segments", merged_name)
+    merged = (
+        seg.groupBy("term", "range_id")
+        .applyInPandas(_merge_kernel(config), B.SEGMENT_SCHEMA)
+        .withColumn("term_bucket", F.crc32(F.col("term")) % config.num_term_buckets)
+    )
+    (merged.repartition(F.col("term_bucket"))
+           .write.partitionBy("term_bucket").mode("overwrite").parquet(merged_path))
+    B.write_live_segments(index_dir, [merged_name])
+    B.write_dictionary(spark, index_dir, [merged_path])
+    write_manifest(index_dir, f"merge-{merged_name}", config.config_hash(),
+                   ",".join(names), partitions=B._bucket_metrics(spark, merged_path))
+    return [merged_name]
+
+
+def add_documents(
+    spark: SparkSession,
+    new_source: DataFrame,
+    index_dir: str,
+    config: IndexConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+) -> dict:
+    """Append a new batch as a fresh segment (NRT-style add; no rewrite of old data).
+
+    Norms are rebuilt from all analyzed batches (dl column only — cheap column-pruned
+    scan) because the tail docid range of the previous batch may now extend.
+    """
+    import json
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        docid_base = json.load(f)["n_docs"]
+
+    existing = B.live_segments(index_dir)
+    batch_no = len([d for d in os.listdir(os.path.join(index_dir, "analyzed"))])
+    batch_name = f"batch-{batch_no:03d}"
+    seg_name = f"seg-{batch_no:03d}"
+
+    analyzed_path = os.path.join(index_dir, "analyzed", batch_name)
+    B.write_analyzed(new_source, analyzed_path, config, num_partitions, docid_base)
+    analyzed_new = spark.read.parquet(analyzed_path)
+
+    seg_path = os.path.join(index_dir, "segments", seg_name)
+    B.write_segment(analyzed_new, seg_path, config, num_partitions)
+    B.write_live_segments(index_dir, existing + [seg_name])
+
+    all_analyzed = spark.read.parquet(os.path.join(index_dir, "analyzed", "batch-*"))
+    B.write_norms(all_analyzed, os.path.join(index_dir, "norms"), config)
+    seg_paths = [os.path.join(index_dir, "segments", n) for n in existing + [seg_name]]
+    B.write_dictionary(spark, index_dir, seg_paths)
+    stats = B.write_stats(spark, index_dir, config)
+    write_manifest(index_dir, f"add-{seg_name}", config.config_hash(), batch_name,
+                   metrics=stats)
+    return stats

@@ -1,0 +1,261 @@
+"""BM25 top-k query layer: posting reads -> vectorized scoring -> block-max WAND.
+
+Scoring follows Lucene 10's BM25Similarity (the reference's implicit default —
+solr/core/src/java/org/apache/solr/search/similarities/SchemaSimilarityFactory.java:106,
+defaults k1=1.2 b=0.75 per BM25SimilarityFactory.java:48-49):
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = sum_t  qtf(t) * idf(t) * tf / (tf + k1*(1 - b + b*dl_q/avgdl))
+
+(no (k1+1) factor, as in Lucene 9+), where dl_q is the SmallFloat-quantized document
+length and avgdl = sumTotalTermFreq/docCount. Ties break by docid ascending.
+
+Distributed two-phase top-k (the reference's GET_TOP_IDS / GET_FIELDS split,
+handler/component/QueryComponent.java:789,971,1402):
+  phase 1: term-bucket-pruned posting scan -> per-range vectorized scoring kernel ->
+           bounded candidates; global orderBy(score desc, docid).limit(k)
+  phase 2: join winning docids back to the doc map for (conv_id, turn_idx).
+
+Global (not per-shard) df/N/avgdl are broadcast into the kernels — the
+ExactStatsCache lesson (search/stats/ExactStatsCache.java:61) applied by design.
+
+WAND mode (reference exposure: QueryComponent.java:448-452, RankQParserPlugin.java:32):
+posting-range rows carry max_tf; the per-range score upper bound
+  sum_t weight_t * max_tf/(max_tf + k1*(1-b))          (dl -> 0 bound)
+is computed JVM-side. Ranges are processed per-partition in descending bound order by
+a mapInPandas kernel holding a bounded min-heap of size k; a range whose bound is
+strictly below the partition's current k-th score is skipped without decoding.
+Skipping against the partition-local k-th is safe: the global top-k is a subset of the
+union of partition top-k's.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solr_spark.analysis import analyze_text
+from solr_spark.codec.smallfloat import norm_length_table
+from solr_spark.codec.varint import decode_postings
+from solr_spark.config import DEFAULT_CONFIG, IndexConfig
+from solr_spark.indexing.build import live_segments
+
+_TOPK_SCHEMA = "docid long, score double"
+
+
+@dataclass
+class IndexReader:
+    """Handle on an on-disk index (paths + corpus stats)."""
+
+    index_dir: str
+    n_docs: int
+    avgdl: float
+    config: IndexConfig
+
+    @classmethod
+    def open(cls, index_dir: str, config: IndexConfig | None = None) -> "IndexReader":
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            stats = json.load(f)
+        if config is None:
+            c = stats.get("config", {})
+            config = IndexConfig(
+                k1=c.get("k1", 1.2), b=c.get("b", 0.75),
+                range_shift=c.get("range_shift", 16),
+                num_term_buckets=c.get("num_term_buckets", 64),
+                lucene_norms=c.get("lucene_norms", True),
+            )
+        return cls(index_dir, stats["n_docs"], stats["avgdl"], config)
+
+    def segment_paths(self) -> list[str]:
+        return [os.path.join(self.index_dir, "segments", n)
+                for n in live_segments(self.index_dir)]
+
+    def doc_map(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self.index_dir, "analyzed", "batch-*")
+        ).select("docid", "conv_id", "turn_idx")
+
+
+def _term_buckets(terms: list[str], num_buckets: int) -> list[int]:
+    import zlib
+
+    return [zlib.crc32(t.encode()) % num_buckets for t in terms]
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
+                 length_table: np.ndarray, require_all: bool, n_terms: int):
+    """Score one range group; returns (docids, scores) numpy arrays."""
+    base = int(pdf["range_id"].iloc[0]) << cfg.range_shift
+    norm_blob = pdf["norm_bytes"].iloc[0]
+    if cfg.lucene_norms:
+        norms = np.frombuffer(norm_blob, dtype=np.uint8)
+        dls = length_table[norms].astype(np.float64)
+    else:
+        dls = np.frombuffer(norm_blob, dtype=np.uint32).astype(np.float64)
+    width = len(dls)
+    acc = np.zeros(width, dtype=np.float64)
+    present = np.zeros(width, dtype=np.int32) if require_all else None
+    k1, b = cfg.k1, cfg.b
+    # fixed term order => deterministic float summation (matches the oracle)
+    order = np.argsort(pdf["term"].to_numpy(), kind="stable")
+    for i in order:
+        row = pdf.iloc[i]
+        d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
+        off = d - base
+        tf = t.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dls[off] / avgdl)
+        acc[off] += weights[row["term"]] * tf / denom
+        if present is not None:
+            present[off] += 1
+    if present is not None:
+        mask = present == n_terms
+        nz = np.flatnonzero(mask)
+    else:
+        nz = np.flatnonzero(acc > 0.0)
+    return nz + base, acc[nz]
+
+
+def _local_topk(docids: np.ndarray, scores: np.ndarray, k: int):
+    if len(docids) > k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= kth  # keep boundary ties; global sort resolves by docid
+        docids, scores = docids[keep], scores[keep]
+    return docids, scores
+
+
+def bm25_topk(
+    spark: SparkSession,
+    reader: IndexReader,
+    query_text: str,
+    k: int = 10,
+    mode: str = "wand",
+    require_all: bool = False,
+) -> DataFrame:
+    """Top-k BM25. Returns DataFrame(conv_id, turn_idx, docid, score, rank)."""
+    cfg = reader.config
+    out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
+    qterms = Counter(analyze_text(query_text, cfg))
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+
+    terms = sorted(qterms)
+    buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
+    dict_df = (
+        spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df").collect()
+    )
+    dfs = {r["term"]: r["df"] for r in dict_df}
+    found = [t for t in terms if t in dfs]
+    if not found:
+        return spark.createDataFrame([], out_schema)
+    weights = {t: qterms[t] * _idf(reader.n_docs, dfs[t]) for t in found}
+    if require_all and len(found) < len(terms):
+        return spark.createDataFrame([], out_schema)
+
+    from solr_spark.indexing.build import read_segments
+
+    seg = read_segments(spark, reader.segment_paths())
+    postings = seg.where(
+        F.col("term_bucket").isin(sorted(set(_term_buckets(found, cfg.num_term_buckets))))
+        & F.col("term").isin(found)
+    ).select("term", "range_id", "doc_gaps", "tfs", "max_tf")
+    norms = spark.read.parquet(os.path.join(reader.index_dir, "norms"))
+    joined = postings.join(norms.select("range_id", "norm_bytes"), "range_id")
+
+    length_table = norm_length_table()
+    avgdl, n_found = reader.avgdl, len(found)
+
+    if mode == "exact":
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
+                                require_all, n_found)
+            d, s = _local_topk(d, s, k)
+            return pd.DataFrame({"docid": d, "score": s})
+
+        cand = joined.groupBy("range_id").applyInPandas(kernel, _TOPK_SCHEMA)
+    elif mode == "wand":
+        w_map = F.create_map(
+            *[x for t in found for x in (F.lit(t), F.lit(weights[t]))]
+        )
+        k1b = cfg.k1 * (1.0 - cfg.b)
+        bounded = joined.withColumn(
+            "term_bound",
+            w_map[F.col("term")] * F.col("max_tf") / (F.col("max_tf") + F.lit(k1b)),
+        )
+        w = Window.partitionBy("range_id")
+        bounded = bounded.withColumn("bound", F.sum("term_bound").over(w))
+        sorted_rows = bounded.sortWithinPartitions(
+            F.desc("bound"), "range_id", "term"
+        )
+
+        def wand_iter(batches):
+            heap: list[tuple[float, int]] = []  # (score, -docid), size <= k
+            carry: list[pd.DataFrame] = []
+            carry_rid = None
+
+            def process(group: pd.DataFrame):
+                if len(heap) == k:
+                    thresh = heap[0][0]
+                    if float(group["bound"].iloc[0]) < thresh:
+                        return  # block-max skip: provably non-competitive
+                d, s = _score_group(group, weights, cfg, avgdl, length_table,
+                                    require_all, n_found)
+                for di, si in zip(d.tolist(), s.tolist()):
+                    item = (si, -di)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rids = pdf["range_id"].to_numpy()
+                change = np.flatnonzero(rids[1:] != rids[:-1]) + 1
+                bounds_idx = np.concatenate(([0], change, [len(pdf)]))
+                for i in range(len(bounds_idx) - 1):
+                    s_, e_ = bounds_idx[i], bounds_idx[i + 1]
+                    chunk = pdf.iloc[s_:e_]
+                    rid = rids[s_]
+                    if carry_rid is not None and rid != carry_rid:
+                        process(pd.concat(carry, ignore_index=True))
+                        carry.clear()
+                    carry_rid = rid
+                    carry.append(chunk)
+                    if i < len(bounds_idx) - 2:
+                        process(pd.concat(carry, ignore_index=True))
+                        carry.clear()
+                        carry_rid = None
+            if carry:
+                process(pd.concat(carry, ignore_index=True))
+            if heap:
+                yield pd.DataFrame(
+                    {"docid": [-nd for _, nd in heap], "score": [s for s, _ in heap]}
+                )
+
+        cand = sorted_rows.mapInPandas(wand_iter, _TOPK_SCHEMA)
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    topk = cand.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    resolved = (
+        topk.join(reader.doc_map(spark), "docid")
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("docid"))))
+        .select("conv_id", "turn_idx", "docid", "score", "rank")
+        .orderBy("rank")
+    )
+    return resolved

@@ -1,0 +1,76 @@
+"""BM25 rank-identity vs the pure-Python oracle (FIXTURES.md §2-3).
+
+Query mix per FIXTURES.md: hot single term, rare single term, multi-term, absent
+term, all-stopwords, case-variant duplicates; k=10 and k=100; exact and WAND modes
+must agree with each other and with the oracle on both ranks and scores (1e-9).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from solr_spark.query import IndexReader, bm25_topk
+
+QUERIES = [
+    "error",                    # hot term
+    "timeout retry",            # two hot-ish terms
+    "error timeout connect",    # three terms
+    "café",                     # unicode, rarer
+    "v2.1.0",                   # punctuation token
+    "zzz-not-in-corpus",        # absent -> empty
+    "the and of",               # all stopwords -> empty
+    "ERROR",                    # case variant of "error" -> identical results
+    "error error",              # duplicate query term -> doubled weight
+]
+
+
+def _run(spark, built_index, q, k, mode, require_all=False):
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir)
+    df = bm25_topk(spark, reader, q, k=k, mode=mode, require_all=require_all)
+    return [(r["conv_id"], r["turn_idx"], r["docid"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+@pytest.mark.parametrize("k", [10, 100])
+@pytest.mark.parametrize("mode", ["exact", "wand"])
+def test_rank_identical_to_oracle(spark, built_index, oracle, q, k, mode):
+    got = _run(spark, built_index, q, k, mode)
+    exp = oracle.topk(q, k=k)
+    assert [(c, t, d) for c, t, d, _ in got] == [(c, t, d) for c, t, d, _ in exp], q
+    for (_, _, _, gs), (_, _, _, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9), q
+
+
+def test_case_variant_identical(spark, built_index):
+    a = _run(spark, built_index, "error", 10, "wand")
+    b = _run(spark, built_index, "ERROR", 10, "wand")
+    assert a == b
+
+
+def test_require_all_mode(spark, built_index, oracle):
+    q = "error timeout"
+    got = _run(spark, built_index, q, 10, "exact", require_all=True)
+    exp = oracle.topk(q, k=10, require_all=True)
+    assert [(c, t, d) for c, t, d, _ in got] == [(c, t, d) for c, t, d, _ in exp]
+    # AND results must be a subset of docs matching both terms
+    for _, _, d, _ in got:
+        assert d in oracle.postings["error"] and d in oracle.postings["timeout"]
+
+
+def test_scores_monotone_in_tf(oracle):
+    """Property: within equal doc length, higher tf never scores lower."""
+    term = "error"
+    plist = oracle.postings[term]
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for d, tf in plist.items():
+        by_len.setdefault(oracle.doclen[d], []).append((tf, d))
+    idf = oracle.idf(term)
+    k1, b = oracle.config.k1, oracle.config.b
+    for dl, items in by_len.items():
+        items.sort()
+        from solr_spark.oracle.reference import _small_float_quantize
+
+        dlq = _small_float_quantize(dl)
+        scores = [idf * tf / (tf + k1 * (1 - b + b * dlq / oracle.avgdl)) for tf, _ in items]
+        assert scores == sorted(scores)
