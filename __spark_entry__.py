@@ -1,38 +1,854 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the implemented SURVEY.md §2 operator surface to driver-checkable queries:
+each ``queries()`` entry is a DataFrame program built from ``solr_spark`` operators,
+and ``oracle_sql()`` holds the ANSI-SQL equivalent DuckDB runs on the same parquet.
+Fulltext entries exercise the real engine path (analyzer → posting build → dictionary
+→ BM25/WAND) against a from-first-principles BM25 re-derivation in SQL.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.stopwords import ENGLISH_STOPWORDS
+from solr_spark.config import IndexConfig
+from solr_spark.functions import (
+    exact_dedup,
+    lsh_ann_topk,
+    minhash_near_dup_pairs,
+    simhash,
+)
+from solr_spark.functions.textanalysis import text_stats
+from solr_spark.functions.vectors import cosine_topk
+from solr_spark.operators import facets, streams, windows
+from solr_spark.query.bm25 import IndexReader, bm25_topk, term_docs
+from solr_spark.query.parser import parse_query
+
+# --------------------------------------------------------------------- helpers
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+
+# exact-float norms so the SQL oracle (which has no SmallFloat table) matches
+# bit-for-bit; the Lucene-quantized parity mode is pinned by tests/test_bm25.py.
+_FT_CONFIG = IndexConfig(range_shift=12, num_term_buckets=16, lucene_norms=False)
+
+_FT_QUERY = "spark merge window vector"
+_FT_TERMS = sorted(set(_FT_QUERY.split()))
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+# marker set used by the lang-id / stop-ratio heuristic (no test placeholders)
+_MARKER_SQL = ", ".join(
+    f"'{w}'" for w in sorted(ENGLISH_STOPWORDS - {"stopworda", "stopwordb"})
+)
+
+# tokenized documents as a SQL CTE fragment (whitespace split, analyzer-equivalent
+# on this corpus: single-space lowercase ASCII words)
+_TOKS_CTE = f"""
+toks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+)
+"""
+
+_RAWTOKS_CTE = """
+rawtoks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> ''
+)
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet in the input_hint transcript shape. conv_id is the
+    zero-padded doc_id so the engine's lexicographic docid order == numeric
+    doc_id order (keeps BM25 docid tie-breaks comparable with the SQL oracle)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.format_string("%06d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+
+
+def _ft_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build (once; manifest-resumed afterwards) the fulltext index over documents."""
+    from solr_spark.indexing import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(_SCRATCH, f"ftidx-{tag}-{_FT_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(spark, _docs_as_transcripts(spark, sf_dir), index_dir,
+                _FT_CONFIG, input_token=f"documents-{tag}")
+    return IndexReader.open(index_dir, _FT_CONFIG)
+
+
+def _doc_id(col: str = "conv_id") -> F.Column:
+    return F.col(col).cast("long").alias("doc_id")
+
+
+# --------------------------------------------------------------------- fulltext
+
+
+def _ft01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand")
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft02_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _ft_index(spark, sf_dir)
+    docs = term_docs(spark, reader, "vector")
+    return (docs.join(reader.doc_map(spark), "docid")
+                .select(_doc_id()).orderBy("doc_id"))
+
+
+def _ft03_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _ft_index(spark, sf_dir)
+    d = spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+    return (d.where(F.col("term").isin(_FT_TERMS))
+             .select("term", F.col("df").cast("long").alias("df"),
+                     F.col("cf").cast("long").alias("cf"))
+             .orderBy("term"))
+
+
+def _ft04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _ft_index(spark, sf_dir)
+    d = spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+    n_terms = d.select(F.count_distinct("term").alias("n_terms"))
+    return n_terms.select(
+        F.lit(reader.n_docs).cast("long").alias("n_docs"),
+        F.col("n_terms").cast("long"),
+        F.round(F.lit(reader.avgdl), 6).alias("avgdl"),
+    )
+
+
+def _ft01_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _ft02_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector' ORDER BY doc_id
+"""
+
+
+def _ft03_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM toks WHERE tok IN ({in_list}) GROUP BY tok ORDER BY term
+"""
+
+
+def _ft04_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(DISTINCT tok) FROM toks)::BIGINT AS n_terms,
+       round((SELECT sum(dl) FROM dl)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl
+"""
+
+
+# ----------------------------------------------------------------- relational
+
+
+def _q01_search(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return streams.search(
+        li,
+        where=(F.col("l_shipdate") >= "1998-01-01") & (F.col("l_quantity") > 30),
+        fl=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        sort=["l_orderkey", "l_linenumber"],
+    ).limit(100)
+
+
+def _q02_lucene_parser(spark, sf_dir):
+    pred = parse_query(
+        'o_orderpriority:"1-URGENT" AND o_totalprice:[100000 TO *] AND NOT o_orderstatus:P',
+        default_field="o_orderpriority",
+    )
+    return (_t(spark, sf_dir, "orders").where(pred)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+def _q03_terms_in_list(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.where(F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"]))
+             .groupBy(F.col("o_orderpriority").alias("priority"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("priority"))
+
+
+def _q04_terms_facet(spark, sf_dir):
+    return facets.terms_facet(_t(spark, sf_dir, "events"), "event_type", limit=10)
+
+
+def _q05_range_facet(spark, sf_dir):
+    return facets.range_facet(
+        _t(spark, sf_dir, "orders"), "o_totalprice", start=0.0, gap=50000.0,
+        metrics=[F.round(F.avg("o_totalprice"), 4).alias("avg_price")],
+    )
+
+
+def _q06_query_facet(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return facets.query_facet(li, {
+        "high_qty": F.col("l_quantity") >= 45,
+        "discounted": F.col("l_discount") > 0.05,
+        "returned": F.col("l_returnflag") == "R",
+    })
+
+
+def _q07_nested_facet(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
+    return facets.nested_facet(
+        ev, "event_type", "day",
+        metrics=[F.round(F.avg("value"), 4).alias("avg_value")],
+    )
+
+
+def _q08_pivot_facet(spark, sf_dir):
+    return facets.pivot_facet(_t(spark, sf_dir, "lineitem"),
+                              ["l_returnflag", "l_linestatus"])
+
+
+def _q09_stats(spark, sf_dir):
+    return facets.stats_component(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def _q10_percentiles(spark, sf_dir):
+    return facets.percentiles(_t(spark, sf_dir, "orders"), "o_totalprice",
+                              [0.25, 0.5, 0.75, 0.95])
+
+
+def _q11_timeseries(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = facets.timeseries(ev, "ts", "day",
+                            metrics=[F.round(F.avg("value"), 4).alias("avg_value")])
+    return out.select(F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+                      "count", "avg_value")
+
+
+def _q12_collapse(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return windows.collapse(
+        o, "o_custkey", [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def _q13_group_topn(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    out = windows.group_top_n(
+        li, "l_orderkey", [F.desc("l_extendedprice"), F.asc("l_linenumber")], 2)
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice",
+                      F.col("group_rank").cast("long").alias("group_rank"))
+
+
+def _q14_expand(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    out = windows.expand(o, "o_custkey",
+                         [F.desc("o_totalprice"), F.asc("o_orderkey")], 2)
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+def _q15_cursor_page(spark, sf_dir):
+    return windows.cursor_page(
+        _t(spark, sf_dir, "orders"), ["o_orderkey"], last=[750], rows=50
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q16_top_rank(spark, sf_dir):
+    return streams.top(
+        _t(spark, sf_dir, "orders"), 20,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+    ).select("o_orderkey", "o_totalprice")
+
+
+def _q17_unique_stream(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = streams.unique(ev, ["user_id"], sort=["ts", "event_id"])
+    return out.select("user_id", "event_id", "event_type")
+
+
+def _q18_merge_union(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "error")
+    b = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+    return (streams.merge(a, b)
+            .select("event_id", "event_type", F.round("value", 2).alias("value"))
+            .orderBy("event_id"))
+
+
+def _q19_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return streams.intersect(a, b, ["o_custkey"]).orderBy("o_custkey")
+
+
+def _q20_complement(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (streams.complement(c.select("c_custkey"), o, ["c_custkey"])
+            .orderBy("c_custkey"))
+
+
+def _q21_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return streams.intersect(
+        c.select(F.col("c_custkey"), "c_name"),
+        big.select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+    ).orderBy("c_custkey")
+
+
+def _q22_join_rollup(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = streams.inner_join(
+        o, c.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        ["o_custkey"],
+    )
+    j = streams.hash_join(j, n.select(F.col("n_nationkey").alias("c_nationkey"),
+                                      "n_name"), ["c_nationkey"])
+    return streams.rollup(
+        j, ["n_name"],
+        [F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+         F.count(F.lit(1)).alias("n_orders")],
+    ).orderBy("n_name")
+
+
+def _q23_hash_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = streams.hash_join(li, p.select(F.col("p_partkey").alias("l_partkey"),
+                                       "p_brand"), ["l_partkey"])
+    return streams.rollup(
+        j, ["p_brand"],
+        [F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+         F.count(F.lit(1)).alias("n_items")],
+    ).orderBy("p_brand")
+
+
+def _q24_block_join_parent(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hot = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return streams.intersect(
+        o.select("o_orderkey", "o_totalprice"),
+        hot.select(F.col("l_orderkey").alias("o_orderkey")),
+        ["o_orderkey"],
+    ).orderBy("o_orderkey")
+
+
+def _q25_function_queries(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.round(F.log(F.col("o_totalprice")), 4).alias("ln_price"),
+        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.when(F.col("o_totalprice") > 100000, F.lit("big"))
+         .otherwise(F.lit("small")).alias("size_class"),
+    ).orderBy("o_orderkey")
+
+
+def _q26_strdist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type").distinct()
+    return ev.select(
+        "event_type",
+        F.levenshtein(F.col("event_type"), F.lit("purchase")).cast("long")
+         .alias("edit_dist"),
+    ).orderBy("event_type")
+
+
+def _q27_date_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.where((F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-05"))
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("event_type"))
+
+
+def _q28_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    ).orderBy("event_id")
+
+
+def _q29_explode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    out = streams.cartesian_product(toks, "toks", "tok").where(F.col("tok") != "")
+    return (out.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+               .orderBy("doc_id", "tok"))
+
+
+# ------------------------------------------------------------ text / dedup / knn
+
+
+def _tx01_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = text_stats(d, "doc_id", "text")
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "mean_token_len", "stop_ratio", "lang_pred", "fingerprint",
+    ).orderBy("doc_id")
+
+
+def _tx02_significant_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term"),
+    )
+    out = streams.significant_terms(pairs, F.col("source") == F.lit("src1"),
+                                    term_col="term", doc_col="doc_id")
+    return out.select("term", F.col("fg").cast("long").alias("fg"),
+                      F.col("bg").cast("long").alias("bg"),
+                      F.round("score", 4).alias("score")).orderBy("term")
+
+
+def _tx03_mlt(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term"),
+    )
+    return streams.more_like_this(pairs, 0, n_docs, doc_col="doc_id", k=10)
+
+
+def _dd01_exact(spark, sf_dir):
+    return (exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+            .select("doc_id", "canonical_id",
+                    F.col("group_size").cast("long").alias("group_size"))
+            .orderBy("doc_id"))
+
+
+def _dd02_minhash_pairs(spark, sf_dir):
+    return (minhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                   "doc_id", "text", num_hashes=16, band_size=4)
+            .orderBy("id_a", "id_b"))
+
+
+def _dd03_minhash_verified(spark, sf_dir):
+    return (minhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                   "doc_id", "text", num_hashes=16, band_size=4,
+                                   jaccard_threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def _dd04_simhash(spark, sf_dir):
+    # rows-only check: xxhash64 has no DuckDB twin (pinned instead by pytest oracle)
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+
+
+def _vv01_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = cosine_topk(e, "embedding", [float(x) for x in qvec], k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _vv02_lsh_ann(spark, sf_dir):
+    # rows-only: hyperplane-literal SQL twin is impractical; recall vs brute force
+    # is asserted in tests/test_functions.py
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = lsh_ann_topk(e, "embedding", [float(x) for x in qvec], k=10,
+                       n_planes=8, multiprobe=2)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --------------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 block-max-WAND top-k over the inverted index built from
+    /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
+    dictionary → WAND → two-phase top-k)."""
+    return _ft01_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "ft01_bm25_wand_topk": _ft01_bm25_topk,
+        "ft02_term_postings": _ft02_term_postings,
+        "ft03_term_stats": _ft03_term_stats,
+        "ft04_corpus_stats": _ft04_corpus_stats,
+        "q01_search_filter_project": _q01_search,
+        "q02_lucene_qparser": _q02_lucene_parser,
+        "q03_terms_in_list": _q03_terms_in_list,
+        "q04_terms_facet": _q04_terms_facet,
+        "q05_range_facet": _q05_range_facet,
+        "q06_query_facet": _q06_query_facet,
+        "q07_nested_facet": _q07_nested_facet,
+        "q08_pivot_facet": _q08_pivot_facet,
+        "q09_stats_component": _q09_stats,
+        "q10_percentiles": _q10_percentiles,
+        "q11_timeseries": _q11_timeseries,
+        "q12_collapse": _q12_collapse,
+        "q13_group_topn": _q13_group_topn,
+        "q14_expand": _q14_expand,
+        "q15_cursor_page": _q15_cursor_page,
+        "q16_top_rank": _q16_top_rank,
+        "q17_unique_stream": _q17_unique_stream,
+        "q18_merge_union": _q18_merge_union,
+        "q19_intersect": _q19_intersect,
+        "q20_complement": _q20_complement,
+        "q21_semi_join": _q21_semi_join,
+        "q22_join_rollup": _q22_join_rollup,
+        "q23_hash_join": _q23_hash_join,
+        "q24_block_join_parent": _q24_block_join_parent,
+        "q25_function_queries": _q25_function_queries,
+        "q26_strdist": _q26_strdist,
+        "q27_date_filter": _q27_date_filter,
+        "q28_json_extract": _q28_json_extract,
+        "q29_explode_tf": _q29_explode,
+        "tx01_text_stats": _tx01_text_stats,
+        "tx02_significant_terms": _tx02_significant_terms,
+        "tx03_more_like_this": _tx03_mlt,
+        "dd01_exact_dedup": _dd01_exact,
+        "dd02_minhash_lsh_pairs": _dd02_minhash_pairs,
+        "dd03_minhash_verified": _dd03_minhash_verified,
+        "dd04_simhash": _dd04_simhash,
+        "vv01_cosine_topk": _vv01_cosine_topk,
+        "vv02_lsh_ann_topk": _vv02_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _STOP_SQL
+    minhash_cte = """
+WITH rawtoks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> ''
+),
+seeded AS (
+    SELECT doc_id, seed, md5(seed || ':' || tok) AS h
+    FROM rawtoks CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+bands AS (
+    SELECT doc_id, (seed // 4) AS band_id,
+           md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+    FROM sig GROUP BY doc_id, (seed // 4)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+"""
+    return {
+        "ft01_bm25_wand_topk": _ft01_sql(),
+        "ft02_term_postings": _ft02_sql(),
+        "ft03_term_stats": _ft03_sql(),
+        "ft04_corpus_stats": _ft04_sql(),
+        "q01_search_filter_project": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+""",
+        "q02_lucene_qparser": """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 100000
+  AND NOT o_orderstatus = 'P'
+ORDER BY o_orderkey
+""",
+        "q03_terms_in_list": """
+SELECT o_orderpriority AS priority, count(*)::BIGINT AS n FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1 ORDER BY 1
+""",
+        "q04_terms_facet": """
+SELECT event_type AS bucket, count(*)::BIGINT AS count FROM events
+GROUP BY 1 ORDER BY count DESC, bucket LIMIT 10
+""",
+        "q05_range_facet": """
+SELECT floor(o_totalprice / 50000.0) * 50000.0 AS bucket_start,
+       count(*)::BIGINT AS count, round(avg(o_totalprice), 4) AS avg_price
+FROM orders WHERE o_totalprice >= 0 GROUP BY 1 ORDER BY 1
+""",
+        "q06_query_facet": """
+SELECT 'discounted' AS bucket, count(*) FILTER (l_discount > 0.05)::BIGINT AS count FROM lineitem
+UNION ALL
+SELECT 'high_qty', count(*) FILTER (l_quantity >= 45)::BIGINT FROM lineitem
+UNION ALL
+SELECT 'returned', count(*) FILTER (l_returnflag = 'R')::BIGINT FROM lineitem
+ORDER BY bucket
+""",
+        "q07_nested_facet": """
+SELECT event_type AS outer_bucket, strftime(date_trunc('day', ts), '%Y-%m-%d') AS inner_bucket,
+       count(*)::BIGINT AS count, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q08_pivot_facet": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS count
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "q09_stats_component": """
+SELECT min(l_extendedprice) AS min, max(l_extendedprice) AS max,
+       round(sum(l_extendedprice), 4) AS sum, count(l_extendedprice)::BIGINT AS count,
+       count(*) FILTER (l_extendedprice IS NULL)::BIGINT AS missing,
+       round(avg(l_extendedprice), 6) AS mean,
+       round(sum(l_extendedprice * l_extendedprice), 4) AS sum_of_squares,
+       round(stddev_samp(l_extendedprice), 6) AS stddev
+FROM lineitem
+""",
+        "q10_percentiles": """
+SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 6) AS p95
+FROM orders
+""",
+        "q11_timeseries": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS count, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "q12_collapse": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders
+) WHERE rn = 1
+""",
+        "q13_group_topn": """
+SELECT l_orderkey, l_linenumber, l_extendedprice, rn::BIGINT AS group_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem WHERE l_orderkey < 200
+) WHERE rn <= 2
+""",
+        "q14_expand": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_custkey < 50
+) WHERE rn > 1 AND rn <= 3
+""",
+        "q15_cursor_page": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey > 750 ORDER BY o_orderkey LIMIT 50
+""",
+        "q16_top_rank": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+        "q17_unique_stream": """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "q18_merge_union": """
+SELECT event_id, event_type, round(value, 2) AS value FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, event_type, round(value, 2) FROM events
+WHERE event_type = 'purchase' AND value > 150
+ORDER BY event_id
+""",
+        "q19_intersect": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+""",
+        "q20_complement": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey
+""",
+        "q21_semi_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+ORDER BY c_custkey
+""",
+        "q22_join_rollup": """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "q23_hash_join": """
+SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+        "q24_block_join_parent": """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+ORDER BY o_orderkey
+""",
+        "q25_function_queries": """
+SELECT o_orderkey, round(ln(o_totalprice), 4) AS ln_price,
+       round(sqrt(o_totalprice), 4) AS sqrt_price,
+       o_orderstatus || '-' || o_orderpriority AS status_prio,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class
+FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+""",
+        "q26_strdist": """
+SELECT DISTINCT event_type, levenshtein(event_type, 'purchase')::BIGINT AS edit_dist
+FROM events ORDER BY event_type
+""",
+        "q27_date_filter": """
+SELECT event_type, count(*)::BIGINT AS n FROM events
+WHERE ts >= '2024-01-02' AND ts < '2024-01-05' GROUP BY 1 ORDER BY 1
+""",
+        "q28_json_extract": """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
+FROM events WHERE event_id < 100 ORDER BY event_id
+""",
+        "q29_explode_tf": """
+SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id < 20
+) WHERE tok <> '' GROUP BY doc_id, tok ORDER BY doc_id, tok
+""",
+        "tx01_text_stats": f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mtl,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> lower(x) IN ({_MARKER_SQL})))::DOUBLE / len(toks)
+         ELSE 0.0 END AS sr,
+    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars::BIGINT AS n_chars,
+       round(mtl, 4) AS mean_token_len, round(sr, 4) AS stop_ratio,
+       CASE WHEN sr >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred, fingerprint
+FROM s ORDER BY doc_id
+""",
+        "tx02_significant_terms": """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, source, tok AS term FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tot AS (
+  SELECT count(DISTINCT doc_id) AS n_bg,
+         count(DISTINCT doc_id) FILTER (source = 'src1') AS n_fg
+  FROM pairs
+),
+cnt AS (
+  SELECT term, count(*)::BIGINT AS bg,
+         count(*) FILTER (source = 'src1')::BIGINT AS fg
+  FROM pairs GROUP BY term
+)
+SELECT term, fg, bg,
+       round((fg::DOUBLE / n_fg) / (bg::DOUBLE / n_bg), 4) AS score
+FROM cnt, tot ORDER BY term
+""",
+        "tx03_more_like_this": """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+seed AS (
+  SELECT p.term, ln((SELECT count(*) FROM documents)::DOUBLE / df) AS idf
+  FROM pairs p JOIN dft USING (term) WHERE p.doc_id = 0
+  ORDER BY idf DESC, term LIMIT 25
+)
+SELECT doc_id, round(sum(idf), 4) AS mlt_score, count(*)::BIGINT AS n_shared
+FROM pairs JOIN seed USING (term) WHERE doc_id <> 0
+GROUP BY doc_id ORDER BY mlt_score DESC, doc_id LIMIT 10
+""",
+        "dd01_exact_dedup": """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size
+FROM documents ORDER BY doc_id
+""",
+        "dd02_minhash_lsh_pairs": minhash_cte + """
+SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
+""",
+        "dd03_minhash_verified": minhash_cte + """,
+tsets AS (SELECT doc_id, count(*) AS n FROM rawtoks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN rawtoks ta ON ta.doc_id = c.id_a
+  JOIN rawtoks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN tsets sa ON sa.doc_id = i.id_a
+  JOIN tsets sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+""",
+        "vv01_cosine_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+),
+sims AS (
+  SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY vec_id
+)
+SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
+""",
+    }

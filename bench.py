@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + BM25 top-k latency + operator suite.
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32) against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1). Prints ONE JSON line:
+    {"metric": "e2e_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>,
+     "index_build": {"turns": N, "secs": s, "turns_per_sec": r}, "cpus": C}
+
+The fulltext spine (the north-rule core) is measured as:
+  * build_index over a deterministic synthetic transcript corpus
+    (SPARK_GRAFT_BENCH_TURNS turns, default 100k; seeded — same input at every
+    parallelism level, which is what the N-vs-4N scaling-efficiency protocol in
+    BENCH/BASELINE.md runs twice),
+  * five BM25 block-max-WAND top-k queries of varying term count/selectivity.
+Operator headliners (join+rollup, collapse, text-stats, minhash banding, simhash,
+cosine top-k) run over the driver-provided sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+FT_QUERIES = {
+    "ft_2term": "error timeout",
+    "ft_3term": "merge shard index",
+    "ft_4term": "request failed server retry",
+    "ft_rare": "term1234 term2345",
+    "ft_6term_hot": "query token user agent error timeout",
+}
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkgrep-bench")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.config import IndexConfig
+    from solr_spark.data import synth_transcripts_spark
+    from solr_spark.functions.dedup import minhash_bands, simhash
+    from solr_spark.functions.textanalysis import text_stats
+    from solr_spark.functions.vectors import cosine_topk, lsh_ann_topk
+    from solr_spark.indexing import build_index
+    from solr_spark.operators import streams, windows
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    scratch = os.path.join(REPO, ".scratch", f"bench-{uuid.uuid4().hex[:8]}")
+    os.makedirs(scratch, exist_ok=True)
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+
+    try:
+        # ---- input prep (not timed as build): materialize the seeded corpus
+        corpus_path = os.path.join(scratch, "corpus")
+        synth_transcripts_spark(spark, n_turns, seed=42, n_partitions=2 * cpus) \
+            .write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+
+        # ---- index build (the north-rule headline)
+        cfg = IndexConfig()
+        index_dir = os.path.join(scratch, "index")
+        t0 = time.time()
+        build_index(spark, corpus, index_dir, cfg,
+                    input_token=f"bench-{n_turns}", num_partitions=2 * cpus)
+        t_build = time.time() - t0
+        timings["index_build"] = round(t_build, 3)
+
+        reader = IndexReader.open(index_dir, cfg)
+        for name, q in FT_QUERIES.items():
+            t0 = time.time()
+            bm25_topk(spark, reader, q, k=10, mode="wand").collect()
+            timings[name] = round(time.time() - t0, 3)
+
+        # ---- operator headliners over the sf tables
+        def t(name: str, fn) -> None:
+            t0 = time.time()
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+
+        def tbl(n):
+            return spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+
+        t("rel_join_rollup", lambda: streams.rollup(
+            streams.hash_join(
+                streams.inner_join(
+                    tbl("orders"),
+                    tbl("customer").select(F.col("c_custkey").alias("o_custkey"),
+                                           "c_nationkey"),
+                    ["o_custkey"]),
+                tbl("nation").select(F.col("n_nationkey").alias("c_nationkey"),
+                                     "n_name"),
+                ["c_nationkey"]),
+            ["n_name"],
+            [F.sum("o_totalprice").alias("revenue"),
+             F.count(F.lit(1)).alias("n")]).collect())
+
+        t("rel_collapse", lambda: windows.collapse(
+            tbl("lineitem"), "l_orderkey",
+            [F.desc("l_extendedprice"), F.asc("l_linenumber")]).count())
+
+        t("tx_text_stats", lambda: text_stats(
+            tbl("documents"), "doc_id", "text").count())
+
+        t("dd_minhash_bands", lambda: minhash_bands(
+            tbl("documents"), "doc_id", "text", num_hashes=16, band_size=4).count())
+
+        t("dd_simhash", lambda: simhash(tbl("documents"), "doc_id", "text").count())
+
+        emb = tbl("embeddings")
+        qvec = [float(x) for x in
+                emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+        t("vv_cosine_topk", lambda: cosine_topk(
+            emb, "embedding", qvec, k=10, kernel="pandas").collect())
+        t("vv_lsh_ann_topk", lambda: lsh_ann_topk(
+            emb, "embedding", qvec, k=10, multiprobe=2).collect())
+
+        total = time.time() - t_total0
+        out = {
+            "metric": "e2e_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "cpus": cpus,
+            "index_build": {
+                "turns": n_turns,
+                "secs": round(t_build, 3),
+                "turns_per_sec": round(n_turns / t_build, 1),
+            },
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,29 @@
+"""Training-data-pipeline functions: text analysis, dedup, vector similarity.
+
+These extend the reference's surface (Solr ships langid / dedup-signature update
+processors — solr/core/src/java/org/apache/solr/update/processor/ — and dense-vector
+KNN — schema/DenseVectorField.java) with the operations a 100-TB training-data
+pipeline needs, built as single-shuffle DataFrame programs.
+"""
+
+from solr_spark.functions.dedup import (
+    exact_dedup,
+    minhash_bands,
+    minhash_near_dup_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from solr_spark.functions.textanalysis import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    whitespace_tokens,
+)
+from solr_spark.functions.vectors import cosine_sim, cosine_topk, lsh_ann_topk
+
+__all__ = [
+    "exact_dedup", "minhash_bands", "minhash_near_dup_pairs", "simhash",
+    "simhash_near_dup_pairs", "doc_fingerprint", "lang_id", "quality_score",
+    "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk", "lsh_ann_topk",
+]

@@ -1,0 +1,169 @@
+"""Deduplication: exact, MinHash+LSH, SimHash — scale-first DataFrame programs.
+
+Reference seed: Solr ships a signature-based dedup update processor
+(solr/core/src/java/org/apache/solr/update/processor/SignatureUpdateProcessorFactory.java
+with Lookup3Signature / TextProfileSignature — TextProfileSignature is itself a fuzzy
+near-dup hash). We generalize to the standard web-scale near-dup stack.
+
+Scale shape (100 TB): every method below is shuffle-bounded by (doc, band/bit) keys —
+never an all-pairs comparison. MinHash bands turn near-dup detection into an
+equi-join on (band_id, band_sig); candidate verification touches only bucket
+collisions. Hash functions are md5-based so results are engine-portable
+(bit-identical in the DuckDB oracle) and retry-deterministic (no RNG at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from solr_spark.functions.textanalysis import whitespace_tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on content hash: one shuffle on md5(text), keep the smallest id
+    per group. Output: id, canonical_id, group_size (rows with group_size>1 are
+    duplicates of canonical_id).
+    """
+    h = F.md5(F.col(text_col)).alias("__h")
+    w = Window.partitionBy("__h")
+    return (df.select(F.col(id_col), h)
+              .withColumn("canonical_id", F.min(id_col).over(w))
+              .withColumn("group_size", F.count(F.lit(1)).over(w))
+              .select(id_col, "canonical_id", "group_size"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures over the distinct token set (token-level shingles).
+
+    hash_s(tok) = md5(s || ':' || tok); sig[s] = min over tokens (lexicographic on
+    the hex string — a uniform 128-bit order, portable across engines).
+    Output: id, seed, minhash. One explode (|tokens| × num_hashes rows) + one
+    map-side-combinable min() aggregation — hot tokens pre-combine before the
+    exchange, so Zipf skew does not concentrate.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(whitespace_tokens(text_col)))
+                       .alias("tok")))
+    seeded = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        "tok",
+    )
+    return (seeded
+            .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("tok"))))
+            .groupBy(id_col, "seed").agg(F.min("h").alias("minhash")))
+
+
+def minhash_bands(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 16, band_size: int = 4) -> DataFrame:
+    """LSH banding: group each signature into bands of `band_size` rows and hash the
+    band (md5 of the '|'-joined minhashes in seed order). Docs sharing any
+    (band_id, band_sig) are near-dup candidates. Output: id, band_id, band_sig.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    banded = sig.withColumn("band_id", (F.col("seed") / band_size).cast("int"))
+    per_band = (
+        banded.groupBy(id_col, "band_id")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
+        .select(
+            id_col, "band_id",
+            F.md5(F.concat_ws("|", F.transform(F.col("sm"), lambda s: s["minhash"])))
+             .alias("band_sig"),
+        )
+    )
+    return per_band
+
+
+def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 16, band_size: int = 4,
+                           jaccard_threshold: float | None = None) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: self-equi-join on (band_id, band_sig),
+    id_a < id_b, distinct. With `jaccard_threshold`, candidates are verified with
+    the EXACT Jaccard over distinct token sets (only bucket collisions are compared
+    — never all pairs). Output: id_a, id_b [, jaccard].
+    """
+    bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
+    cand = (a.join(b, ["band_id", "band_sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    if jaccard_threshold is None:
+        return cand
+    toksets = df.select(
+        F.col(id_col), F.array_distinct(whitespace_tokens(text_col)).alias("toks")
+    )
+    joined = (cand
+              .join(toksets.select(F.col(id_col).alias("id_a"),
+                                   F.col("toks").alias("toks_a")), "id_a")
+              .join(toksets.select(F.col(id_col).alias("id_b"),
+                                   F.col("toks").alias("toks_b")), "id_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (joined.withColumn("jaccard", F.round(jac, 4))
+                  .where(F.col("jaccard") >= jaccard_threshold)
+                  .select("id_a", "id_b", "jaccard"))
+
+
+# --------------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: tf-weighted sign-sum of token hash bits.
+
+    Token hash = Spark's xxhash64 (stable, seedless); bit j of the fingerprint is 1
+    iff sum over tokens of tf * sign(bit_j(hash)) > 0. Pure JVM expressions: the
+    per-bit sums are computed by exploding (token, tf) and aggregating 64
+    conditional sums in ONE shuffle. Output: id, simhash (long, bit 63 in the sign
+    position).
+    """
+    tf = (df.select(F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("tok"))
+            .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("h", F.xxhash64("tok")))
+    sums = tf.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ])
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else F.when(
+            F.col(f"b{j}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dups: candidates share at least one of 4 16-bit chunks (pigeonhole
+    guarantees recall for hamming distance <= 3), verified by exact popcount.
+
+    The chunk equi-join replaces all-pairs comparison — the standard web-scale
+    SimHash blocking scheme. Output: id_a, id_b, hamming.
+    """
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk_id"),
+                     F.shiftrightunsigned("simhash", 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+            for c in range(4)
+        ])).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                      "chunk_id", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                      "chunk_id", "chunk_val")
+    cand = (a.join(b, ["chunk_id", "chunk_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+                .where(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))

@@ -1,0 +1,123 @@
+"""Text-analysis functions: tokens, counting, quality, language ID, fingerprints.
+
+All pure built-in `pyspark.sql.functions` expressions (JVM-side, whole-stage
+codegen) — deliberately NO Python UDFs so these run at full Tungsten speed over
+100 TB of text and stay exactly reproducible in an ANSI-SQL oracle.
+
+Reference analogs: Solr's language-ID update processor
+(solr/modules/langid/src/java/org/apache/solr/update/processor/
+LangDetectLanguageIdentifierUpdateProcessor.java) and the dedup-signature processor
+(solr/core/src/java/org/apache/solr/update/processor/Lookup3Signature.java) — both
+re-imagined as column transforms before write (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.analysis.stopwords import ENGLISH_STOPWORDS
+
+# deterministic marker set for the stopword-ratio language heuristic
+_EN_MARKERS = sorted(ENGLISH_STOPWORDS - {"stopworda", "stopwordb"})
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    """Whitespace tokenizer as a JVM expression: string -> array<string>.
+
+    (The index path uses the UAX#29 analyzer in solr_spark.analysis; this cheap
+    tokenizer is for corpus statistics / dedup shingling where exact UAX#29
+    segmentation is not required.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count per document (whitespace tokenization)."""
+    return F.size(whitespace_tokens(col))
+
+
+def stop_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are English stopwords (0 for empty docs)."""
+    toks = whitespace_tokens(col)
+    stops = F.size(F.filter(toks, lambda t: F.lower(t).isin(_EN_MARKERS)))
+    return F.when(F.size(toks) > 0, stops / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column | str, threshold: float = 0.05) -> Column:
+    """Heuristic language ID: 'en' when the English-stopword ratio clears the
+    threshold, else 'und'. (A real model slots in as a pandas UDF; the plumbing —
+    one pass, no shuffle — is the deliverable.)"""
+    return F.when(stop_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality score in [0,1] from cheap surface statistics:
+    length band (20..2000 tokens), mean token length band (3..12 chars), and a
+    stopword-ratio band — the classic C4/Gopher-style heuristic shape, all as one
+    codegen'd expression. Returns a struct(n_tokens, mean_token_len, stop_ratio,
+    score)."""
+    toks = whitespace_tokens(col)
+    n = F.size(toks)
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0).cast("double"),
+                    lambda acc, t: acc + F.length(t)) / n,
+    ).otherwise(F.lit(0.0))
+    sr = stop_ratio(col)
+    len_ok = (n >= 20) & (n <= 2000)
+    word_ok = (mean_len >= 3.0) & (mean_len <= 12.0)
+    stop_ok = sr >= 0.01
+    score = (len_ok.cast("double") + word_ok.cast("double") + stop_ok.cast("double")) / 3.0
+    return F.struct(
+        n.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_token_len"),
+        F.round(sr, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set.
+
+    Word-order-insensitive (catches shuffled duplicates), deterministic across
+    engines (md5 of a canonical string). Reference analog: the dedup-signature
+    update processor (update/processor/Lookup3Signature.java) which hashes
+    configured fields into an indexed signature field.
+    """
+    toks = whitespace_tokens(col)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return F.md5(canon)
+
+
+def ngram_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows (dedup input).
+
+    Documents shorter than n tokens yield their full token string as one shingle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = whitespace_tokens(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document text profile: id, n_tokens, n_chars, mean_token_len,
+    stop_ratio, lang, fingerprint, quality struct."""
+    q = quality_score(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stop_ratio"].alias("stop_ratio"),
+        lang_id(text_col).alias("lang_pred"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+        q["score"].alias("quality"),
+    )

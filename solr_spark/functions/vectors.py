@@ -1,0 +1,109 @@
+"""Vector similarity: brute-force cosine top-k and LSH-bucketed ANN.
+
+Reference analog: Solr's DenseVectorField + {!knn} / {!vectorSimilarity} parsers
+(solr/core/src/java/org/apache/solr/schema/DenseVectorField.java:70-81, HNSW-backed).
+HNSW is a pointer-chasing graph — wrong shape for Spark; the scale path here is
+random-hyperplane LSH bucketing (the standard shuffle-friendly ANN), with
+brute-force cosine as the exact baseline and the verifier for bucket candidates.
+
+Dot products run as JVM `aggregate`/`zip_with` expressions (whole-stage codegen,
+no Python). At very high dimensions a numpy/Arrow pandas-UDF kernel wins on SIMD —
+`cosine_topk(..., kernel="pandas")` flips to a vectorized numpy matmul that scores a
+whole Arrow batch per call.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_sim(vec_col: Column | str, query: Sequence[float]) -> Column:
+    """Cosine similarity of an array<float/double> column against a literal query
+    vector, as a pure JVM expression."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    return _dot(v, q) / (_norm(v) * F.lit(qn))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+                id_col: str = "vec_id", kernel: str = "expr") -> DataFrame:
+    """Exact brute-force cosine top-k: score every row, TakeOrdered(k).
+
+    kernel="expr": codegen'd aggregate/zip_with (no Python in the hot path).
+    kernel="pandas": Arrow-batched numpy matmul (wins at high dim / wide batches).
+    Output: id, cosine (rounded 6dp), ordered desc with id tiebreak.
+    """
+    if kernel == "pandas":
+        q = np.asarray(list(query), dtype=np.float64)
+        qn = float(np.linalg.norm(q))
+
+        @F.pandas_udf("double")
+        def cos(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.apply(np.asarray).to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            return pd.Series(sims)
+
+        scored = df.select(F.col(id_col), cos(F.col(vec_col)).alias("__c"))
+    else:
+        scored = df.select(F.col(id_col), cosine_sim(vec_col, query).alias("__c"))
+    return (scored.select(id_col, F.round("__c", 6).alias("cosine"))
+                  .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (seeded PCG64 — generated on
+    the driver, broadcast as literals; no executor-side RNG, so retries are safe)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col: Column | str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (v . plane_i) >= 0, packed into a long."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(v, pl) >= 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << i).cast("long")
+    return bucket
+
+
+def lsh_ann_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+                 id_col: str = "vec_id", n_planes: int = 8, seed: int = 7,
+                 multiprobe: int = 1) -> DataFrame:
+    """Approximate NN: restrict the brute-force scan to the query's LSH bucket
+    (plus `multiprobe` single-bit-flip neighbor buckets for recall), then exact
+    cosine top-k on the candidates.
+
+    At 100 TB the table is written bucketed/partitioned by `lsh_bucket`, so this
+    query prunes to a handful of partitions instead of scanning the corpus.
+    """
+    dim = len(list(query))
+    planes = hyperplanes(dim, n_planes, seed)
+    q = np.asarray(list(query), dtype=np.float64)
+    qbits = [(float(np.dot(q, np.asarray(p))) >= 0.0) for p in planes]
+    qbucket = sum(1 << i for i, b in enumerate(qbits) if b)
+    probe = {qbucket}
+    for i in range(min(multiprobe, n_planes)):
+        probe.add(qbucket ^ (1 << i))
+    with_bucket = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
+    cand = with_bucket.where(F.col("__bucket").isin(sorted(probe)))
+    return cosine_topk(cand, vec_col, query, k, id_col)

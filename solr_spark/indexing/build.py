@@ -112,14 +112,18 @@ def _posting_encoder(config: IndexConfig):
 
 
 def _norm_kernel(config: IndexConfig):
-    shift = config.range_shift
+    shift, lucene = config.range_shift, config.lucene_norms
 
     def build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = int(pdf["range_id"].iloc[0])
         base = rid << shift
         off = pdf["docid"].to_numpy() - base
-        arr = np.zeros(int(off.max()) + 1, dtype=np.uint8)
-        arr[off] = int_to_byte4(pdf["dl"].to_numpy())
+        if lucene:  # SmallFloat-quantized 1-byte doc lengths (Lucene parity mode)
+            arr = np.zeros(int(off.max()) + 1, dtype=np.uint8)
+            arr[off] = int_to_byte4(pdf["dl"].to_numpy())
+        else:       # exact mode: raw uint32 lengths (matches the SQL oracle exactly)
+            arr = np.zeros(int(off.max()) + 1, dtype=np.uint32)
+            arr[off] = pdf["dl"].to_numpy().astype(np.uint32)
         return pd.DataFrame(
             {"range_id": [rid], "base_docid": [base], "n": [len(pdf)],
              "norm_bytes": [arr.tobytes()]}

@@ -1,0 +1,152 @@
+"""Facet / aggregation surface (SURVEY.md §2.4) as DataFrame programs.
+
+The reference's JSON facet engine builds a nested bucket tree with per-bucket metrics
+(solr/core/src/java/org/apache/solr/search/facet/FacetModule.java:45,
+FacetRequest.java:47,353). Distributed, it over-requests per shard and runs a
+refinement round (FacetModule.java:180-199) because per-shard top-N is approximate.
+Spark's groupBy is EXACT under partial+final hash aggregation, so refinement is a
+non-goal by design — one shuffle, no second pass, no long-tail bugs
+(cf. DistributedFacetSimpleRefinementLongTailTest.java).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Facet metric name -> Spark aggregate, mirroring search/facet/*Agg.java and the
+# agg_* value sources registered in search/ValueSourceParser.java.
+_METRICS = {
+    "sum": F.sum,                       # SumAgg.java
+    "avg": F.avg,                       # AvgAgg.java
+    "min": F.min,                       # MinMaxAgg.java
+    "max": F.max,                       # MinMaxAgg.java
+    "count": F.count,                   # CountAgg.java
+    "countvals": F.count,               # CountValsAgg.java (non-null count)
+    "missing": lambda c: F.count(F.when(F.col(c).isNull(), F.lit(1))),  # MissingAgg
+    "unique": F.count_distinct,         # UniqueAgg.java (exact)
+    "hll": F.approx_count_distinct,     # HLLAgg.java (HyperLogLog both sides)
+    "stddev": F.stddev,                 # StddevAgg.java (sample stddev)
+    "variance": F.variance,             # VarianceAgg.java
+    "sumsq": lambda c: F.sum(F.col(c) * F.col(c)),  # SumsqAgg.java
+}
+
+
+def metric(name: str, col: str) -> Column:
+    """One JSON-facet metric as an aliased Spark aggregate column."""
+    return _METRICS[name](col).alias(f"{name}_{col}")
+
+
+def terms_facet(df: DataFrame, field: str, limit: int = 10,
+                metrics: Sequence[Column] = (), min_count: int = 1,
+                sort_by_count: bool = True) -> DataFrame:
+    """`terms` facet: top buckets of a field with per-bucket metrics.
+
+    Reference: FacetFieldProcessorByArrayDV.java / SimpleFacets.java:107. One shuffle
+    (partial-agg combines hot buckets map-side); top-N is TakeOrdered, not a sort.
+    """
+    agg = df.groupBy(F.col(field).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("count"), *metrics
+    ).where(F.col("count") >= min_count)
+    order = [F.desc("count"), F.asc("bucket")] if sort_by_count else [F.asc("bucket")]
+    return agg.orderBy(*order).limit(limit)
+
+
+def range_facet(df: DataFrame, field: str, start: float, gap: float,
+                metrics: Sequence[Column] = ()) -> DataFrame:
+    """`range` facet: fixed-width numeric buckets (bucket = floor((v-start)/gap)).
+
+    Reference: facet/FacetRange.java (legacy: RangeFacetProcessor). Bucket start is
+    returned like the reference's bucket `val`.
+    """
+    bucket = (F.floor((F.col(field) - F.lit(start)) / F.lit(gap)))
+    return (df.where(F.col(field) >= start)
+              .groupBy((bucket * F.lit(gap) + F.lit(start)).alias("bucket_start"))
+              .agg(F.count(F.lit(1)).alias("count"), *metrics)
+              .orderBy("bucket_start"))
+
+
+def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
+    """`query` facets: one bucket per named predicate, computed in a SINGLE pass via
+    conditional aggregation + stack (the reference runs one DocSet intersection per
+    query facet; we fold them all into one map-side scan).
+
+    Reference: search/facet/FacetQuery.java. Bucket names must be identifier-safe.
+    """
+    aggs = [F.count(F.when(p, F.lit(1))).alias(name) for name, p in preds.items()]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{n}', `{n}`" for n in preds)
+    return row.select(
+        F.expr(f"stack({len(preds)}, {stack}) as (bucket, count)")
+    ).orderBy("bucket")
+
+
+def nested_facet(df: DataFrame, outer: str, inner: str,
+                 metrics: Sequence[Column] = (), limit_outer: int | None = None
+                 ) -> DataFrame:
+    """Nested terms facet (sub-facet per bucket): one multi-key groupBy, NOT a
+    per-bucket re-query — the flat (outer, inner) aggregation is the exact,
+    single-shuffle equivalent of the reference's recursive bucket tree
+    (FacetRequest.java:353 processSubs).
+    """
+    agg = df.groupBy(
+        F.col(outer).alias("outer_bucket"), F.col(inner).alias("inner_bucket")
+    ).agg(F.count(F.lit(1)).alias("count"), *metrics)
+    return agg.orderBy("outer_bucket", "inner_bucket") if limit_outer is None else agg
+
+
+def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Legacy pivot facet: counts along a field path (decision-tree counts).
+
+    Reference: handler/component/PivotFacetProcessor.java. Multi-column groupBy.
+    """
+    return (df.groupBy(*[F.col(f) for f in fields])
+              .agg(F.count(F.lit(1)).alias("count"))
+              .orderBy(*fields))
+
+
+def stats_component(df: DataFrame, field: str) -> DataFrame:
+    """StatsComponent: min/max/sum/count/missing/mean/stddev/sumOfSquares for a field.
+
+    Reference: handler/component/StatsComponent.java:34, StatsValuesFactory.java.
+    Single map-side-combinable aggregation.
+    """
+    c = F.col(field)
+    return df.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.round(F.sum(c), 4).alias("sum"),
+        F.count(c).alias("count"),
+        F.count(F.when(c.isNull(), F.lit(1))).alias("missing"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.sum(c * c), 4).alias("sum_of_squares"),
+        F.round(F.stddev(c), 6).alias("stddev"),
+    )
+
+
+def percentiles(df: DataFrame, field: str, pcts: Sequence[float]) -> DataFrame:
+    """percentile facet metric — exact linear-interpolation percentiles.
+
+    Reference: search/facet/PercentileAgg.java (t-digest approximation). We use
+    Spark's exact `percentile` here for oracle parity; at 100 TB swap to
+    percentile_approx (same t-digest-style contract as the reference).
+    """
+    cols = [F.round(F.expr(f"percentile({field}, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in pcts]
+    return df.agg(*cols)
+
+
+def timeseries(df: DataFrame, ts_col: str, unit: str,
+               metrics: Sequence[Column] = ()) -> DataFrame:
+    """timeseries() — fixed time buckets with metrics.
+
+    Reference: stream/TimeSeriesStream.java:55 (range facet over time). Spark:
+    date_trunc groupBy; at scale the bucket column should also be the table's
+    partition column so the scan prunes.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
+    return (df.groupBy(bucket)
+              .agg(F.count(F.lit(1)).alias("count"), *metrics)
+              .orderBy("bucket_ts"))

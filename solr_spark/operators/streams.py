@@ -1,0 +1,210 @@
+"""Streaming-expression analogs (SURVEY.md §2.3/§2.4/§2.7) as DataFrame combinators.
+
+The reference's streaming expressions are pull-based Volcano iterators
+(solr/solrj-streaming/src/java/org/apache/solr/client/solrj/io/stream/TupleStream.java);
+here each expression is a function DataFrame -> DataFrame and the "stream tree" is the
+Catalyst logical plan — pushdown / join-strategy selection / partial aggregation come
+from the optimizer instead of hand-written iterators.
+
+Scale notes per operator are in the docstrings: which ones shuffle, which broadcast,
+and what the 100-TB plan shape is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def search(df: DataFrame, where: Column | str | None = None,
+           fl: Sequence[str] | None = None,
+           sort: Sequence[Column | str] | None = None) -> DataFrame:
+    """search(collection, q, fl, sort) source — a filtered/projected scan.
+
+    Reference: stream/SearchStream.java:51 (one SolrStream per shard, k-way merged by
+    CloudSolrStream.java:279-444). Spark: filter + project reach the parquet scan as
+    PushedFilters/ReadSchema; the shard merge is the sort-shuffle.
+    """
+    if where is not None:
+        df = df.where(where)
+    if fl:
+        df = df.select(*fl)
+    if sort:
+        df = df.orderBy(*sort)
+    return df
+
+
+def select_stream(df: DataFrame, mapping: dict[str, Column | str]) -> DataFrame:
+    """select(...) decorator: projection + rename + computed fields.
+
+    Reference: stream/SelectStream.java:49. `mapping` is out_name -> column/expr.
+    """
+    cols = [(F.expr(c) if isinstance(c, str) else c).alias(name)
+            for name, c in mapping.items()]
+    return df.select(*cols)
+
+
+def top(df: DataFrame, n: int, sort: Sequence[Column | str]) -> DataFrame:
+    """top(n, sort) — bounded re-sort of a stream.
+
+    Reference: stream/RankStream.java:47 (bounded priority queue). Spark's
+    TakeOrderedAndProject is the same algorithm distributed: per-partition heap of
+    size n, then a driver-side merge — no full sort at any scale.
+    """
+    return df.orderBy(*sort).limit(n)
+
+
+def unique(df: DataFrame, over: Sequence[str],
+           sort: Sequence[Column | str] | None = None) -> DataFrame:
+    """unique(over=f) — dedup by key, first-wins under the stream's sort order.
+
+    Reference: stream/UniqueStream.java:44 (requires sorted input; emits first of each
+    group). With `sort` given we reproduce first-wins deterministically via a windowed
+    row_number (one shuffle on `over`); without it this is dropDuplicates (hash agg).
+    """
+    if sort is None:
+        return df.dropDuplicates(list(over))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*over).orderBy(*sort)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """merge(a, b, on=sort) — sorted union. Reference: stream/MergeStream.java:41.
+
+    Spark keeps order as a property of the plan, not the stream: union then sort
+    where order matters downstream (the sort-merge is one shuffle-free pass when
+    both inputs are already range-partitioned).
+    """
+    return a.unionByName(b)
+
+
+def intersect(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """intersect(a, b, on) — rows of A whose key appears in B.
+
+    Reference: stream/IntersectStream.java:42 (sorted-input merge intersect).
+    Spark: left-semi join; AQE picks broadcast when B's key set is small.
+    """
+    return a.join(b.select(*on).dropDuplicates(list(on)), list(on), "left_semi")
+
+
+def complement(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """complement(a, b, on) — rows of A whose key does NOT appear in B.
+
+    Reference: stream/ComplementStream.java:42. Spark: left-anti join.
+    """
+    return a.join(b.select(*on).dropDuplicates(list(on)), list(on), "left_anti")
+
+
+def inner_join(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """innerJoin(a, b, on) — reference sort-merge join (stream/InnerJoinStream.java:34,
+    'both streams must be sorted'). Spark picks SMJ/shuffled-hash/broadcast itself."""
+    return a.join(b, list(on), "inner")
+
+
+def left_outer_join(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """leftOuterJoin — stream/LeftOuterJoinStream.java."""
+    return a.join(b, list(on), "left")
+
+
+def full_outer_join(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """fullOuterJoin — stream/FullOuterJoinStream.java."""
+    return a.join(b, list(on), "full")
+
+
+def hash_join(full: DataFrame, hashed: DataFrame, on: Sequence[str],
+              how: str = "inner") -> DataFrame:
+    """hashJoin(full, hashed, on) — reference reads `hashed` fully into memory and
+    probes (stream/HashJoinStream.java:46). Spark analog: explicit broadcast of the
+    small side — the planner hint version of the same decision.
+    """
+    return full.join(F.broadcast(hashed), list(on), how)
+
+
+def fetch(stream: DataFrame, dim: DataFrame, on: Sequence[str],
+          fl: Sequence[str]) -> DataFrame:
+    """fetch() — batched lookup join enriching tuples from a collection by key.
+
+    Reference: stream/FetchStream.java:53 (batchSize-chunked key lookups). Spark:
+    broadcast lookup join against the dimension projection.
+    """
+    return stream.join(F.broadcast(dim.select(*on, *fl)), list(on), "left")
+
+
+def cartesian_product(df: DataFrame, col: str, out: str) -> DataFrame:
+    """cartesianProduct() — one tuple per value of a multivalued field (explode).
+
+    Reference: stream/CartesianProductStream.java:47 (despite the name it unnests).
+    """
+    return df.withColumn(out, F.explode(F.col(col)))
+
+
+def rollup(df: DataFrame, over: Sequence[str], metrics: Sequence[Column]) -> DataFrame:
+    """rollup(over, metrics) — GROUP BY aggregation.
+
+    Reference: stream/RollupStream.java:43 (sort-based, O(1) memory on sorted input)
+    and stream/HashRollupStream.java:43 (hash). Spark's hash aggregate does map-side
+    partial aggregation before the exchange, so hot group keys are pre-combined —
+    the scale answer to the reference's need for a sorted input.
+    """
+    return df.groupBy(*over).agg(*metrics)
+
+
+def significant_terms(docs_terms: DataFrame, fg_pred: Column, term_col: str = "term",
+                      doc_col: str = "doc_id", min_doc_freq: int = 1) -> DataFrame:
+    """significantTerms — terms over-represented in the foreground vs the corpus.
+
+    Reference: stream/SignificantTermsStream.java:57 and
+    search/SignificantTermsQParserPlugin.java (per-shard background+foreground counts
+    merged at the coordinator). Input is an exploded (doc, term) table; fg_pred marks
+    foreground docs. Single pass: conditional aggregation computes fg and bg document
+    frequencies in ONE shuffle, score = (fg/fg_total)/(bg/bg_total) — no second scan.
+    Output: term, fg, bg, score (lift).
+    """
+    pairs = docs_terms.select(doc_col, term_col, fg_pred.alias("__fg")).dropDuplicates(
+        [doc_col, term_col]
+    )
+    totals = pairs.select(
+        F.count_distinct(doc_col).alias("n_bg"),
+        F.count_distinct(F.when(F.col("__fg"), F.col(doc_col))).alias("n_fg"),
+    )
+    counts = pairs.groupBy(term_col).agg(
+        F.count(F.lit(1)).alias("bg"),
+        F.sum(F.col("__fg").cast("long")).alias("fg"),
+    ).where(F.col("bg") >= min_doc_freq)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        F.col(term_col).alias("term"),
+        "fg",
+        "bg",
+        ((F.col("fg") / F.col("n_fg")) / (F.col("bg") / F.col("n_bg"))).alias("score"),
+    )
+
+
+def more_like_this(docs_terms: DataFrame, doc_id, n_docs: int,
+                   term_col: str = "term", doc_col: str = "doc_id",
+                   k: int = 10, max_query_terms: int = 25) -> DataFrame:
+    """mlt — rank documents by shared rare terms with a seed document.
+
+    Reference: handler/MoreLikeThisHandler.java + {!mlt} qparser: select the seed
+    doc's top terms by tf*idf, then run them as a disjunction query. Spark shape:
+    seed terms (tiny) are broadcast into a semi-join + idf-weighted sum — one shuffle
+    over only the postings of the selected terms.
+    Output: doc_id, mlt_score (sum of idf of shared seed terms), n_shared.
+    """
+    pairs = docs_terms.select(doc_col, term_col).dropDuplicates([doc_col, term_col])
+    df_counts = pairs.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    seed = (pairs.where(F.col(doc_col) == doc_id)
+                 .join(df_counts, term_col)
+                 .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+                 .orderBy(F.desc("idf"), term_col).limit(max_query_terms))
+    return (pairs.where(F.col(doc_col) != doc_id)
+                 .join(F.broadcast(seed.select(term_col, "idf")), term_col)
+                 .groupBy(doc_col)
+                 .agg(F.round(F.sum("idf"), 4).alias("mlt_score"),
+                      F.count(F.lit(1)).alias("n_shared"))
+                 .orderBy(F.desc("mlt_score"), doc_col)
+                 .limit(k))

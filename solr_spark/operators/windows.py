@@ -1,0 +1,96 @@
+"""Window-function analogs (SURVEY.md §2.5): grouping, collapse, expand, cursors.
+
+Solr has no SQL window frames; its grouping/collapse family is collector machinery
+(search/Grouping.java:73, search/CollapsingQParserPlugin.java:121 — 3812 LoC).
+Each becomes a few lines of windowed DataFrame code; the shuffle is one hash
+exchange on the group key, and AQE handles group-key skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def collapse(df: DataFrame, field: str, sort: Sequence[Column | str]) -> DataFrame:
+    """{!collapse field=f} — keep exactly one best row per group.
+
+    Reference: search/CollapsingQParserPlugin.java:121 (PostFilter with min/max/sort
+    head selection). Spark: row_number over (partitionBy field, orderBy sort) == 1.
+    One shuffle; at 100 TB prefer a pre-bucketed table on `field` to skip it.
+    """
+    w = Window.partitionBy(field).orderBy(*sort)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def group_top_n(df: DataFrame, field: str, sort: Sequence[Column | str],
+                n: int) -> DataFrame:
+    """Result grouping (group.field, group.limit=n) — top-N rows per group value.
+
+    Reference: search/Grouping.java:73; distributed via two-phase
+    PURPOSE_GET_TOP_GROUPS (handler/component/ShardRequest.java:39). Spark does it in
+    one windowed pass — rank within group, filter. The `group_rank` column is the
+    within-group position (1-based), matching the reference's within-group sort.
+    """
+    w = Window.partitionBy(field).orderBy(*sort)
+    return (df.withColumn("group_rank", F.row_number().over(w))
+              .where(F.col("group_rank") <= n))
+
+
+def expand(df: DataFrame, field: str, sort: Sequence[Column | str],
+           n: int) -> DataFrame:
+    """Expand component — for each collapsed head, the group's next-best rows.
+
+    Reference: handler/component/ExpandComponent.java:110. Rows ranked 2..n+1 per
+    group (rank 1 is the collapsed head returned by `collapse`).
+    """
+    w = Window.partitionBy(field).orderBy(*sort)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where((F.col("__rn") > 1) & (F.col("__rn") <= n + 1)).drop("__rn"))
+
+
+def cursor_page(df: DataFrame, sort_cols: Sequence[str], last: Sequence | None,
+                rows: int) -> DataFrame:
+    """cursorMark deep paging — stateless keyset pagination on a total order.
+
+    Reference: search/CursorMark.java:46 (sort values of the last doc become the
+    cursor; uniqueKey tiebreak mandatory). Spark: a lexicographic (k1,k2,...) > (v1,
+    v2,...) keyset predicate that PUSHES DOWN to the scan, then top-`rows` — no
+    OFFSET scan-and-discard at any page depth.
+    """
+    out = df
+    if last is not None:
+        pred = None
+        eq = None
+        for col, val in zip(sort_cols, last):
+            gt = F.col(col) > F.lit(val)
+            clause = gt if eq is None else (eq & gt)
+            pred = clause if pred is None else (pred | clause)
+            e = F.col(col) == F.lit(val)
+            eq = e if eq is None else (eq & e)
+        out = out.where(pred)
+    return out.orderBy(*[F.asc(c) for c in sort_cols]).limit(rows)
+
+
+def elevate(df: DataFrame, id_col: str, elevated_ids: Sequence,
+            excluded_ids: Sequence, sort: Sequence[Column | str],
+            rows: int) -> DataFrame:
+    """Query elevation — pin specific ids to the top, exclude others.
+
+    Reference: handler/component/QueryElevationComponent.java:107 (editorial
+    elevate.xml). Spark: a broadcast-sized editorial map becomes a sort-key
+    override column; excluded ids are filtered.
+    """
+    elev_rank = F.when(
+        F.col(id_col).isin(list(elevated_ids)),
+        F.array_position(F.array(*[F.lit(i) for i in elevated_ids]), F.col(id_col)),
+    ).otherwise(F.lit(None))
+    out = df
+    if excluded_ids:
+        out = out.where(~F.col(id_col).isin(list(excluded_ids)))
+    return (out.withColumn("__elev", elev_rank)
+               .orderBy(F.asc_nulls_last("__elev"), *sort)
+               .limit(rows).drop("__elev"))

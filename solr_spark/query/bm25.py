@@ -135,6 +135,36 @@ def _local_topk(docids: np.ndarray, scores: np.ndarray, k: int):
     return docids, scores
 
 
+def term_docs(spark: SparkSession, reader: IndexReader, term: str) -> DataFrame:
+    """All documents containing `term`: partition-pruned posting lookup.
+
+    The analog of a single-term `{!term}` filter query resolved from the inverted
+    index (reference: search/TermQParserPlugin.java): prune segment files by
+    term_bucket, decode only that term's posting ranges in an Arrow kernel.
+    Returns DataFrame(docid long) — join doc_map for display fields.
+    """
+    from solr_spark.indexing.build import read_segments
+
+    cfg = reader.config
+    bucket = _term_buckets([term], cfg.num_term_buckets)[0]
+    seg = read_segments(spark, reader.segment_paths())
+    rows = seg.where((F.col("term_bucket") == bucket) & (F.col("term") == term)) \
+              .select("range_id", "doc_gaps", "tfs")
+    shift = cfg.range_shift
+
+    def decode_iter(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                base = int(row["range_id"]) << shift
+                d, _t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
+                out.append(d)
+            if out:
+                yield pd.DataFrame({"docid": np.concatenate(out)})
+
+    return rows.mapInPandas(decode_iter, "docid long")
+
+
 def bm25_topk(
     spark: SparkSession,
     reader: IndexReader,

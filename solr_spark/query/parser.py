@@ -1,0 +1,175 @@
+"""Solr `lucene`-syntax query parser → Catalyst Column predicates.
+
+Covers the classic query-parser surface the reference exposes for FILTER semantics
+(fq / non-scored q): field terms, quoted phrases, ranges `[a TO b]` / `{a TO b}`,
+wildcards `*`/`?`, regex `/…/`, fuzzy `term~N`, boolean AND/OR/NOT (&&, ||, !, unary
++/-), and parentheses. Reference grammar: the JavaCC file
+solr/core/src/java/org/apache/solr/parser/QueryParser.jj, wired via
+search/QParser.java:364; boolean containers per search/BoolQParserPlugin.java.
+
+Scored retrieval (`q` with ranking) funnels into the BM25 kernel
+(solr_spark.query.bm25) instead — this module produces *predicates*, the analog of
+Solr's fq DocSets (search/SolrIndexSearcher.java:1254 getProcessedFilter), which
+Catalyst then pushes down to the parquet/Iceberg scan (PushedFilters).
+
+Typing: values compare as the column's native type — numeric literals are emitted
+un-quoted so Catalyst's implicit casts apply; `text_fields` get substring semantics
+for bare terms/phrases (analyzed-field analog), other fields get equality.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<lparen>\()
+    | (?P<rparen>\))
+    | (?P<and>AND\b|&&)
+    | (?P<or>OR\b|\|\|)
+    | (?P<not>NOT\b|!)
+    | (?P<plus>\+)
+    | (?P<minus>-(?=[\w"(\[{*/]))
+    | (?P<range>(?P<fld_r>[\w.]+):(?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}]))
+    | (?P<regexq>(?P<fld_re>[\w.]+):/(?P<rx>[^/]*)/)
+    | (?P<phrase>(?:(?P<fld_p>[\w.]+):)?"(?P<ph>[^"]*)")
+    | (?P<term>(?:(?P<fld_t>[\w.]+):)?(?P<val>[^\s()"]+))
+    )""",
+    re.VERBOSE,
+)
+
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+@dataclass
+class _Tok:
+    kind: str
+    m: re.Match
+
+
+def _lex(q: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m or m.end() == pos:
+            if q[pos:].strip():
+                raise ValueError(f"cannot lex query at: {q[pos:]!r}")
+            break
+        pos = m.end()
+        toks.append(_Tok(m.lastgroup or "term", m))
+    return toks
+
+
+class LuceneQueryParser:
+    """Recursive-descent parser for the classic syntax subset.
+
+    default_field: field for bare terms; text_fields: fields whose term/phrase
+    predicates use substring (contains) semantics instead of equality.
+    """
+
+    def __init__(self, default_field: str, text_fields: set[str] | None = None):
+        self.default_field = default_field
+        self.text_fields = text_fields or set()
+
+    def parse(self, query: str) -> Column:
+        self._toks = _lex(query)
+        self._i = 0
+        col = self._or_expr()
+        if self._i != len(self._toks):
+            raise ValueError(f"trailing tokens in query: {query!r}")
+        return col
+
+    # grammar: or := and (OR and)* ; and := unary ((AND)? unary)*  (implicit AND
+    # — Solr's default operator in filter context is effectively conjunctive for fq
+    # chains; q.op=OR exists but we pin AND for predictability)
+    def _peek(self) -> _Tok | None:
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def _or_expr(self) -> Column:
+        left = self._and_expr()
+        while (t := self._peek()) and t.kind == "or":
+            self._i += 1
+            left = left | self._and_expr()
+        return left
+
+    def _and_expr(self) -> Column:
+        left = self._unary()
+        while (t := self._peek()) and t.kind not in ("or", "rparen"):
+            if t.kind == "and":
+                self._i += 1
+            left = left & self._unary()
+        return left
+
+    def _unary(self) -> Column:
+        t = self._peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        if t.kind in ("not", "minus"):
+            self._i += 1
+            return ~self._unary()
+        if t.kind == "plus":
+            self._i += 1
+            return self._unary()
+        if t.kind == "lparen":
+            self._i += 1
+            col = self._or_expr()
+            if not (self._peek() and self._peek().kind == "rparen"):
+                raise ValueError("unbalanced parenthesis")
+            self._i += 1
+            return col
+        self._i += 1
+        return self._leaf(t)
+
+    # ---- leaves -------------------------------------------------------------
+    def _lit(self, s: str):
+        if _NUM_RE.match(s):
+            return F.lit(float(s) if "." in s else int(s))
+        return F.lit(s)
+
+    def _leaf(self, t: _Tok) -> Column:
+        m = t.m
+        if t.kind == "range":
+            fld = F.col(m["fld_r"])
+            col = None
+            if m["lo"] != "*":
+                lo = self._lit(m["lo"])
+                col = (fld >= lo) if m["lb"] == "[" else (fld > lo)
+            if m["hi"] != "*":
+                hi = self._lit(m["hi"])
+                c2 = (fld <= hi) if m["rb"] == "]" else (fld < hi)
+                col = c2 if col is None else (col & c2)
+            return col if col is not None else fld.isNotNull()
+        if t.kind == "regexq":
+            return F.col(m["fld_re"]).rlike(m["rx"])
+        if t.kind == "phrase":
+            fld = m["fld_p"] or self.default_field
+            ph = m["ph"]
+            if fld in self.text_fields:
+                return F.col(fld).contains(ph)
+            return F.col(fld) == F.lit(ph)
+        # plain term, possibly wildcard / fuzzy
+        fld = m["fld_t"] or self.default_field
+        val = m["val"]
+        fuzzy = re.match(r"^(.*?)~(\d*)$", val)
+        if fuzzy and fuzzy.group(1):
+            dist = int(fuzzy.group(2) or 2)
+            return F.levenshtein(F.col(fld), F.lit(fuzzy.group(1))) <= dist
+        if "*" in val or "?" in val:
+            # wildcard → SQL LIKE (escape %/_ first)
+            like = (val.replace("\\", "\\\\").replace("%", r"\%")
+                       .replace("_", r"\_").replace("*", "%").replace("?", "_"))
+            return F.col(fld).like(like)
+        if fld in self.text_fields:
+            # analyzed-term analog: token match via word-boundary regex
+            return F.col(fld).rlike(rf"(^|\W){re.escape(val)}(\W|$)")
+        return F.col(fld) == self._lit(val)
+
+
+def parse_query(query: str, default_field: str,
+                text_fields: set[str] | None = None) -> Column:
+    """One-shot helper: Solr classic query string -> Column predicate."""
+    return LuceneQueryParser(default_field, text_fields).parse(query)
