@@ -82,10 +82,15 @@ def main() -> None:
     t_total0 = time.time()
 
     try:
-        # ---- input prep (not timed as build): materialize the seeded corpus
-        corpus_path = os.path.join(scratch, "corpus")
-        synth_transcripts_spark(spark, n_turns, seed=42, n_partitions=2 * cpus) \
-            .write.mode("overwrite").parquet(corpus_path)
+        # ---- input prep (not timed as build): materialize the seeded corpus.
+        # Fixed 64-file layout regardless of cpus so every parallelism level in the
+        # scaling protocol reads byte-identical, identically-partitioned input.
+        # SPARK_GRAFT_CORPUS_PATH lets the scaling harness generate once and share.
+        shared = os.environ.get("SPARK_GRAFT_CORPUS_PATH", "")
+        corpus_path = shared or os.path.join(scratch, "corpus")
+        if not (shared and os.path.exists(os.path.join(corpus_path, "_SUCCESS"))):
+            synth_transcripts_spark(spark, n_turns, seed=42, n_partitions=64) \
+                .write.mode("overwrite").parquet(corpus_path)
         corpus = spark.read.parquet(corpus_path)
 
         # ---- index build (the north-rule headline)

@@ -37,24 +37,25 @@ from solr_spark.analysis.stopwords import ENGLISH_STOPWORDS
 from solr_spark.config import DEFAULT_CONFIG, IndexConfig
 
 # One token per Han/Hiragana char; Katakana runs; word runs with UAX#29 mid-joiners.
+# All groups non-capturing so `findall` returns full matches directly — ~2x faster
+# than a finditer loop, and this regex scan is the single hottest piece of the
+# whole index build.
 _TOKEN_RE = regex.compile(
     r"""
-      (?P<cjk>[\p{Han}\p{Hiragana}])
-    | (?P<kata>\p{Katakana}+)
-    | (?P<word>
-        [\p{L}\p{M}\p{Nd}\p{Nl}_]+
-        (?:
-            (?: (?<=\p{L})['’:.](?=\p{L}) | (?<=\p{Nd})[.,](?=\p{Nd}) )
-            [\p{L}\p{M}\p{Nd}\p{Nl}_]+
-        )*
-      )
+      [\p{Han}\p{Hiragana}]
+    | \p{Katakana}+
+    | [\p{L}\p{M}\p{Nd}\p{Nl}_]+
+      (?:
+          (?: (?<=\p{L})['’:.](?=\p{L}) | (?<=\p{Nd})[.,](?=\p{Nd}) )
+          [\p{L}\p{M}\p{Nd}\p{Nl}_]+
+      )*
     """,
     regex.VERBOSE | regex.V1,
 )
 
 
 def _scan(text: str, max_len: int) -> list[str]:
-    toks = [m.group(0) for m in _TOKEN_RE.finditer(text)]
+    toks = _TOKEN_RE.findall(text)
     if any(len(t) > max_len for t in toks):
         out: list[str] = []
         for t in toks:
@@ -114,3 +115,22 @@ def make_tokenize_udf(config: IndexConfig = DEFAULT_CONFIG):
         return analyze_series(texts, config)
 
     return tokenize
+
+
+def make_tokenize_joined_udf(config: IndexConfig = DEFAULT_CONFIG):
+    """Arrow-vectorized tokenize UDF returning ONE space-joined string per row.
+
+    Same analysis as `make_tokenize_udf`, but the Arrow transfer back to the JVM
+    is one string per document instead of an array of token strings — an
+    order-of-magnitude fewer Arrow offsets/values on long documents, which is
+    what the index build's analyzed stage is bound by. Tokens cannot contain
+    spaces, so the join is lossless.
+    """
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def tokenize_joined(texts: pd.Series) -> pd.Series:
+        toks = analyze_series(texts, config)
+        return toks.map(" ".join)
+
+    return tokenize_joined

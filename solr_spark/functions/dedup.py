@@ -110,32 +110,47 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # --------------------------------------------------------------------- SimHash
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SimHash fingerprint: tf-weighted sign-sum of token hash bits.
 
-    Token hash = Spark's xxhash64 (stable, seedless); bit j of the fingerprint is 1
-    iff sum over tokens of tf * sign(bit_j(hash)) > 0. Pure JVM expressions: the
-    per-bit sums are computed by exploding (token, tf) and aggregating 64
-    conditional sums in ONE shuffle. Output: id, simhash (long, bit 63 in the sign
-    position).
+    Token hash = Spark's xxhash64 (stable, seedless, JVM-side); bit j of the
+    64-bit fingerprint is 1 iff sum over tokens of tf * sign(bit_j(hash)) > 0.
+    The (id, tf, hash) rows shuffle once on id; the per-document bit-matrix
+    sign-sum runs as a vectorized numpy kernel in applyInPandas (an n_tokens × 64
+    matmul-shaped reduction, no per-bit expressions). Output: id, simhash
+    (long, bit 63 in the sign position).
     """
+    import numpy as np
+    import pandas as pd
+
     tf = (df.select(F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("tok"))
             .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("h", F.xxhash64("tok")))
-    sums = tf.groupBy(id_col).agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                   F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"b{j}")
-        for j in range(bits)
-    ])
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j).cast("long") if j < 63 else F.when(
-            F.col(f"b{j}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    shifts = np.arange(64, dtype=np.uint64)
+
+    # One kernel call processes a whole HASH BUCKET of documents (not one doc per
+    # Python call): rows sort by id inside the kernel and per-doc sums come from
+    # np.add.reduceat over the n_rows x 64 sign matrix.
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        h = pdf["h"].to_numpy().astype(np.int64).view(np.uint64)
+        w = pdf["tf"].to_numpy().astype(np.int64)
+        signs = (2 * ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64) - 1)
+        weighted = signs * w[:, None]
+        change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sums = np.add.reduceat(weighted, starts, axis=0)       # n_docs x 64
+        bits = (sums > 0).astype(np.uint64)
+        fp = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(64):
+            fp |= bits[:, j] << np.uint64(j)
+        return pd.DataFrame({id_col: ids[starts], "simhash": fp.view(np.int64)})
+
+    bucketed = tf.withColumn("__b", F.pmod(F.hash(id_col), F.lit(256)))
+    return (bucketed.groupBy("__b")
+            .applyInPandas(kernel, f"{id_col} {id_type}, simhash long"))
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,

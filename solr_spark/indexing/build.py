@@ -1,7 +1,8 @@
 """Distributed inverted-index build: analyze -> docids -> postings -> norms.
 
 Index directory layout (all Parquet unless noted):
-    analyzed/batch-NNN/               docid, conv_id, turn_idx, dl, tokens (forward index)
+    analyzed/batch-NNN/               docid, conv_id, turn_idx, dl, toks (forward index;
+                                      toks = space-joined analyzed tokens, one string)
     norms/                            range_id, base_docid, n, norm_bytes  (SmallFloat blobs)
     segments/seg-NNN/term_bucket=*/   posting-range rows
     dictionary/term_bucket=*/         term, df, cf, max_tf                 (global term dict)
@@ -41,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solr_spark.analysis import make_tokenize_udf
+from solr_spark.analysis import make_tokenize_joined_udf
 from solr_spark.codec.smallfloat import int_to_byte4
 from solr_spark.codec.varint import encode_postings
 from solr_spark.config import DEFAULT_CONFIG, IndexConfig
@@ -139,16 +140,29 @@ def write_analyzed(
     source: DataFrame, path: str, config: IndexConfig,
     num_partitions: int, docid_base: int = 0,
 ) -> None:
-    tokenize = make_tokenize_udf(config)
+    # Forward index is ONE space-joined string per doc, produced directly by the
+    # Arrow UDF: both the Arrow transfer and the parquet encoding handle a single
+    # string far faster than an array<string> (no per-token offsets) — this was
+    # the dominant, non-scaling cost of the stage. Tokens cannot contain spaces,
+    # so the join is lossless; the posting build re-splits JVM-side.
+    tokenize = make_tokenize_joined_udf(config)
     analyzed = (
         assign_doc_ids(source, num_partitions)
         .withColumn("docid", F.col("docid") + F.lit(docid_base))
-        .withColumn("tokens", tokenize(F.col("text")))
-        .withColumn("dl", F.size("tokens").cast("long"))
-        .select("docid", "conv_id", "turn_idx", "dl", "tokens")
+        .withColumn("toks", tokenize(F.col("text")))
+        .withColumn(
+            "dl",
+            F.when(F.col("toks") == "", F.lit(0))
+             .otherwise(F.size(F.split("toks", " "))).cast("long"),
+        )
+        .select("docid", "conv_id", "turn_idx", "dl", "toks")
     )
-    (analyzed.repartitionByRange(num_partitions, "docid")
-             .write.mode("overwrite").parquet(path))
+    # Write with the docid-join's existing conv_id partitioning. Deliberately NO
+    # repartitionByRange here: range sampling evaluates the child plan twice, which
+    # would run the (expensive) tokenize UDF over the whole corpus a second time.
+    # Nothing downstream needs docid clustering — norms shuffle by range_id and the
+    # posting build shuffles by (term, range_id) regardless.
+    analyzed.write.mode("overwrite").parquet(path)
 
 
 def write_norms(analyzed: DataFrame, path: str, config: IndexConfig) -> None:
@@ -164,7 +178,10 @@ def write_norms(analyzed: DataFrame, path: str, config: IndexConfig) -> None:
 def write_segment(
     analyzed: DataFrame, seg_path: str, config: IndexConfig, num_partitions: int
 ) -> None:
-    pairs = analyzed.select("docid", F.explode("tokens").alias("term"))
+    pairs = (
+        analyzed.select("docid", F.explode(F.split("toks", " ")).alias("term"))
+        .where(F.col("term") != "")  # empty docs split to [""]
+    )
     tf = (
         pairs.groupBy("term", "docid").agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("range_id", F.shiftright("docid", config.range_shift))
@@ -202,11 +219,14 @@ def write_dictionary(spark: SparkSession, index_dir: str, seg_paths: list[str]) 
 
 
 def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig) -> dict:
-    analyzed = spark.read.parquet(os.path.join(index_dir, "analyzed", "batch-*"))
-    totals = analyzed.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n_docs, sum_dl = int(totals["n_docs"]), int(totals["sum_dl"] or 0)
+    # Derived from the two SMALL index artifacts, not a corpus re-scan:
+    #   n_docs  = sum of per-range doc counts in norms
+    #   sum_dl  = sum of collection frequencies in the dictionary (every analyzed
+    #             token appears in exactly one posting's tf)
+    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
+    n_docs = int(norms.agg(F.sum("n")).collect()[0][0] or 0)
+    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    sum_dl = int(dictionary.agg(F.sum("cf")).collect()[0][0] or 0)
     stats = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
@@ -240,15 +260,29 @@ def live_segments(index_dir: str) -> list[str]:
 
 
 def _bucket_metrics(spark: SparkSession, seg_path: str) -> list[dict]:
+    """Per-term-bucket build metrics (manifest lineage). Row/posting counts come
+    from the cheap int columns; byte sizes come from the filesystem so the binary
+    posting columns are never re-read."""
     seg = spark.read.parquet(seg_path)
-    return [
-        r.asDict()
+    rows = {
+        int(r["term_bucket"]): r.asDict()
         for r in seg.groupBy("term_bucket")
         .agg(F.count(F.lit(1)).alias("range_rows"),
-             F.sum("n_docs").alias("postings"),
-             (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))).alias("bytes"))
-        .orderBy("term_bucket").collect()
-    ]
+             F.sum("n_docs").alias("postings"))
+        .collect()
+    }
+    for name in os.listdir(seg_path):
+        if not name.startswith("term_bucket="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        d = os.path.join(seg_path, name)
+        size = sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if bucket in rows:
+            rows[bucket]["file_bytes"] = size
+    return [rows[b] for b in sorted(rows)]
 
 
 # ---------------------------------------------------------------- full build

@@ -35,7 +35,9 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
 
-    conv_sizes = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    # cached so repartitionByRange's boundary-sampling pass doesn't re-run the
+    # groupBy (and its corpus scan) a second time
+    conv_sizes = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns")).cache()
     parted = (
         conv_sizes.repartitionByRange(num_partitions, "conv_id")
         .sortWithinPartitions("conv_id")
@@ -64,6 +66,7 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
     )
     conv_base.count()  # materialize while `parted`'s boundaries are still pinned
     parted.unpersist()
+    conv_sizes.unpersist()
     w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
     return (
         df.join(conv_base, "conv_id")

@@ -1,7 +1,13 @@
 """SURVEY.md §2 operator surface: streams, facets, windows (+ query parser in
 solr_spark.query.parser, text/dedup/vector functions in solr_spark.functions)."""
 
-from solr_spark.operators import facets, streams, windows
+from solr_spark.operators import components, facets, streams, windows
+from solr_spark.operators.components import (
+    hash_partition_filter,
+    highlight,
+    rerank,
+    suggest_terms,
+)
 from solr_spark.operators.facets import (
     nested_facet,
     percentiles,
@@ -39,7 +45,8 @@ from solr_spark.operators.windows import (
 )
 
 __all__ = [
-    "facets", "streams", "windows",
+    "components", "facets", "streams", "windows",
+    "hash_partition_filter", "highlight", "rerank", "suggest_terms",
     "nested_facet", "percentiles", "pivot_facet", "query_facet", "range_facet",
     "stats_component", "terms_facet", "timeseries",
     "cartesian_product", "complement", "fetch", "full_outer_join", "hash_join",

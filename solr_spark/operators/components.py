@@ -1,0 +1,84 @@
+"""Search-component analogs: highlighting, terms/suggest, rerank, hash partition.
+
+Reference components re-expressed as DataFrame programs:
+  * HighlightComponent (solr/core/src/java/org/apache/solr/handler/component/
+    HighlightComponent.java, UnifiedSolrHighlighter) — snippet extraction around
+    matched terms.
+  * TermsComponent (handler/component/TermsComponent.java) — term dictionary
+    enumeration by prefix/regex with document frequencies (the autocomplete path).
+  * ReRankQParserPlugin (search/ReRankQParserPlugin.java:46, AbstractReRankQuery) —
+    re-score the top-N of a first-pass ranking with a second expression.
+  * HashQParserPlugin (search/HashQParserPlugin.java:43-68) — `{!hash workers=N
+    worker=i}` murmur3 partition predicate used by parallel(); Spark's F.hash IS
+    32-bit murmur3, so the contract carries over directly.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def highlight(df: DataFrame, text_col: str, terms: Sequence[str],
+              window_chars: int = 30, tag: str = "em") -> Column:
+    """Snippet column: first match of any query term with +-window_chars context,
+    the matched term wrapped in <tag>..</tag>. Pure JVM regexp (codegen'd) — the
+    response-writer analog of the unified highlighter's best-fragment mode.
+    Returns NULL when no term matches."""
+    alts = "|".join(re.escape(t) for t in sorted(terms, key=len, reverse=True))
+    pat = rf"(?i).{{0,{window_chars}}}\b({alts})\b.{{0,{window_chars}}}"
+    frag = F.regexp_extract(F.col(text_col), pat, 0)
+    tagged = F.regexp_replace(frag, rf"(?i)\b({alts})\b", f"<{tag}>$1</{tag}>")
+    return F.when(frag != "", tagged).otherwise(F.lit(None))
+
+
+def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
+                  k: int = 10, num_term_buckets: int | None = None) -> DataFrame:
+    """Terms-component enumeration: dictionary terms starting with `prefix`,
+    highest document frequency first (the standard autocomplete ranking).
+
+    Scans the global term dictionary only (tiny next to postings); a scale
+    deployment additionally sorts the dictionary files by term so the prefix
+    range prunes row groups via parquet min/max stats.
+    Output: term, df (long), ordered df desc, term asc.
+    """
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    return (d.where(F.col("term").startswith(prefix))
+             .select("term", F.col("df").cast("long").alias("df"))
+             .orderBy(F.desc("df"), F.asc("term")).limit(k))
+
+
+def rerank(topk: DataFrame, rerank_expr: Column, rerank_docs: int,
+           first_sort: Sequence[Column | str], weight: float = 1.0,
+           score_col: str = "score") -> DataFrame:
+    """ReRank: take the first-pass top `rerank_docs` rows, add
+    weight * rerank_expr to their score, and re-sort; rows beyond rerank_docs
+    keep their original order below the reranked head (the reference contract:
+    reRankDocs/reRankWeight, AbstractReRankQuery).
+    """
+    w = Window.orderBy(*first_sort)
+    staged = topk.withColumn("__pos", F.row_number().over(w))
+    rescored = staged.withColumn(
+        "new_score",
+        F.when(F.col("__pos") <= rerank_docs,
+               F.col(score_col) + F.lit(weight) * rerank_expr)
+         .otherwise(F.col(score_col)),
+    )
+    in_head = F.col("__pos") <= rerank_docs
+    return (rescored
+            .orderBy(F.desc(in_head.cast("int")), F.desc("new_score"), "__pos")
+            .drop("__pos"))
+
+
+def hash_partition_filter(col: Column | str, workers: int, worker: int) -> Column:
+    """`{!hash workers=N worker=i}` — deterministic worker-slice predicate via
+    murmur3, for N cooperating readers each pulling a disjoint slice (the
+    reference injects this filter for parallel() streams; Solr routes docs with
+    the same murmur3 family, CompositeIdRouter.java:147). `pmod` keeps negative
+    hashes in range."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.hash(c), F.lit(workers)) == worker

@@ -95,8 +95,13 @@ def _idf(n_docs: int, df: int) -> float:
 
 
 def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
-                 length_table: np.ndarray, require_all: bool, n_terms: int):
-    """Score one range group; returns (docids, scores) numpy arrays."""
+                 length_table: np.ndarray, min_match: int):
+    """Score one range group; returns (docids, scores) numpy arrays.
+
+    min_match is the edismax `mm` contract (ExtendedDismaxQParser.java:66):
+    1 = pure disjunction, len(query terms) = conjunction, anything between =
+    min-should-match.
+    """
     base = int(pdf["range_id"].iloc[0]) << cfg.range_shift
     norm_blob = pdf["norm_bytes"].iloc[0]
     if cfg.lucene_norms:
@@ -106,7 +111,7 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
         dls = np.frombuffer(norm_blob, dtype=np.uint32).astype(np.float64)
     width = len(dls)
     acc = np.zeros(width, dtype=np.float64)
-    present = np.zeros(width, dtype=np.int32) if require_all else None
+    present = np.zeros(width, dtype=np.int32) if min_match > 1 else None
     k1, b = cfg.k1, cfg.b
     # fixed term order => deterministic float summation (matches the oracle)
     order = np.argsort(pdf["term"].to_numpy(), kind="stable")
@@ -120,8 +125,7 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
         if present is not None:
             present[off] += 1
     if present is not None:
-        mask = present == n_terms
-        nz = np.flatnonzero(mask)
+        nz = np.flatnonzero(present >= min_match)
     else:
         nz = np.flatnonzero(acc > 0.0)
     return nz + base, acc[nz]
@@ -172,8 +176,13 @@ def bm25_topk(
     k: int = 10,
     mode: str = "wand",
     require_all: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
-    """Top-k BM25. Returns DataFrame(conv_id, turn_idx, docid, score, rank)."""
+    """Top-k BM25. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
+
+    min_match: edismax-style min-should-match over distinct query terms
+    (1 = OR, n_terms = AND); require_all is shorthand for min_match = n_terms.
+    """
     cfg = reader.config
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
     qterms = Counter(analyze_text(query_text, cfg))
@@ -181,6 +190,9 @@ def bm25_topk(
         return spark.createDataFrame([], out_schema)
 
     terms = sorted(qterms)
+    if require_all:
+        min_match = len(terms)
+    min_match = max(1, min(min_match or 1, len(terms)))
     buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
     dict_df = (
         spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
@@ -192,7 +204,8 @@ def bm25_topk(
     if not found:
         return spark.createDataFrame([], out_schema)
     weights = {t: qterms[t] * _idf(reader.n_docs, dfs[t]) for t in found}
-    if require_all and len(found) < len(terms):
+    if min_match > len(found):
+        # absent terms can never match; an mm above the found count is unsatisfiable
         return spark.createDataFrame([], out_schema)
 
     from solr_spark.indexing.build import read_segments
@@ -206,12 +219,12 @@ def bm25_topk(
     joined = postings.join(norms.select("range_id", "norm_bytes"), "range_id")
 
     length_table = norm_length_table()
-    avgdl, n_found = reader.avgdl, len(found)
+    avgdl = reader.avgdl
 
     if mode == "exact":
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
-                                require_all, n_found)
+                                min_match)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
 
@@ -242,7 +255,7 @@ def bm25_topk(
                     if float(group["bound"].iloc[0]) < thresh:
                         return  # block-max skip: provably non-competitive
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
-                                    require_all, n_found)
+                                    min_match)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)
                     if len(heap) < k:

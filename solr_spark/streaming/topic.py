@@ -1,0 +1,138 @@
+"""Continuous / incremental consumption: topic(), daemon(), late-data windows.
+
+Reference semantics being re-expressed (SURVEY.md §2.9):
+  * topic() — checkpointed at-least-once incremental consumption: each call
+    returns only documents not yet seen, persisting its position
+    (solr/solrj-streaming/.../io/stream/TopicStream.java:75-77 checkpoints a
+    `_version_` high watermark per shard into a checkpoint collection).
+  * daemon() — run an expression repeatedly on an interval inside the server
+    (stream/DaemonStream.java:50, managed by handler/StreamHandler.java:251-299).
+  * NRT soft-commit visibility (update/CommitTracker.java:47,186-189) — new data
+    becomes searchable in batches, not per-document.
+
+Spark mapping: Structured Streaming IS this machinery — the file/Delta source
+tracks consumed files in its checkpoint (TopicStream's persisted watermark), a
+foreachBatch sink appends fresh index segments (NRT segment adds), and triggers
+(availableNow / processingTime) are daemon scheduling. Late data is handled with
+event-time watermarks, which the reference lacks entirely (it only has versions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solr_spark.config import DEFAULT_CONFIG, IndexConfig
+
+TRANSCRIPT_SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
+                     "tool string, ts timestamp")
+
+
+def index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    config: IndexConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+    processing_interval: str | None = None,
+):
+    """topic()-style continuous indexing: consume new transcript parquet files,
+    append each micro-batch as a fresh LSM segment.
+
+    The streaming checkpoint (consumed-file log) is the TopicStream watermark;
+    `add_documents` per batch is the NRT segment add; `merge_segments` can run
+    as the background TieredMergePolicy analog whenever segment count grows.
+
+    Returns the StreamingQuery; with available_now=True it drains pending files
+    and stops (a scheduled daemon run), with processing_interval it keeps
+    polling (a resident daemon).
+    """
+    from solr_spark.indexing.merge import add_documents
+
+    stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 64)
+              .parquet(source_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_documents(spark, batch_df, index_dir, config)
+
+    writer = (stream.writeStream.foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
+
+
+def topic_poll(
+    spark: SparkSession,
+    table_path: str,
+    checkpoint_file: str,
+    version_col: str = "ts",
+) -> tuple[DataFrame, "object"]:
+    """Batch-mode topic(): return only rows with version_col strictly above the
+    persisted high watermark, plus a commit() that advances it.
+
+    This is the literal TopicStream contract — `_version_ > checkpoint` with the
+    checkpoint persisted durably (TopicStream.java:118-119 stores it back into a
+    collection; we use an atomic JSON file / object-store marker). At-least-once:
+    rows are re-delivered if commit() never runs.
+    """
+    watermark = None
+    if os.path.exists(checkpoint_file):
+        with open(checkpoint_file) as f:
+            watermark = json.load(f)["watermark"]
+    df = spark.read.parquet(table_path)
+    out = df.where(F.col(version_col) > F.lit(watermark)) if watermark is not None else df
+
+    def commit() -> None:
+        hi = out.agg(F.max(version_col)).collect()[0][0]
+        if hi is None:
+            return
+        os.makedirs(os.path.dirname(checkpoint_file) or ".", exist_ok=True)
+        with open(checkpoint_file + ".tmp", "w") as f:
+            json.dump({"watermark": str(hi) if not isinstance(hi, (int, float)) else hi,
+                       "version_col": version_col}, f)
+        os.replace(checkpoint_file + ".tmp", checkpoint_file)
+
+    return out, commit
+
+
+def daemon(fn, runs: int, interval_secs: float = 0.0) -> list:
+    """daemon() — run a DataFrame program repeatedly (micro-batch loop).
+
+    The reference keeps a daemon thread per expression inside the server
+    (DaemonStream.java:50); in Spark the scheduler is external (Airflow/cron) or
+    a Structured Streaming trigger — this helper is the in-process test double.
+    """
+    import time as _t
+
+    results = []
+    for i in range(runs):
+        results.append(fn(i))
+        if interval_secs and i < runs - 1:
+            _t.sleep(interval_secs)
+    return results
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str,
+    watermark: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark — the Spark-native
+    upgrade over the reference's timeseries() range-facet buckets
+    (stream/TimeSeriesStream.java:55), which have no late-data story."""
+    grouped = stream_df.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window), *(keys or [])
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("count"))

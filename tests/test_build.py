@@ -103,7 +103,7 @@ def test_manifests_written(built_index):
     with open(os.path.join(index_dir, "_manifests", "seg-000.json")) as f:
         seg_m = json.load(f)
     assert len(seg_m["partitions"]) > 0  # per-partition build metrics present
-    assert all("bytes" in p and "postings" in p for p in seg_m["partitions"])
+    assert all("file_bytes" in p and "postings" in p for p in seg_m["partitions"])
 
 
 def test_skew_bounded(built_index):

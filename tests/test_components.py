@@ -1,0 +1,76 @@
+"""Tests for search-component analogs (highlight, suggest, rerank, hash slices)
+and BM25 min-should-match."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.operators.components import (
+    hash_partition_filter,
+    highlight,
+    rerank,
+    suggest_terms,
+)
+
+
+def test_highlight(spark):
+    df = spark.createDataFrame(
+        [(1, "a fatal error occurred during merge"),
+         (2, "all systems nominal"),
+         (3, None)],
+        "id int, msg string")
+    out = {r["id"]: r["snip"] for r in df.select(
+        "id", highlight(df, "msg", ["error", "merge"]).alias("snip")).collect()}
+    assert "<em>error</em>" in out[1] and "fatal" in out[1]
+    assert out[2] is None and out[3] is None
+
+
+def test_suggest_terms(spark, built_index):
+    index_dir, cfg, _ = built_index
+    out = suggest_terms(spark, index_dir, "re", k=5).collect()
+    assert 0 < len(out) <= 5
+    assert all(r["term"].startswith("re") for r in out)
+    dfs = [r["df"] for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+    # "retry" is a hot head term in the synthetic vocabulary
+    assert out[0]["term"] == "retry"
+
+
+def test_rerank(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.0), (2, 9.0, 5.0), (3, 8.0, 0.0), (4, 7.0, 99.0)],
+        "id int, score double, boost double")
+    out = rerank(df, F.col("boost"), rerank_docs=2,
+                 first_sort=[F.desc("score"), F.asc("id")], weight=1.0)
+    got = [r["id"] for r in out.collect()]
+    # head = first-pass top-2 {1,2} reranked: 2 (9+5=14) over 1 (10);
+    # tail keeps first-pass order: 3, 4 — doc 4's boost is NOT applied
+    assert got == [2, 1, 3, 4]
+    scores = {r["id"]: r["new_score"] for r in out.collect()}
+    assert scores[2] == 14.0 and scores[4] == 7.0
+
+
+def test_hash_partition_filter_covers_disjointly(spark):
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    slices = [df.where(hash_partition_filter("k", 4, i)).count() for i in range(4)]
+    assert sum(slices) == 1000
+    assert all(s > 0 for s in slices)
+
+
+def test_bm25_min_match(spark, built_index, oracle):
+    from solr_spark.query import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    q = "error timeout retry"
+    loose = bm25_topk(spark, reader, q, k=500, mode="exact", min_match=1)
+    strict = bm25_topk(spark, reader, q, k=500, mode="exact", min_match=2)
+    allq = bm25_topk(spark, reader, q, k=500, mode="exact", require_all=True)
+    n1, n2, n3 = loose.count(), strict.count(), allq.count()
+    assert n1 >= n2 >= n3 > 0
+    # wand agrees with exact under min_match
+    w2 = bm25_topk(spark, reader, q, k=20, mode="wand", min_match=2)
+    e2 = bm25_topk(spark, reader, q, k=20, mode="exact", min_match=2)
+    assert [(r["docid"], round(r["score"], 9)) for r in w2.collect()] == \
+           [(r["docid"], round(r["score"], 9)) for r in e2.collect()]

@@ -1,0 +1,134 @@
+"""Tests for text-analysis, dedup, and vector-similarity functions against
+pure-Python oracles (the reference's golden-assertion style, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from solr_spark.functions.textanalysis import text_stats
+from solr_spark.functions.vectors import cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "dog lazy the over jumps fox brown quick the"),   # shuffled 0
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0]["canonical_id"] == 0 and out[0]["group_size"] == 2
+    assert out[2]["canonical_id"] == 0
+    assert out[1]["group_size"] == 1
+
+
+def test_text_stats_fingerprint_order_insensitive(docs):
+    out = {r["doc_id"]: r for r in text_stats(docs, "doc_id", "text").collect()}
+    # doc 4 is doc 0 shuffled → same sorted-distinct-token fingerprint
+    assert out[0]["fingerprint"] == out[4]["fingerprint"]
+    assert out[0]["fingerprint"] != out[1]["fingerprint"]
+    assert out[0]["n_tokens"] == 9
+    assert out[5]["n_tokens"] == 0 and out[5]["stop_ratio"] == 0.0
+    # python oracle for the md5
+    toks = sorted(set("the quick brown fox jumps over the lazy dog".split()))
+    assert out[0]["fingerprint"] == hashlib.md5(" ".join(toks).encode()).hexdigest()
+    # stopword ratio: the×2 / 9 tokens ("over" is not in the 35-word list)
+    assert out[0]["stop_ratio"] == round(2 / 9, 4)
+    assert out[0]["lang_pred"] == "en" and out[3]["lang_pred"] == "und"
+
+
+def test_minhash_signature_matches_python_oracle(docs):
+    got = {(r["doc_id"], r["seed"]): r["minhash"]
+           for r in minhash_signatures(docs, "doc_id", "text", 8).collect()}
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (3, "completely different content about spark engines")]:
+        toks = set(text.split())
+        for seed in range(8):
+            want = min(hashlib.md5(f"{seed}:{t}".encode()).hexdigest() for t in toks)
+            assert got[(doc_id, seed)] == want
+    assert (5, 0) not in got  # empty doc has no tokens → no signature
+
+
+def test_minhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_near_dup_pairs(docs, "doc_id", "text").collect()}
+    assert (0, 2) in pairs      # exact dup always collides
+    assert (0, 4) in pairs      # shuffled: same token set → same signature
+    assert (0, 3) not in pairs  # disjoint content
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                minhash_near_dup_pairs(docs, "doc_id", "text",
+                                       jaccard_threshold=0.5).collect()}
+    assert verified.get((0, 2)) == 1.0
+    if (0, 1) in verified:      # 8 shared / 10 union
+        assert verified[(0, 1)] == 0.8
+
+
+def test_simhash_python_oracle(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, "doc_id", "text").collect()}
+    # identical text → identical fingerprint; shuffled → identical (order-free)
+    assert out[0] == out[2] == out[4]
+    # near-dup differs in few bits, disjoint differs in many
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(out[0], out[1]) <= 16
+    assert ham(out[0], out[3]) >= 20
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=16).collect()}
+    assert pairs.get((0, 2)) == 0 and pairs.get((0, 4)) == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id int, embedding array<float>")
+    q = [float(x) for x in vecs[7]]
+    for kernel in ("expr", "pandas"):
+        got = [(r["vec_id"], r["cosine"]) for r in
+               cosine_topk(df, "embedding", q, 5, kernel=kernel).collect()]
+        v = vecs.astype(np.float64)
+        qq = np.asarray(q)
+        sims = v @ qq / (np.linalg.norm(v, axis=1) * np.linalg.norm(qq))
+        order = np.argsort(-sims)[:5]
+        assert [g[0] for g in got] == order.tolist()
+        assert got[0][0] == 7 and got[0][1] == 1.0
+        for (_, c), i in zip(got, order):
+            assert abs(c - sims[i]) < 1e-5
+
+
+def test_lsh_ann_recall(spark):
+    # clustered data (the realistic near-dup/embedding shape): 10 centers,
+    # 20 small-noise members each — true neighbors share LSH sign-buckets
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, 16))
+    vecs = (np.repeat(centers, 20, axis=0)
+            + 0.05 * rng.standard_normal((200, 16))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id int, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+    exact = {r["vec_id"] for r in cosine_topk(df, "embedding", q, 5).collect()}
+    approx = {r["vec_id"] for r in
+              lsh_ann_topk(df, "embedding", q, 5, n_planes=6, multiprobe=3).collect()}
+    assert 0 in approx                       # query's own vector always found
+    assert len(exact & approx) >= 4          # high recall on clustered data

@@ -1,0 +1,176 @@
+"""Operator-surface tests: query parser, facets, windows, streams.
+
+Mirrors the reference's fixture-driven operator tests (SURVEY.md §5 — e.g.
+TestJsonFacets request→expected-bucket assertions) at pytest scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.operators import facets, streams, windows
+from solr_spark.query.parser import parse_query
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        (1, "alice", "eng", 100.0, "error timeout in worker"),
+        (2, "bob", "eng", 250.0, "all good"),
+        (3, "carol", "ops", 50.0, "timeout again"),
+        (4, "dave", "ops", 300.0, "v2.1.0 released"),
+        (5, "erin", "sales", 120.0, None),
+        (6, "frank", "sales", 120.0, "error error error"),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, name string, dept string, amount double, note string"
+    )
+
+
+# ----------------------------------------------------------------- parser
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_parser_term_and_range(people):
+    assert _ids(people.where(parse_query("dept:eng", "name"))) == [1, 2]
+    assert _ids(people.where(parse_query("amount:[100 TO 250]", "name"))) == [1, 2, 5, 6]
+    assert _ids(people.where(parse_query("amount:{100 TO 300}", "name"))) == [2, 5, 6]
+    assert _ids(people.where(parse_query("amount:[250 TO *]", "name"))) == [2, 4]
+
+
+def test_parser_boolean(people):
+    assert _ids(people.where(parse_query("dept:eng OR dept:ops", "name"))) == [1, 2, 3, 4]
+    assert _ids(people.where(parse_query("dept:eng AND amount:[200 TO *]", "name"))) == [2]
+    assert _ids(people.where(parse_query("dept:sales NOT amount:120", "name"))) == []
+    assert _ids(people.where(parse_query("(dept:eng OR dept:ops) AND amount:[100 TO *]",
+                                         "name"))) == [1, 2, 4]
+    # implicit AND
+    assert _ids(people.where(parse_query("dept:ops amount:300", "name"))) == [4]
+
+
+def test_parser_wildcard_fuzzy_phrase(people):
+    assert _ids(people.where(parse_query("name:a*", "name"))) == [1]
+    assert _ids(people.where(parse_query("name:?ob", "name"))) == [2]
+    assert _ids(people.where(parse_query("name:alice~1", "name"))) == [1]
+    # text-field term → word-boundary match
+    assert _ids(people.where(parse_query("note:timeout", "name", {"note"}))) == [1, 3]
+    assert _ids(people.where(parse_query('note:"error timeout"', "name",
+                                         {"note"}))) == [1]
+    assert _ids(people.where(parse_query("name:/(al|bo).*/", "name"))) == [1, 2]
+
+
+def test_parser_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_query("dept:eng AND (unclosed", "name")
+
+
+# ----------------------------------------------------------------- facets
+
+def test_terms_facet(people):
+    out = {r["bucket"]: r["count"] for r in
+           facets.terms_facet(people, "dept", limit=2).collect()}
+    assert out == {"eng": 2, "ops": 2}  # sales ties broken alphabetically
+
+
+def test_range_and_query_facet(people):
+    rf = {r["bucket_start"]: r["count"] for r in
+          facets.range_facet(people, "amount", 0.0, 100.0).collect()}
+    assert rf == {0.0: 1, 100.0: 3, 200.0: 1, 300.0: 1}
+    qf = {r["bucket"]: r["count"] for r in facets.query_facet(people, {
+        "big": F.col("amount") >= 200, "eng": F.col("dept") == "eng"}).collect()}
+    assert qf == {"big": 2, "eng": 2}
+
+
+def test_stats_component(people):
+    row = facets.stats_component(people, "amount").collect()[0]
+    assert row["min"] == 50.0 and row["max"] == 300.0
+    assert row["count"] == 6 and row["missing"] == 0
+    assert row["sum"] == 940.0
+
+
+def test_pivot_and_nested(people):
+    piv = facets.pivot_facet(people, ["dept", "amount"]).collect()
+    assert len(piv) == 5  # sales has one (amount) bucket shared by 2 rows
+    assert {(r["dept"], r["amount"], r["count"]) for r in piv} >= {("sales", 120.0, 2)}
+
+
+# ----------------------------------------------------------------- windows
+
+def test_collapse_and_expand(people):
+    heads = windows.collapse(people, "dept", [F.desc("amount"), F.asc("id")])
+    assert _ids(heads) == [2, 4, 5]
+    rest = windows.expand(people, "dept", [F.desc("amount"), F.asc("id")], 1)
+    assert _ids(rest) == [1, 3, 6]
+
+
+def test_group_top_n(people):
+    out = windows.group_top_n(people, "dept", [F.desc("amount"), F.asc("id")], 1)
+    assert _ids(out) == [2, 4, 5]
+    assert all(r["group_rank"] == 1 for r in out.collect())
+
+
+def test_cursor_page(people):
+    p1 = windows.cursor_page(people, ["amount", "id"], None, 2).collect()
+    assert [r["id"] for r in p1] == [3, 1]
+    p2 = windows.cursor_page(people, ["amount", "id"],
+                             [p1[-1]["amount"], p1[-1]["id"]], 2).collect()
+    assert [r["id"] for r in p2] == [5, 6]
+    p3 = windows.cursor_page(people, ["amount", "id"],
+                             [p2[-1]["amount"], p2[-1]["id"]], 2).collect()
+    assert [r["id"] for r in p3] == [2, 4]
+
+
+def test_elevate(people):
+    out = windows.elevate(people, "id", [6, 3], [2], [F.desc("amount")], 4).collect()
+    assert [r["id"] for r in out] == [6, 3, 4, 5]
+
+
+# ----------------------------------------------------------------- streams
+
+def test_set_ops(spark, people):
+    eng = people.where("dept = 'eng'").select("id")
+    rich = people.where("amount >= 200").select("id")
+    assert _ids(streams.intersect(people, rich, ["id"])) == [2, 4]
+    assert _ids(streams.complement(people, eng, ["id"])) == [3, 4, 5, 6]
+    assert streams.merge(eng, rich).count() == 4
+
+
+def test_unique_first_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 20), (2, "c", 30)], "k int, s string, v int")
+    out = streams.unique(df, ["k"], sort=["s"]).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {1: 20, 2: 30}
+
+
+def test_top_and_select(people):
+    out = streams.top(people, 2, [F.desc("amount"), F.asc("id")]).collect()
+    assert [r["id"] for r in out] == [4, 2]
+    sel = streams.select_stream(people, {"who": F.col("name"),
+                                         "double_amt": F.col("amount") * 2})
+    assert sel.columns == ["who", "double_amt"]
+
+
+def test_significant_terms(spark):
+    rows = [(i, "fg" if i < 2 else "bg", "rare common") if i < 2
+            else (i, "bg", "common") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, text string")
+    pairs = df.select("doc_id", "grp", F.explode(F.split("text", " ")).alias("term"))
+    out = {r["term"]: r for r in streams.significant_terms(
+        pairs, F.col("grp") == "fg", doc_col="doc_id").collect()}
+    assert out["rare"]["fg"] == 2 and out["rare"]["bg"] == 2
+    assert out["rare"]["score"] == 5.0     # (2/2)/(2/10)
+    assert out["common"]["score"] == 1.0   # present everywhere
+
+
+def test_more_like_this(spark):
+    rows = [(0, "apple banana cherry"), (1, "apple banana date"),
+            (2, "apple elderberry"), (3, "fig grape")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    out = streams.more_like_this(pairs, 0, 4, doc_col="doc_id", k=3).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["n_shared"] == 2
+    assert {r["doc_id"] for r in out} == {1, 2}  # doc 3 shares nothing

@@ -1,0 +1,108 @@
+"""Streaming/incremental tests: topic checkpointing, streaming index build,
+NRT adds + merge — the reference's TopicStream/daemon/commit semantics
+(SURVEY.md §2.9) under Structured Streaming."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.config import IndexConfig
+from solr_spark.streaming import daemon, index_stream, topic_poll, windowed_counts
+
+CFG = IndexConfig(range_shift=8, num_term_buckets=8)
+
+
+def _mini_batch(spark, conv_prefix: str, texts: list[str], ts_base: int):
+    rows = [
+        (f"{conv_prefix}-{i:03d}", 0, "user", t, None, ts_base + i)
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts_i long",
+    ).withColumn("ts", F.timestamp_seconds("ts_i")).drop("ts_i")
+
+
+def test_topic_poll_at_least_once(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt.json")
+    _mini_batch(spark, "a", ["one", "two"], 100).write.parquet(table)
+
+    out1, commit1 = topic_poll(spark, table, ckpt)
+    assert out1.count() == 2
+    # without commit: re-delivery (at-least-once)
+    out1b, _ = topic_poll(spark, table, ckpt)
+    assert out1b.count() == 2
+    commit1()
+
+    # nothing new -> empty
+    out2, commit2 = topic_poll(spark, table, ckpt)
+    assert out2.count() == 0
+
+    _mini_batch(spark, "b", ["three"], 200).write.mode("append").parquet(table)
+    out3, commit3 = topic_poll(spark, table, ckpt)
+    assert out3.count() == 1
+    assert out3.collect()[0]["conv_id"] == "b-000"
+    commit3()
+
+
+def test_streaming_index_build(spark, tmp_path):
+    from solr_spark.indexing import build_index, merge_segments
+    from solr_spark.indexing.build import live_segments
+    from solr_spark.query import IndexReader, bm25_topk
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    # initial batch indexed the batch way (segment seg-000)
+    first = _mini_batch(spark, "conv0", ["alpha beta", "alpha gamma"], 100)
+    build_index(spark, first, idx, CFG, input_token="stream-t0")
+
+    # new files arrive; the stream drains them into fresh segments
+    _mini_batch(spark, "conv1", ["delta alpha", "epsilon"], 200) \
+        .write.parquet(src)
+    q = index_stream(spark, src, idx, ckpt, CFG, available_now=True)
+    q.awaitTermination(120)
+
+    reader = IndexReader.open(idx, CFG)
+    assert reader.n_docs == 4
+    hits = bm25_topk(spark, reader, "alpha", k=10, mode="exact").collect()
+    assert {r["conv_id"] for r in hits} == {"conv0-000", "conv0-001", "conv1-000"}
+
+    # restart with same checkpoint: nothing re-consumed (exactly the TopicStream
+    # watermark behavior), doc count stable
+    q2 = index_stream(spark, src, idx, ckpt, CFG, available_now=True)
+    q2.awaitTermination(120)
+    assert IndexReader.open(idx, CFG).n_docs == 4
+
+    # background merge folds the accumulated segments, results unchanged
+    assert len(live_segments(idx)) == 2
+    merge_segments(spark, idx, CFG)
+    assert len(live_segments(idx)) == 1
+    reader = IndexReader.open(idx, CFG)
+    hits2 = bm25_topk(spark, reader, "alpha", k=10, mode="exact").collect()
+    assert {r["conv_id"] for r in hits2} == {"conv0-000", "conv0-001", "conv1-000"}
+
+
+def test_daemon_loop(spark):
+    counts = daemon(lambda i: spark.range(i + 1).count(), runs=3)
+    assert counts == [1, 2, 3]
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "evsrc")
+    _mini_batch(spark, "w", ["x", "y", "z"], 1000).write.parquet(src)
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx int, role string, text string, "
+                      "tool string, ts timestamp")
+              .parquet(src))
+    agg = windowed_counts(stream, "ts", "10 seconds", "1 minute")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_counts").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_counts").collect()
+    assert sum(r["count"] for r in rows) == 3
