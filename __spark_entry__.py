@@ -193,6 +193,45 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
 """
 
 
+def _ft05_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _ft_index(spark, sf_dir)
+    from solr_spark.operators.components import suggest_terms
+
+    return suggest_terms(spark, reader.index_dir, "s", k=10)
+
+
+def _ft05_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE tok LIKE 's%'
+GROUP BY tok ORDER BY df DESC, term LIMIT 10
+"""
+
+
+def _ft06_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.operators.components import highlight
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    snip = highlight(d, "text", ["vector"], window_chars=20)
+    return (d.select("doc_id", snip.alias("snippet"))
+             .where(F.col("snippet").isNotNull()).orderBy("doc_id"))
+
+
+def _ft06_sql() -> str:
+    # mirror of operators/components.py highlight(): first ±20-char fragment
+    # around the term, term wrapped in <em> tags
+    pat = r"(?i).{0,20}\b(vector)\b.{0,20}"
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_extract(text, '{pat}', 0),
+                      '(?i)\\b(vector)\\b', '<em>\\1</em>', 'g') AS snippet
+FROM documents
+WHERE doc_id < 50 AND regexp_extract(text, '{pat}', 0) <> ''
+ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------------- relational
 
 
@@ -432,6 +471,67 @@ def _q29_explode(spark, sf_dir):
                .orderBy("doc_id", "tok"))
 
 
+def _q30_rerank(spark, sf_dir):
+    from solr_spark.operators.components import rerank
+
+    top20 = streams.top(_t(spark, sf_dir, "orders"), 20,
+                        [F.desc("o_totalprice"), F.asc("o_orderkey")]) \
+        .select("o_orderkey", F.col("o_totalprice").alias("score"))
+    out = rerank(top20, (F.col("o_orderkey") % 7).cast("double") * 1000.0,
+                 rerank_docs=10,
+                 first_sort=[F.desc("score"), F.asc("o_orderkey")])
+    # value-hash compare is order-insensitive; the semantic under test is that
+    # ONLY the first-pass top-10 get the boost applied
+    return out.select("o_orderkey", F.round("new_score", 2).alias("new_score"))
+
+
+def _q31_rollup_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("l_quantity"), 2).alias("qty"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q32_moving_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("day").rowsBetween(-2, 0)
+    return daily.select("day", "n",
+                        F.round(F.avg("n").over(w), 4).alias("ma3")).orderBy("day")
+
+
+def _q33_shingles(spark, sf_dir):
+    from solr_spark.functions.textanalysis import ngram_shingles
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    sh = d.select("doc_id", ngram_shingles("text", 3).alias("shingles"))
+    return (sh.select("doc_id",
+                      F.size(F.array_distinct("shingles")).cast("long")
+                       .alias("n_distinct_shingles"))
+              .orderBy("doc_id"))
+
+
+def _g01_gather_nodes(spark, sf_dir):
+    """customer -> order -> part bipartite walk, 2 BFS levels (ids prefixed to
+    keep the node namespace unified)."""
+    from solr_spark.operators.graph import gather_nodes
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e1 = o.select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                  F.concat(F.lit("o"), "o_orderkey").alias("dst"))
+    e2 = li.select(F.concat(F.lit("o"), "l_orderkey").alias("src"),
+                   F.concat(F.lit("p"), "l_partkey").alias("dst"))
+    edges = e1.unionByName(e2)
+    roots = spark.createDataFrame([("c1",), ("c2",)], "node string")
+    out = gather_nodes(edges, roots, "src", "dst", levels=2)
+    return out.select("node", F.col("level").cast("long").alias("level")) \
+              .orderBy("level", "node")
+
+
 # ------------------------------------------------------------ text / dedup / knn
 
 
@@ -526,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft02_term_postings": _ft02_term_postings,
         "ft03_term_stats": _ft03_term_stats,
         "ft04_corpus_stats": _ft04_corpus_stats,
+        "ft05_suggest_prefix": _ft05_suggest,
+        "ft06_highlight": _ft06_highlight,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -555,6 +657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_date_filter": _q27_date_filter,
         "q28_json_extract": _q28_json_extract,
         "q29_explode_tf": _q29_explode,
+        "q30_rerank": _q30_rerank,
+        "q31_rollup_cube": _q31_rollup_cube,
+        "q32_moving_avg": _q32_moving_avg,
+        "q33_shingles": _q33_shingles,
+        "g01_gather_nodes": _g01_gather_nodes,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -596,6 +703,8 @@ cand AS (
         "ft02_term_postings": _ft02_sql(),
         "ft03_term_stats": _ft03_sql(),
         "ft04_corpus_stats": _ft04_sql(),
+        "ft05_suggest_prefix": _ft05_sql(),
+        "ft06_highlight": _ft06_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30
@@ -755,6 +864,51 @@ SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents WHERE doc_id < 20
 ) WHERE tok <> '' GROUP BY doc_id, tok ORDER BY doc_id, tok
 """,
+        "q30_rerank": """
+WITH top20 AS (
+  SELECT o_orderkey, o_totalprice AS score,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+)
+SELECT o_orderkey,
+       round(CASE WHEN pos <= 10
+                  THEN score + (o_orderkey % 7) * 1000.0 ELSE score END, 2)
+         AS new_score
+FROM top20
+""",
+        "q31_rollup_cube": """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q32_moving_avg": """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS ma3
+FROM daily ORDER BY day
+""",
+        "q33_shingles": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS shingles
+  FROM t
+)
+SELECT doc_id, len(list_distinct(shingles))::BIGINT AS n_distinct_shingles
+FROM sh ORDER BY doc_id
+""",
         "tx01_text_stats": f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
@@ -776,6 +930,19 @@ SELECT doc_id, n_tokens, n_chars::BIGINT AS n_chars,
        round(mtl, 4) AS mean_token_len, round(sr, 4) AS stop_ratio,
        CASE WHEN sr >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred, fingerprint
 FROM s ORDER BY doc_id
+""",
+        "g01_gather_nodes": """
+WITH lvl1 AS (
+  SELECT DISTINCT 'o' || o_orderkey AS node FROM orders WHERE o_custkey IN (1, 2)
+),
+lvl2 AS (
+  SELECT DISTINCT 'p' || l_partkey AS node FROM lineitem
+  WHERE 'o' || l_orderkey IN (SELECT node FROM lvl1)
+)
+SELECT node, 1::BIGINT AS level FROM lvl1
+UNION ALL
+SELECT node, 2::BIGINT AS level FROM lvl2
+ORDER BY level, node
 """,
         "tx02_significant_terms": """
 WITH pairs AS (

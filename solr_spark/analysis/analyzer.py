@@ -16,20 +16,17 @@ StandardTokenizer implements it (public behavior):
   * everything else (whitespace, punctuation) breaks tokens.
 
 The stop filter runs with ignoreCase=true BEFORE lowercasing in the reference chain;
-because the stop set is all-lowercase, filtering after lowercasing is observably
-identical, so the batch kernel lowercases once and then masks (documented equivalence,
-asserted by the conformance vectors in tests/test_analyzer.py).
+because the stop set is all-lowercase and the word-character classes are case-closed,
+lowercase-first + case-sensitive stop filtering is observably identical (documented
+equivalence, asserted by the conformance vectors in tests/test_analyzer.py).
 
-All heavy work is batch-at-a-time inside Arrow pandas UDFs: tokens for a whole batch
-are flattened into one pandas string array, lowercased and stop-filtered vectorized,
-then re-split by row counts — no per-row Python beyond the regex scan itself.
+Kernel shape: one C-vectorized `.str.lower()` over the whole Arrow batch, then a
+single regex findall + frozenset stop-filter pass per document — the regex scan is
+the only per-row Python and is the irreducible core of the work.
 """
 
 from __future__ import annotations
 
-import itertools
-
-import numpy as np
 import pandas as pd
 import regex
 
@@ -72,37 +69,49 @@ def _stopset(config: IndexConfig) -> frozenset[str]:
 
 
 def analyze_text(text: str | None, config: IndexConfig = DEFAULT_CONFIG) -> list[str]:
-    """Scalar analyzer (driver-side query analysis + pure-Python oracle)."""
+    """Scalar analyzer (driver-side query analysis + pure-Python oracle).
+
+    Lowercases the WHOLE text first, then tokenizes and stop-filters. For the
+    reference chain (tokenize -> stop(ignoreCase) -> lowercase) this is
+    observably identical on every conformance vector (the word-character classes
+    are case-closed), and doing the lowercase once per document — vectorized in
+    the batch path — is substantially cheaper than per-token lowering.
+    """
     if not text:
         return []
     stops = _stopset(config)
-    return [lt for t in _scan(text, config.max_token_length) if (lt := t.lower()) not in stops]
+    return [t for t in _scan(text.lower(), config.max_token_length) if t not in stops]
 
 
 def analyze_series(texts: pd.Series, config: IndexConfig = DEFAULT_CONFIG) -> pd.Series:
-    """Batch analyzer: Series[str] -> Series[list[str]] (pandas-UDF kernel body)."""
+    """Batch analyzer: Series[str] -> Series[list[str]] (pandas-UDF kernel body).
+
+    One C-vectorized lowercase over the whole series, then a single pass per row
+    (regex findall + frozenset stop filter) — no flatten/re-split machinery.
+    """
     max_len = config.max_token_length
-    raw = [_scan(t, max_len) if isinstance(t, str) and t else [] for t in texts]
-    counts = np.fromiter((len(r) for r in raw), dtype=np.int64, count=len(raw))
-    flat = pd.array(list(itertools.chain.from_iterable(raw)), dtype="str")
-    if len(flat):
-        lowered = pd.Series(flat).str.lower()
-        keep = ~lowered.isin(_stopset(config)) if config.stopwords != "none" else None
-        if keep is not None:
-            # re-split: drop stopped tokens per row without a Python inner loop
-            row_ids = np.repeat(np.arange(len(raw)), counts)
-            row_ids = row_ids[keep.to_numpy()]
-            kept = lowered.to_numpy()[keep.to_numpy()]
-            splits = np.searchsorted(row_ids, np.arange(len(raw) + 1))
-            result = [kept[splits[i] : splits[i + 1]].tolist() for i in range(len(raw))]
-        else:
-            vals = lowered.to_numpy()
-            ends = np.cumsum(counts)
-            starts = ends - counts
-            result = [vals[starts[i] : ends[i]].tolist() for i in range(len(raw))]
-    else:
-        result = [[] for _ in raw]
-    return pd.Series(result, index=texts.index)
+    stops = _stopset(config)
+    low = texts.str.lower()
+    out = [
+        [tk for tk in _scan(t, max_len) if tk not in stops]
+        if isinstance(t, str) and t else []
+        for t in low
+    ]
+    return pd.Series(out, index=texts.index)
+
+
+def analyze_series_joined(texts: pd.Series,
+                          config: IndexConfig = DEFAULT_CONFIG) -> pd.Series:
+    """Batch analyzer, space-joined output: Series[str] -> Series[str]."""
+    max_len = config.max_token_length
+    stops = _stopset(config)
+    low = texts.str.lower()
+    out = [
+        " ".join(tk for tk in _scan(t, max_len) if tk not in stops)
+        if isinstance(t, str) and t else ""
+        for t in low
+    ]
+    return pd.Series(out, index=texts.index)
 
 
 def make_tokenize_udf(config: IndexConfig = DEFAULT_CONFIG):
@@ -130,7 +139,6 @@ def make_tokenize_joined_udf(config: IndexConfig = DEFAULT_CONFIG):
 
     @F.pandas_udf("string")
     def tokenize_joined(texts: pd.Series) -> pd.Series:
-        toks = analyze_series(texts, config)
-        return toks.map(" ".join)
+        return analyze_series_joined(texts, config)
 
     return tokenize_joined

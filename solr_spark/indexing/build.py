@@ -46,7 +46,7 @@ from solr_spark.analysis import make_tokenize_joined_udf
 from solr_spark.codec.smallfloat import int_to_byte4
 from solr_spark.codec.varint import encode_postings
 from solr_spark.config import DEFAULT_CONFIG, IndexConfig
-from solr_spark.indexing.docids import assign_doc_ids
+from solr_spark.indexing.docids import assign_doc_ids_deferred
 from solr_spark.indexing.manifest import stage_complete, write_manifest
 
 SEGMENT_SCHEMA = (
@@ -146,9 +146,16 @@ def write_analyzed(
     # the dominant, non-scaling cost of the stage. Tokens cannot contain spaces,
     # so the join is lossless; the posting build re-splits JVM-side.
     tokenize = make_tokenize_joined_udf(config)
+    with_ids, docid_cleanup = assign_doc_ids_deferred(source, num_partitions)
     analyzed = (
-        assign_doc_ids(source, num_partitions)
+        with_ids
         .withColumn("docid", F.col("docid") + F.lit(docid_base))
+        # Explicit exchange so the tokenize+write stage runs at num_partitions
+        # tasks. Without it, AQE coalesces the upstream join/window shuffle by
+        # BYTE size — and bytes wildly underestimate the Python-UDF cost per row,
+        # leaving most cores idle during the most expensive stage of the build.
+        # Hash on docid: deterministic across retries (docids are content-keyed).
+        .repartition(num_partitions, "docid")
         .withColumn("toks", tokenize(F.col("text")))
         .withColumn(
             "dl",
@@ -157,12 +164,14 @@ def write_analyzed(
         )
         .select("docid", "conv_id", "turn_idx", "dl", "toks")
     )
-    # Write with the docid-join's existing conv_id partitioning. Deliberately NO
-    # repartitionByRange here: range sampling evaluates the child plan twice, which
-    # would run the (expensive) tokenize UDF over the whole corpus a second time.
-    # Nothing downstream needs docid clustering — norms shuffle by range_id and the
-    # posting build shuffles by (term, range_id) regardless.
-    analyzed.write.mode("overwrite").parquet(path)
+    # Deliberately NO repartitionByRange here: range sampling evaluates the child
+    # plan twice, which would run the (expensive) tokenize UDF over the whole
+    # corpus a second time. Nothing downstream needs docid clustering — norms
+    # shuffle by range_id and the posting build shuffles by (term, range_id).
+    try:
+        analyzed.write.mode("overwrite").parquet(path)
+    finally:
+        docid_cleanup()
 
 
 def write_norms(analyzed: DataFrame, path: str, config: IndexConfig) -> None:
@@ -308,29 +317,54 @@ def build_index(
         num_partitions = spark.sparkContext.defaultParallelism
 
     analyzed_path = os.path.join(index_dir, "analyzed", "batch-000")
-    if not stage_complete(index_dir, "analyzed", cfg_hash, input_token):
+    analyzed_fresh = not stage_complete(index_dir, "analyzed", cfg_hash, input_token)
+    if analyzed_fresh:
         write_analyzed(source, analyzed_path, config, num_partitions)
+    analyzed = spark.read.parquet(analyzed_path)
+
+    # Independent stages run CONCURRENTLY on the Spark scheduler (thread-safe):
+    # norms (small shuffle), the posting-segment build (the big job), and the
+    # analyzed per-partition metrics all read the materialized analyzed parquet.
+    # Overlapping them hides each job's scheduling/IO latency behind the big
+    # stage's compute — a meaningful chunk of the serial fraction at high
+    # parallelism. Manifests are only written on completion, so a crash
+    # mid-phase resumes each incomplete stage independently.
+    seg_path = os.path.join(index_dir, "segments", "seg-000")
+
+    def _analyzed_manifest() -> None:
         part_stats = [
             r.asDict()
-            for r in spark.read.parquet(analyzed_path)
+            for r in analyzed
             .groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.count(F.lit(1)).alias("rows"), F.sum("dl").alias("tokens"))
             .orderBy("pid").collect()
         ]
         write_manifest(index_dir, "analyzed", cfg_hash, input_token,
                        metrics={"partitions": len(part_stats)}, partitions=part_stats)
-    analyzed = spark.read.parquet(analyzed_path)
 
-    if not stage_complete(index_dir, "norms", cfg_hash, input_token):
+    def _norms_stage() -> None:
         write_norms(analyzed, os.path.join(index_dir, "norms"), config)
         write_manifest(index_dir, "norms", cfg_hash, input_token)
 
-    seg_path = os.path.join(index_dir, "segments", "seg-000")
-    if not stage_complete(index_dir, "seg-000", cfg_hash, input_token):
+    def _segment_stage() -> None:
         write_segment(analyzed, seg_path, config, num_partitions)
         write_live_segments(index_dir, ["seg-000"])
         write_manifest(index_dir, "seg-000", cfg_hash, input_token,
                        partitions=_bucket_metrics(spark, seg_path))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = []
+    if analyzed_fresh:
+        tasks.append(_analyzed_manifest)
+    if not stage_complete(index_dir, "norms", cfg_hash, input_token):
+        tasks.append(_norms_stage)
+    if not stage_complete(index_dir, "seg-000", cfg_hash, input_token):
+        tasks.append(_segment_stage)
+    if tasks:
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()  # re-raise stage failures
 
     if not stage_complete(index_dir, "dictionary", cfg_hash, input_token):
         write_dictionary(spark, index_dir, [seg_path])

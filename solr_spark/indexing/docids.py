@@ -11,7 +11,7 @@ partition. Instead we do a distributed prefix sum at CONVERSATION granularity
 (~8x smaller than turns):
   1. conv sizes  = groupBy(conv_id).count()                        (one shuffle)
   2. range-partition conv sizes by conv_id, cache (pins partition boundaries so the
-     two downstream jobs see identical partitioning)
+     downstream jobs see identical partitioning)
   3. per-partition totals -> driver (tiny: one long per partition) -> exclusive
      cumulative offsets, broadcast back
   4. conv_base = partition offset + within-partition running sum
@@ -29,11 +29,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Return df + `docid` (long): dense rank of (conv_id, turn_idx)."""
+def _docid_plan(df: DataFrame, num_partitions: int):
+    """Build the docid plan; returns (out, conv_base, parted, conv_sizes) with the
+    three intermediates CACHED (conv_sizes/parted populated by the totals collect,
+    conv_base populated by the first consuming action)."""
     spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = df.sparkSession.sparkContext.defaultParallelism
 
     # cached so repartitionByRange's boundary-sampling pass doesn't re-run the
     # groupBy (and its corpus scan) a second time
@@ -64,14 +64,50 @@ def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFram
         .select("conv_id", (F.col("part_offset") + F.col("prior")).alias("conv_base"))
         .cache()
     )
-    conv_base.count()  # materialize while `parted`'s boundaries are still pinned
-    parted.unpersist()
-    conv_sizes.unpersist()
     w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return (
+    out = (
         df.join(conv_base, "conv_id")
         .withColumn(
             "docid", (F.col("conv_base") + F.row_number().over(w_conv) - 1).cast("long")
         )
         .drop("conv_base")
     )
+    return out, conv_base, parted, conv_sizes
+
+
+def assign_doc_ids_deferred(
+    df: DataFrame, num_partitions: int | None = None
+):
+    """Return (df + docid column, cleanup_fn) WITHOUT a materialization job.
+
+    The first consuming action populates the conv_base cache from the
+    still-pinned range partitioning; call cleanup_fn() after the LAST consuming
+    action. Saves one Spark job versus assign_doc_ids — used by the index build,
+    whose analyzed-write action does the materializing.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    out, conv_base, parted, conv_sizes = _docid_plan(df, num_partitions)
+
+    def cleanup() -> None:
+        conv_base.unpersist()
+        parted.unpersist()
+        conv_sizes.unpersist()
+
+    return out, cleanup
+
+
+def assign_doc_ids(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Return df + `docid` (long): dense rank of (conv_id, turn_idx).
+
+    Standalone form: materializes conv_base (one row per conversation) so every
+    later action on the result sees identical ids, then drops the build-side
+    caches (conv_base itself stays cached for downstream joins).
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    out, conv_base, parted, conv_sizes = _docid_plan(df, num_partitions)
+    conv_base.count()  # materialize while `parted`'s boundaries are still pinned
+    parted.unpersist()
+    conv_sizes.unpersist()
+    return out

@@ -1,0 +1,108 @@
+"""Graph traversal operators: gatherNodes()/nodes(), shortestPath(), {!graph}.
+
+Reference semantics:
+  * gatherNodes() — breadth-first expansion across (from, to) edge fields, one
+    level per call, with per-node aggregations and cycle avoidance
+    (solr/solrj-streaming/.../io/graph/GatherNodesStream.java:72, ~905 LoC).
+  * shortestPath() — iterative BFS between two nodes with path reconstruction
+    (io/graph/ShortestPathStream.java:64).
+  * {!graph} query — follow from->to edges to a fixpoint, optionally depth-capped
+    (solr/core/src/java/org/apache/solr/search/join/GraphQuery.java:64,143).
+
+Spark shape: each BFS level is one equi-join frontier -> edges, with the visited
+set kept as a DataFrame and anti-joined to avoid revisits. The reference walks
+term postings per level inside one shard; here each level is a distributed join,
+so a 100-TB edge table traverses with ordinary shuffle/broadcast machinery, and
+iteration count — not data size — bounds the driver loop. Frontiers are
+checkpoint-persisted each level to cut the growing lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gather_nodes(edges: DataFrame, roots: DataFrame, from_col: str, to_col: str,
+                 levels: int = 1) -> DataFrame:
+    """BFS expansion: nodes reachable from `roots` in exactly 1..levels hops.
+
+    roots: DataFrame with column `node`. Returns (node, level) with the MINIMUM
+    level each node was first reached at (the reference's cycle-avoidance rule:
+    a node already gathered is not re-emitted).
+    """
+    visited = roots.select(F.col("node"), F.lit(0).alias("level"))
+    frontier = visited.select("node")
+    out = visited
+    for lvl in range(1, levels + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", from_col), from_col)
+                    .select(F.col(to_col).alias("node")).distinct()
+                    .join(out.select("node"), "node", "left_anti")
+                    .withColumn("level", F.lit(lvl)))
+        nxt = nxt.localCheckpoint(eager=True)  # cut lineage per level
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt.select("node")
+    return out.where(F.col("level") > 0)
+
+
+def graph_query(edges: DataFrame, roots: DataFrame, from_col: str, to_col: str,
+                max_depth: int = -1) -> DataFrame:
+    """{!graph}: transitive closure from roots to fixpoint (or max_depth).
+
+    Returns (node) including the roots, mirroring GraphQuery's result set.
+    """
+    visited = roots.select("node")
+    frontier = visited
+    depth = 0
+    while max_depth < 0 or depth < max_depth:
+        nxt = (edges.join(frontier.withColumnRenamed("node", from_col), from_col)
+                    .select(F.col(to_col).alias("node")).distinct()
+                    .join(visited, "node", "left_anti"))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        depth += 1
+    return visited
+
+
+def shortest_path(edges: DataFrame, src, dst, from_col: str, to_col: str,
+                  max_depth: int = 10) -> list:
+    """BFS shortest path src -> dst; returns the node list (empty if unreachable).
+
+    Mirrors ShortestPathStream: level-synchronous BFS keeping one best
+    predecessor per node, path rebuilt by walking predecessors backwards. The
+    predecessor table lives as a DataFrame; only the final path walk (length <=
+    max_depth) touches the driver.
+    """
+    spark = edges.sparkSession
+    preds = spark.createDataFrame([(src, None)], "node string, pred string") \
+        .withColumn("node", F.col("node").cast(edges.schema[from_col].dataType)) \
+        .withColumn("pred", F.col("pred").cast(edges.schema[from_col].dataType))
+    frontier = preds.select("node")
+    for _ in range(max_depth):
+        nxt = (edges.join(frontier.withColumnRenamed("node", from_col), from_col)
+                    .groupBy(F.col(to_col).alias("node"))
+                    .agg(F.min(from_col).alias("pred"))  # deterministic tiebreak
+                    .join(preds.select("node"), "node", "left_anti"))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            return []
+        preds = preds.unionByName(nxt)
+        if not nxt.where(F.col("node") == dst).isEmpty():
+            break
+        frontier = nxt.select("node")
+    else:
+        return []
+    # walk predecessors on the (small) preds table
+    lookup = {r["node"]: r["pred"] for r in preds.collect()}
+    if dst not in lookup:
+        return []
+    path, cur = [], dst
+    while cur is not None:
+        path.append(cur)
+        cur = lookup[cur]
+    return list(reversed(path))
