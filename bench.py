@@ -98,6 +98,21 @@ def main() -> None:
                 .write.mode("overwrite").parquet(corpus_path)
         corpus = spark.read.parquet(corpus_path)
 
+        # ---- warmup (untimed): fork the Python-UDF worker pool and JIT the
+        # first exchange/codegen paths. On a real cluster executors are
+        # long-lived and warm; local mode would otherwise charge one-off
+        # process-fork + pandas-import cost (which grows with core count) to
+        # the first measured stage.
+        import pandas as pd  # noqa: F401  (workers import it on fork)
+
+        @F.pandas_udf("long")
+        def _warm(s):
+            return s
+
+        (spark.range(cpus * 64, numPartitions=cpus * 2)
+              .select(_warm("id").alias("id"))
+              .groupBy(F.col("id") % 4).count().collect())
+
         # ---- index build (the north-rule headline)
         cfg = IndexConfig()
         index_dir = os.path.join(scratch, "index")

@@ -20,12 +20,16 @@ _U7 = np.uint64(7)
 _U7F = np.uint64(0x7F)
 
 
-def varint_encode(vals: np.ndarray) -> bytes:
-    """Encode a 1-D array of non-negative ints as concatenated varints."""
+def _varint_bytes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a 1-D array of non-negative ints as concatenated varints.
+
+    Returns (uint8 buffer, per-value cumulative byte ends) so callers can slice
+    out any contiguous sub-range of values without re-encoding.
+    """
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(v)
     if n == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
     nbytes = np.ones(n, dtype=np.int64)
     tmp = v >> _U7
     while tmp.any():
@@ -40,7 +44,12 @@ def varint_encode(vals: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * k)) & _U7F).astype(np.uint8)
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
-    return out.tobytes()
+    return out, ends
+
+
+def varint_encode(vals: np.ndarray) -> bytes:
+    """Encode a 1-D array of non-negative ints as concatenated varints."""
+    return _varint_bytes(vals)[0].tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -82,6 +91,66 @@ def encode_postings(
         dtype=np.int64,
     )
     return varint_encode(gaps), varint_encode(t), block_first, block_max_tf, int(t.max())
+
+
+def encode_posting_groups(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    bounds: np.ndarray,
+    rids: np.ndarray,
+    range_shift: int,
+    block_size: int,
+) -> tuple[list, list, list, list, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched `encode_postings` over MANY groups in one vectorized pass.
+
+    Group g spans docids[bounds[g]:bounds[g+1]] (strictly increasing within the
+    group, all >= rids[g] << range_shift). Per-group Python work is reduced to a
+    few buffer slices — the gap/varint/block computations run once over the
+    whole concatenation, which is what makes posting-build tasks scale when the
+    per-task group count is large (every index-build task sees most of the
+    vocabulary, so group count per task does NOT shrink with more partitions).
+
+    Returns (doc_gaps: list[bytes], tfs_b: list[bytes],
+             block_first: list[list[int]], block_max_tf: list[list[int]],
+             max_tf, n_docs, range_cf: int64 arrays), byte-identical per group
+    to `encode_postings`.
+    """
+    d = np.ascontiguousarray(docids, dtype=np.int64)
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    starts, ends_g = bounds[:-1], bounds[1:]
+    if len(starts) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return [], [], [], [], z, z, z
+
+    prev = np.empty_like(d)
+    prev[1:] = d[:-1]
+    prev[starts] = np.asarray(rids, dtype=np.int64) << np.int64(range_shift)
+    gaps = (d - prev).astype(np.uint64)
+    gbuf, gends = _varint_bytes(gaps)
+    tbuf, tends = _varint_bytes(t.astype(np.uint64))
+    gbytes, tbytes = gbuf.tobytes(), tbuf.tobytes()
+    g_lo = np.where(starts == 0, 0, gends[starts - 1])
+    g_hi = gends[ends_g - 1]
+    t_lo = np.where(starts == 0, 0, tends[starts - 1])
+    t_hi = tends[ends_g - 1]
+
+    blk_starts = np.concatenate(
+        [np.arange(s, e, block_size) for s, e in zip(starts, ends_g)])
+    n_blocks = (ends_g - starts + block_size - 1) // block_size
+    blk_bounds = np.concatenate(([0], np.cumsum(n_blocks)))
+    blk_max = np.maximum.reduceat(t, blk_starts)
+    blk_first = d[blk_starts]
+
+    doc_gaps = [gbytes[a:b] for a, b in zip(g_lo.tolist(), g_hi.tolist())]
+    tfs_b = [tbytes[a:b] for a, b in zip(t_lo.tolist(), t_hi.tolist())]
+    bb = blk_bounds.tolist()
+    block_first = [blk_first[a:b].tolist() for a, b in zip(bb[:-1], bb[1:])]
+    block_max_tf = [blk_max[a:b].tolist() for a, b in zip(bb[:-1], bb[1:])]
+    max_tf = np.maximum.reduceat(t, starts)
+    range_cf = np.add.reduceat(t, starts)
+    n_docs = ends_g - starts
+    return doc_gaps, tfs_b, block_first, block_max_tf, max_tf, n_docs, range_cf
 
 
 def decode_postings(

@@ -12,17 +12,25 @@ Index directory layout (all Parquet unless noted):
 
 Shuffle plan (designed for 10^12 turns):
     S1  groupBy(conv_id)            docid prefix-sum (conversation granularity)
-    S2  groupBy(term, docid)        tf counting — key includes docid, so hot terms do
-                                    NOT skew this shuffle; count() partial-aggregates
-                                    map-side before the exchange
-    S3  hash(term, range_id)        posting-range assembly — a hot term's postings are
-                                    spread over ceil(N / 2^range_shift) ranges, so no
-                                    single task ever sees more than 2^range_shift
-                                    postings. This range-chunking IS the skew handling
+    S2  hash(term, range_id)        partial-segment MERGE shuffle. Token occurrences
+                                    never cross the wire: each analyzed partition is
+                                    encoded into a PARTIAL posting segment by a narrow
+                                    map stage (every document lives wholly in one
+                                    partition, so per-doc tf is final map-side), and
+                                    only the varint-compressed partial rows
+                                    (term, range_id, blobs) are exchanged — orders of
+                                    magnitude fewer rows/bytes than the raw occurrence
+                                    stream. This is the reference's own architecture:
+                                    per-writer segments + background merge
+                                    (DefaultMergePolicyFactory.java:42, SURVEY.md §1.1).
+                                    A hot term's postings are spread over
+                                    ceil(N / 2^range_shift) ranges, so no single merge
+                                    task ever sees more than 2^range_shift postings.
+                                    This range-chunking IS the skew handling
                                     (Spark-native analog of the reference's hot-term
-                                    special path, search/facet/UnInvertedField.java:108-149);
-                                    AQE skew settings stay on as a backstop.
-    S4  repartition(term_bucket)    layout-only exchange of already-compressed rows so
+                                    special path, search/facet/UnInvertedField.java:
+                                    108-149); AQE skew settings stay on as a backstop.
+    S3  repartition(term_bucket)    layout-only exchange of already-compressed rows so
                                     each term_bucket directory is written contiguously
 
 Posting rows are encoded by a numpy kernel inside mapInPandas (Arrow batches, no
@@ -63,53 +71,178 @@ def _posting_encoder(config: IndexConfig):
     shift, block = config.range_shift, config.block_size
 
     def encode_iter(batches):
-        carry_key: tuple | None = None
-        carry_d: list[np.ndarray] = []
-        carry_t: list[np.ndarray] = []
-        out_rows: list[tuple] = []
+        # Whole-partition Arrow kernel over the forward index (docid, toks).
+        # Token materialization NEVER creates per-occurrence Python objects:
+        # split_pattern / list_flatten / dictionary_encode run in Arrow C++
+        # (one string heap, one hash table), then everything downstream is
+        # array-at-a-time numpy on int codes. Python strings are only created
+        # for the per-task UNIQUE terms when emitting rows. This matters for
+        # multi-core scaling: the per-occurrence object-churn version was
+        # allocator/memory-bandwidth bound and stopped scaling past ~8 cores.
+        # A document's tokens are all in its one row, so the tf counts produced
+        # here are FINAL — the merge stage only concatenates disjoint docid sets.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        def emit(key, d_list, t_list):
-            term, rid = key
-            d = np.concatenate(d_list) if len(d_list) > 1 else d_list[0]
-            t = np.concatenate(t_list) if len(t_list) > 1 else t_list[0]
-            gaps, tfs_b, bf, bmt, mx = encode_postings(d, t, int(rid) << shift, block)
-            out_rows.append(
-                (term, int(rid), len(d), gaps, tfs_b, bf.tolist(),
-                 bmt.tolist(), mx, int(t.sum()))
-            )
+        d_parts: list[pa.Array] = []
+        t_parts: list[pa.Array] = []
+        for b in batches:
+            if b.num_rows:
+                d_parts.append(b.column("docid"))
+                t_parts.append(b.column("toks"))
+        if not d_parts:
+            return
+        docid = pa.chunked_array(d_parts).combine_chunks().to_numpy()
+        toks = pa.chunked_array(t_parts).combine_chunks()
+        del d_parts, t_parts
+        tok_lists = pc.split_pattern(toks, " ")  # "" splits to [""]
+        del toks
+        lens = pc.list_value_length(tok_lists).to_numpy()
+        denc = pc.dictionary_encode(pc.list_flatten(tok_lists))
+        del tok_lists
+        codes = denc.indices.to_numpy().astype(np.int64, copy=False)
+        uniq = denc.dictionary
+        uniq_np = uniq.to_numpy(zero_copy_only=False)  # small: unique terms only
+        del denc
+        docs = np.repeat(docid, lens)
+        # empty docs contributed a single "" token — drop those occurrences
+        empty_ids = np.flatnonzero(uniq_np == "")
+        if len(empty_ids):
+            keep = codes != empty_ids[0]
+            codes, docs = codes[keep], docs[keep]
+        order = np.lexsort((docs, codes))
+        c, d = codes[order], docs[order]
+        del order, codes, docs
 
-        cols = ["term", "range_id", "n_docs", "doc_gaps", "tfs",
-                "block_first", "block_max_tf", "max_tf", "range_cf"]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            terms = pdf["term"].to_numpy()
-            rids = pdf["range_id"].to_numpy()
-            docids = pdf["docid"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            change = np.flatnonzero((terms[1:] != terms[:-1]) | (rids[1:] != rids[:-1])) + 1
-            bounds = np.concatenate(([0], change, [len(pdf)]))
-            for i in range(len(bounds) - 1):
-                s, e = bounds[i], bounds[i + 1]
-                key = (terms[s], rids[s])
-                if carry_key is not None and key != carry_key:
-                    emit(carry_key, carry_d, carry_t)
-                    carry_d, carry_t = [], []
-                carry_key = key
-                carry_d.append(docids[s:e])
-                carry_t.append(tfs[s:e])
-                if i < len(bounds) - 2:  # last group may continue in the next batch
-                    emit(carry_key, carry_d, carry_t)
-                    carry_key, carry_d, carry_t = None, [], []
-            if len(out_rows) >= 2048:
-                yield pd.DataFrame(out_rows, columns=cols)
-                out_rows = []
-        if carry_key is not None:
-            emit(carry_key, carry_d, carry_t)
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=cols)
+        # tf = run length of each (code, docid) pair
+        pchange = np.flatnonzero((c[1:] != c[:-1]) | (d[1:] != d[:-1])) + 1
+        pstart = np.concatenate(([0], pchange))
+        tf = np.diff(np.concatenate((pstart, [len(c)])))
+        cu, du = c[pstart], d[pstart]
+        rid_u = du >> np.int64(shift)
+
+        gchange = np.flatnonzero((cu[1:] != cu[:-1]) | (rid_u[1:] != rid_u[:-1])) + 1
+        bounds = np.concatenate(([0], gchange, [len(cu)]))
+        yield from _emit_segment_batches(
+            uniq_np[cu[bounds[:-1]]], rid_u[bounds[:-1]], du, tf, bounds,
+            shift, block)
 
     return encode_iter
+
+
+_ARROW_SEGMENT_SCHEMA = None
+
+
+def _segment_arrow_schema():
+    global _ARROW_SEGMENT_SCHEMA
+    if _ARROW_SEGMENT_SCHEMA is None:
+        import pyarrow as pa
+
+        _ARROW_SEGMENT_SCHEMA = pa.schema([
+            ("term", pa.string()), ("range_id", pa.int64()),
+            ("n_docs", pa.int32()), ("doc_gaps", pa.binary()),
+            ("tfs", pa.binary()), ("block_first", pa.list_(pa.int64())),
+            ("block_max_tf", pa.list_(pa.int32())), ("max_tf", pa.int32()),
+            ("range_cf", pa.int64()),
+        ])
+    return _ARROW_SEGMENT_SCHEMA
+
+
+def _emit_segment_batches(terms, rid_g, du, tf, bounds, shift, block,
+                          chunk=65536):
+    """Yield SEGMENT_SCHEMA RecordBatches for many posting groups at once.
+
+    terms: per-group term (object array), rid_g: per-group range id,
+    (du, tf): concatenated postings, bounds: group boundaries into them.
+    """
+    import pyarrow as pa
+
+    from solr_spark.codec.varint import encode_posting_groups
+
+    schema = _segment_arrow_schema()
+    doc_gaps, tfs_b, bfirst, bmax, max_tf, n_docs, range_cf = \
+        encode_posting_groups(du, tf, bounds, rid_g, shift, block)
+    rid_l = np.asarray(rid_g, dtype=np.int64)
+    for s in range(0, len(doc_gaps), chunk):
+        e = min(s + chunk, len(doc_gaps))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(terms[s:e].tolist(), pa.string()),
+                pa.array(rid_l[s:e]),
+                pa.array(n_docs[s:e].astype(np.int32)),
+                pa.array(doc_gaps[s:e], pa.binary()),
+                pa.array(tfs_b[s:e], pa.binary()),
+                pa.array(bfirst[s:e], pa.list_(pa.int64())),
+                pa.array(bmax[s:e], pa.list_(pa.int32())),
+                pa.array(max_tf[s:e].astype(np.int32)),
+                pa.array(range_cf[s:e]),
+            ],
+            schema=schema,
+        )
+
+
+def _partial_merger(config: IndexConfig):
+    """Merge partial posting rows for the same (term, range_id) into final rows.
+
+    Input partitions are hash-partitioned by (term, range_id) so every partial of
+    a group is in one task. Docid sets of different partials are disjoint (a doc
+    lives in exactly one analyzed partition), so merging is concat + sort — tfs
+    are never combined. Groups with a single partial pass through untouched
+    (the long-tail fast path: at scale most rare terms appear in one partition's
+    partial only).
+    """
+    from solr_spark.codec.varint import varint_decode
+
+    shift, block = config.range_shift, config.block_size
+
+    def merge_iter(batches):
+        # Fully-vectorized merge: concatenate ALL partial blobs of the task,
+        # varint-decode them in one pass (the codec is self-delimiting),
+        # reconstruct absolute docids with a segment-wise cumsum, sort the
+        # posting stream by (term, range, docid) as pure ints, and batch-encode
+        # the merged groups. Per-row Python is one bytes-object per PARTIAL
+        # (thousands), never per posting (millions).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tables = [pa.Table.from_batches([b]) for b in batches if b.num_rows]
+        if not tables:
+            return
+        tbl = pa.concat_tables(tables).combine_chunks()
+        del tables
+        denc = pc.dictionary_encode(tbl.column("term").chunk(0))
+        codes = denc.indices.to_numpy().astype(np.int64, copy=False)
+        uniq_np = denc.dictionary.to_numpy(zero_copy_only=False)
+        rids = tbl.column("range_id").chunk(0).to_numpy()
+        n_docs = tbl.column("n_docs").chunk(0).to_numpy().astype(np.int64)
+        gaps_blobs = tbl.column("doc_gaps").chunk(0).to_pylist()
+        tfs_blobs = tbl.column("tfs").chunk(0).to_pylist()
+        del tbl, denc
+
+        all_gaps = varint_decode(b"".join(gaps_blobs)).astype(np.int64)
+        all_tfs = varint_decode(b"".join(tfs_blobs)).astype(np.int64)
+        del gaps_blobs, tfs_blobs
+        ends = np.cumsum(n_docs)
+        starts = ends - n_docs
+        # docid[i] = range_base(partial) + cumsum(gaps) within the partial
+        cs = np.cumsum(all_gaps)
+        prior = np.where(starts == 0, 0, cs[starts - 1])
+        base = rids.astype(np.int64) << np.int64(shift)
+        docids = cs + np.repeat(base - prior, n_docs)
+
+        code_occ = np.repeat(codes, n_docs)
+        rid_occ = np.repeat(rids, n_docs)
+        order = np.lexsort((docids, rid_occ, code_occ))
+        d, t = docids[order], all_tfs[order]
+        c, r = code_occ[order], rid_occ[order]
+        del docids, all_tfs, code_occ, rid_occ, order, cs, prior
+
+        gchange = np.flatnonzero((c[1:] != c[:-1]) | (r[1:] != r[:-1])) + 1
+        bounds = np.concatenate(([0], gchange, [len(c)]))
+        yield from _emit_segment_batches(
+            uniq_np[c[bounds[:-1]]], r[bounds[:-1]], d, t, bounds, shift, block)
+
+    return merge_iter
 
 
 def _norm_kernel(config: IndexConfig):
@@ -146,31 +279,44 @@ def write_analyzed(
     # the dominant, non-scaling cost of the stage. Tokens cannot contain spaces,
     # so the join is lossless; the posting build re-splits JVM-side.
     tokenize = make_tokenize_joined_udf(config)
-    with_ids, docid_cleanup = assign_doc_ids_deferred(source, num_partitions)
-    analyzed = (
-        with_ids
-        .withColumn("docid", F.col("docid") + F.lit(docid_base))
-        # Explicit exchange so the tokenize+write stage runs at num_partitions
-        # tasks. Without it, AQE coalesces the upstream join/window shuffle by
-        # BYTE size — and bytes wildly underestimate the Python-UDF cost per row,
-        # leaving most cores idle during the most expensive stage of the build.
-        # Hash on docid: deterministic across retries (docids are content-keyed).
-        .repartition(num_partitions, "docid")
+    # Tokenize BEFORE the docid join/window: the UDF then runs as a narrow stage
+    # at input-file parallelism with no exchange feeding it, and the corpus
+    # crosses exactly ONE shuffle (the conv_id window sort), carrying analyzed
+    # toks instead of raw text. Column pruning keeps the UDF out of the docid
+    # prefix-sum jobs (they only read conv_id), so the tokenizer still runs
+    # exactly once per document.
+    toked = (
+        source
         .withColumn("toks", tokenize(F.col("text")))
         .withColumn(
             "dl",
             F.when(F.col("toks") == "", F.lit(0))
              .otherwise(F.size(F.split("toks", " "))).cast("long"),
         )
+        .select("conv_id", "turn_idx", "dl", "toks")
+    )
+    with_ids, docid_cleanup = assign_doc_ids_deferred(toked, num_partitions)
+    analyzed = (
+        with_ids
+        .withColumn("docid", F.col("docid") + F.lit(docid_base))
         .select("docid", "conv_id", "turn_idx", "dl", "toks")
     )
     # Deliberately NO repartitionByRange here: range sampling evaluates the child
     # plan twice, which would run the (expensive) tokenize UDF over the whole
     # corpus a second time. Nothing downstream needs docid clustering — norms
     # shuffle by range_id and the posting build shuffles by (term, range_id).
+    # AQE partition coalescing is disabled for this one write so the analyzed
+    # layout keeps spark.sql.shuffle.partitions files: the file count sets the
+    # parallelism of the (narrow, Python-heavy) partial-segment encode stage,
+    # and byte-based coalescing wildly underestimates that per-row cost.
+    spark = source.sparkSession
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
     try:
+        spark.conf.set(coalesce_key, "false")
         analyzed.write.mode("overwrite").parquet(path)
     finally:
+        spark.conf.set(coalesce_key, prev)
         docid_cleanup()
 
 
@@ -187,18 +333,19 @@ def write_norms(analyzed: DataFrame, path: str, config: IndexConfig) -> None:
 def write_segment(
     analyzed: DataFrame, seg_path: str, config: IndexConfig, num_partitions: int
 ) -> None:
-    pairs = (
-        analyzed.select("docid", F.explode(F.split("toks", " ")).alias("term"))
-        .where(F.col("term") != "")  # empty docs split to [""]
-    )
-    tf = (
-        pairs.groupBy("term", "docid").agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("range_id", F.shiftright("docid", config.range_shift))
-    )
+    # Two-phase, Lucene-style build. Phase 1 (narrow, NO shuffle): each analyzed
+    # partition becomes a PARTIAL posting segment — tokenization output is turned
+    # into final (term, docid, tf) postings map-side because every document lives
+    # wholly in one partition. Phase 2 (the only wide exchange): the
+    # varint-compressed partial rows shuffle by (term, range_id) and merge by
+    # concatenation of disjoint docid sets. Exchanging encoded blobs instead of
+    # raw token occurrences moves ~100x fewer rows; the occurrence stream
+    # (60M rows per 400k docs) never touches a shuffle or the Arrow pipe.
+    partials = analyzed.select("docid", "toks").mapInArrow(
+        _posting_encoder(config), SEGMENT_SCHEMA)
     enc = (
-        tf.repartition(num_partitions, "term", "range_id")
-        .sortWithinPartitions("term", "range_id", "docid")
-        .mapInPandas(_posting_encoder(config), SEGMENT_SCHEMA)
+        partials.repartition(num_partitions, "term", "range_id")
+        .mapInArrow(_partial_merger(config), SEGMENT_SCHEMA)
         .withColumn("term_bucket", F.crc32(F.col("term")) % config.num_term_buckets)
     )
     (enc.repartition(F.col("term_bucket"))

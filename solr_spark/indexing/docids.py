@@ -40,7 +40,8 @@ def _docid_plan(df: DataFrame, num_partitions: int):
     conv_sizes = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns")).cache()
     parted = (
         conv_sizes.repartitionByRange(num_partitions, "conv_id")
-        .sortWithinPartitions("conv_id")
+        # no sortWithinPartitions: the prefix-sum window below sorts by conv_id
+        # within each pid anyway, so a pre-sort would just be a second sort
         .withColumn("pid", F.spark_partition_id())
         .cache()
     )
