@@ -56,6 +56,18 @@ toks AS (
 )
 """
 
+def _q35_sql() -> str:
+    from solr_spark.functions.datemath import date_math_sql
+
+    cutoff = date_math_sql("2024-01-30T00:00:00Z/DAY-7DAYS")
+    return f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+FROM events WHERE ts >= {cutoff} GROUP BY day ORDER BY day
+"""
+
+
+_Q35_SQL = _q35_sql()
+
 _RAWTOKS_CTE = """
 rawtoks AS (
     SELECT doc_id, tok FROM (
@@ -532,6 +544,86 @@ def _g01_gather_nodes(spark, sf_dir):
               .orderBy("level", "node")
 
 
+def _g02_shortest_path(spark, sf_dir):
+    """BFS shortest path c7 -> p35 over the customer/order/part graph
+    (ShortestPathStream analog; min-predecessor tiebreak)."""
+    from solr_spark.operators.graph import shortest_path
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                 F.concat(F.lit("o"), "o_orderkey").alias("dst"))
+         .unionByName(
+             li.select(F.concat(F.lit("o"), "l_orderkey").alias("src"),
+                       F.concat(F.lit("p"), "l_partkey").alias("dst")))
+    )
+    path = shortest_path(edges, "c7", "p35", "src", "dst", max_depth=4)
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(path)], "pos long, node string"
+    ).orderBy("pos")
+
+
+def _q34_geodist(spark, sf_dir):
+    """geodist/geofilt over coordinates derived deterministically from keys
+    (the TPC-H-ish tables carry no geo columns; the formula is the fixture)."""
+    from solr_spark.functions.geo import geodist, geofilt
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("lat", (F.col("c_custkey") % 180 - 90) + F.lit(0.5))
+         .withColumn("lon", (F.col("c_custkey") * 7 % 360 - 180) + F.lit(0.5)))
+    return (c.where(geofilt("lat", "lon", 10.0, 20.0, 4000.0))
+             .select("c_custkey",
+                     F.round(geodist("lat", "lon", 10.0, 20.0), 2)
+                      .alias("dist_km"))
+             .orderBy("c_custkey"))
+
+
+def _q35_date_math(spark, sf_dir):
+    from solr_spark.functions.datemath import date_math
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = date_math("2024-01-30T00:00:00Z/DAY-7DAYS")
+    return (ev.where(F.col("ts") >= cutoff)
+              .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                        .alias("day"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("day"))
+
+
+def _q36_jaro_winkler(spark, sf_dir):
+    from solr_spark.functions.textanalysis import jaro_winkler
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    return (c.select("c_custkey",
+                     F.round(jaro_winkler("c_name", F.lit("Customer#000000042")), 4)
+                      .alias("jw"))
+             .orderBy("c_custkey"))
+
+
+def _q37_reduce_group(spark, sf_dir):
+    """ReducerStream analog: group-sorted reduce (concatenate order priorities
+    in (date, key) order per customer)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    packed = F.array_sort(F.collect_list(
+        F.struct(F.col("o_orderdate").alias("d"),
+                 F.col("o_orderkey").alias("k"),
+                 F.col("o_orderpriority").alias("p"))))
+    return (o.groupBy("o_custkey")
+             .agg(F.array_join(F.transform(packed, lambda s: s["p"]), ",")
+                   .alias("prios"))
+             .orderBy("o_custkey"))
+
+
+def _q38_fetch(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name")
+    return (streams.fetch(o, c, ["o_custkey"], ["c_name"])
+            .select("o_orderkey", "o_custkey", "c_name")
+            .orderBy("o_orderkey"))
+
+
 # ------------------------------------------------------------ text / dedup / knn
 
 
@@ -662,6 +754,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_moving_avg": _q32_moving_avg,
         "q33_shingles": _q33_shingles,
         "g01_gather_nodes": _g01_gather_nodes,
+        "g02_shortest_path": _g02_shortest_path,
+        "q34_geodist": _q34_geodist,
+        "q35_date_math": _q35_date_math,
+        "q36_jaro_winkler": _q36_jaro_winkler,
+        "q37_reduce_group": _q37_reduce_group,
+        "q38_fetch": _q38_fetch,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -943,6 +1041,66 @@ SELECT node, 1::BIGINT AS level FROM lvl1
 UNION ALL
 SELECT node, 2::BIGINT AS level FROM lvl2
 ORDER BY level, node
+""",
+        "g02_shortest_path": """
+WITH RECURSIVE edges AS (
+  SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+), walk AS (
+  SELECT 'c7' AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst, walk.depth + 1 FROM walk JOIN edges e ON e.src = walk.node
+  WHERE walk.depth < 4
+), dist AS (
+  SELECT node, min(depth) AS d FROM walk GROUP BY node
+), pred AS (
+  -- first-reach predecessor with min-src tiebreak (matches the BFS operator)
+  SELECT d2.node, min(e.src) AS pred, d2.d
+  FROM dist d2
+  JOIN edges e ON e.dst = d2.node
+  JOIN dist d1 ON d1.node = e.src AND d1.d = d2.d - 1
+  GROUP BY d2.node, d2.d
+), path AS (
+  SELECT node, d AS pos FROM dist WHERE node = 'p35'
+  UNION ALL
+  SELECT pred.pred, path.pos - 1 FROM path JOIN pred ON pred.node = path.node
+  WHERE path.pos > 0
+)
+SELECT pos::BIGINT AS pos, node FROM path ORDER BY pos
+""",
+        "q34_geodist": """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180 - 90) + 0.5 AS lat,
+         (c_custkey * 7 % 360 - 180) + 0.5 AS lon
+  FROM customer
+), d AS (
+  SELECT c_custkey,
+         2.0 * 6371.0087714 * asin(sqrt(
+             pow(sin(radians(lat - 10.0) / 2), 2)
+             + cos(radians(10.0)) * cos(radians(lat))
+               * pow(sin(radians(lon - 20.0) / 2), 2))) AS dist_km
+  FROM pts
+)
+SELECT c_custkey, round(dist_km, 2) AS dist_km
+FROM d WHERE dist_km <= 4000.0 ORDER BY c_custkey
+""",
+        "q35_date_math": _Q35_SQL,
+        "q36_jaro_winkler": """
+SELECT c_custkey,
+       round(jaro_winkler_similarity(c_name, 'Customer#000000042'), 4) AS jw
+FROM customer WHERE c_custkey < 100 ORDER BY c_custkey
+""",
+        "q37_reduce_group": """
+SELECT o_custkey,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey) AS prios
+FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey
+""",
+        "q38_fetch": """
+SELECT o_orderkey, o_custkey, c_name
+FROM orders LEFT JOIN customer ON c_custkey = o_custkey
+WHERE o_orderkey < 200 ORDER BY o_orderkey
 """,
         "tx02_significant_terms": """
 WITH pairs AS (

@@ -113,6 +113,21 @@ def main() -> None:
               .select(_warm("id").alias("id"))
               .groupBy(F.col("id") % 4).count().collect())
 
+        def _warm_arrow(batches):
+            # pre-import the posting-kernel dependencies in every worker
+            import pyarrow as pa
+            import pyarrow.compute  # noqa: F401
+
+            import solr_spark.codec.varint  # noqa: F401
+            import solr_spark.indexing.build  # noqa: F401
+
+            for _ in batches:
+                pass
+            yield pa.RecordBatch.from_pydict({"n": [1]})
+
+        (spark.range(cpus * 2, numPartitions=cpus * 2)
+              .mapInArrow(_warm_arrow, "n long").count())
+
         # ---- index build (the north-rule headline)
         cfg = IndexConfig()
         index_dir = os.path.join(scratch, "index")

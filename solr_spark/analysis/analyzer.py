@@ -142,3 +142,48 @@ def make_tokenize_joined_udf(config: IndexConfig = DEFAULT_CONFIG):
         return analyze_series_joined(texts, config)
 
     return tokenize_joined
+
+
+# Java-regex rendition of _TOKEN_RE (Spark regexp_extract_all runs java.util.regex;
+# script classes spell \p{IsHan} there). Alternation order matters and is
+# preserved: single Han/Hiragana chars match before the generic word-run branch.
+_TOKEN_RE_JAVA = (
+    "[\\p{IsHan}\\p{IsHiragana}]"
+    "|\\p{IsKatakana}+"
+    "|[\\p{L}\\p{M}\\p{Nd}\\p{Nl}_]+"
+    "(?:(?:(?<=\\p{L})['\u2019:.](?=\\p{L})|(?<=\\p{Nd})[.,](?=\\p{Nd}))"
+    "[\\p{L}\\p{M}\\p{Nd}\\p{Nl}_]+)*"
+)
+
+
+def tokenize_column(col, config: IndexConfig = DEFAULT_CONFIG):
+    """Whole-analyzer as a pure JVM Column: string -> array<string> of tokens.
+
+    Identical output to `analyze_series` (asserted against every conformance
+    vector and a randomized corpus in tests/test_analyzer.py) but runs inside
+    whole-stage codegen: lower -> regexp_extract_all -> (rare) max-length
+    chunking -> stop filter. No Python worker, no Arrow pipe — the build's
+    tokenize stage scales with cores instead of with the Python allocator.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE_JAVA), 0)
+    max_len = config.max_token_length
+    toks = F.when(
+        F.exists(toks, lambda t: F.length(t) > max_len),
+        F.flatten(F.transform(
+            toks, lambda t: F.regexp_extract_all(
+                t, F.lit(".{1,%d}" % max_len), 0))),
+    ).otherwise(toks)
+    stops = sorted(_stopset(config))
+    if stops:
+        toks = F.filter(toks, lambda t: ~t.isin(*stops))
+    return toks
+
+
+def tokenize_column_joined(col, config: IndexConfig = DEFAULT_CONFIG):
+    """JVM tokenizer, space-joined: string -> one analyzed-token string."""
+    from pyspark.sql import functions as F
+
+    return F.array_join(tokenize_column(col, config), " ")

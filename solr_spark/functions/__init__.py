@@ -13,8 +13,17 @@ from solr_spark.functions.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
+from solr_spark.functions.datemath import date_math, date_math_sql
+from solr_spark.functions.geo import (
+    bbox_filter,
+    geo_grid_cell,
+    geodist,
+    geofilt,
+    haversine_km,
+)
 from solr_spark.functions.textanalysis import (
     doc_fingerprint,
+    jaro_winkler,
     lang_id,
     quality_score,
     token_count,
@@ -26,4 +35,6 @@ __all__ = [
     "exact_dedup", "minhash_bands", "minhash_near_dup_pairs", "simhash",
     "simhash_near_dup_pairs", "doc_fingerprint", "lang_id", "quality_score",
     "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk", "lsh_ann_topk",
+    "date_math", "date_math_sql", "haversine_km", "geodist", "geofilt",
+    "bbox_filter", "geo_grid_cell", "jaro_winkler",
 ]

@@ -121,3 +121,65 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         doc_fingerprint(text_col).alias("fingerprint"),
         q["score"].alias("quality"),
     )
+
+
+def _jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0  # empty-vs-anything is 0, including empty-vs-empty (DuckDB twin)
+    if s1 == s2:
+        return 1.0
+    md = max(l1, l2) // 2 - 1
+    m1, m2 = [False] * l1, [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(l2, i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+
+
+def jaro_winkler_kernel(s1: str, s2: str,
+                        prefix_scale: float = 0.1,
+                        boost_threshold: float = 0.7) -> float:
+    """Scalar Jaro-Winkler similarity (standard constants; matches DuckDB's
+    jaro_winkler_similarity bit-for-bit on the conformance pairs in tests)."""
+    j = _jaro(s1 or "", s2 or "")
+    if j <= boost_threshold:
+        return j
+    prefix = 0
+    for a, b in zip((s1 or "")[:4], (s2 or "")[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return j + prefix * prefix_scale * (1 - j)
+
+
+def jaro_winkler(col1: Column | str, col2: Column | str) -> Column:
+    """`strdist(a, b, jw)` (ValueSourceParser.java "strdist"): Jaro-Winkler
+    similarity as an Arrow-batched pandas UDF (the one strdist family member
+    with no JVM builtin; edit distance is F.levenshtein, ngram distance is
+    composable from ngram_shingles)."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def _jw(a, b):
+        return pd.Series([jaro_winkler_kernel(x, y) for x, y in zip(a, b)],
+                         index=a.index, dtype="float64")
+
+    c1 = F.col(col1) if isinstance(col1, str) else col1
+    c2 = F.col(col2) if isinstance(col2, str) else col2
+    return _jw(c1, c2)

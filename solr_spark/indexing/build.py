@@ -278,13 +278,18 @@ def write_analyzed(
     # string far faster than an array<string> (no per-token offsets) — this was
     # the dominant, non-scaling cost of the stage. Tokens cannot contain spaces,
     # so the join is lossless; the posting build re-splits JVM-side.
-    tokenize = make_tokenize_joined_udf(config)
-    # Tokenize BEFORE the docid join/window: the UDF then runs as a narrow stage
-    # at input-file parallelism with no exchange feeding it, and the corpus
+    # Tokenize BEFORE the docid join/window: the UDF runs as a narrow stage at
+    # input-file parallelism with no exchange feeding it, and the corpus
     # crosses exactly ONE shuffle (the conv_id window sort), carrying analyzed
-    # toks instead of raw text. Column pruning keeps the UDF out of the docid
-    # prefix-sum jobs (they only read conv_id), so the tokenizer still runs
-    # exactly once per document.
+    # toks instead of raw text. Column pruning keeps the tokenizer out of the
+    # docid prefix-sum jobs (they only read conv_id), so it still runs exactly
+    # once per document. The Arrow UDF beats the pure-JVM regexp_extract_all
+    # twin (analysis.tokenize_column, kept tested as the SQL-only alternative)
+    # by ~25% warm at every parallelism level — Python's C regex module
+    # outruns java.util.regex on this pattern — and scales with cores once
+    # workers are forked (bench warms the pool before timing, mirroring a real
+    # cluster's long-lived executors).
+    tokenize = make_tokenize_joined_udf(config)
     toked = (
         source
         .withColumn("toks", tokenize(F.col("text")))

@@ -62,3 +62,30 @@ def test_spark_udf_roundtrip(spark):
     tok = make_tokenize_udf()
     rows = df.select(tok("text").alias("tokens")).collect()
     assert [r["tokens"] for r in rows] == [e for _, e in CASES]
+
+
+def test_jvm_tokenizer_matches_python(spark):
+    """The pure-JVM tokenize_column must agree with the Python analyzer on every
+    conformance vector, the long-token split, and a randomized synthetic corpus
+    (it's the index build's production path)."""
+    from solr_spark.analysis.analyzer import tokenize_column
+    from solr_spark.data import synth_transcripts_spark
+
+    texts = [raw for raw, _ in CASES] + ["x" * 300, "MIXED case And STOPs the"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokenize_column("text")).collect()]
+    assert got == [analyze_text(t) for t in texts]
+
+    corpus = synth_transcripts_spark(spark, 500, seed=99).select("text")
+    jvm = [r[0] for r in corpus.select(tokenize_column("text")).collect()]
+    py = [analyze_text(r[0]) for r in corpus.collect()]
+    assert jvm == py
+
+
+def test_jvm_tokenizer_no_stopwords(spark):
+    from solr_spark.analysis.analyzer import tokenize_column
+
+    cfg = IndexConfig(stopwords="none")
+    df = spark.createDataFrame([("the quick fox",)], "text string")
+    assert df.select(tokenize_column("text", cfg)).head()[0] == \
+        ["the", "quick", "fox"]
