@@ -615,6 +615,37 @@ def _q37_reduce_group(spark, sf_dir):
              .orderBy("o_custkey"))
 
 
+def _q39_ltr_rerank(spark, sf_dir):
+    """Linear LTR model rescoring the first-pass top-20 (rescore top-10 only)."""
+    from solr_spark.operators.ltr import ltr_rerank
+
+    top20 = streams.top(_t(spark, sf_dir, "orders"), 20,
+                        [F.desc("o_totalprice"), F.asc("o_orderkey")]) \
+        .select("o_orderkey", "o_totalprice", "o_orderdate",
+                F.col("o_totalprice").alias("score"))
+    out = ltr_rerank(
+        top20,
+        features={"price": F.col("o_totalprice") / 1000.0,
+                  "recency": F.year("o_orderdate") - F.lit(1992)},
+        weights={"price": 0.8, "recency": 5.0},
+        intercept=2.0,
+        rerank_docs=10,
+        first_sort=[F.desc("score"), F.asc("o_orderkey")])
+    return out.select("o_orderkey", F.round("new_score", 3).alias("new_score"))
+
+
+def _q40_geo_heatmap(spark, sf_dir):
+    """Spatial heatmap facet: counts per fixed-degree grid cell."""
+    from solr_spark.functions.geo import geo_grid_cell
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("lat", (F.col("c_custkey") % 180 - 90) + F.lit(0.5))
+         .withColumn("lon", (F.col("c_custkey") * 7 % 360 - 180) + F.lit(0.5)))
+    return (c.groupBy(geo_grid_cell("lat", "lon", 30.0).alias("cell"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("cell"))
+
+
 def _q38_fetch(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
     c = _t(spark, sf_dir, "customer").select(
@@ -760,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_jaro_winkler": _q36_jaro_winkler,
         "q37_reduce_group": _q37_reduce_group,
         "q38_fetch": _q38_fetch,
+        "q39_ltr_rerank": _q39_ltr_rerank,
+        "q40_geo_heatmap": _q40_geo_heatmap,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1101,6 +1134,30 @@ FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey
 SELECT o_orderkey, o_custkey, c_name
 FROM orders LEFT JOIN customer ON c_custkey = o_custkey
 WHERE o_orderkey < 200 ORDER BY o_orderkey
+""",
+        "q39_ltr_rerank": """
+WITH top20 AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+)
+SELECT o_orderkey,
+       round(CASE WHEN pos <= 10
+             THEN o_totalprice + (2.0 + 0.8 * (o_totalprice / 1000.0)
+                                      + 5.0 * (year(o_orderdate) - 1992))
+             ELSE o_totalprice END, 3) AS new_score
+FROM top20
+""",
+        "q40_geo_heatmap": """
+WITH pts AS (
+  SELECT (c_custkey % 180 - 90) + 0.5 AS lat,
+         (c_custkey * 7 % 360 - 180) + 0.5 AS lon
+  FROM customer
+)
+SELECT (floor((lat + 90) / 30)::BIGINT || ':' ||
+        floor((lon + 180) / 30)::BIGINT) AS cell,
+       count(*)::BIGINT AS n
+FROM pts GROUP BY cell ORDER BY cell
 """,
         "tx02_significant_terms": """
 WITH pairs AS (

@@ -379,15 +379,30 @@ def write_dictionary(spark: SparkSession, index_dir: str, seg_paths: list[str]) 
                .parquet(os.path.join(index_dir, "dictionary")))
 
 
+def _sum_parquet_column(spark: SparkSession, root: str, column: str) -> int:
+    """Sum one int column under a parquet root. Small artifacts (norms,
+    dictionary) are read driver-side with pyarrow — no Spark job, no job-launch
+    latency; beyond 1 GB (billions of dictionary terms at true 100-TB scale) it
+    falls back to a distributed aggregate."""
+    paths = [os.path.join(dp, f)
+             for dp, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")]
+    if sum(os.path.getsize(p) for p in paths) < (1 << 30):
+        import pyarrow.parquet as pq
+
+        return int(sum(
+            pq.read_table(p, columns=[column])[column].to_numpy().sum()
+            for p in paths))
+    df = spark.read.parquet(root)
+    return int(df.agg(F.sum(column)).collect()[0][0] or 0)
+
+
 def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig) -> dict:
     # Derived from the two SMALL index artifacts, not a corpus re-scan:
     #   n_docs  = sum of per-range doc counts in norms
     #   sum_dl  = sum of collection frequencies in the dictionary (every analyzed
     #             token appears in exactly one posting's tf)
-    norms = spark.read.parquet(os.path.join(index_dir, "norms"))
-    n_docs = int(norms.agg(F.sum("n")).collect()[0][0] or 0)
-    dictionary = spark.read.parquet(os.path.join(index_dir, "dictionary"))
-    sum_dl = int(dictionary.agg(F.sum("cf")).collect()[0][0] or 0)
+    n_docs = _sum_parquet_column(spark, os.path.join(index_dir, "norms"), "n")
+    sum_dl = _sum_parquet_column(spark, os.path.join(index_dir, "dictionary"), "cf")
     stats = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
@@ -421,29 +436,32 @@ def live_segments(index_dir: str) -> list[str]:
 
 
 def _bucket_metrics(spark: SparkSession, seg_path: str) -> list[dict]:
-    """Per-term-bucket build metrics (manifest lineage). Row/posting counts come
-    from the cheap int columns; byte sizes come from the filesystem so the binary
-    posting columns are never re-read."""
-    seg = spark.read.parquet(seg_path)
-    rows = {
-        int(r["term_bucket"]): r.asDict()
-        for r in seg.groupBy("term_bucket")
-        .agg(F.count(F.lit(1)).alias("range_rows"),
-             F.sum("n_docs").alias("postings"))
-        .collect()
-    }
-    for name in os.listdir(seg_path):
+    """Per-term-bucket build metrics (manifest lineage), computed entirely from
+    parquet FOOTERS + one tiny int column — driver-side, zero Spark jobs (a
+    cluster deployment with thousands of buckets would push this into a
+    distributed footer scan; the shape of the metrics is the same). Row counts
+    come from file metadata, posting counts from the n_docs column, byte sizes
+    from the filesystem — the binary posting columns are never read."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(seg_path)):
         if not name.startswith("term_bucket="):
             continue
         bucket = int(name.split("=", 1)[1])
         d = os.path.join(seg_path, name)
-        size = sum(
-            os.path.getsize(os.path.join(d, f))
-            for f in os.listdir(d) if f.endswith(".parquet")
-        )
-        if bucket in rows:
-            rows[bucket]["file_bytes"] = size
-    return [rows[b] for b in sorted(rows)]
+        range_rows = postings = size = 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(d, f)
+            size += os.path.getsize(p)
+            range_rows += pq.ParquetFile(p).metadata.num_rows
+            postings += int(pq.read_table(
+                p, columns=["n_docs"])["n_docs"].to_numpy().sum())
+        out.append({"term_bucket": bucket, "range_rows": range_rows,
+                    "postings": postings, "file_bytes": size})
+    return out
 
 
 # ---------------------------------------------------------------- full build
@@ -484,15 +502,22 @@ def build_index(
     seg_path = os.path.join(index_dir, "segments", "seg-000")
 
     def _analyzed_manifest() -> None:
-        part_stats = [
-            r.asDict()
-            for r in analyzed
-            .groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows"), F.sum("dl").alias("tokens"))
-            .orderBy("pid").collect()
-        ]
+        # per-partition lineage from parquet footers — no data scan, no Spark job
+        import pyarrow.parquet as pq
+
+        part_stats = []
+        for name in sorted(os.listdir(analyzed_path)):
+            if name.endswith(".parquet"):
+                p = os.path.join(analyzed_path, name)
+                part_stats.append({
+                    "file": name,
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                    "bytes": os.path.getsize(p),
+                })
         write_manifest(index_dir, "analyzed", cfg_hash, input_token,
-                       metrics={"partitions": len(part_stats)}, partitions=part_stats)
+                       metrics={"partitions": len(part_stats),
+                                "rows": sum(s["rows"] for s in part_stats)},
+                       partitions=part_stats)
 
     def _norms_stage() -> None:
         write_norms(analyzed, os.path.join(index_dir, "norms"), config)

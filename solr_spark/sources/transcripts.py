@@ -1,0 +1,138 @@
+"""Transcript-table readers + input lineage fingerprinting.
+
+The north-star deployment reads an Iceberg table of conversation turns
+(`conv_id string, turn_idx int, role string, text string, tool string,
+ts timestamp`); this sandbox has no Iceberg runtime, so the adapter
+degrades gracefully: catalog tables go through `spark.read.table` (Iceberg,
+Hive, Delta — whatever the session's catalog resolves), paths go through the
+format readers. Reference analog: Solr's content loaders select by type the
+same way (JsonLoader/CSVLoader/JavabinLoader —
+solr/core/src/java/org/apache/solr/handler/loader/, SURVEY.md §2.1).
+
+`input_fingerprint` is the build system's lineage key: two builds over the
+same fingerprint may reuse each other's stage manifests
+(indexing/manifest.py), so it must change whenever the INPUT DATA can have
+changed. For Iceberg tables that is the current snapshot id (exact); for
+file sources it is a hash of the file listing (path, size, mtime where the
+filesystem exposes them).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+_REQUIRED = {"conv_id": "string", "turn_idx": "int", "text": "string"}
+
+
+def validate_transcripts(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Check/coerce a DataFrame to the transcript contract.
+
+    Required: conv_id (string), turn_idx (int), text (string) — the identity
+    and analysis columns. Optional role/tool/ts pass through when present.
+    Raises ValueError on missing required columns; casts compatible types.
+    """
+    cols = {f.name: f for f in df.schema.fields}
+    missing = [c for c in _REQUIRED if c not in cols]
+    if missing:
+        raise ValueError(
+            f"transcript source missing required columns {missing}; "
+            f"got {sorted(cols)}")
+    out = df
+    for name, want in _REQUIRED.items():
+        have = cols[name].dataType.simpleString()
+        if have != want:
+            if strict:
+                raise ValueError(
+                    f"column {name}: expected {want}, got {have}")
+            out = out.withColumn(name, F.col(name).cast(want))
+    return out
+
+
+def _fingerprint_files(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.encode())
+        local = p.removeprefix("file:")
+        try:
+            st = os.stat(local)
+            h.update(f":{st.st_size}:{int(st.st_mtime)}".encode())
+        except OSError:
+            pass  # non-local filesystem: path list alone
+        h.update(b"\n")
+    return h.hexdigest()[:24]
+
+
+def input_fingerprint(spark: SparkSession, source: str | DataFrame,
+                      df: DataFrame | None = None) -> str:
+    """Lineage fingerprint of a transcript source (the build's input_token).
+
+    Catalog tables: Iceberg's current snapshot id when the `.snapshots`
+    metadata table resolves (exact lineage); otherwise falls back to the scan's
+    file listing. File sources: hash of (path, size, mtime) of every input file.
+    """
+    if isinstance(source, DataFrame):
+        df = source
+        source = None
+    if source is not None and "/" not in source:
+        try:  # Iceberg metadata table; absent on non-Iceberg catalogs
+            snap = (spark.sql(
+                f"SELECT snapshot_id FROM {source}.snapshots "
+                f"ORDER BY committed_at DESC LIMIT 1").collect())
+            if snap:
+                return f"iceberg-snapshot-{snap[0][0]}"
+        except Exception:
+            pass
+        if df is None:
+            df = spark.read.table(source)
+    if df is None:
+        df = spark.read.parquet(source)
+    return f"files-{_fingerprint_files(list(df.inputFiles()))}"
+
+
+def read_transcripts(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    strict: bool = False,
+) -> tuple[DataFrame, str]:
+    """Read a transcript table from a catalog name or path.
+
+    Returns (validated DataFrame, input_token). `fmt` forces a reader
+    ("table", "parquet", "json", "csv"); default: catalog table when `source`
+    has no path separator, else by file extension (parquet default).
+    """
+    if fmt is None:
+        if "/" not in source:
+            fmt = "table"
+        elif source.endswith((".json", ".jsonl")):
+            fmt = "json"
+        elif source.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "table":
+        df = spark.read.table(source)
+    elif fmt == "json":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).json(source)
+    elif fmt == "csv":
+        df = spark.read.schema(TRANSCRIPT_SCHEMA).csv(source, header=True)
+    elif fmt == "parquet":
+        df = spark.read.parquet(source)
+    else:
+        raise ValueError(f"unknown transcript format {fmt!r}")
+    token = input_fingerprint(spark, source if fmt == "table" else None, df)
+    return validate_transcripts(df, strict=strict), token

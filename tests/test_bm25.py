@@ -74,3 +74,23 @@ def test_scores_monotone_in_tf(oracle):
         dlq = _small_float_quantize(dl)
         scores = [idf * tf / (tf + k1 * (1 - b + b * dlq / oracle.avgdl)) for tf, _ in items]
         assert scores == sorted(scores)
+
+
+def test_warm_reader_identical_results(spark, built_index):
+    """warm() (persisted norms/doc-map) must not change any result."""
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    cold = IndexReader.open(index_dir, cfg)
+    want = [r.asDict() for r in
+            bm25_topk(spark, cold, "error timeout", k=8).collect()]
+    warm = IndexReader.open(index_dir, cfg).warm(spark)
+    try:
+        got = [r.asDict() for r in
+               bm25_topk(spark, warm, "error timeout", k=8).collect()]
+        assert got == want
+        got2 = [r.asDict() for r in
+                bm25_topk(spark, warm, "error timeout", k=8).collect()]
+        assert got2 == want  # repeatable on the cached structures
+    finally:
+        warm.close(spark)

@@ -74,3 +74,24 @@ def test_bm25_min_match(spark, built_index, oracle):
     e2 = bm25_topk(spark, reader, q, k=20, mode="exact", min_match=2)
     assert [(r["docid"], round(r["score"], 9)) for r in w2.collect()] == \
            [(r["docid"], round(r["score"], 9)) for r in e2.collect()]
+
+
+def test_ltr_linear_model(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.ltr import linear_model_score, ltr_rerank
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 8.0, 5.0), (3, 6.0, 9.0), (4, 4.0, 1.0)],
+        "id int, score double, feat double")
+    out = ltr_rerank(df, {"f": "feat"}, {"f": 10.0}, intercept=1.0,
+                     rerank_docs=2, first_sort=[F.desc("score"), F.asc("id")])
+    rows = {r["id"]: r["new_score"] for r in out.collect()}
+    # head (ids 1,2 by first-pass) rescored: score + 1 + 10*feat; tail kept
+    assert rows[1] == 10.0 + 1.0 + 20.0
+    assert rows[2] == 8.0 + 1.0 + 50.0
+    assert rows[3] == 6.0 and rows[4] == 4.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown features"):
+        linear_model_score({"f": "feat"}, {"g": 1.0})

@@ -27,25 +27,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = (2, 8, 32)
 
 
-def run_level(cpus: int, n_turns: int) -> dict:
-    import resource
+def _sys_cpu_sec() -> float:
+    """System-wide busy CPU seconds from /proc/stat (box is otherwise idle,
+    so the delta across a bench run is that run's CPU burn — including the
+    JVM and Python workers that getrusage(RUSAGE_CHILDREN) misses)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    user, nice, system, idle, iowait, irq, softirq, steal = (
+        int(x) for x in parts[1:9])
+    hz = os.sysconf("SC_CLK_TCK")
+    return (user + nice + system + irq + softirq + steal) / hz
 
+
+def run_level(cpus: int, n_turns: int) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_BENCH_TURNS=str(n_turns),
                SPARK_GRAFT_CORPUS_PATH=os.path.join(
                    REPO, ".scratch", f"bench-corpus-{n_turns}"))
-    ru0 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    c0 = _sys_cpu_sec()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
-    ru1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     r = json.loads(out.stdout.strip().splitlines()[-1])
-    # CPU-seconds of the whole bench subprocess tree (JVM + python workers) —
-    # the scaling narrative's "constant work vs memory-stall inflation" evidence
-    r["cpu_sec"] = round((ru1.ru_utime + ru1.ru_stime)
-                         - (ru0.ru_utime + ru0.ru_stime), 1)
+    # CPU-seconds of the whole bench run (JVM + python workers) — the scaling
+    # narrative's "constant work vs memory-stall inflation" evidence
+    r["cpu_sec"] = round(_sys_cpu_sec() - c0, 1)
     return r
 
 
