@@ -244,6 +244,51 @@ ORDER BY doc_id
 """
 
 
+_FT_PHRASE = "vector small"
+
+
+def _ft07_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.query.phrase import phrase_topk
+
+    reader = _ft_index(spark, sf_dir)
+    topk = phrase_topk(spark, reader, _FT_PHRASE, k=20, prefilter=True)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft07_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    # mirror of query/phrase.py: analyzed-token string, consuming-boundary
+    # regex count (same non-overlap semantics as the engine's regexp_count),
+    # BM25 with tf = phrase freq, df = phrase doc freq, exact dl
+    return f"""
+WITH an AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     x -> x <> '' AND lower(x) NOT IN ({_STOP_SQL})) AS tl
+  FROM documents
+),
+dl AS (SELECT doc_id, len(tl)::DOUBLE AS dl FROM an),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+pf AS (
+  SELECT doc_id,
+         len(regexp_extract_all(array_to_string(tl, ' '),
+                                '(^| ){_FT_PHRASE}( |$)'))::DOUBLE AS pf
+  FROM an
+),
+m AS (SELECT * FROM pf WHERE pf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1.0 + (c.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+              * m.pf / (m.pf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 # ----------------------------------------------------------------- relational
 
 
@@ -751,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft04_corpus_stats": _ft04_corpus_stats,
         "ft05_suggest_prefix": _ft05_suggest,
         "ft06_highlight": _ft06_highlight,
+        "ft07_phrase_topk": _ft07_phrase,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -836,6 +882,7 @@ cand AS (
         "ft04_corpus_stats": _ft04_sql(),
         "ft05_suggest_prefix": _ft05_sql(),
         "ft06_highlight": _ft06_sql(),
+        "ft07_phrase_topk": _ft07_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

@@ -95,3 +95,40 @@ def test_ltr_linear_model(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown features"):
         linear_model_score({"f": "feat"}, {"g": 1.0})
+
+
+def test_phrase_topk_matches_python_twin(spark, built_index, small_corpus_pdf):
+    """phrase_topk == a from-first-principles Python computation (phrase freq
+    by the same consuming-boundary regex, BM25 with tf=pf, df=phrase-df)."""
+    import math
+    import re
+
+    from solr_spark.analysis import analyze_text
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.phrase import phrase_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    phrase = "error timeout"
+    got = phrase_topk(spark, reader, phrase, k=10).collect()
+
+    terms = analyze_text(phrase, cfg)
+    pat = re.compile(r"(^|\s)" + r"\s".join(map(re.escape, terms)) + r"(\s|$)")
+    docs = {}
+    keys = sorted(
+        (r.conv_id, int(r.turn_idx), r.text)
+        for r in small_corpus_pdf.itertuples(index=False))
+    for docid, (cid, tix, text) in enumerate(keys):
+        toks = analyze_text(text, cfg)
+        pf = len(pat.findall(" ".join(toks)))
+        if pf:
+            docs[docid] = (pf, len(toks))
+    n, avgdl = reader.n_docs, reader.avgdl
+    df_p = len(docs)
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    want = sorted(
+        ((docid, idf * pf / (pf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)))
+         for docid, (pf, dl) in docs.items()),
+        key=lambda x: (-x[1], x[0]))[:10]
+    assert [(r.docid, round(r.score, 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in want]

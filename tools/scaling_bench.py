@@ -46,8 +46,14 @@ def run_level(cpus: int, n_turns: int) -> dict:
                SPARK_GRAFT_CORPUS_PATH=os.path.join(
                    REPO, ".scratch", f"bench-corpus-{n_turns}"))
     c0 = _sys_cpu_sec()
+    # taskset pins the WHOLE process tree (JVM service threads, GC, Python
+    # workers) to exactly `cpus` physical cores. Without it a "local[2]" run
+    # still burns >2 cores via parallel GC / shuffle IO / writer threads,
+    # inflating the small-N baseline and corrupting the N-vs-4N comparison —
+    # a real N-executor cluster has exactly N machines' worth of cores.
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
     r = json.loads(out.stdout.strip().splitlines()[-1])
