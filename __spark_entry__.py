@@ -660,6 +660,20 @@ def _q37_reduce_group(spark, sf_dir):
              .orderBy("o_custkey"))
 
 
+def _q41_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) of the events stream by user —
+    the batch twin of streaming/sessions.py::sessionize_stream."""
+    from solr_spark.streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"), "ts")
+    out = sessionize_batch(ev, gap_minutes=30.0)
+    return out.select("conv_id", F.col("session_id").cast("int").alias("session_id"),
+                      "start_ts", "end_ts", "n_turns", "n_tokens")
+
+
 def _q39_ltr_rerank(spark, sf_dir):
     """Linear LTR model rescoring the first-pass top-20 (rescore top-10 only)."""
     from solr_spark.operators.ltr import ltr_rerank
@@ -839,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_fetch": _q38_fetch,
         "q39_ltr_rerank": _q39_ltr_rerank,
         "q40_geo_heatmap": _q40_geo_heatmap,
+        "q41_sessionize": _q41_sessionize,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1205,6 +1220,24 @@ SELECT (floor((lat + 90) / 30)::BIGINT || ':' ||
         floor((lon + 180) / 30)::BIGINT) AS cell,
        count(*)::BIGINT AS n
 FROM pts GROUP BY cell ORDER BY cell
+""",
+        "q41_sessionize": """
+WITH m AS (
+  SELECT user_id::VARCHAR AS conv_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT conv_id, ts,
+         (sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts, event_id) - 1) AS sid
+  FROM m
+)
+SELECT conv_id, sid::INT AS session_id,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       count(*)::BIGINT AS n_turns, count(*)::BIGINT AS n_tokens
+FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_id
 """,
         "tx02_significant_terms": """
 WITH pairs AS (

@@ -106,3 +106,54 @@ def test_windowed_counts_streaming(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from win_counts").collect()
     assert sum(r["count"] for r in rows) == 3
+
+
+def test_sessionize_batch(spark):
+    from solr_spark.streaming.sessions import sessionize_batch
+
+    rows = [
+        ("A", 0, "hi there", "2024-01-01 10:00:00"),
+        ("A", 1, "ok", "2024-01-01 10:05:00"),
+        ("A", 2, "back again", "2024-01-01 12:30:00"),
+        ("A", 3, "yes", "2024-01-01 12:31:00"),
+        ("B", 0, "solo turn", "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts_s string") \
+        .withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts_s")).drop("ts_s")
+    got = [(r.conv_id, r.session_id, r.n_turns, r.n_tokens)
+           for r in sessionize_batch(df, gap_minutes=30).collect()]
+    assert got == [("A", 0, 2, 3), ("A", 1, 2, 3), ("B", 0, 1, 2)]
+
+
+def test_sessionize_stream_closes_superseded_sessions(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from solr_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    src = str(tmp_path / "turns")
+    rows = [
+        ("A", 0, "hi there", "2024-01-01 10:00:00"),
+        ("A", 1, "ok", "2024-01-01 10:05:00"),
+        ("A", 2, "back again", "2024-01-01 12:30:00"),
+        ("A", 3, "yes", "2024-01-01 12:31:00"),
+        ("B", 0, "solo turn", "2024-01-01 09:00:00"),
+    ]
+    df = (spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts_s string")
+          .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.conv_id, r.session_id, r.n_turns, r.n_tokens)
+           for r in spark.sql("select * from sess_out").collect()}
+    # closed sessions = superseded inline (A0) or timed out because the final
+    # watermark (max ts - 10min = 12:21) passed end + gap (B at 09:30);
+    # A1 (closes 13:01) is still open and must NOT be emitted
+    batch = sessionize_batch(df, gap_minutes=30).collect()
+    want = {(r.conv_id, r.session_id, r.n_turns, r.n_tokens)
+            for r in batch} - {("A", 1, 2, 3)}
+    assert got == want
