@@ -660,6 +660,15 @@ def _q37_reduce_group(spark, sf_dir):
              .orderBy("o_custkey"))
 
 
+def _q42_relatedness(spark, sf_dir):
+    """JSON-facet relatedness metric: order-priority buckets vs the
+    high-value-orders foreground set."""
+    o = _t(spark, sf_dir, "orders")
+    return facets.relatedness(o, "o_orderpriority",
+                              F.col("o_totalprice") > 150000) \
+        .orderBy("o_orderpriority")
+
+
 def _q41_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) of the events stream by user —
     the batch twin of streaming/sessions.py::sessionize_stream."""
@@ -854,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_ltr_rerank": _q39_ltr_rerank,
         "q40_geo_heatmap": _q40_geo_heatmap,
         "q41_sessionize": _q41_sessionize,
+        "q42_relatedness": _q42_relatedness,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1238,6 +1248,23 @@ SELECT conv_id, sid::INT AS session_id,
        min(ts) AS start_ts, max(ts) AS end_ts,
        count(*)::BIGINT AS n_turns, count(*)::BIGINT AS n_tokens
 FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_id
+""",
+        "q42_relatedness": """
+WITH counted AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::BIGINT AS fg_count,
+         count(*)::BIGINT AS bg_count
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT sum(fg_count)::DOUBLE AS fg_size, sum(bg_count)::DOUBLE AS bg_size
+  FROM counted
+)
+SELECT o_orderpriority, fg_count, bg_count,
+       round(CASE WHEN fg_count = 0 THEN -1.0
+             ELSE ((fg_count / fg_size) - (bg_count / bg_size))
+                  / ((fg_count / fg_size) + (bg_count / bg_size)) END, 6)
+         AS relatedness
+FROM counted CROSS JOIN tot ORDER BY o_orderpriority
 """,
         "tx02_significant_terms": """
 WITH pairs AS (

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Facet metric name -> Spark aggregate, mirroring search/facet/*Agg.java and the
@@ -150,3 +150,33 @@ def timeseries(df: DataFrame, ts_col: str, unit: str,
     return (df.groupBy(bucket)
               .agg(F.count(F.lit(1)).alias("count"), *metrics)
               .orderBy("bucket_ts"))
+
+
+def relatedness(df: DataFrame, bucket_field: str, fg_pred: Column,
+                min_popularity: float = 0.0) -> DataFrame:
+    """JSON-facet `relatedness` metric: how related each bucket is to a
+    foreground set vs the background collection.
+
+    Reference: RelatednessAgg (solr/core/src/java/org/apache/solr/search/facet/
+    RelatednessAgg.java) — per bucket, fg_count/fg_size vs bg_count/bg_size,
+    normalized to (-1, 1) (the "semantic knowledge graph" metric). One groupBy
+    pass with conditional aggregation; the global sizes ride along via a
+    window over the (small) bucket table, so there is no second corpus scan.
+    """
+    counted = (
+        df.groupBy(bucket_field)
+        .agg(F.sum(fg_pred.cast("long")).alias("fg_count"),
+             F.count(F.lit(1)).alias("bg_count"))
+        .withColumn("fg_size", F.sum("fg_count").over(Window.partitionBy()))
+        .withColumn("bg_size", F.sum("bg_count").over(Window.partitionBy()))
+    )
+    if min_popularity > 0:
+        counted = counted.where(
+            (F.col("bg_count") / F.col("bg_size")) >= min_popularity)
+    fg_pop = F.col("fg_count") / F.col("fg_size")
+    bg_pop = F.col("bg_count") / F.col("bg_size")
+    rel = F.when(F.col("fg_count") == 0, F.lit(-1.0)).otherwise(
+        (fg_pop - bg_pop) / (fg_pop + bg_pop))
+    return counted.select(
+        bucket_field, "fg_count", "bg_count",
+        F.round(rel, 6).alias("relatedness"))

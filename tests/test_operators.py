@@ -174,3 +174,24 @@ def test_more_like_this(spark):
     out = streams.more_like_this(pairs, 0, 4, doc_col="doc_id", k=3).collect()
     assert out[0]["doc_id"] == 1 and out[0]["n_shared"] == 2
     assert {r["doc_id"] for r in out} == {1, 2}  # doc 3 shares nothing
+
+
+def test_relatedness_metric(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators import facets
+
+    df = spark.createDataFrame(
+        [("x", 1)] * 6 + [("x", 0)] * 2 + [("y", 1)] * 1 + [("y", 0)] * 7,
+        "bucket string, fg int")
+    out = {r["bucket"]: r for r in
+           facets.relatedness(df, "bucket", F.col("fg") == 1).collect()}
+    # fg sizes: x=6, y=1 (fg_size 7); bg: x=8, y=8 (bg_size 16)
+    assert out["x"]["fg_count"] == 6 and out["x"]["bg_count"] == 8
+    fgx, bgx = 6 / 7, 8 / 16
+    assert abs(out["x"]["relatedness"] - round((fgx - bgx) / (fgx + bgx), 6)) < 1e-9
+    assert out["y"]["relatedness"] < 0  # under-represented in foreground
+
+    none = spark.createDataFrame([("z", 0)], "bucket string, fg int")
+    z = facets.relatedness(none, "bucket", F.col("fg") == 1).collect()[0]
+    assert z["relatedness"] == -1.0  # empty foreground pins to -1

@@ -102,7 +102,10 @@ North-rule criterion: indexing-throughput scaling efficiency >= 0.8 between
 cluster sizes N and 4N. No multi-node cluster exists in this sandbox, so per the
 driver protocol the SAME seeded input ({n_turns:,} synthetic transcript turns,
 seed 42, fixed 64-file parquet layout) is indexed at three parallelism levels on
-one machine, best of {reps} runs per level:
+one machine, best of {reps} runs per level. Each level runs under
+`taskset -c 0-(N-1)` so the process tree (JVM service/GC threads and Python
+workers included) really gets N cores — unpinned, a "local[2]" run burns >2
+cores and corrupts the comparison:
 
 | level | build secs | throughput (turns/sec) |
 |---|---|---|
