@@ -137,7 +137,7 @@ def main() -> None:
         t_build = time.time() - t0
         timings["index_build"] = round(t_build, 3)
 
-        reader = IndexReader.open(index_dir, cfg).warm(spark)
+        reader = IndexReader.open(index_dir, cfg).warm(spark, segments=True)
         for name, q in FT_QUERIES.items():
             t0 = time.time()
             bm25_topk(spark, reader, q, k=10, mode="wand").collect()

@@ -98,8 +98,28 @@ class IndexReader:
             return self._cached["norms"]
         return spark.read.parquet(os.path.join(self.index_dir, "norms"))
 
-    def warm(self, spark: SparkSession) -> "IndexReader":
-        """Persist + materialize the hot query-side structures (idempotent)."""
+    def dictionary(self, spark: SparkSession) -> DataFrame:
+        if self._cached and "dictionary" in self._cached:
+            return self._cached["dictionary"]
+        return spark.read.parquet(os.path.join(self.index_dir, "dictionary"))
+
+    def segments_df(self, spark: SparkSession) -> DataFrame:
+        if self._cached and "segments" in self._cached:
+            return self._cached["segments"]
+        from solr_spark.indexing.build import read_segments
+
+        return read_segments(spark, self.segment_paths())
+
+    def warm(self, spark: SparkSession, segments: bool = False) -> "IndexReader":
+        """Persist + materialize the hot query-side structures (idempotent).
+
+        Always pins norms, the doc map, and the term dictionary (small: bytes
+        per doc / per term). `segments=True` additionally pins the posting
+        table itself — the serving posture when the working set fits executor
+        memory (the reference equivalently depends on the OS page cache keeping
+        hot postings resident); leave False when the index dwarfs the cluster's
+        memory and rely on term_bucket partition pruning instead.
+        """
         if self._cached:
             return self
         norms = spark.read.parquet(
@@ -107,9 +127,19 @@ class IndexReader:
         doc_map = (spark.read.parquet(
             os.path.join(self.index_dir, "analyzed", "batch-*"))
             .select("docid", "conv_id", "turn_idx").persist())
+        dictionary = spark.read.parquet(
+            os.path.join(self.index_dir, "dictionary")).persist()
         norms.count()
         doc_map.count()
-        self._cached = {"norms": norms, "doc_map": doc_map}
+        dictionary.count()
+        self._cached = {"norms": norms, "doc_map": doc_map,
+                        "dictionary": dictionary}
+        if segments:
+            from solr_spark.indexing.build import read_segments
+
+            seg = read_segments(spark, self.segment_paths()).persist()
+            seg.count()
+            self._cached["segments"] = seg
         return self
 
     def close(self, spark: SparkSession) -> None:
@@ -181,11 +211,9 @@ def term_docs(spark: SparkSession, reader: IndexReader, term: str) -> DataFrame:
     term_bucket, decode only that term's posting ranges in an Arrow kernel.
     Returns DataFrame(docid long) — join doc_map for display fields.
     """
-    from solr_spark.indexing.build import read_segments
-
     cfg = reader.config
     bucket = _term_buckets([term], cfg.num_term_buckets)[0]
-    seg = read_segments(spark, reader.segment_paths())
+    seg = reader.segments_df(spark)
     rows = seg.where((F.col("term_bucket") == bucket) & (F.col("term") == term)) \
               .select("range_id", "doc_gaps", "tfs")
     shift = cfg.range_shift
@@ -229,7 +257,7 @@ def bm25_topk(
     min_match = max(1, min(min_match or 1, len(terms)))
     buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
     dict_df = (
-        spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+        reader.dictionary(spark)
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "df").collect()
     )
@@ -242,9 +270,7 @@ def bm25_topk(
         # absent terms can never match; an mm above the found count is unsatisfiable
         return spark.createDataFrame([], out_schema)
 
-    from solr_spark.indexing.build import read_segments
-
-    seg = read_segments(spark, reader.segment_paths())
+    seg = reader.segments_df(spark)
     postings = seg.where(
         F.col("term_bucket").isin(sorted(set(_term_buckets(found, cfg.num_term_buckets))))
         & F.col("term").isin(found)
