@@ -244,6 +244,26 @@ ORDER BY doc_id
 """
 
 
+def _ft08_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.operators.components import spellcheck
+
+    reader = _ft_index(spark, sf_dir)
+    out = spellcheck(spark, reader.index_dir, "vectr", k=5, max_edits=2)
+    return out.select("term", "df", F.col("dist").cast("int").alias("dist"))
+
+
+def _ft08_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+d AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY tok)
+SELECT term, df, levenshtein(term, 'vectr')::INT AS dist
+FROM d
+WHERE term LIKE 'v%' AND term <> 'vectr' AND levenshtein(term, 'vectr') <= 2
+ORDER BY dist, df DESC, term LIMIT 5
+"""
+
+
 _FT_PHRASE = "vector small"
 
 
@@ -820,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft05_suggest_prefix": _ft05_suggest,
         "ft06_highlight": _ft06_highlight,
         "ft07_phrase_topk": _ft07_phrase,
+        "ft08_spellcheck": _ft08_spellcheck,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -908,6 +929,7 @@ cand AS (
         "ft05_suggest_prefix": _ft05_sql(),
         "ft06_highlight": _ft06_sql(),
         "ft07_phrase_topk": _ft07_sql(),
+        "ft08_spellcheck": _ft08_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

@@ -52,6 +52,32 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
              .orderBy(F.desc("df"), F.asc("term")).limit(k))
 
 
+def spellcheck(spark: SparkSession, index_dir: str, word: str,
+               k: int = 5, max_edits: int = 2,
+               min_prefix: int = 1) -> DataFrame:
+    """Did-you-mean suggestions: dictionary terms within `max_edits` Levenshtein
+    edits of `word`, most-frequent first.
+
+    Reference: SpellCheckComponent with DirectSolrSpellChecker
+    (solr/core/src/java/org/apache/solr/handler/component/SpellCheckComponent.java,
+    spelling/DirectSolrSpellChecker.java) — suggestions come straight from the
+    live term dictionary, candidates constrained by a shared prefix (the
+    reference's minPrefix, default 1) and edit distance. Everything is a JVM
+    expression over the (small) dictionary table; F.levenshtein's threshold
+    form short-circuits the DP for far-away terms.
+    Output: term, df, dist — ordered (dist asc, df desc, term asc).
+    """
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    if min_prefix > 0:
+        d = d.where(F.col("term").startswith(word[:min_prefix]))
+    dist = F.levenshtein(F.col("term"), F.lit(word), max_edits)
+    return (d.select("term", F.col("df").cast("long").alias("df"),
+                     dist.alias("dist"))
+             .where((F.col("dist") >= 0) & (F.col("dist") <= max_edits)
+                    & (F.col("term") != word))
+             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(k))
+
+
 def rerank(topk: DataFrame, rerank_expr: Column, rerank_docs: int,
            first_sort: Sequence[Column | str], weight: float = 1.0,
            score_col: str = "score") -> DataFrame:

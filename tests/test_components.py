@@ -132,3 +132,15 @@ def test_phrase_topk_matches_python_twin(spark, built_index, small_corpus_pdf):
         key=lambda x: (-x[1], x[0]))[:10]
     assert [(r.docid, round(r.score, 9)) for r in got] == \
         [(d, round(s, 9)) for d, s in want]
+
+
+def test_spellcheck_suggestions(spark, built_index):
+    from solr_spark.operators.components import spellcheck
+
+    index_dir, cfg, _ = built_index
+    got = spellcheck(spark, index_dir, "erro", k=5, max_edits=2).collect()
+    assert got, "expected suggestions near 'erro'"
+    assert got[0]["term"] == "error"  # dist 1, high df in the synth corpus
+    assert all(0 < r["dist"] <= 2 and r["term"] != "erro" for r in got)
+    # exact word excluded even when present in the dictionary
+    assert "erro" not in {r["term"] for r in got}
