@@ -264,6 +264,40 @@ ORDER BY dist, df DESC, term LIMIT 5
 """
 
 
+def _ft09_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, "merge", k=20, mode="wand",
+                     synonyms={"merge": ["join"]})
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft09_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+tf AS (
+    SELECT doc_id, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ('merge', 'join') GROUP BY doc_id
+),
+dfreq AS (
+    SELECT max(df)::DOUBLE AS df FROM (
+        SELECT tok, count(DISTINCT doc_id) AS df
+        FROM toks WHERE tok IN ('merge', 'join') GROUP BY tok)
+)
+SELECT tf.doc_id,
+       round( ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfreq
+ORDER BY score DESC, tf.doc_id LIMIT 20
+"""
+
+
 _FT_PHRASE = "vector small"
 
 
@@ -841,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft06_highlight": _ft06_highlight,
         "ft07_phrase_topk": _ft07_phrase,
         "ft08_spellcheck": _ft08_spellcheck,
+        "ft09_synonym_query": _ft09_synonyms,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -930,6 +965,7 @@ cand AS (
         "ft06_highlight": _ft06_sql(),
         "ft07_phrase_topk": _ft07_sql(),
         "ft08_spellcheck": _ft08_sql(),
+        "ft09_synonym_query": _ft09_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

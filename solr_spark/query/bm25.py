@@ -159,12 +159,18 @@ def _idf(n_docs: int, df: int) -> float:
 
 
 def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
-                 length_table: np.ndarray, min_match: int):
+                 length_table: np.ndarray, min_match: int,
+                 groups: dict | None = None, gweights: dict | None = None):
     """Score one range group; returns (docids, scores) numpy arrays.
 
     min_match is the edismax `mm` contract (ExtendedDismaxQParser.java:66):
     1 = pure disjunction, len(query terms) = conjunction, anything between =
-    min-should-match.
+    min-should-match (over synonym GROUPS when groups is set).
+
+    groups/gweights enable Lucene SynonymQuery semantics (query-time
+    SynonymGraphFilter, managed-schema.xml:309): every member term of a group
+    contributes to ONE pooled tf per document, saturated once, weighted by the
+    group's idf (computed from the max member df, as SynonymQuery does).
     """
     base = int(pdf["range_id"].iloc[0]) << cfg.range_shift
     norm_blob = pdf["norm_bytes"].iloc[0]
@@ -179,15 +185,40 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     k1, b = cfg.k1, cfg.b
     # fixed term order => deterministic float summation (matches the oracle)
     order = np.argsort(pdf["term"].to_numpy(), kind="stable")
+    if groups is None:
+        for i in order:
+            row = pdf.iloc[i]
+            d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
+            off = d - base
+            tf = t.astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * dls[off] / avgdl)
+            acc[off] += weights[row["term"]] * tf / denom
+            if present is not None:
+                present[off] += 1
+        if present is not None:
+            nz = np.flatnonzero(present >= min_match)
+        else:
+            nz = np.flatnonzero(acc > 0.0)
+        return nz + base, acc[nz]
+
+    # synonym path: pool tf per group first, saturate once per group
+    pooled: dict = {}
     for i in order:
         row = pdf.iloc[i]
         d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
-        off = d - base
-        tf = t.astype(np.float64)
-        denom = tf + k1 * (1.0 - b + b * dls[off] / avgdl)
-        acc[off] += weights[row["term"]] * tf / denom
+        gid = groups[row["term"]]
+        tfg = pooled.get(gid)
+        if tfg is None:
+            tfg = pooled[gid] = np.zeros(width, dtype=np.float64)
+        tfg[d - base] += t
+    for gid in sorted(pooled):  # deterministic group order
+        tfg = pooled[gid]
+        hit = np.flatnonzero(tfg)
+        tf = tfg[hit]
+        denom = tf + k1 * (1.0 - b + b * dls[hit] / avgdl)
+        acc[hit] += gweights[gid] * tf / denom
         if present is not None:
-            present[off] += 1
+            present[hit] += 1
     if present is not None:
         nz = np.flatnonzero(present >= min_match)
     else:
@@ -239,11 +270,18 @@ def bm25_topk(
     mode: str = "wand",
     require_all: bool = False,
     min_match: int | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
     min_match: edismax-style min-should-match over distinct query terms
     (1 = OR, n_terms = AND); require_all is shorthand for min_match = n_terms.
+
+    synonyms: query-time expansion map {query term -> [synonym phrases]}, the
+    SynonymGraphFilter position of the reference's default QUERY chain
+    (managed-schema.xml:309). Scored with Lucene SynonymQuery semantics: a
+    group's member terms pool their tf per document (saturated once) and share
+    one idf computed from the max member df. min_match counts GROUPS.
     """
     cfg = reader.config
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
@@ -251,10 +289,21 @@ def bm25_topk(
     if not qterms:
         return spark.createDataFrame([], out_schema)
 
-    terms = sorted(qterms)
+    canon = sorted(qterms)
+    group_of: dict[str, str] | None = None
+    if synonyms:
+        group_of = {}
+        for t in canon:
+            members = [t] + [m for phrase in synonyms.get(t, [])
+                             for m in analyze_text(phrase, cfg)]
+            for m in members:
+                group_of.setdefault(m, t)  # first group wins on overlap
+        terms = sorted(group_of)
+    else:
+        terms = canon
     if require_all:
-        min_match = len(terms)
-    min_match = max(1, min(min_match or 1, len(terms)))
+        min_match = len(canon)
+    min_match = max(1, min(min_match or 1, len(canon)))
     buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
     dict_df = (
         reader.dictionary(spark)
@@ -265,10 +314,25 @@ def bm25_topk(
     found = [t for t in terms if t in dfs]
     if not found:
         return spark.createDataFrame([], out_schema)
-    weights = {t: qterms[t] * _idf(reader.n_docs, dfs[t]) for t in found}
-    if min_match > len(found):
-        # absent terms can never match; an mm above the found count is unsatisfiable
-        return spark.createDataFrame([], out_schema)
+    gweights: dict[str, float] | None = None
+    if group_of is not None:
+        groups_found: dict[str, list[str]] = {}
+        for t in found:
+            groups_found.setdefault(group_of[t], []).append(t)
+        gweights = {
+            g: qterms[g] * _idf(reader.n_docs, max(dfs[t] for t in ms))
+            for g, ms in groups_found.items()
+        }
+        # per-member weight for the WAND range bound: the group weight (the sum
+        # of per-term saturated bounds dominates the group's pooled score)
+        weights = {t: gweights[group_of[t]] for t in found}
+        if min_match > len(groups_found):
+            return spark.createDataFrame([], out_schema)
+    else:
+        weights = {t: qterms[t] * _idf(reader.n_docs, dfs[t]) for t in found}
+        if min_match > len(found):
+            # absent terms can never match; mm above the found count is unsatisfiable
+            return spark.createDataFrame([], out_schema)
 
     seg = reader.segments_df(spark)
     postings = seg.where(
@@ -284,7 +348,7 @@ def bm25_topk(
     if mode == "exact":
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
-                                min_match)
+                                min_match, group_of, gweights)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
 
@@ -315,7 +379,7 @@ def bm25_topk(
                     if float(group["bound"].iloc[0]) < thresh:
                         return  # block-max skip: provably non-competitive
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
-                                    min_match)
+                                    min_match, group_of, gweights)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)
                     if len(heap) < k:

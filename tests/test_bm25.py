@@ -94,3 +94,57 @@ def test_warm_reader_identical_results(spark, built_index):
         assert got2 == want  # repeatable on the cached structures
     finally:
         warm.close(spark)
+
+
+def test_synonym_query_semantics(spark, built_index, small_corpus_pdf):
+    """synonyms= uses Lucene SynonymQuery scoring: pooled tf per group,
+    saturated once, idf from the max member df; wand == exact."""
+    import math
+
+    from solr_spark.analysis import analyze_text
+    from solr_spark.oracle.reference import _small_float_quantize
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    syn = {"error": ["failure"]}
+    got_w = bm25_topk(spark, reader, "error", k=12, mode="wand",
+                      synonyms=syn).collect()
+    got_e = bm25_topk(spark, reader, "error", k=12, mode="exact",
+                      synonyms=syn).collect()
+    assert [r.asDict() for r in got_w] == [r.asDict() for r in got_e]
+
+    keys = sorted((r.conv_id, int(r.turn_idx), r.text)
+                  for r in small_corpus_pdf.itertuples(index=False))
+    tf_pool, dls, dfreq = {}, {}, {"error": 0, "failure": 0}
+    for docid, (cid, tix, text) in enumerate(keys):
+        toks = analyze_text(text, cfg)
+        dls[docid] = len(toks)
+        pooled = toks.count("error") + toks.count("failure")
+        for t in ("error", "failure"):
+            if t in toks:
+                dfreq[t] += 1
+        if pooled:
+            tf_pool[docid] = pooled
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    idf = math.log(1.0 + (n - max(dfreq.values()) + 0.5)
+                   / (max(dfreq.values()) + 0.5))
+    scored = []
+    for d, tf in tf_pool.items():
+        dlq = _small_float_quantize(dls[d])
+        scored.append(
+            (d, idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dlq / avgdl))))
+    want = sorted(scored, key=lambda x: (-x[1], x[0]))[:12]
+    assert [(r.docid, round(r.score, 9)) for r in got_w] == \
+        [(d, round(s, 9)) for d, s in want]
+
+
+def test_synonyms_none_path_unchanged(spark, built_index):
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    a = bm25_topk(spark, reader, "error timeout", k=10).collect()
+    b = bm25_topk(spark, reader, "error timeout", k=10, synonyms={}).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
