@@ -298,6 +298,51 @@ ORDER BY score DESC, tf.doc_id LIMIT 20
 """
 
 
+def _ft10_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solr_spark.query.phrase import near_topk
+
+    reader = _ft_index(spark, sf_dir)
+    topk = near_topk(spark, reader, "merge join", window=3, k=20)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft10_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS p
+  FROM raw WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+pos AS (SELECT doc_id, p, tok FROM filtered WHERE tok IN ('merge', 'join')),
+span AS (
+  SELECT a.doc_id, min(abs(a.p - b.p)) AS best
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.tok = 'merge' AND b.tok = 'join'
+  GROUP BY a.doc_id
+),
+tfp AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM pos GROUP BY doc_id),
+m AS (SELECT span.doc_id, tf FROM span JOIN tfp USING (doc_id) WHERE best <= 3),
+dfn AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1.0 + (c.n_docs - dfn.df + 0.5) / (dfn.df + 0.5))
+              * m.tf / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfn
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 _FT_PHRASE = "vector small"
 
 
@@ -876,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft07_phrase_topk": _ft07_phrase,
         "ft08_spellcheck": _ft08_spellcheck,
         "ft09_synonym_query": _ft09_synonyms,
+        "ft10_near_proximity": _ft10_near,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -966,6 +1012,7 @@ cand AS (
         "ft07_phrase_topk": _ft07_sql(),
         "ft08_spellcheck": _ft08_sql(),
         "ft09_synonym_query": _ft09_sql(),
+        "ft10_near_proximity": _ft10_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

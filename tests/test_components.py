@@ -144,3 +144,51 @@ def test_spellcheck_suggestions(spark, built_index):
     assert all(0 < r["dist"] <= 2 and r["term"] != "erro" for r in got)
     # exact word excluded even when present in the dictionary
     assert "erro" not in {r["term"] for r in got}
+
+
+def test_near_topk_matches_python_twin(spark, built_index, small_corpus_pdf):
+    """near_topk == minimal-covering-window twin computed in pure Python."""
+    import math
+
+    from solr_spark.analysis import analyze_text
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.phrase import near_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    window = 4
+    got = near_topk(spark, reader, "error timeout", window=window, k=10).collect()
+
+    terms = set(analyze_text("error timeout", cfg))
+    keys = sorted((r.conv_id, int(r.turn_idx), r.text)
+                  for r in small_corpus_pdf.itertuples(index=False))
+    docs = {}
+    for docid, (cid, tix, text) in enumerate(keys):
+        toks = analyze_text(text, cfg)
+        occ = [(p, t) for p, t in enumerate(toks) if t in terms]
+        if len({t for _, t in occ}) < len(terms):
+            continue
+        # brute-force minimal span containing every term
+        best = None
+        for i in range(len(occ)):
+            seen = set()
+            for j in range(i, len(occ)):
+                seen.add(occ[j][1])
+                if seen == terms:
+                    span = occ[j][0] - occ[i][0]
+                    best = span if best is None else min(best, span)
+                    break
+        if best is not None and best <= window:
+            docs[docid] = (len(occ), len(toks))
+    if not docs:
+        assert got == []
+        return
+    n, avgdl = reader.n_docs, reader.avgdl
+    dfn = len(docs)
+    idf = math.log(1.0 + (n - dfn + 0.5) / (dfn + 0.5))
+    want = sorted(
+        ((d, idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dl / avgdl)))
+         for d, (tf, dl) in docs.items()),
+        key=lambda x: (-x[1], x[0]))[:10]
+    assert [(r.docid, round(r.score, 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in want]
