@@ -768,6 +768,16 @@ def _q42_relatedness(spark, sf_dir):
         .orderBy("o_orderpriority")
 
 
+def _vv03_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    (the LSH-blocked scale path is tested against this in test_functions)."""
+    from solr_spark.functions.vectors import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "vec_id", "embedding", 0.4,
+                                 method="exact")
+
+
 def _q41_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) of the events stream by user —
     the batch twin of streaming/sessions.py::sessionize_stream."""
@@ -966,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_geo_heatmap": _q40_geo_heatmap,
         "q41_sessionize": _q41_sessionize,
         "q42_relatedness": _q42_relatedness,
+        "vv03_cosine_near_dup": _vv03_cosine_near_dup,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1353,6 +1364,14 @@ SELECT conv_id, sid::INT AS session_id,
        min(ts) AS start_ts, max(ts) AS end_ts,
        count(*)::BIGINT AS n_turns, count(*)::BIGINT AS n_tokens
 FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_id
+""",
+        "vv03_cosine_near_dup": """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY a_id, b_id
 """,
         "q42_relatedness": """
 WITH counted AS (

@@ -107,3 +107,39 @@ def lsh_ann_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
     with_bucket = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
     cand = with_bucket.where(F.col("__bucket").isin(sorted(probe)))
     return cosine_topk(cand, vec_col, query, k, id_col)
+
+
+def cosine_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                          threshold: float, method: str = "lsh",
+                          n_planes: int = 12, seed: int = 7) -> DataFrame:
+    """Embedding near-duplicate pairs: (a_id < b_id) with cosine >= threshold.
+
+    method="exact": all-pairs join with a codegen'd cosine — the oracle-exact
+    baseline (O(n^2), fine for verification corpora).
+    method="lsh": sign-LSH blocking — pairs must share a hyperplane-sign
+    bucket before the exact cosine verify. The scale path: candidate count is
+    per-bucket quadratic instead of global, and high-cosine pairs collide with
+    high probability (every emitted pair is exactly verified, so precision is
+    1; bucketing only affects recall, tested against the exact method).
+    """
+    a = df.select(F.col(id_col).alias("a_id"),
+                  F.col(vec_col).cast("array<double>").alias("a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"),
+                  F.col(vec_col).cast("array<double>").alias("b_vec"))
+    if method == "exact":
+        pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    elif method == "lsh":
+        dim = len(df.select(vec_col).head()[0])
+        planes = hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("__bkt", lsh_bucket("a_vec", planes))
+        b = b.withColumn("__bkt", lsh_bucket("b_vec", planes))
+        pairs = a.join(b, "__bkt").where(F.col("a_id") < F.col("b_id"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec")))
+    return (pairs.withColumn("cosine", F.round(sim, 6))
+                 .where(F.col("cosine") >= threshold)
+                 .select("a_id", "b_id", "cosine")
+                 .dropDuplicates(["a_id", "b_id"])
+                 .orderBy("a_id", "b_id"))

@@ -132,3 +132,28 @@ def test_lsh_ann_recall(spark):
               lsh_ann_topk(df, "embedding", q, 5, n_planes=6, multiprobe=3).collect()}
     assert 0 in approx                       # query's own vector always found
     assert len(exact & approx) >= 4          # high recall on clustered data
+
+
+def test_cosine_near_dup_lsh_subset_of_exact(spark):
+    import numpy as np
+
+    from solr_spark.functions.vectors import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16))
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        # a near-duplicate of each: tiny perturbation
+        rows.append((vid, [float(x) for x in v + rng.normal(scale=0.01, size=16)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.a_id, r.b_id) for r in cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.99, method="exact").collect()}
+    lsh = {(r.a_id, r.b_id) for r in cosine_near_dup_pairs(
+        df, "vec_id", "embedding", 0.99, method="lsh", n_planes=8).collect()}
+    assert lsh <= exact                      # precision 1: every pair verified
+    planted = {(i, i + 1) for i in range(0, 40, 2)}
+    assert planted <= exact                  # perturbed twins found exactly
+    assert len(lsh & planted) >= len(planted) * 0.8  # high recall on twins
