@@ -759,6 +759,16 @@ def _q37_reduce_group(spark, sf_dir):
              .orderBy("o_custkey"))
 
 
+def _q43_frange(spark, sf_dir):
+    """{!frange l=.. u=..} over a function query (FunctionRangeQParserPlugin):
+    rows whose computed value falls in the range, Catalyst-pushable."""
+    li = _t(spark, sf_dir, "lineitem")
+    fv = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    return (li.select("l_orderkey", "l_linenumber", fv.alias("net"))
+              .where(fv.between(900.0, 1000.0))
+              .orderBy("l_orderkey", "l_linenumber"))
+
+
 def _q42_relatedness(spark, sf_dir):
     """JSON-facet relatedness metric: order-priority buckets vs the
     high-value-orders foreground set."""
@@ -977,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_sessionize": _q41_sessionize,
         "q42_relatedness": _q42_relatedness,
         "vv03_cosine_near_dup": _vv03_cosine_near_dup,
+        "q43_frange": _q43_frange,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1364,6 +1375,13 @@ SELECT conv_id, sid::INT AS session_id,
        min(ts) AS start_ts, max(ts) AS end_ts,
        count(*)::BIGINT AS n_turns, count(*)::BIGINT AS n_tokens
 FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_id
+""",
+        "q43_frange": """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS net
+FROM lineitem
+WHERE round(l_extendedprice * (1 - l_discount), 2) BETWEEN 900.0 AND 1000.0
+ORDER BY l_orderkey, l_linenumber
 """,
         "vv03_cosine_near_dup": """
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
