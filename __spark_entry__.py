@@ -759,6 +759,16 @@ def _q37_reduce_group(spark, sf_dir):
              .orderBy("o_custkey"))
 
 
+def _q44_unique_block(spark, sf_dir):
+    """uniqueBlock(_root_) facet metric (UniqueBlockAgg): distinct parent
+    blocks containing a matching child, bucketed by a child field."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_quantity") > 45)
+              .groupBy("l_returnflag")
+              .agg(F.count_distinct("l_orderkey").alias("unique_blocks"))
+              .orderBy("l_returnflag"))
+
+
 def _q43_frange(spark, sf_dir):
     """{!frange l=.. u=..} over a function query (FunctionRangeQParserPlugin):
     rows whose computed value falls in the range, Catalyst-pushable."""
@@ -988,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_relatedness": _q42_relatedness,
         "vv03_cosine_near_dup": _vv03_cosine_near_dup,
         "q43_frange": _q43_frange,
+        "q44_unique_block": _q44_unique_block,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1375,6 +1386,11 @@ SELECT conv_id, sid::INT AS session_id,
        min(ts) AS start_ts, max(ts) AS end_ts,
        count(*)::BIGINT AS n_turns, count(*)::BIGINT AS n_tokens
 FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_id
+""",
+        "q44_unique_block": """
+SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS unique_blocks
+FROM lineitem WHERE l_quantity > 45
+GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "q43_frange": """
 SELECT l_orderkey, l_linenumber,
