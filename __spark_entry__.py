@@ -356,9 +356,13 @@ def _ft07_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ft07_sql() -> str:
     k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
-    # mirror of query/phrase.py: analyzed-token string, consuming-boundary
-    # regex count (same non-overlap semantics as the engine's regexp_count),
-    # BM25 with tf = phrase freq, df = phrase doc freq, exact dl
+    terms = _FT_PHRASE.split()
+    n = len(terms)
+    target = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    # mirror of query/phrase.py phrase_count_expr: count EVERY start position
+    # whose n-token slice equals the phrase (exact Lucene slop-0 semantics,
+    # overlapping occurrences included), BM25 with tf = phrase freq,
+    # df = phrase doc freq, exact dl
     return f"""
 WITH an AS (
   SELECT doc_id,
@@ -373,8 +377,8 @@ corpus AS (
 ),
 pf AS (
   SELECT doc_id,
-         len(regexp_extract_all(array_to_string(tl, ' '),
-                                '(^| ){_FT_PHRASE}( |$)'))::DOUBLE AS pf
+         len(list_filter(range(1, len(tl) - {n} + 2),
+                         i -> list_slice(tl, i, i + {n - 1}) = {target}))::DOUBLE AS pf
   FROM an
 ),
 m AS (SELECT * FROM pf WHERE pf > 0),

@@ -110,6 +110,8 @@ def _posting_encoder(config: IndexConfig):
         if len(empty_ids):
             keep = codes != empty_ids[0]
             codes, docs = codes[keep], docs[keep]
+        if not len(codes):
+            return  # partition of empty/stopword-only docs: no postings to emit
         order = np.lexsort((docs, codes))
         c, d = codes[order], docs[order]
         del order, codes, docs
@@ -396,6 +398,12 @@ def _sum_parquet_column(spark: SparkSession, root: str, column: str) -> int:
     return int(df.agg(F.sum(column)).collect()[0][0] or 0)
 
 
+def _config_dict(config: IndexConfig) -> dict:
+    from dataclasses import asdict
+
+    return asdict(config)
+
+
 def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig) -> dict:
     # Derived from the two SMALL index artifacts, not a corpus re-scan:
     #   n_docs  = sum of per-range doc counts in norms
@@ -408,10 +416,10 @@ def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig) -> dic
         "sum_dl": sum_dl,
         # Lucene BM25 avgFieldLength = sumTotalTermFreq / docCount (float division)
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
-        "config": {"k1": config.k1, "b": config.b,
-                   "range_shift": config.range_shift,
-                   "num_term_buckets": config.num_term_buckets,
-                   "lucene_norms": config.lucene_norms},
+        # FULL config (asdict), so IndexReader.open reconstructs the exact
+        # analyzer/scoring configuration — a stopwords="none" or custom
+        # max_token_length index must not silently reopen with defaults.
+        "config": _config_dict(config),
     }
     path = os.path.join(index_dir, "stats.json")
     with open(path + ".tmp", "w") as f:

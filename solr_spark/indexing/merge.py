@@ -16,42 +16,12 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solr_spark.codec.varint import decode_postings, encode_postings
 from solr_spark.config import DEFAULT_CONFIG, IndexConfig
 from solr_spark.indexing import build as B
 from solr_spark.indexing.manifest import write_manifest
-
-
-def _merge_kernel(config: IndexConfig):
-    shift, block = config.range_shift, config.block_size
-
-    def merge_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        rid = int(pdf["range_id"].iloc[0])
-        base = rid << shift
-        ds, ts = [], []
-        for gaps, tfs in zip(pdf["doc_gaps"], pdf["tfs"]):
-            d, t = decode_postings(bytes(gaps), bytes(tfs), base)
-            ds.append(d)
-            ts.append(t)
-        d = np.concatenate(ds)
-        t = np.concatenate(ts)
-        order = np.argsort(d, kind="stable")
-        d, t = d[order], t[order]
-        gaps_b, tfs_b, bf, bmt, mx = encode_postings(d, t, base, block)
-        return pd.DataFrame(
-            [(term, rid, len(d), gaps_b, tfs_b, bf.tolist(), bmt.tolist(),
-              mx, int(t.sum()))],
-            columns=["term", "range_id", "n_docs", "doc_gaps", "tfs",
-                     "block_first", "block_max_tf", "max_tf", "range_cf"],
-        )
-
-    return merge_rows
 
 
 def merge_segments(
@@ -59,17 +29,28 @@ def merge_segments(
     index_dir: str,
     config: IndexConfig = DEFAULT_CONFIG,
     merged_name: str = "merged-000",
+    num_partitions: int | None = None,
 ) -> list[str]:
-    """Fold all live segments into one; rebuild dictionary; update live list."""
+    """Fold all live segments into one; rebuild dictionary; update live list.
+
+    Reuses the build path's fully vectorized `_partial_merger` kernel (one
+    concatenate-decode-lexsort-reencode pass per task, no per-(term,range)
+    Python loops): a segment row IS a partial posting row — different segments'
+    docid sets for the same (term, range_id) are disjoint, exactly like the
+    build's map-side partials, so the merge is the same operation.
+    """
     names = B.live_segments(index_dir)
     if len(names) <= 1:
         return names
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
     paths = [os.path.join(index_dir, "segments", n) for n in names]
     seg = B.read_segments(spark, paths)
     merged_path = os.path.join(index_dir, "segments", merged_name)
     merged = (
-        seg.groupBy("term", "range_id")
-        .applyInPandas(_merge_kernel(config), B.SEGMENT_SCHEMA)
+        seg.select("term", "range_id", "n_docs", "doc_gaps", "tfs")
+        .repartition(num_partitions, "term", "range_id")
+        .mapInArrow(B._partial_merger(config), B.SEGMENT_SCHEMA)
         .withColumn("term_bucket", F.crc32(F.col("term")) % config.num_term_buckets)
     )
     (merged.repartition(F.col("term_bucket"))

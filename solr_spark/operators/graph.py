@@ -75,8 +75,10 @@ def shortest_path(edges: DataFrame, src, dst, from_col: str, to_col: str,
 
     Mirrors ShortestPathStream: level-synchronous BFS keeping one best
     predecessor per node, path rebuilt by walking predecessors backwards. The
-    predecessor table lives as a DataFrame; only the final path walk (length <=
-    max_depth) touches the driver.
+    predecessor table stays DISTRIBUTED throughout — it can hold billions of
+    visited nodes on a 100-TB edge table and is never collected; the backward
+    walk issues <= max_depth single-row lookups (each filters the persisted
+    preds table down to exactly one node's row).
     """
     spark = edges.sparkSession
     preds = spark.createDataFrame([(src, None)], "node string, pred string") \
@@ -97,12 +99,19 @@ def shortest_path(edges: DataFrame, src, dst, from_col: str, to_col: str,
         frontier = nxt.select("node")
     else:
         return []
-    # walk predecessors on the (small) preds table
-    lookup = {r["node"]: r["pred"] for r in preds.collect()}
-    if dst not in lookup:
+    # Backward walk: <= max_depth + 1 single-row lookups against the distributed
+    # preds table (never a full collect — the table scales with the visited set).
+    preds = preds.persist()
+    try:
+        path, cur = [], dst
+        for _ in range(max_depth + 1):
+            row = preds.where(F.col("node") == F.lit(cur)).head()
+            if row is None:
+                return []
+            path.append(cur)
+            if row["pred"] is None:
+                return list(reversed(path))
+            cur = row["pred"]
         return []
-    path, cur = [], dst
-    while cur is not None:
-        path.append(cur)
-        cur = lookup[cur]
-    return list(reversed(path))
+    finally:
+        preds.unpersist()

@@ -73,13 +73,14 @@ class IndexReader:
         with open(os.path.join(index_dir, "stats.json")) as f:
             stats = json.load(f)
         if config is None:
+            # stats.json carries the FULL build config (build.write_stats);
+            # restore every field so query-time analysis (stopwords,
+            # max_token_length, ...) matches index-time analysis exactly.
+            from dataclasses import fields
+
             c = stats.get("config", {})
-            config = IndexConfig(
-                k1=c.get("k1", 1.2), b=c.get("b", 0.75),
-                range_shift=c.get("range_shift", 16),
-                num_term_buckets=c.get("num_term_buckets", 64),
-                lucene_norms=c.get("lucene_norms", True),
-            )
+            known = {f.name for f in fields(IndexConfig)}
+            config = IndexConfig(**{k: v for k, v in c.items() if k in known})
         return cls(index_dir, stats["n_docs"], stats["avgdl"], config)
 
     def segment_paths(self) -> list[str]:
@@ -201,16 +202,20 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
             nz = np.flatnonzero(acc > 0.0)
         return nz + base, acc[nz]
 
-    # synonym path: pool tf per group first, saturate once per group
+    # synonym path: pool tf per group first, saturate once per group.
+    # groups maps member term -> tuple of canonical group ids (a member may
+    # belong to several groups when query terms' expansions overlap — each
+    # canonical query term always owns its own group, so min_match counts
+    # the user's terms, never a collapsed overlap).
     pooled: dict = {}
     for i in order:
         row = pdf.iloc[i]
         d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
-        gid = groups[row["term"]]
-        tfg = pooled.get(gid)
-        if tfg is None:
-            tfg = pooled[gid] = np.zeros(width, dtype=np.float64)
-        tfg[d - base] += t
+        for gid in groups[row["term"]]:
+            tfg = pooled.get(gid)
+            if tfg is None:
+                tfg = pooled[gid] = np.zeros(width, dtype=np.float64)
+            tfg[d - base] += t
     for gid in sorted(pooled):  # deterministic group order
         tfg = pooled[gid]
         hit = np.flatnonzero(tfg)
@@ -290,14 +295,19 @@ def bm25_topk(
         return spark.createDataFrame([], out_schema)
 
     canon = sorted(qterms)
-    group_of: dict[str, str] | None = None
+    group_of: dict[str, tuple[str, ...]] | None = None
     if synonyms:
-        group_of = {}
+        # member term -> tuple of canonical group ids. Every canonical query
+        # term owns a group; overlapping expansions mean one member can feed
+        # several groups' pooled tf (Lucene analog: duplicate SynonymQuery
+        # clauses both match the shared term).
+        member_groups: dict[str, list[str]] = {}
         for t in canon:
             members = [t] + [m for phrase in synonyms.get(t, [])
                              for m in analyze_text(phrase, cfg)]
-            for m in members:
-                group_of.setdefault(m, t)  # first group wins on overlap
+            for m in dict.fromkeys(members):
+                member_groups.setdefault(m, []).append(t)
+        group_of = {m: tuple(gs) for m, gs in member_groups.items()}
         terms = sorted(group_of)
     else:
         terms = canon
@@ -318,15 +328,19 @@ def bm25_topk(
     if group_of is not None:
         groups_found: dict[str, list[str]] = {}
         for t in found:
-            groups_found.setdefault(group_of[t], []).append(t)
+            for g in group_of[t]:
+                groups_found.setdefault(g, []).append(t)
         gweights = {
             g: qterms[g] * _idf(reader.n_docs, max(dfs[t] for t in ms))
             for g, ms in groups_found.items()
         }
-        # per-member weight for the WAND range bound: the group weight (the sum
-        # of per-term saturated bounds dominates the group's pooled score)
-        weights = {t: gweights[group_of[t]] for t in found}
+        # per-member weight for the WAND range bound: the sum of the weights of
+        # every group the member feeds (per-term saturated bounds dominate each
+        # group's pooled score, so the sum is a valid upper bound)
+        weights = {t: sum(gweights[g] for g in group_of[t] if g in gweights)
+                   for t in found}
         if min_match > len(groups_found):
+            # a canonical term whose whole group is absent can never match
             return spark.createDataFrame([], out_schema)
     else:
         weights = {t: qterms[t] * _idf(reader.n_docs, dfs[t]) for t in found}

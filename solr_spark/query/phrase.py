@@ -9,11 +9,14 @@ the phrase.
 Index shape trade-off (deliberate): the reference stores per-term positions in
 the postings and intersects position lists. Our posting rows omit positions —
 instead the analyzed forward index (`toks`: space-joined analyzed tokens) makes a
-phrase an anchored substring pattern, evaluated JVM-side by `regexp_count`
-(codegen, no Python). The phrase scan is column-pruned to (docid, dl, toks) and
-is embarrassingly parallel; at 100 TB, candidate pre-filtering via the inverted
-index (AND of the phrase's terms over postings, then the regexp verify on the
-survivors) bounds the scan — `prefilter=True` wires that path.
+phrase a token-position slice comparison, evaluated JVM-side by
+split/sequence/filter/slice expressions (codegen, no Python), counting EVERY
+start position — overlapping and adjacent occurrences included, exactly like
+Lucene's ExactPhraseMatcher ('a a a' contains "a a" twice). The phrase scan is
+column-pruned to (docid, dl, toks) and is embarrassingly parallel; at 100 TB,
+candidate pre-filtering via the inverted index (AND of the phrase's terms over
+postings, then the positional verify on the survivors) bounds the scan —
+`prefilter=True` wires that path.
 
 Scoring: BM25 with tf = phrase_freq, df = phrase document frequency, exact
 (un-quantized) dl — the phrase df is a query-time quantity the reference also
@@ -23,7 +26,6 @@ computes on the fly (it has no per-phrase statistics either).
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -32,10 +34,23 @@ from solr_spark.analysis import analyze_text
 from solr_spark.query.bm25 import IndexReader, _idf
 
 
-def phrase_pattern(terms: list[str]) -> str:
-    """Anchored regex for an exact analyzed-token-sequence match in `toks`."""
-    body = r"\s".join(re.escape(t) for t in terms)
-    return rf"(^|\s){body}(\s|$)"
+def phrase_count_expr(toks_col, terms: list[str]):
+    """Exact Lucene slop-0 phrase frequency over the analyzed token string.
+
+    Counts every start position p where toks[p : p+len(terms)] equals the
+    phrase, INCLUDING overlapping/adjacent occurrences — 'a a a' counts the
+    phrase "a a" twice, 'b a b a b' counts "b a b" twice — matching Lucene's
+    ExactPhraseMatcher (PhraseQuery slop=0; grammar parser/QueryParser.jj).
+    Pure JVM expressions (split/sequence/filter/slice): whole-stage codegen,
+    no Python, no regex non-overlap pitfalls.
+    """
+    arr = F.split(toks_col, " ")
+    n = len(terms)
+    target = F.array(*[F.lit(t) for t in terms])
+    starts = F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1))
+    cnt = F.size(F.filter(starts, lambda i: F.slice(arr, i, n) == target))
+    # sequence(1, x) with x < 1 generates a DESCENDING sequence — guard short docs
+    return F.when(F.size(arr) >= n, cnt).otherwise(F.lit(0))
 
 
 def phrase_topk(
@@ -68,11 +83,8 @@ def phrase_topk(
             cand = cand.join(term_docs(spark, reader, t), "docid", "left_semi")
         analyzed = analyzed.join(cand, "docid", "left_semi")
 
-    pat = phrase_pattern(terms)
-    # regexp_count is JVM/codegen; overlapping boundary tokens are handled by the
-    # non-consuming anchors often enough for scoring (exact Lucene slop-0 count)
     matched = (analyzed
-               .withColumn("pf", F.regexp_count(F.col("toks"), F.lit(pat)))
+               .withColumn("pf", phrase_count_expr(F.col("toks"), terms))
                .where(F.col("pf") > 0))
 
     stats = matched.agg(F.count(F.lit(1)).alias("df_phrase")).collect()[0]
@@ -110,13 +122,15 @@ def near_topk(
     ComplexPhraseQParserPlugin.java — span queries like `3N(a, b)`). Our
     postings store no positions; candidates are pre-filtered through the
     inverted index (docs containing ALL terms — the cheap, selective step) and
-    positions come from the analyzed forward index, checked by the classic
-    minimal-covering-window sweep in a vectorized batch kernel. Scoring: BM25
-    over the pooled tf of the query terms (the span-near scoring shape), exact
-    dl; ties by docid.
+    positions come from the analyzed forward index, checked by a fully
+    vectorized Arrow/numpy kernel (no per-row Python): the minimal covering
+    window equals min over query-term occurrences i of
+    (max_t suffix-min-position-of-t at i) - pos_i, computed with one
+    suffix-minimum scan per query term over the whole batch's occurrence
+    stream. Scoring: BM25 over the pooled tf of the query terms (the span-near
+    scoring shape), exact dl; ties by docid.
     """
     import numpy as np
-    import pandas as pd
 
     from solr_spark.query.bm25 import _idf, term_docs
 
@@ -128,46 +142,68 @@ def near_topk(
 
     analyzed = spark.read.parquet(
         os.path.join(reader.index_dir, "analyzed", "batch-*")
-    ).select("docid", "conv_id", "turn_idx", "dl", "toks")
+    ).select("docid", "dl", "toks")
     cand = term_docs(spark, reader, terms[0])
     for t in terms[1:]:
         cand = cand.join(term_docs(spark, reader, t), "docid", "left_semi")
     analyzed = analyzed.join(cand, "docid", "left_semi")
 
-    term_set = set(terms)
     n_terms = len(terms)
 
     def near_iter(batches):
-        for pdf in batches:
-            hits = []
-            for row in pdf.itertuples(index=False):
-                toks = row.toks.split(" ") if row.toks else []
-                occ = [(p, t) for p, t in enumerate(toks) if t in term_set]
-                # minimal covering window sweep over term occurrences
-                need: dict[str, int] = {}
-                have = 0
-                best = None
-                left = 0
-                pooled = 0
-                for p, t in occ:
-                    pooled += 1
-                    need[t] = need.get(t, 0) + 1
-                    if need[t] == 1:
-                        have += 1
-                    while have == n_terms:
-                        span = p - occ[left][0]
-                        best = span if best is None else min(best, span)
-                        lt = occ[left][1]
-                        need[lt] -= 1
-                        if need[lt] == 0:
-                            have -= 1
-                        left += 1
-                if best is not None and best <= window:
-                    hits.append((row.docid, pooled, row.dl))
-            if hits:
-                yield pd.DataFrame(hits, columns=["docid", "tf", "dl"])
+        # Batch-at-a-time kernel: tokenize via Arrow C++ (split_pattern /
+        # index_in), then pure numpy. Per-doc windows are isolated by offsetting
+        # positions with a per-row stride > max_dl + window, so the suffix-min
+        # scan needs no per-doc resets and cross-doc "windows" can never pass
+        # the <= window test.
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    matched = analyzed.mapInPandas(near_iter, "docid long, tf long, dl long")
+        out = pa.schema([("docid", pa.int64()), ("tf", pa.int64()),
+                         ("dl", pa.int64())])
+        term_arr = pa.array(terms)
+        inf = np.iinfo(np.int64).max // 4
+        for b in batches:
+            if not b.num_rows:
+                continue
+            docid = b.column("docid").to_numpy()
+            dls = b.column("dl").to_numpy()
+            tok_lists = pc.split_pattern(b.column("toks"), " ")
+            lens = pc.list_value_length(tok_lists).to_numpy()
+            codes = pc.fill_null(
+                pc.index_in(pc.list_flatten(tok_lists), value_set=term_arr), -1
+            ).to_numpy().astype(np.int64, copy=False)
+            row_of = np.repeat(np.arange(len(docid), dtype=np.int64), lens)
+            pos = np.arange(len(codes), dtype=np.int64) \
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            occ = codes >= 0
+            oc, orow = codes[occ], row_of[occ]
+            if not len(oc):
+                continue
+            stride = np.int64(int(lens.max()) + window + 2)
+            gp = pos[occ] + orow * stride
+            # covering end at occurrence i = max over terms of the suffix-min
+            # of that term's positions from i onward
+            cover = np.zeros(len(oc), dtype=np.int64)
+            for t in range(n_terms):
+                pt = np.where(oc == t, gp, inf)
+                np.maximum(cover, np.minimum.accumulate(pt[::-1])[::-1],
+                           out=cover)
+            span = cover - gp
+            gstart = np.concatenate(
+                ([0], np.flatnonzero(orow[1:] != orow[:-1]) + 1))
+            best = np.minimum.reduceat(span, gstart)
+            counts = np.diff(np.concatenate((gstart, [len(oc)])))
+            rows = orow[gstart]
+            hit = best <= window
+            if hit.any():
+                hr = rows[hit]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(docid[hr]),
+                     pa.array(counts[hit].astype(np.int64)),
+                     pa.array(dls[hr].astype(np.int64))], schema=out)
+
+    matched = analyzed.mapInArrow(near_iter, "docid long, tf long, dl long")
     # distributed: df_near via a count (candidates are index-prefiltered, so
     # the second pass over them is cheap), scoring/top-k stay on the cluster
     df_near = matched.count()

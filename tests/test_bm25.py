@@ -140,6 +140,33 @@ def test_synonym_query_semantics(spark, built_index, small_corpus_pdf):
         [(d, round(s, 9)) for d, s in want]
 
 
+def test_synonym_overlap_with_require_all(spark, built_index, small_corpus_pdf):
+    """A query term that is also another term's synonym member must NOT make
+    require_all unsatisfiable: each canonical term owns its own group, so
+    'error failed' + synonyms {error: [failed]} + require_all matches every
+    doc containing 'failed' (group-error := error|failure, group-failed :=
+    failure — the conjunction reduces to 'failure present')."""
+    from solr_spark.analysis import analyze_text
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    syn = {"error": ["failed"]}
+    got_w = bm25_topk(spark, reader, "error failed", k=500, mode="wand",
+                      synonyms=syn, require_all=True).collect()
+    got_e = bm25_topk(spark, reader, "error failed", k=500, mode="exact",
+                      synonyms=syn, require_all=True).collect()
+    assert [r.asDict() for r in got_w] == [r.asDict() for r in got_e]
+    assert got_w, "overlapping synonym groups must stay satisfiable"
+
+    keys = sorted((r.conv_id, int(r.turn_idx), r.text)
+                  for r in small_corpus_pdf.itertuples(index=False))
+    with_failure = {docid for docid, (_c, _t, text) in enumerate(keys)
+                    if "failed" in analyze_text(text, cfg)}
+    assert {r.docid for r in got_w} <= with_failure
+    assert len(got_w) == min(500, len(with_failure))
+
+
 def test_synonyms_none_path_unchanged(spark, built_index):
     from solr_spark.query.bm25 import IndexReader, bm25_topk
 

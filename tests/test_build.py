@@ -114,3 +114,30 @@ def test_skew_bounded(built_index):
     sizes = sorted(p["postings"] for p in parts)
     median = sizes[len(sizes) // 2]
     assert sizes[-1] <= 20 * max(median, 1)
+
+
+def test_build_with_all_stopword_partition(spark, tmp_path):
+    """A partition whose documents all tokenize to nothing (stopword-only /
+    punctuation-only turns) must not fail the posting build, and the full-config
+    round-trip through stats.json must reopen with the build's analyzer config."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    rows = [("c0", 0, "u", "the and of", None, None),
+            ("c0", 1, "u", "!!! ...", None, None),
+            ("c1", 0, "u", "error timeout retry", None, None),
+            ("c1", 1, "u", "to of in", None, None)]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").repartition(4, "conv_id")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=4, stopwords="en",
+                      max_token_length=40)
+    index_dir = str(tmp_path / "idx")
+    stats = build_index(spark, src, index_dir, cfg, input_token="stopword-edge")
+    assert stats["n_docs"] == 4
+
+    reader = IndexReader.open(index_dir)  # no explicit config: restored from stats
+    assert reader.config == cfg
+    got = bm25_topk(spark, reader, "error", k=5).collect()
+    assert len(got) == 1 and got[0].conv_id == "c1" and got[0].turn_idx == 0

@@ -97,11 +97,38 @@ def test_ltr_linear_model(spark):
         linear_model_score({"f": "feat"}, {"g": 1.0})
 
 
+def test_phrase_count_overlapping_conformance(spark):
+    """Exact Lucene slop-0 phrase-frequency conformance vectors, including the
+    overlapping/adjacent cases a non-overlapping regex undercounts:
+    'a a a' contains "a a" twice; 'b a b a b' contains "b a b" twice
+    (Lucene ExactPhraseMatcher counts every start position)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.query.phrase import phrase_count_expr
+
+    vectors = [
+        ("a a a", ["a", "a"], 2),
+        ("b a b a b", ["b", "a", "b"], 2),
+        ("a b a b", ["a", "b"], 2),
+        ("a b", ["a", "b"], 1),
+        ("a", ["a", "b"], 0),
+        ("", ["a", "b"], 0),
+        ("x a b y a b a b", ["a", "b"], 3),
+        ("a a a a", ["a", "a", "a"], 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(vectors)], "i int, toks string")
+    for i, (_, terms, want) in enumerate(vectors):
+        got = df.where(F.col("i") == i).select(
+            phrase_count_expr(F.col("toks"), terms).alias("pf")).head()["pf"]
+        assert got == want, f"vector {i}: got {got}, want {want}"
+
+
 def test_phrase_topk_matches_python_twin(spark, built_index, small_corpus_pdf):
     """phrase_topk == a from-first-principles Python computation (phrase freq
-    by the same consuming-boundary regex, BM25 with tf=pf, df=phrase-df)."""
+    = count of matching start positions, Lucene slop-0 semantics; BM25 with
+    tf=pf, df=phrase-df)."""
     import math
-    import re
 
     from solr_spark.analysis import analyze_text
     from solr_spark.query.bm25 import IndexReader
@@ -113,14 +140,14 @@ def test_phrase_topk_matches_python_twin(spark, built_index, small_corpus_pdf):
     got = phrase_topk(spark, reader, phrase, k=10).collect()
 
     terms = analyze_text(phrase, cfg)
-    pat = re.compile(r"(^|\s)" + r"\s".join(map(re.escape, terms)) + r"(\s|$)")
     docs = {}
     keys = sorted(
         (r.conv_id, int(r.turn_idx), r.text)
         for r in small_corpus_pdf.itertuples(index=False))
     for docid, (cid, tix, text) in enumerate(keys):
         toks = analyze_text(text, cfg)
-        pf = len(pat.findall(" ".join(toks)))
+        pf = sum(1 for i in range(len(toks) - len(terms) + 1)
+                 if toks[i:i + len(terms)] == terms)
         if pf:
             docs[docid] = (pf, len(toks))
     n, avgdl = reader.n_docs, reader.avgdl

@@ -95,3 +95,19 @@ def test_real_codec_is_explicitly_stubbed(spark):
 
     with pytest.raises(NotImplementedError):
         _decode_image_bytes(b"\xff\xd8\xff", fake=False)
+
+
+def test_shortest_path_wide_frontier(spark):
+    """Wide synthetic frontier: hub fans out to 2,000 nodes, all of which link
+    to the same sink. The preds table holds thousands of rows, but the path
+    walk only ever looks up one node per step (no driver-side full collect)."""
+    hub_out = [("hub", f"m{i}") for i in range(2000)]
+    to_sink = [(f"m{i}", "sink") for i in range(2000)]
+    edges = spark.createDataFrame(
+        [("start", "hub")] + hub_out + to_sink, "src string, dst string")
+    path = shortest_path(edges, "start", "sink", "src", "dst", max_depth=5)
+    assert path[0] == "start" and path[1] == "hub" and path[3] == "sink"
+    assert len(path) == 4
+    # min-predecessor tiebreak: 'm0' is the lexicographic minimum middle node
+    assert path[2] == "m0"
+    assert shortest_path(edges, "sink", "start", "src", "dst", max_depth=5) == []
