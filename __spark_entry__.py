@@ -346,6 +346,124 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 _FT_PHRASE = "vector small"
 
 
+def _ft_title_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Second indexed field for edismax: title := first 5 raw whitespace tokens
+    of text (one index per field — the Spark restatement of Lucene's
+    per-(field, term) posting keying)."""
+    from solr_spark.indexing import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(_SCRATCH, f"ftidx-title-{tag}-{_FT_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    src = _docs_as_transcripts(spark, sf_dir).withColumn(
+        "text", F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+    build_index(spark, src, index_dir, _FT_CONFIG,
+                input_token=f"documents-title-{tag}")
+    return IndexReader.open(index_dir, _FT_CONFIG)
+
+
+_EDISMAX_Q = "vector small"
+_EDISMAX_QF = {"text": 1.0, "title": 2.0}
+_EDISMAX_TIE = 0.2
+_EDISMAX_PF = 1.5  # pf weight on the text field
+
+
+def _ft11_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax: qf-weighted dismax over (text, title) + tie + pf phrase boost
+    (ExtendedDismaxQParser.java:66)."""
+    from solr_spark.query.edismax import edismax_topk
+
+    readers = {"text": _ft_index(spark, sf_dir),
+               "title": _ft_title_index(spark, sf_dir)}
+    topk = edismax_topk(spark, readers, _EDISMAX_Q, _EDISMAX_QF, k=20,
+                        tie=_EDISMAX_TIE, pf={"text": _EDISMAX_PF})
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft11_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    t1, t2 = _EDISMAX_Q.split()
+    in_list = f"'{t1}', '{t2}'"
+    wt_text, wt_title = _EDISMAX_QF["text"], _EDISMAX_QF["title"]
+    tie, pfw = _EDISMAX_TIE, _EDISMAX_PF
+    return f"""
+WITH {_TOKS_CTE},
+ttoks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+        FROM documents
+    ) WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+fstats AS (
+    SELECT 'text' AS fld, (SELECT count(*) FROM toks)::DOUBLE / n_docs AS avgdl
+    FROM corpus
+    UNION ALL
+    SELECT 'title', (SELECT count(*) FROM ttoks)::DOUBLE / n_docs FROM corpus
+),
+alltoks AS (
+    SELECT 'text' AS fld, doc_id, tok FROM toks
+    UNION ALL SELECT 'title', doc_id, tok FROM ttoks
+),
+dl AS (SELECT fld, doc_id, count(*)::DOUBLE AS dl FROM alltoks GROUP BY fld, doc_id),
+dfreq AS (
+    SELECT fld, tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM alltoks WHERE tok IN ({in_list}) GROUP BY fld, tok
+),
+idf AS (
+    SELECT fld, term, ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) AS idf
+    FROM dfreq CROSS JOIN corpus c
+),
+tf AS (
+    SELECT fld, doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM alltoks WHERE tok IN ({in_list}) GROUP BY fld, doc_id, tok
+),
+contrib AS (
+    SELECT tf.doc_id, tf.term,
+           (CASE tf.fld WHEN 'text' THEN {wt_text} ELSE {wt_title} END)
+           * idf.idf * tf.tf
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / fs.avgdl)) AS c
+    FROM tf
+    JOIN idf ON idf.fld = tf.fld AND idf.term = tf.term
+    JOIN dl ON dl.fld = tf.fld AND dl.doc_id = tf.doc_id
+    JOIN fstats fs ON fs.fld = tf.fld
+),
+dismax AS (
+    SELECT doc_id, term, max(c) + {tie} * (sum(c) - max(c)) AS tscore
+    FROM contrib GROUP BY doc_id, term
+),
+main AS (SELECT doc_id, sum(tscore) AS score FROM dismax GROUP BY doc_id),
+an AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     x -> x <> '' AND lower(x) NOT IN ({_STOP_SQL})) AS tl
+  FROM documents
+),
+pfreq AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(tl)), i ->
+             list_slice(tl, i, i + 1) = ['{t1}', '{t2}']))::DOUBLE AS pfr
+  FROM an
+),
+idfsum AS (
+  SELECT sum(idf)::DOUBLE AS s FROM idf WHERE fld = 'text'
+),
+boost AS (
+  SELECT p.doc_id,
+         {pfw} * idfsum.s * p.pfr
+         / (p.pfr + {k1} * (1.0 - {b} + {b} * dl.dl / fs.avgdl)) AS bst
+  FROM pfreq p
+  JOIN dl ON dl.fld = 'text' AND dl.doc_id = p.doc_id
+  JOIN fstats fs ON fs.fld = 'text'
+  CROSS JOIN idfsum
+  WHERE p.pfr > 0
+)
+SELECT m.doc_id, round(m.score + coalesce(boost.bst, 0.0), 4) AS score
+FROM main m LEFT JOIN boost ON boost.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 def _ft07_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solr_spark.query.phrase import phrase_topk
 
@@ -956,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft08_spellcheck": _ft08_spellcheck,
         "ft09_synonym_query": _ft09_synonyms,
         "ft10_near_proximity": _ft10_near,
+        "ft11_edismax": _ft11_edismax,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -1050,6 +1169,7 @@ cand AS (
         "ft08_spellcheck": _ft08_sql(),
         "ft09_synonym_query": _ft09_sql(),
         "ft10_near_proximity": _ft10_sql(),
+        "ft11_edismax": _ft11_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

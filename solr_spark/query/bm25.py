@@ -239,6 +239,46 @@ def _local_topk(docids: np.ndarray, scores: np.ndarray, k: int):
     return docids, scores
 
 
+def terms_postings(spark: SparkSession, reader: IndexReader,
+                   terms: list[str]) -> DataFrame:
+    """Decoded postings for a set of query terms: DataFrame(term, docid, tf).
+
+    Partition-pruned by term_bucket exactly like term_docs; the decode kernel
+    touches only the query terms' posting-range rows (a handful per term), so
+    the per-row Python is bounded by #terms x #ranges, never by corpus size.
+    The relational shape feeds multi-field scoring (edismax) where the
+    per-(term, docid) contribution must stay a DataFrame column.
+    """
+    cfg = reader.config
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "term string, docid long, tf int")
+    buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
+    seg = reader.segments_df(spark)
+    rows = seg.where(F.col("term_bucket").isin(buckets)
+                     & F.col("term").isin(terms)) \
+              .select("term", "range_id", "doc_gaps", "tfs")
+    shift = cfg.range_shift
+
+    def decode_iter(batches):
+        for pdf in batches:
+            ts, ds, fs = [], [], []
+            for row in pdf.itertuples(index=False):
+                base = int(row.range_id) << shift
+                d, t = decode_postings(bytes(row.doc_gaps), bytes(row.tfs), base)
+                ds.append(d)
+                fs.append(t)
+                ts.append(np.repeat(np.array([row.term], dtype=object), len(d)))
+            if ds:
+                yield pd.DataFrame({
+                    "term": np.concatenate(ts),
+                    "docid": np.concatenate(ds),
+                    "tf": np.concatenate(fs).astype(np.int32),
+                })
+
+    return rows.mapInPandas(decode_iter, "term string, docid long, tf int")
+
+
 def term_docs(spark: SparkSession, reader: IndexReader, term: str) -> DataFrame:
     """All documents containing `term`: partition-pruned posting lookup.
 

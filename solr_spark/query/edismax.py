@@ -1,0 +1,218 @@
+"""edismax: multi-field scored disjunction with qf weights, tie-breaking,
+min-should-match, and pf phrase boosting.
+
+Reference semantics (solr/core/src/java/org/apache/solr/search/
+ExtendedDismaxQParser.java:66, ~1800 LoC; tests
+core/src/test/org/apache/solr/search/TestExtendedDismaxParser.java):
+
+  * Each query term becomes a DisjunctionMaxQuery over the qf fields:
+        score_t(d) = max_f(qf_f * bm25_{t,f}(d)) + tie * sum_{other f}(...)
+    (Lucene DisjunctionMaxQuery tiebreaker semantics.)
+  * The term clauses combine as a BooleanQuery with minShouldMatch = mm:
+    a document qualifies when >= mm DISTINCT query terms match in ANY field.
+  * pf adds optional phrase clauses on the given fields: a document already
+    matching the main query gains pf_f * phrase-BM25 where the phrase query
+    scores with tf = exact phrase frequency and idf = SUM of the member term
+    idfs (Lucene PhraseQuery's similarity contract).
+
+Spark shape (scale-first): per-field posting decode is partition-pruned to the
+query's terms (solr_spark.query.bm25.terms_postings); everything downstream —
+per-field BM25 contribution, the dismax max/sum combine, the mm filter, the
+phrase-boost join, the global top-k — is plain Catalyst (groupBy/agg/join/
+TakeOrdered) with map-side partial aggregation, no Python in the scoring path.
+Fields live in separate index directories, mirroring Lucene's (field, term)
+posting keying.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solr_spark.analysis import analyze_text
+from solr_spark.query.bm25 import IndexReader, _idf, terms_postings
+
+_OUT_SCHEMA = "conv_id string, turn_idx int, docid long, score double, rank int"
+
+
+def doc_lengths(spark: SparkSession, reader: IndexReader) -> DataFrame:
+    """(docid, dl) from the norms artifact — quantized when the index was built
+    with lucene_norms (scoring parity), exact uint32 otherwise. 1–4 bytes per
+    doc; the decode kernel is vectorized numpy over whole range blobs."""
+    import numpy as np
+    import pandas as pd
+
+    from solr_spark.codec.smallfloat import norm_length_table
+
+    lucene = reader.config.lucene_norms
+    table = norm_length_table()
+
+    def decode(batches):
+        for pdf in batches:
+            ds, ls = [], []
+            for row in pdf.itertuples(index=False):
+                blob = bytes(row.norm_bytes)
+                if lucene:
+                    dls = table[np.frombuffer(blob, dtype=np.uint8)]
+                else:
+                    dls = np.frombuffer(blob, dtype=np.uint32).astype(np.float64)
+                ds.append(np.arange(len(dls), dtype=np.int64) + int(row.base_docid))
+                ls.append(dls)
+            if ds:
+                yield pd.DataFrame({"docid": np.concatenate(ds),
+                                    "dl": np.concatenate(ls)})
+
+    return reader.norms(spark).select("base_docid", "norm_bytes") \
+        .mapInPandas(decode, "docid long, dl double")
+
+
+def _field_contributions(
+    spark: SparkSession, reader: IndexReader, field_weight: float,
+    qterms: Counter, canon: list[str],
+) -> tuple[DataFrame | None, dict[str, float]]:
+    """Per-(docid, term) weighted BM25 contributions for one field.
+
+    Returns (DataFrame(docid, term, contrib) or None if no term occurs in the
+    field, idf-by-term map for the phrase boost)."""
+    cfg = reader.config
+    dict_rows = (
+        reader.dictionary(spark)
+        .where(F.col("term").isin(canon))
+        .select("term", "df").collect()
+    )
+    idfs = {r["term"]: _idf(reader.n_docs, r["df"]) for r in dict_rows}
+    if not idfs:
+        return None, {}
+    w_map = F.create_map(*[x for t, idf in sorted(idfs.items())
+                           for x in (F.lit(t), F.lit(qterms[t] * idf))])
+    k1, b, avgdl = cfg.k1, cfg.b, reader.avgdl
+    post = terms_postings(spark, reader, [t for t in canon if t in idfs])
+    contrib = (
+        post.join(doc_lengths(spark, reader), "docid")
+        .select(
+            "docid", "term",
+            (F.lit(field_weight) * w_map[F.col("term")] * F.col("tf")
+             / (F.col("tf")
+                + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+             ).alias("contrib"),
+        )
+    )
+    return contrib, idfs
+
+
+def _phrase_boosts(
+    spark: SparkSession, readers: dict[str, IndexReader],
+    pf: dict[str, float], query_text: str,
+    field_idfs: dict[str, dict[str, float]],
+) -> DataFrame | None:
+    """Optional pf clauses: per-doc phrase-BM25 boost summed over pf fields."""
+    import os
+
+    from solr_spark.query.phrase import phrase_count_expr
+
+    parts = []
+    for fld, weight in sorted(pf.items()):
+        reader = readers[fld]
+        cfg = reader.config
+        terms = analyze_text(query_text, cfg)
+        if len(terms) < 2:
+            continue
+        # Lucene PhraseQuery similarity: idf = sum of member-term idfs
+        idfs = field_idfs.get(fld, {})
+        if not all(t in idfs for t in terms):
+            continue  # a phrase containing an unindexed term matches nothing
+        idf_sum = sum(idfs[t] for t in terms)
+        analyzed = spark.read.parquet(
+            os.path.join(reader.index_dir, "analyzed", "batch-*")
+        ).select("docid", "toks")
+        k1, b, avgdl = cfg.k1, cfg.b, reader.avgdl
+        scored = (
+            analyzed
+            .withColumn("pfreq", phrase_count_expr(F.col("toks"), terms))
+            .where(F.col("pfreq") > 0)
+            .join(doc_lengths(spark, reader), "docid")
+            .select(
+                "docid",
+                (F.lit(weight * idf_sum) * F.col("pfreq")
+                 / (F.col("pfreq")
+                    + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+                 ).alias("boost"),
+            )
+        )
+        parts.append(scored)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("docid").agg(F.sum("boost").alias("boost"))
+
+
+def edismax_topk(
+    spark: SparkSession,
+    readers: dict[str, IndexReader],
+    query_text: str,
+    qf: dict[str, float],
+    k: int = 10,
+    tie: float = 0.0,
+    min_match: int = 1,
+    pf: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k edismax. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
+
+    readers: field name -> IndexReader (one index per field — the Spark
+    restatement of Lucene's per-(field, term) posting keying). qf: per-field
+    query weights; tie: DisjunctionMaxQuery tiebreaker in [0, 1]; min_match:
+    minimum number of distinct query terms that must match in any field;
+    pf: optional per-field phrase-boost weights.
+    """
+    primary = readers[next(iter(sorted(qf)))]
+    qterms = Counter(analyze_text(query_text, primary.config))
+    canon = sorted(qterms)
+    if not canon:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    min_match = max(1, min(min_match, len(canon)))
+
+    contribs = []
+    field_idfs: dict[str, dict[str, float]] = {}
+    for fld in sorted(qf):
+        c, idfs = _field_contributions(spark, readers[fld], qf[fld],
+                                       qterms, canon)
+        field_idfs[fld] = idfs
+        if c is not None:
+            contribs.append(c)
+    if not contribs:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+
+    # dismax per (doc, term): max + tie * (sum - max); then BooleanQuery
+    # combine: sum over terms, mm over the distinct-term match count
+    per_term = allc.groupBy("docid", "term").agg(
+        (F.max("contrib")
+         + F.lit(tie) * (F.sum("contrib") - F.max("contrib"))).alias("tscore"))
+    main = (per_term.groupBy("docid")
+            .agg(F.sum("tscore").alias("score"),
+                 F.count(F.lit(1)).alias("nterms"))
+            .where(F.col("nterms") >= min_match))
+
+    if pf:
+        boosts = _phrase_boosts(spark, readers, pf, query_text, field_idfs)
+        if boosts is not None:
+            main = (main.join(boosts, "docid", "left")
+                    .withColumn("score",
+                                F.col("score")
+                                + F.coalesce(F.col("boost"), F.lit(0.0))))
+
+    topk = main.select("docid", "score") \
+               .orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    return (
+        topk.join(primary.doc_map(spark), "docid")
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("docid"))))
+        .select("conv_id", "turn_idx", "docid", "score", "rank")
+        .orderBy("rank")
+    )

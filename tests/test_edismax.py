@@ -1,0 +1,163 @@
+"""edismax (qf / tie / mm / pf) rank+score identity vs a pure-Python twin.
+
+Mirrors the reference's ExtendedDismaxQParser contract (reference:
+solr/core/src/java/org/apache/solr/search/ExtendedDismaxQParser.java:66;
+tests core/src/test/org/apache/solr/search/TestExtendedDismaxParser.java):
+per-term DisjunctionMaxQuery over qf fields with tie-breaking, BooleanQuery
+minShouldMatch over distinct terms, pf phrase clauses with idf = sum of
+member-term idfs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.analysis import analyze_text
+from solr_spark.config import IndexConfig
+from solr_spark.indexing import build_index
+from solr_spark.oracle.reference import _small_float_quantize
+from solr_spark.query.bm25 import IndexReader
+from solr_spark.query.edismax import edismax_topk
+
+CFG = IndexConfig(range_shift=8, num_term_buckets=16)
+
+
+@pytest.fixture(scope="module")
+def title_index(spark, small_corpus, tmp_path_factory):
+    """Second field: 'title' := first 3 raw whitespace tokens of text."""
+    index_dir = str(tmp_path_factory.mktemp("title_index"))
+    titled = small_corpus.withColumn(
+        "text",
+        F.array_join(
+            F.slice(F.split(F.coalesce("text", F.lit("")), " "), 1, 3), " "))
+    build_index(spark, titled, index_dir, CFG, input_token="synth-title-1k")
+    return index_dir
+
+
+def _twin(small_corpus_pdf, query, qf, tie, mm, pf_weight):
+    keys = sorted((r.conv_id, int(r.turn_idx), r.text)
+                  for r in small_corpus_pdf.itertuples(index=False))
+    qterms = analyze_text(query, CFG)
+    toks = {}
+    for fname in qf:
+        toks[fname] = []
+        for _c, _t, text in keys:
+            raw = text or ""
+            if fname == "title":
+                raw = " ".join(raw.split(" ")[:3])
+            toks[fname].append(analyze_text(raw, CFG))
+    n = len(keys)
+    stats = {}
+    for fname, docs in toks.items():
+        dls = [len(t) for t in docs]
+        avgdl = sum(dls) / n
+        df = {}
+        for t in set(qterms):
+            df[t] = sum(1 for d in docs if t in d)
+        stats[fname] = (dls, avgdl, df)
+
+    def bm25(fname, docid, term):
+        docs = toks[fname]
+        dls, avgdl, df = stats[fname]
+        tf = docs[docid].count(term)
+        if tf == 0 or df[term] == 0:
+            return None
+        idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+        dlq = _small_float_quantize(dls[docid])
+        return idf * tf / (tf + CFG.k1 * (1 - CFG.b + CFG.b * dlq / avgdl))
+
+    out = {}
+    for docid in range(n):
+        total, matched = 0.0, 0
+        for term in sorted(set(qterms)):
+            cs = [qf[f] * s for f in qf
+                  if (s := bm25(f, docid, term)) is not None]
+            if not cs:
+                continue
+            matched += 1
+            total += max(cs) + tie * (sum(cs) - max(cs))
+        if matched >= mm and matched > 0:
+            out[docid] = total
+    if pf_weight and len(qterms) >= 2:
+        dls, avgdl, df = stats["text"]
+        idf_sum = sum(
+            math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            for t in qterms) if all(df[t] for t in qterms) else None
+        if idf_sum is not None:
+            for docid in list(out):
+                d = toks["text"][docid]
+                pfreq = sum(
+                    1 for i in range(len(d) - len(qterms) + 1)
+                    if d[i:i + len(qterms)] == qterms)
+                if pfreq:
+                    dlq = _small_float_quantize(dls[docid])
+                    out[docid] += (pf_weight * idf_sum * pfreq
+                                   / (pfreq + CFG.k1
+                                      * (1 - CFG.b + CFG.b * dlq / avgdl)))
+    return sorted(out.items(), key=lambda x: (-x[1], x[0]))
+
+
+def _run(spark, built_index, title_index, **kw):
+    readers = {"text": IndexReader.open(built_index[0], CFG),
+               "title": IndexReader.open(title_index, CFG)}
+    return edismax_topk(spark, readers, kw.pop("query"), **kw).collect()
+
+
+def test_edismax_qf_tie_matches_twin(spark, built_index, title_index,
+                                     small_corpus_pdf):
+    qf = {"text": 1.0, "title": 2.0}
+    got = _run(spark, built_index, title_index, query="error timeout",
+               qf=qf, k=15, tie=0.3)
+    want = _twin(small_corpus_pdf, "error timeout", qf, 0.3, 1, 0.0)[:15]
+    assert [(r.docid, round(r.score, 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in want]
+
+
+def test_edismax_mm_filters(spark, built_index, title_index, small_corpus_pdf):
+    qf = {"text": 1.0, "title": 2.0}
+    got = _run(spark, built_index, title_index, query="error timeout",
+               qf=qf, k=2000, tie=0.0, min_match=2)
+    want = _twin(small_corpus_pdf, "error timeout", qf, 0.0, 2, 0.0)[:2000]
+    assert [(r.docid, round(r.score, 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in want]
+    # mm=2 result set is a strict subset of mm=1's
+    loose = _run(spark, built_index, title_index, query="error timeout",
+                 qf=qf, k=2000, tie=0.0, min_match=1)
+    assert {r.docid for r in got} < {r.docid for r in loose}
+
+
+def test_edismax_pf_phrase_boost(spark, built_index, title_index,
+                                 small_corpus_pdf):
+    qf = {"text": 1.0, "title": 2.0}
+    got = _run(spark, built_index, title_index, query="error timeout",
+               qf=qf, k=15, tie=0.1, pf={"text": 1.5})
+    want = _twin(small_corpus_pdf, "error timeout", qf, 0.1, 1, 1.5)[:15]
+    assert [(r.docid, round(r.score, 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in want]
+    # the boost must actually move something vs the unboosted ranking
+    plain = _run(spark, built_index, title_index, query="error timeout",
+                 qf=qf, k=15, tie=0.1)
+    assert [(r.docid, round(r.score, 9)) for r in got] != \
+        [(r.docid, round(r.score, 9)) for r in plain]
+
+
+def test_edismax_single_field_reduces_to_weighted_bm25(spark, built_index):
+    """qf={text: 3.0}, tie irrelevant -> 3x the plain BM25 scores, same ranks."""
+    from solr_spark.query.bm25 import bm25_topk
+
+    reader = IndexReader.open(built_index[0], CFG)
+    got = edismax_topk(spark, {"text": reader}, "error timeout",
+                       {"text": 3.0}, k=10, tie=0.7).collect()
+    base = bm25_topk(spark, reader, "error timeout", k=10).collect()
+    assert [r.docid for r in got] == [r.docid for r in base]
+    for g, b in zip(got, base):
+        assert g.score == pytest.approx(3.0 * b.score, rel=1e-12)
+
+
+def test_edismax_absent_terms(spark, built_index, title_index):
+    got = _run(spark, built_index, title_index, query="zzznope qqqnada",
+               qf={"text": 1.0, "title": 2.0}, k=10)
+    assert got == []
