@@ -362,6 +362,98 @@ def _ft_title_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     return IndexReader.open(index_dir, _FT_CONFIG)
 
 
+def _ft12_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-parser term boosts (`merge vector^2.5`): the boost multiplies
+    the term's BM25 weight and its WAND bound (QueryParser.jj `^`,
+    BoostQParserPlugin.java)."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, "merge vector", k=20, mode="wand",
+                     boosts={"vector": 2.5})
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft12_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term, w) AS (VALUES ('merge', 1.0), ('vector', 2.5)),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ('merge', 'vector') GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ('merge', 'vector') GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( q.w * ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _ft13_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase `"merge join"~2`: ordered greedy chains weighted
+    1/(1+matchLength) (QueryParser.jj phrase slop; SloppyPhraseMatcher weight
+    formula, ordered-only — deviation documented in query/phrase.py)."""
+    from solr_spark.query.phrase import phrase_topk
+
+    reader = _ft_index(spark, sf_dir)
+    topk = phrase_topk(spark, reader, "merge join", k=20, slop=2)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft13_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS p
+  FROM raw WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+starts AS (SELECT doc_id, p FROM filtered WHERE tok = 'merge'),
+jpos AS (SELECT doc_id, p FROM filtered WHERE tok = 'join'),
+nxt AS (
+  SELECT s.doc_id, s.p, min(j.p) AS q
+  FROM starts s JOIN jpos j ON j.doc_id = s.doc_id AND j.p > s.p
+  GROUP BY s.doc_id, s.p
+),
+m AS (
+  SELECT doc_id, sum(1.0 / (1.0 + (q - p - 1))) AS tf
+  FROM nxt WHERE (q - p - 1) <= 2 GROUP BY doc_id
+),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1.0 + (c.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+              * m.tf / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 _EDISMAX_Q = "vector small"
 _EDISMAX_QF = {"text": 1.0, "title": 2.0}
 _EDISMAX_TIE = 0.2
@@ -1075,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft09_synonym_query": _ft09_synonyms,
         "ft10_near_proximity": _ft10_near,
         "ft11_edismax": _ft11_edismax,
+        "ft12_boosted_query": _ft12_boosted,
+        "ft13_sloppy_phrase": _ft13_sloppy_phrase,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -1170,6 +1264,8 @@ cand AS (
         "ft09_synonym_query": _ft09_sql(),
         "ft10_near_proximity": _ft10_sql(),
         "ft11_edismax": _ft11_sql(),
+        "ft12_boosted_query": _ft12_sql(),
+        "ft13_sloppy_phrase": _ft13_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

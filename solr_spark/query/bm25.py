@@ -316,11 +316,18 @@ def bm25_topk(
     require_all: bool = False,
     min_match: int | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
     min_match: edismax-style min-should-match over distinct query terms
     (1 = OR, n_terms = AND); require_all is shorthand for min_match = n_terms.
+
+    boosts: per-term clause boosts — the classic parser's `term^2` syntax
+    (grammar parser/QueryParser.jj; BoostQParserPlugin.java). Keys are
+    analyzed terms; each multiplies that term's weight in the scoring kernel
+    AND its WAND range bound (a boosted clause prunes consistently). With
+    synonyms, a boost on a canonical term scales its whole group.
 
     synonyms: query-time expansion map {query term -> [synonym phrases]}, the
     SynonymGraphFilter position of the reference's default QUERY chain
@@ -371,7 +378,8 @@ def bm25_topk(
             for g in group_of[t]:
                 groups_found.setdefault(g, []).append(t)
         gweights = {
-            g: qterms[g] * _idf(reader.n_docs, max(dfs[t] for t in ms))
+            g: qterms[g] * (boosts or {}).get(g, 1.0)
+               * _idf(reader.n_docs, max(dfs[t] for t in ms))
             for g, ms in groups_found.items()
         }
         # per-member weight for the WAND range bound: the sum of the weights of
@@ -383,7 +391,8 @@ def bm25_topk(
             # a canonical term whose whole group is absent can never match
             return spark.createDataFrame([], out_schema)
     else:
-        weights = {t: qterms[t] * _idf(reader.n_docs, dfs[t]) for t in found}
+        weights = {t: qterms[t] * (boosts or {}).get(t, 1.0)
+                   * _idf(reader.n_docs, dfs[t]) for t in found}
         if min_match > len(found):
             # absent terms can never match; mm above the found count is unsatisfiable
             return spark.createDataFrame([], out_schema)

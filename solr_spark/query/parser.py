@@ -36,7 +36,8 @@ _TOKEN_RE = re.compile(
     | (?P<minus>-(?=[\w"(\[{*/]))
     | (?P<range>(?P<fld_r>[\w.]+):(?P<lb>[\[{])\s*(?P<lo>[^\s\]}]+)\s+TO\s+(?P<hi>[^\s\]}]+)\s*(?P<rb>[\]}]))
     | (?P<regexq>(?P<fld_re>[\w.]+):/(?P<rx>[^/]*)/)
-    | (?P<phrase>(?:(?P<fld_p>[\w.]+):)?"(?P<ph>[^"]*)")
+    | (?P<phrase>(?:(?P<fld_p>[\w.]+):)?"(?P<ph>[^"]*)"
+        (?:~(?P<pslop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?)
     | (?P<term>(?:(?P<fld_t>[\w.]+):)?(?P<val>[^\s()"]+))
     )""",
     re.VERBOSE,
@@ -151,9 +152,14 @@ class LuceneQueryParser:
             if fld in self.text_fields:
                 return F.col(fld).contains(ph)
             return F.col(fld) == F.lit(ph)
-        # plain term, possibly wildcard / fuzzy
+        # plain term, possibly wildcard / fuzzy / ^boosted
         fld = m["fld_t"] or self.default_field
         val = m["val"]
+        # `term^2` boosts affect SCORING only; in filter (fq/DocSet) context
+        # the reference ignores them — strip and match the bare term
+        boosted = re.match(r"^(.+)\^\d+(?:\.\d+)?$", val)
+        if boosted:
+            val = boosted.group(1)
         fuzzy = re.match(r"^(.*?)~(\d*)$", val)
         if fuzzy and fuzzy.group(1):
             dist = int(fuzzy.group(2) or 2)

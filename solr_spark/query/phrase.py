@@ -53,14 +53,98 @@ def phrase_count_expr(toks_col, terms: list[str]):
     return F.when(F.size(arr) >= n, cnt).otherwise(F.lit(0))
 
 
+def _sloppy_phrase_kernel(terms: list[str], slop: int):
+    """Vectorized sloppy-phrase-frequency kernel (mapInArrow over
+    (docid, dl, toks)).
+
+    Semantics: ORDERED matches only. For each occurrence p1 of terms[0], the
+    greedy chain takes the first occurrence of each subsequent term strictly
+    after the previous one; matchLength = p_n - p_1 - (n-1); a chain with
+    matchLength <= slop contributes 1/(1 + matchLength) to the doc's sloppy
+    frequency — Lucene's SloppyPhraseMatcher weight formula
+    (parser/QueryParser.jj `"a b"~2`). Documented deviation: Lucene also
+    admits REVERSED alignments once slop >= 2 ('b a' for "a b"); this kernel
+    is ordered-only (the surround/W-operator reading), asserted by the pytest
+    conformance vectors.
+
+    Everything is numpy: occurrences located via Arrow index_in, chains
+    advanced with one searchsorted per phrase position, per-doc sums via
+    reduceat. Per-row stride isolation makes cross-doc chains fail slop.
+    """
+    import numpy as np
+
+    n_terms = len(terms)
+    uniq_terms = list(dict.fromkeys(terms))  # repeated terms share one code
+    tcode = [uniq_terms.index(t) for t in terms]
+
+    def sloppy_iter(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = pa.schema([("docid", pa.int64()), ("tf", pa.float64()),
+                         ("dl", pa.int64())])
+        term_arr = pa.array(uniq_terms)
+        inf = np.iinfo(np.int64).max // 4
+        for b in batches:
+            if not b.num_rows:
+                continue
+            docid = b.column("docid").to_numpy()
+            dls = b.column("dl").to_numpy()
+            tok_lists = pc.split_pattern(b.column("toks"), " ")
+            lens = pc.list_value_length(tok_lists).to_numpy()
+            codes = pc.fill_null(
+                pc.index_in(pc.list_flatten(tok_lists), value_set=term_arr), -1
+            ).to_numpy().astype(np.int64, copy=False)
+            row_of = np.repeat(np.arange(len(docid), dtype=np.int64), lens)
+            pos = np.arange(len(codes), dtype=np.int64) \
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            stride = np.int64(int(lens.max()) + slop + n_terms + 2)
+            gp = pos + row_of * stride
+            starts_mask = codes == tcode[0]
+            if not starts_mask.any():
+                continue
+            p1 = gp[starts_mask]
+            srow = row_of[starts_mask]
+            cur = p1
+            for t in range(1, n_terms):
+                pt = gp[codes == tcode[t]]
+                if not len(pt):
+                    cur = np.full(len(p1), inf, dtype=np.int64)
+                    break
+                idx = np.searchsorted(pt, cur, side="right")
+                cur = np.where(idx < len(pt),
+                               pt[np.minimum(idx, len(pt) - 1)], inf)
+            ml = cur - p1 - (n_terms - 1)
+            ok = ml <= slop
+            if not ok.any():
+                continue
+            w = np.zeros(len(p1), dtype=np.float64)
+            w[ok] = 1.0 / (1.0 + ml[ok])
+            gstart = np.concatenate(
+                ([0], np.flatnonzero(srow[1:] != srow[:-1]) + 1))
+            sfreq = np.add.reduceat(w, gstart)
+            rows = srow[gstart]
+            hit = sfreq > 0
+            if hit.any():
+                hr = rows[hit]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(docid[hr]), pa.array(sfreq[hit]),
+                     pa.array(dls[hr].astype(np.int64))], schema=out)
+
+    return sloppy_iter
+
+
 def phrase_topk(
     spark: SparkSession,
     reader: IndexReader,
     phrase_text: str,
     k: int = 10,
     prefilter: bool = True,
+    slop: int = 0,
 ) -> DataFrame:
-    """Top-k documents containing the exact analyzed phrase.
+    """Top-k documents containing the analyzed phrase (slop=0: exact; slop>0:
+    ordered sloppy matches weighted 1/(1+matchLength), see
+    _sloppy_phrase_kernel).
 
     Returns DataFrame(conv_id, turn_idx, docid, score, rank) like bm25_topk.
     """
@@ -83,9 +167,16 @@ def phrase_topk(
             cand = cand.join(term_docs(spark, reader, t), "docid", "left_semi")
         analyzed = analyzed.join(cand, "docid", "left_semi")
 
-    matched = (analyzed
-               .withColumn("pf", phrase_count_expr(F.col("toks"), terms))
-               .where(F.col("pf") > 0))
+    if slop > 0:
+        freq = analyzed.select("docid", "dl", "toks").mapInArrow(
+            _sloppy_phrase_kernel(terms, slop), "docid long, tf double, dl long")
+        matched = (freq.withColumnRenamed("tf", "pf")
+                   .join(analyzed.select("docid", "conv_id", "turn_idx"),
+                         "docid"))
+    else:
+        matched = (analyzed
+                   .withColumn("pf", phrase_count_expr(F.col("toks"), terms))
+                   .where(F.col("pf") > 0))
 
     stats = matched.agg(F.count(F.lit(1)).alias("df_phrase")).collect()[0]
     df_phrase = int(stats["df_phrase"])

@@ -219,3 +219,104 @@ def test_near_topk_matches_python_twin(spark, built_index, small_corpus_pdf):
         key=lambda x: (-x[1], x[0]))[:10]
     assert [(r.docid, round(r.score, 9)) for r in got] == \
         [(d, round(s, 9)) for d, s in want]
+
+
+def test_bm25_boosts(spark, built_index):
+    """`term^boost` clause boosts: boosted multi-term score decomposes into
+    boost-weighted single-term scores; wand == exact under boosts."""
+    import pytest as _pytest
+
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    s_err = {r.docid: r.score for r in
+             bm25_topk(spark, reader, "error", k=2000).collect()}
+    s_tmo = {r.docid: r.score for r in
+             bm25_topk(spark, reader, "timeout", k=2000).collect()}
+    got_w = bm25_topk(spark, reader, "error timeout", k=2000, mode="wand",
+                      boosts={"error": 2.0}).collect()
+    got_e = bm25_topk(spark, reader, "error timeout", k=2000, mode="exact",
+                      boosts={"error": 2.0}).collect()
+    assert [r.asDict() for r in got_w] == [r.asDict() for r in got_e]
+    want = {d: 2.0 * s_err.get(d, 0.0) + s_tmo.get(d, 0.0)
+            for d in set(s_err) | set(s_tmo)}
+    assert {r.docid for r in got_w} == set(want)
+    for r in got_w:
+        assert r.score == _pytest.approx(want[r.docid], abs=1e-9)
+
+
+def test_sloppy_phrase_conformance(spark, tmp_path):
+    """Ordered sloppy-phrase vectors: weight 1/(1+matchLength), matchLength =
+    span - (n-1); reversed order deliberately NOT matched (ordered-only,
+    documented deviation from Lucene's reversed-alignment-at-slop>=2)."""
+    import pytest as _pytest
+
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.phrase import phrase_topk
+
+    docs = {
+        "a": "merge join",              # ml=0 -> 1.0
+        "b": "merge x join",            # ml=1 -> 0.5
+        "c": "join merge",              # reversed -> no ordered match
+        "d": "merge x x x join",        # ml=3 > slop=2 -> no match
+        "e": "merge x join merge join", # 0.5 + 1.0 = 1.5
+    }
+    rows = [(cid, 0, "u", text, None, None) for cid, text in sorted(docs.items())]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=4, stopwords="none",
+                      lucene_norms=False)
+    index_dir = str(tmp_path / "slopidx")
+    build_index(spark, src, index_dir, cfg, input_token="slop-vectors")
+    reader = IndexReader.open(index_dir)
+    got = phrase_topk(spark, reader, "merge join", k=10, slop=2).collect()
+    by_conv = {r.conv_id: r for r in got}
+    assert set(by_conv) == {"a", "b", "e"}
+
+    # recompute scores from first principles: tf = sloppy freq, df = 3, raw dl
+    import math
+
+    sfreq = {"a": 1.0, "b": 0.5, "e": 1.5}
+    dls = {cid: len(t.split()) for cid, t in docs.items()}
+    n, df_p = reader.n_docs, 3
+    avgdl = reader.avgdl
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    for cid in sfreq:
+        tf = sfreq[cid]
+        want = idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dls[cid] / avgdl))
+        assert by_conv[cid].score == _pytest.approx(want, abs=1e-9), cid
+
+    # slop=0 on the same index equals the exact path
+    exact = phrase_topk(spark, reader, "merge join", k=10, slop=0).collect()
+    assert {r.conv_id for r in exact} == {"a", "e"}
+
+
+def test_sloppy_phrase_repeated_terms(spark, tmp_path):
+    """Phrase with a repeated term ('a a'): chains must advance past the start
+    occurrence (strictly-after searchsorted)."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.phrase import phrase_topk
+
+    rows = [("r1", 0, "u", "a a a", None, None),
+            ("r2", 0, "u", "a x a", None, None),
+            ("r3", 0, "u", "a", None, None)]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=4, stopwords="none",
+                      lucene_norms=False)
+    index_dir = str(tmp_path / "repidx")
+    build_index(spark, src, index_dir, cfg, input_token="slop-repeat")
+    reader = IndexReader.open(index_dir)
+    got = {r.conv_id: r for r in
+           phrase_topk(spark, reader, "a a", k=10, slop=1).collect()}
+    # r1: starts at p0 (next a at p1, ml=0 -> 1.0) and p1 (ml=0 -> 1.0): tf=2
+    # r2: start p0 -> next a at p2, ml=1 -> 0.5; start p2 -> none: tf=0.5
+    # r3: no chain
+    assert set(got) == {"r1", "r2"}

@@ -195,3 +195,17 @@ def test_relatedness_metric(spark):
     none = spark.createDataFrame([("z", 0)], "bucket string, fg int")
     z = facets.relatedness(none, "bucket", F.col("fg") == 1).collect()[0]
     assert z["relatedness"] == -1.0  # empty foreground pins to -1
+
+
+def test_parser_boost_and_slop_suffixes(spark):
+    """`term^2` / `"a b"~2^3` lex cleanly; boosts are no-ops in filter context
+    (the reference ignores boosts on fq predicates)."""
+    from solr_spark.query.parser import parse_query
+
+    df = spark.createDataFrame(
+        [(1, "fatal error in merge", "open"), (2, "all good", "closed")],
+        "id int, msg string, status string")
+    pred = parse_query('status:open^2 AND msg:error^1.5', "msg", {"msg"})
+    assert [r.id for r in df.where(pred).collect()] == [1]
+    pred2 = parse_query('msg:"fatal error"~2^3', "msg", {"msg"})
+    assert [r.id for r in df.where(pred2).collect()] == [1]
