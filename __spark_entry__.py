@@ -454,6 +454,48 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _ft14_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-expanded scored fuzzy query `vectr~1` (QParserPlugin.java
+    fuzzy entry; Lucene TopTermsBlendedFreqScoringRewrite shape): expansion
+    against the analyzed term dictionary, blended-group BM25 scoring."""
+    from solr_spark.query.multiterm import fuzzy_topk
+
+    reader = _ft_index(spark, sf_dir)
+    topk = fuzzy_topk(spark, reader, "vectr", k=20, max_edits=1)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft14_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+d AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY tok),
+exp AS (
+    SELECT term, df FROM d
+    WHERE abs(length(term) - length('vectr')) <= 1
+      AND levenshtein(term, 'vectr') <= 1
+    ORDER BY df DESC, term LIMIT 50
+),
+tf AS (
+    SELECT doc_id, count(*)::DOUBLE AS tf
+    FROM toks JOIN exp ON toks.tok = exp.term GROUP BY doc_id
+),
+dfreq AS (SELECT max(df)::DOUBLE AS df FROM exp)
+SELECT tf.doc_id,
+       round( ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfreq
+ORDER BY score DESC, tf.doc_id LIMIT 20
+"""
+
+
 _EDISMAX_Q = "vector small"
 _EDISMAX_QF = {"text": 1.0, "title": 2.0}
 _EDISMAX_TIE = 0.2
@@ -1057,6 +1099,20 @@ def _q40_geo_heatmap(spark, sf_dir):
              .orderBy("cell"))
 
 
+def _q45_scored_join(spark, sf_dir):
+    """{!join score=max}: orders joined to the max net-price of their lineitems
+    (ScoreJoinQParserPlugin.java:92 — scored semi-join, not constant-score)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"))
+    out = streams.scored_join(o, li, "o_orderkey", "l_orderkey",
+                              score_col="net", mode="max")
+    return (out.select("o_orderkey", "o_totalprice",
+                       F.round("score", 2).alias("score"))
+              .orderBy("o_orderkey"))
+
+
 def _q38_fetch(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
     c = _t(spark, sf_dir, "customer").select(
@@ -1169,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft11_edismax": _ft11_edismax,
         "ft12_boosted_query": _ft12_boosted,
         "ft13_sloppy_phrase": _ft13_sloppy_phrase,
+        "ft14_fuzzy_scored": _ft14_fuzzy_scored,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -1216,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv03_cosine_near_dup": _vv03_cosine_near_dup,
         "q43_frange": _q43_frange,
         "q44_unique_block": _q44_unique_block,
+        "q45_scored_join": _q45_scored_join,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1266,6 +1324,7 @@ cand AS (
         "ft11_edismax": _ft11_sql(),
         "ft12_boosted_query": _ft12_sql(),
         "ft13_sloppy_phrase": _ft13_sql(),
+        "ft14_fuzzy_scored": _ft14_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30
@@ -1611,6 +1670,14 @@ FROM s GROUP BY conv_id, sid ORDER BY conv_id, session_id
 SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS unique_blocks
 FROM lineitem WHERE l_quantity > 45
 GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "q45_scored_join": """
+SELECT o_orderkey, o_totalprice, round(s.score, 2) AS score
+FROM orders
+JOIN (SELECT l_orderkey AS o_orderkey,
+             max(l_extendedprice * (1 - l_discount)) AS score
+      FROM lineitem GROUP BY l_orderkey) s USING (o_orderkey)
+WHERE o_orderkey < 500 ORDER BY o_orderkey
 """,
         "q43_frange": """
 SELECT l_orderkey, l_linenumber,

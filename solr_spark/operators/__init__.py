@@ -30,6 +30,7 @@ from solr_spark.operators.streams import (
     merge,
     more_like_this,
     rollup,
+    scored_join,
     search,
     select_stream,
     significant_terms,
@@ -50,6 +51,7 @@ __all__ = [
     "nested_facet", "percentiles", "pivot_facet", "query_facet", "range_facet",
     "stats_component", "terms_facet", "timeseries",
     "cartesian_product", "complement", "fetch", "full_outer_join", "hash_join",
+    "scored_join",
     "inner_join", "intersect", "left_outer_join", "merge", "more_like_this",
     "rollup", "search", "select_stream", "significant_terms", "top", "unique",
     "collapse", "cursor_page", "elevate", "expand", "group_top_n",

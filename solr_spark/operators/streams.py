@@ -125,6 +125,28 @@ def hash_join(full: DataFrame, hashed: DataFrame, on: Sequence[str],
     return full.join(F.broadcast(hashed), list(on), how)
 
 
+def scored_join(outer: DataFrame, inner: DataFrame, outer_key: str,
+                inner_key: str, score_col: str = "score",
+                mode: str = "max") -> DataFrame:
+    """{!join score=max|avg|total|min} — scored semi-join: keep outer rows whose
+    `outer_key` appears among the inner rows' `inner_key`, carrying an
+    aggregated `score` column (the per-key max/avg/total/min of the inner
+    side's scores) instead of the constant-score semi-join.
+
+    Reference: search/join/ScoreJoinQParserPlugin.java:92 (Lucene JoinUtil
+    ScoreMode). Spark shape: the inner side aggregates FIRST (map-side partial
+    agg shrinks it to one row per key — at 100 TB this is the difference
+    between joining postings and joining a key dictionary), then an equi-join
+    that AQE broadcasts when the aggregated side is small.
+    """
+    aggs = {"max": F.max, "min": F.min, "avg": F.avg, "total": F.sum}
+    if mode not in aggs:
+        raise ValueError(f"unknown score mode: {mode!r} (use {sorted(aggs)})")
+    scores = (inner.groupBy(F.col(inner_key).alias(outer_key))
+              .agg(aggs[mode](score_col).alias("score")))
+    return outer.join(scores, outer_key, "inner")
+
+
 def fetch(stream: DataFrame, dim: DataFrame, on: Sequence[str],
           fl: Sequence[str]) -> DataFrame:
     """fetch() — batched lookup join enriching tuples from a collection by key.

@@ -1,6 +1,16 @@
 from solr_spark.query.bm25 import IndexReader, bm25_topk, term_docs, terms_postings
 from solr_spark.query.edismax import edismax_topk
+from solr_spark.query.multiterm import (
+    expand_fuzzy,
+    expand_prefix,
+    expand_wildcard,
+    fuzzy_topk,
+    prefix_topk,
+    wildcard_topk,
+)
 from solr_spark.query.parser import LuceneQueryParser, parse_query
 
 __all__ = ["IndexReader", "bm25_topk", "term_docs", "terms_postings",
-           "edismax_topk", "LuceneQueryParser", "parse_query"]
+           "edismax_topk", "LuceneQueryParser", "parse_query",
+           "expand_prefix", "expand_wildcard", "expand_fuzzy",
+           "prefix_topk", "wildcard_topk", "fuzzy_topk"]

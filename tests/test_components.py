@@ -320,3 +320,42 @@ def test_sloppy_phrase_repeated_terms(spark, tmp_path):
     # r2: start p0 -> next a at p2, ml=1 -> 0.5; start p2 -> none: tf=0.5
     # r3: no chain
     assert set(got) == {"r1", "r2"}
+
+
+def test_dictionary_expanded_fuzzy_prefix_wildcard(spark, built_index):
+    """Scored multi-term queries: expansion against the ANALYZED dictionary,
+    blended-group (SynonymQuery-style) scoring; identical to an explicit
+    synonym query over the same member set."""
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+    from solr_spark.query.multiterm import (
+        expand_fuzzy,
+        expand_prefix,
+        expand_wildcard,
+        fuzzy_topk,
+        prefix_topk,
+        wildcard_topk,
+    )
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+
+    fz = expand_fuzzy(spark, reader, "erro", max_edits=1)
+    assert "error" in fz
+    got = fuzzy_topk(spark, reader, "erro", k=10, max_edits=1).collect()
+    want = bm25_topk(spark, reader, fz[0], k=10, mode="wand",
+                     synonyms={fz[0]: fz}).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got, "fuzzy expansion of 'erro' must match docs"
+
+    pr = expand_prefix(spark, reader, "re")
+    assert pr and all(t.startswith("re") for t in pr)
+    assert prefix_topk(spark, reader, "re", k=5).count() == 5
+
+    wc = expand_wildcard(spark, reader, "t?rm0015")
+    assert wc == ["term0015"]
+    got_w = wildcard_topk(spark, reader, "t?rm0015", k=5).collect()
+    want_w = bm25_topk(spark, reader, "term0015", k=5, mode="wand").collect()
+    assert [r.docid for r in got_w] == [r.docid for r in want_w]
+
+    # no expansion -> empty result, no error
+    assert fuzzy_topk(spark, reader, "qqqqqqqqqq", k=5, max_edits=1).count() == 0

@@ -209,3 +209,23 @@ def test_parser_boost_and_slop_suffixes(spark):
     assert [r.id for r in df.where(pred).collect()] == [1]
     pred2 = parse_query('msg:"fatal error"~2^3', "msg", {"msg"})
     assert [r.id for r in df.where(pred2).collect()] == [1]
+
+
+def test_scored_join_modes(spark):
+    """{!join score=...}: aggregated inner score per key; semi-join semantics."""
+    import pytest as _pytest
+
+    from solr_spark.operators import scored_join
+
+    outer = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    inner = spark.createDataFrame(
+        [(1, 10.0), (1, 4.0), (2, 6.0)], "fk int, score double")
+    got = {m: {r.k: r.score for r in
+               scored_join(outer, inner, "k", "fk", mode=m).collect()}
+           for m in ("max", "min", "avg", "total")}
+    assert got["max"] == {1: 10.0, 2: 6.0}
+    assert got["min"] == {1: 4.0, 2: 6.0}
+    assert got["avg"] == {1: 7.0, 2: 6.0}
+    assert got["total"] == {1: 14.0, 2: 6.0}
+    with _pytest.raises(ValueError, match="unknown score mode"):
+        scored_join(outer, inner, "k", "fk", mode="sum")
