@@ -496,6 +496,59 @@ ORDER BY score DESC, tf.doc_id LIMIT 20
 """
 
 
+def _ft_del_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Dedicated index for the delete gate: built once, then deleteByQuery
+    tombstones every doc containing 'vector' (marker-file idempotent so
+    repeated gate runs don't stack tombstone batches)."""
+    from solr_spark.indexing import build_index, delete_by_terms
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(_SCRATCH, f"ftidx-del-{tag}-{_FT_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(spark, _docs_as_transcripts(spark, sf_dir), index_dir,
+                _FT_CONFIG, input_token=f"documents-del-{tag}")
+    reader = IndexReader.open(index_dir, _FT_CONFIG)
+    marker = os.path.join(index_dir, "_deletes_applied")
+    if not os.path.exists(marker):
+        delete_by_terms(spark, reader, ["vector"])
+        with open(marker, "w") as f:
+            f.write("vector")
+    return reader
+
+
+def _q46_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-deleted (tombstoned) docs are masked at collect time while
+    df/n_docs/avgdl still count them — Lucene liveDocs semantics
+    (DeleteStream.java / DirectUpdateHandler2.java)."""
+    reader = _ft_del_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, "merge", k=20, mode="wand")
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _q46_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM toks
+       WHERE tok = 'merge' GROUP BY doc_id),
+dfreq AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+          WHERE tok = 'merge'),
+delset AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector')
+SELECT tf.doc_id,
+       round( ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfreq
+WHERE tf.doc_id NOT IN (SELECT doc_id FROM delset)
+ORDER BY score DESC, tf.doc_id LIMIT 20
+"""
+
+
 _EDISMAX_Q = "vector small"
 _EDISMAX_QF = {"text": 1.0, "title": 2.0}
 _EDISMAX_TIE = 0.2
@@ -1274,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_frange": _q43_frange,
         "q44_unique_block": _q44_unique_block,
         "q45_scored_join": _q45_scored_join,
+        "q46_delete_tombstones": _q46_delete,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1671,6 +1725,7 @@ SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS unique_blocks
 FROM lineitem WHERE l_quantity > 45
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
+        "q46_delete_tombstones": _q46_sql(),
         "q45_scored_join": """
 SELECT o_orderkey, o_totalprice, round(s.score, 2) AS score
 FROM orders

@@ -137,11 +137,23 @@ def main() -> None:
         t_build = time.time() - t0
         timings["index_build"] = round(t_build, 3)
 
+        # ---- query latency series: each query runs SPARK_GRAFT_QUERY_REPS
+        # times (default 5); timings[name] keeps the median (headline), and
+        # the full series feeds the p50/p95 block BENCH/BASELINE.md records.
+        reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "5"))
+        latency: dict[str, dict] = {}
         reader = IndexReader.open(index_dir, cfg).warm(spark, segments=True)
         for name, q in FT_QUERIES.items():
-            t0 = time.time()
-            bm25_topk(spark, reader, q, k=10, mode="wand").collect()
-            timings[name] = round(time.time() - t0, 3)
+            series = []
+            for _ in range(reps):
+                t0 = time.time()
+                bm25_topk(spark, reader, q, k=10, mode="wand").collect()
+                series.append(round(time.time() - t0, 3))
+            s = sorted(series)
+            p50 = s[len(s) // 2]
+            p95 = s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))]
+            timings[name] = p50
+            latency[name] = {"p50": p50, "p95": p95, "reps": series}
 
         # ---- operator headliners over the sf tables
         def t(name: str, fn) -> None:
@@ -192,6 +204,7 @@ def main() -> None:
             "value": round(total, 3),
             "unit": "sec",
             "queries": timings,
+            "latency": latency,
             "sf": sf,
             "cpus": cpus,
             "index_build": {

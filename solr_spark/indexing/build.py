@@ -183,7 +183,7 @@ def _emit_segment_batches(terms, rid_g, du, tf, bounds, shift, block,
         )
 
 
-def _partial_merger(config: IndexConfig):
+def _partial_merger(config: IndexConfig, deleted: "np.ndarray | None" = None):
     """Merge partial posting rows for the same (term, range_id) into final rows.
 
     Input partitions are hash-partitioned by (term, range_id) so every partial of
@@ -192,6 +192,10 @@ def _partial_merger(config: IndexConfig):
     are never combined. Groups with a single partial pass through untouched
     (the long-tail fast path: at scale most rare terms appear in one partition's
     partial only).
+
+    deleted: optional sorted tombstone docid array (indexing/deletes.py) —
+    postings of deleted docs are purged during the merge, the LSM analog of
+    Lucene dropping liveDocs-masked docs at segment merge.
     """
     from solr_spark.codec.varint import varint_decode
 
@@ -234,6 +238,12 @@ def _partial_merger(config: IndexConfig):
 
         code_occ = np.repeat(codes, n_docs)
         rid_occ = np.repeat(rids, n_docs)
+        if deleted is not None and len(deleted):
+            keep = ~np.isin(docids, deleted)
+            docids, all_tfs = docids[keep], all_tfs[keep]
+            code_occ, rid_occ = code_occ[keep], rid_occ[keep]
+            if not len(docids):
+                return
         order = np.lexsort((docids, rid_occ, code_occ))
         d, t = docids[order], all_tfs[order]
         c, r = code_occ[order], rid_occ[order]
@@ -381,6 +391,16 @@ def write_dictionary(spark: SparkSession, index_dir: str, seg_paths: list[str]) 
                .parquet(os.path.join(index_dir, "dictionary")))
 
 
+def _driver_pool():
+    """Shared thread pool for driver-side parquet footer/column scans. These
+    scans are part of the build's SERIAL fraction (they run between Spark
+    jobs); pyarrow releases the GIL during IO/decode, so threading them keeps
+    the serial fraction ~constant as file counts grow with parallelism."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(max_workers=16)
+
+
 def _sum_parquet_column(spark: SparkSession, root: str, column: str) -> int:
     """Sum one int column under a parquet root. Small artifacts (norms,
     dictionary) are read driver-side with pyarrow — no Spark job, no job-launch
@@ -391,9 +411,12 @@ def _sum_parquet_column(spark: SparkSession, root: str, column: str) -> int:
     if sum(os.path.getsize(p) for p in paths) < (1 << 30):
         import pyarrow.parquet as pq
 
-        return int(sum(
-            pq.read_table(p, columns=[column])[column].to_numpy().sum()
-            for p in paths))
+        def one(p):
+            return int(pq.read_table(p, columns=[column])[column]
+                       .to_numpy().sum())
+
+        with _driver_pool() as pool:
+            return sum(pool.map(one, paths))
     df = spark.read.parquet(root)
     return int(df.agg(F.sum(column)).collect()[0][0] or 0)
 
@@ -404,12 +427,15 @@ def _config_dict(config: IndexConfig) -> dict:
     return asdict(config)
 
 
-def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig) -> dict:
+def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig,
+                n_docs: int | None = None) -> dict:
     # Derived from the two SMALL index artifacts, not a corpus re-scan:
-    #   n_docs  = sum of per-range doc counts in norms
+    #   n_docs  = sum of per-range doc counts in norms (precomputable while the
+    #             dictionary job runs — serial-fraction overlap)
     #   sum_dl  = sum of collection frequencies in the dictionary (every analyzed
     #             token appears in exactly one posting's tf)
-    n_docs = _sum_parquet_column(spark, os.path.join(index_dir, "norms"), "n")
+    if n_docs is None:
+        n_docs = _sum_parquet_column(spark, os.path.join(index_dir, "norms"), "n")
     sum_dl = _sum_parquet_column(spark, os.path.join(index_dir, "dictionary"), "cf")
     stats = {
         "n_docs": n_docs,
@@ -452,10 +478,7 @@ def _bucket_metrics(spark: SparkSession, seg_path: str) -> list[dict]:
     from the filesystem — the binary posting columns are never read."""
     import pyarrow.parquet as pq
 
-    out = []
-    for name in sorted(os.listdir(seg_path)):
-        if not name.startswith("term_bucket="):
-            continue
+    def one_bucket(name: str) -> dict:
         bucket = int(name.split("=", 1)[1])
         d = os.path.join(seg_path, name)
         range_rows = postings = size = 0
@@ -467,9 +490,13 @@ def _bucket_metrics(spark: SparkSession, seg_path: str) -> list[dict]:
             range_rows += pq.ParquetFile(p).metadata.num_rows
             postings += int(pq.read_table(
                 p, columns=["n_docs"])["n_docs"].to_numpy().sum())
-        out.append({"term_bucket": bucket, "range_rows": range_rows,
-                    "postings": postings, "file_bytes": size})
-    return out
+        return {"term_bucket": bucket, "range_rows": range_rows,
+                "postings": postings, "file_bytes": size}
+
+    names = sorted(n for n in os.listdir(seg_path)
+                   if n.startswith("term_bucket="))
+    with _driver_pool() as pool:
+        return list(pool.map(one_bucket, names))
 
 
 # ---------------------------------------------------------------- full build
@@ -510,18 +537,20 @@ def build_index(
     seg_path = os.path.join(index_dir, "segments", "seg-000")
 
     def _analyzed_manifest() -> None:
-        # per-partition lineage from parquet footers — no data scan, no Spark job
+        # per-partition lineage from parquet footers — no data scan, no Spark
+        # job; footer reads threaded (serial-fraction control)
         import pyarrow.parquet as pq
 
-        part_stats = []
-        for name in sorted(os.listdir(analyzed_path)):
-            if name.endswith(".parquet"):
-                p = os.path.join(analyzed_path, name)
-                part_stats.append({
-                    "file": name,
+        def one(name: str) -> dict:
+            p = os.path.join(analyzed_path, name)
+            return {"file": name,
                     "rows": pq.ParquetFile(p).metadata.num_rows,
-                    "bytes": os.path.getsize(p),
-                })
+                    "bytes": os.path.getsize(p)}
+
+        names = sorted(n for n in os.listdir(analyzed_path)
+                       if n.endswith(".parquet"))
+        with _driver_pool() as pool:
+            part_stats = list(pool.map(one, names))
         write_manifest(index_dir, "analyzed", cfg_hash, input_token,
                        metrics={"partitions": len(part_stats),
                                 "rows": sum(s["rows"] for s in part_stats)},
@@ -552,8 +581,14 @@ def build_index(
                 fut.result()  # re-raise stage failures
 
     if not stage_complete(index_dir, "dictionary", cfg_hash, input_token):
-        write_dictionary(spark, index_dir, [seg_path])
-        stats = write_stats(spark, index_dir, config)
+        # overlap the (driver-side, GIL-released) norms n-sum with the
+        # dictionary Spark job — both feed write_stats
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut_n = pool.submit(_sum_parquet_column, spark,
+                                os.path.join(index_dir, "norms"), "n")
+            write_dictionary(spark, index_dir, [seg_path])
+            n_docs = fut_n.result()
+        stats = write_stats(spark, index_dir, config, n_docs=n_docs)
         write_manifest(index_dir, "dictionary", cfg_hash, input_token, metrics=stats)
     else:
         with open(os.path.join(index_dir, "stats.json")) as f:

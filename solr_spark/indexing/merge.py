@@ -38,9 +38,19 @@ def merge_segments(
     Python loops): a segment row IS a partial posting row — different segments'
     docid sets for the same (term, range_id) are disjoint, exactly like the
     build's map-side partials, so the merge is the same operation.
+
+    Tombstones (indexing/deletes.py) are PURGED here — deleted docs' postings
+    drop out of the merged segment, the dictionary rebuild lowers their df,
+    and the applied tombstone files are cleared (Lucene's liveDocs-at-merge
+    behavior). Norms/doc-map entries of deleted docids remain (ghost norms,
+    as in Lucene until a full rewrite); postings never resurrect them.
+    A single live segment still merges when tombstones are pending.
     """
+    from solr_spark.indexing.deletes import clear_deletes, deleted_array
+
     names = B.live_segments(index_dir)
-    if len(names) <= 1:
+    dels = deleted_array(spark, index_dir)
+    if len(names) <= 1 and not len(dels):
         return names
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
@@ -50,15 +60,20 @@ def merge_segments(
     merged = (
         seg.select("term", "range_id", "n_docs", "doc_gaps", "tfs")
         .repartition(num_partitions, "term", "range_id")
-        .mapInArrow(B._partial_merger(config), B.SEGMENT_SCHEMA)
+        .mapInArrow(B._partial_merger(config, dels if len(dels) else None),
+                    B.SEGMENT_SCHEMA)
         .withColumn("term_bucket", F.crc32(F.col("term")) % config.num_term_buckets)
     )
     (merged.repartition(F.col("term_bucket"))
            .write.partitionBy("term_bucket").mode("overwrite").parquet(merged_path))
     B.write_live_segments(index_dir, [merged_name])
     B.write_dictionary(spark, index_dir, [merged_path])
+    if len(dels):
+        clear_deletes(index_dir)
     write_manifest(index_dir, f"merge-{merged_name}", config.config_hash(),
-                   ",".join(names), partitions=B._bucket_metrics(spark, merged_path))
+                   ",".join(names),
+                   metrics={"purged_tombstones": int(len(dels))},
+                   partitions=B._bucket_metrics(spark, merged_path))
     return [merged_name]
 
 

@@ -276,16 +276,25 @@ def terms_postings(spark: SparkSession, reader: IndexReader,
                     "tf": np.concatenate(fs).astype(np.int32),
                 })
 
-    return rows.mapInPandas(decode_iter, "term string, docid long, tf int")
+    post = rows.mapInPandas(decode_iter, "term string, docid long, tf int")
+    from solr_spark.indexing.deletes import deletes_df
+
+    dels = deletes_df(spark, reader.index_dir)
+    if dels is not None:
+        post = post.join(dels, "docid", "left_anti")
+    return post
 
 
-def term_docs(spark: SparkSession, reader: IndexReader, term: str) -> DataFrame:
+def term_docs(spark: SparkSession, reader: IndexReader, term: str,
+              apply_deletes: bool = True) -> DataFrame:
     """All documents containing `term`: partition-pruned posting lookup.
 
     The analog of a single-term `{!term}` filter query resolved from the inverted
     index (reference: search/TermQParserPlugin.java): prune segment files by
     term_bucket, decode only that term's posting ranges in an Arrow kernel.
     Returns DataFrame(docid long) — join doc_map for display fields.
+    Tombstoned docids (indexing/deletes.py) are anti-joined away unless
+    apply_deletes=False (the delete path itself needs the raw postings).
     """
     cfg = reader.config
     bucket = _term_buckets([term], cfg.num_term_buckets)[0]
@@ -304,7 +313,14 @@ def term_docs(spark: SparkSession, reader: IndexReader, term: str) -> DataFrame:
             if out:
                 yield pd.DataFrame({"docid": np.concatenate(out)})
 
-    return rows.mapInPandas(decode_iter, "docid long")
+    docs = rows.mapInPandas(decode_iter, "docid long")
+    if apply_deletes:
+        from solr_spark.indexing.deletes import deletes_df
+
+        dels = deletes_df(spark, reader.index_dir)
+        if dels is not None:
+            docs = docs.join(dels, "docid", "left_anti")
+    return docs
 
 
 def bm25_topk(
@@ -407,11 +423,26 @@ def bm25_topk(
 
     length_table = norm_length_table()
     avgdl = reader.avgdl
+    # liveDocs mask (indexing/deletes.py): tombstoned docids are dropped
+    # AFTER scoring, BEFORE heap insertion — stats (df/n_docs/avgdl) still
+    # include deleted docs until merge, exactly like Lucene's soft deletes.
+    from solr_spark.indexing.deletes import deleted_array
+
+    dels = deleted_array(spark, reader.index_dir)
+    if not len(dels):
+        dels = None
+
+    def _live(d, s):
+        if dels is None or not len(d):
+            return d, s
+        keep = ~np.isin(d, dels)
+        return d[keep], s[keep]
 
     if mode == "exact":
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
                                 min_match, group_of, gweights)
+            d, s = _live(d, s)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
 
@@ -443,6 +474,7 @@ def bm25_topk(
                         return  # block-max skip: provably non-competitive
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
                                     min_match, group_of, gweights)
+                d, s = _live(d, s)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)
                     if len(heap) < k:

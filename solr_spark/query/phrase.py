@@ -158,6 +158,12 @@ def phrase_topk(
         os.path.join(reader.index_dir, "analyzed", "batch-*")
     ).select("docid", "conv_id", "turn_idx", "dl", "toks")
 
+    from solr_spark.indexing.deletes import deletes_df
+
+    dels = deletes_df(spark, reader.index_dir)
+    if dels is not None:
+        analyzed = analyzed.join(dels, "docid", "left_anti")
+
     if prefilter and len(terms) > 1:
         # inverted-index candidate pruning: docs containing ALL phrase terms
         from solr_spark.query.bm25 import term_docs

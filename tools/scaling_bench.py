@@ -142,6 +142,18 @@ backstop.
 {json.dumps(results[32]['queries'], indent=2)}
 ```
 
+## Warm top-k latency p50/p95 (seconds, {os.environ.get('SPARK_GRAFT_QUERY_REPS', '5')} reps per query per level)
+
+| query | local[8] p50 | local[8] p95 | local[32] p50 | local[32] p95 |
+|---|---|---|---|---|
+""" + "\n".join(
+            f"| {q} | {results[8]['latency'][q]['p50']} | {results[8]['latency'][q]['p95']} "
+            f"| {results[32]['latency'][q]['p50']} | {results[32]['latency'][q]['p95']} |"
+            for q in results[32].get('latency', {})) + f"""
+
+Latency is level-independent (scheduling-bound, not compute-bound): a warm
+top-k is two small Spark jobs over bucket-pruned postings.
+
 Protocol notes
 - Input is materialized once and shared; generation is excluded from timing.
 - Engine config per level: shuffle partitions = 2 x cpus, AQE on (+16m advisory
