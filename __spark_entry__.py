@@ -1152,6 +1152,21 @@ def _q40_geo_heatmap(spark, sf_dir):
              .orderBy("cell"))
 
 
+def _q47_payload(spark, sf_dir):
+    """payload_score over delimited position payloads (PayloadScore
+    QParserPlugin + DelimitedPayloadTokenFilter): min payload of 'vector'
+    per doc = its first raw token position."""
+    from solr_spark.functions.payloads import payload_score, with_payloads
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "ptext", with_payloads("text"))
+    return (d.select("doc_id",
+                     payload_score("ptext", "vector", func="min")
+                     .cast("long").alias("first_pos"))
+             .where(F.col("first_pos").isNotNull())
+             .orderBy("doc_id"))
+
+
 def _q45_scored_join(spark, sf_dir):
     """{!join score=max}: orders joined to the max net-price of their lineitems
     (ScoreJoinQParserPlugin.java:92 — scored semi-join, not constant-score)."""
@@ -1328,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_unique_block": _q44_unique_block,
         "q45_scored_join": _q45_scored_join,
         "q46_delete_tombstones": _q46_delete,
+        "q47_payload_score": _q47_payload,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1726,6 +1742,13 @@ FROM lineitem WHERE l_quantity > 45
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "q46_delete_tombstones": _q46_sql(),
+        "q47_payload_score": """
+SELECT doc_id, min(rp - 1)::BIGINT AS first_pos FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+) WHERE tok = 'vector' GROUP BY doc_id ORDER BY doc_id
+""",
         "q45_scored_join": """
 SELECT o_orderkey, o_totalprice, round(s.score, 2) AS score
 FROM orders

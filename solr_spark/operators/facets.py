@@ -160,16 +160,16 @@ def relatedness(df: DataFrame, bucket_field: str, fg_pred: Column,
     Reference: RelatednessAgg (solr/core/src/java/org/apache/solr/search/facet/
     RelatednessAgg.java) — per bucket, fg_count/fg_size vs bg_count/bg_size,
     normalized to (-1, 1) (the "semantic knowledge graph" metric). One groupBy
-    pass with conditional aggregation; the global sizes ride along via a
-    window over the (small) bucket table, so there is no second corpus scan.
+    pass with conditional aggregation; the global sizes come from a scalar
+    re-aggregation of the (small) bucket table broadcast-joined back — no
+    unpartitioned window funneling every bucket through one task.
     """
-    counted = (
-        df.groupBy(bucket_field)
-        .agg(F.sum(fg_pred.cast("long")).alias("fg_count"),
-             F.count(F.lit(1)).alias("bg_count"))
-        .withColumn("fg_size", F.sum("fg_count").over(Window.partitionBy()))
-        .withColumn("bg_size", F.sum("bg_count").over(Window.partitionBy()))
-    )
+    counted = df.groupBy(bucket_field).agg(
+        F.sum(fg_pred.cast("long")).alias("fg_count"),
+        F.count(F.lit(1)).alias("bg_count"))
+    totals = counted.agg(F.sum("fg_count").alias("fg_size"),
+                         F.sum("bg_count").alias("bg_size"))
+    counted = counted.join(F.broadcast(totals))
     if min_popularity > 0:
         counted = counted.where(
             (F.col("bg_count") / F.col("bg_size")) >= min_popularity)

@@ -229,3 +229,32 @@ def test_scored_join_modes(spark):
     assert got["total"] == {1: 14.0, 2: 6.0}
     with _pytest.raises(ValueError, match="unknown score mode"):
         scored_join(outer, inner, "k", "fk", mode="sum")
+
+
+def test_payload_score_and_check(spark):
+    """Delimited-payload queries (PayloadScore/PayloadCheckQParserPlugin)."""
+    import pytest as _pytest
+
+    from solr_spark.functions.payloads import (
+        payload_check,
+        payload_score,
+        with_payloads,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c"), (3, "")], "id int, text string") \
+        .withColumn("ptext", with_payloads("text"))
+    row = df.where(F.col("id") == 1).select(
+        payload_score("ptext", "a", func="min").alias("mn"),
+        payload_score("ptext", "a", func="max").alias("mx"),
+        payload_score("ptext", "a", func="sum").alias("sm"),
+        payload_score("ptext", "a", func="average").alias("av"),
+        payload_score("ptext", "a", func="first").alias("fs"),
+        payload_score("ptext", "zzz", func="max").alias("absent"),
+    ).head()
+    assert (row.mn, row.mx, row.sm, row.av, row.fs) == (0.0, 2.0, 2.0, 1.0, 0.0)
+    assert row.absent is None
+    got = {r.id for r in df.where(payload_check("ptext", "b", 1.0)).collect()}
+    assert got == {1}  # doc 2 has b at position 0, doc 1 at position 1
+    with _pytest.raises(ValueError, match="unknown payload func"):
+        payload_score("ptext", "a", func="median")
