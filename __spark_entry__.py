@@ -1140,6 +1140,35 @@ def _q39_ltr_rerank(spark, sf_dir):
     return out.select("o_orderkey", F.round("new_score", 3).alias("new_score"))
 
 
+def _q48_ltr_trees(spark, sf_dir):
+    """Tree-ensemble LTR (MultipleAdditiveTreesModel.java): rescore the
+    first-pass top-10 of 20 with a 2-tree GBDT compiled to CASE WHEN."""
+    from solr_spark.operators.ltr import ltr_rerank
+
+    top20 = streams.top(_t(spark, sf_dir, "orders"), 20,
+                        [F.desc("o_totalprice"), F.asc("o_orderkey")]) \
+        .select("o_orderkey", "o_totalprice", "o_orderdate",
+                F.col("o_totalprice").alias("score"))
+    trees = [
+        {"weight": 0.6, "root": {
+            "feature": "price_k", "threshold": 250.0,
+            "left": {"value": 5.0},
+            "right": {"feature": "recency", "threshold": 3.0,
+                      "left": {"value": 10.0}, "right": {"value": 20.0}}}},
+        {"weight": 1.0, "root": {
+            "feature": "recency", "threshold": 2.0,
+            "left": {"value": 1.0}, "right": {"value": 2.0}}},
+    ]
+    out = ltr_rerank(
+        top20,
+        features={"price_k": F.col("o_totalprice") / 1000.0,
+                  "recency": F.year("o_orderdate") - F.lit(1992)},
+        weights=None, trees=trees, intercept=0.5,
+        rerank_docs=10,
+        first_sort=[F.desc("score"), F.asc("o_orderkey")])
+    return out.select("o_orderkey", F.round("new_score", 3).alias("new_score"))
+
+
 def _q40_geo_heatmap(spark, sf_dir):
     """Spatial heatmap facet: counts per fixed-degree grid cell."""
     from solr_spark.functions.geo import geo_grid_cell
@@ -1344,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_scored_join": _q45_scored_join,
         "q46_delete_tombstones": _q46_delete,
         "q47_payload_score": _q47_payload,
+        "q48_ltr_trees": _q48_ltr_trees,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1742,6 +1772,26 @@ FROM lineitem WHERE l_quantity > 45
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "q46_delete_tombstones": _q46_sql(),
+        "q48_ltr_trees": """
+WITH top20 AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+), feat AS (
+  SELECT o_orderkey, o_totalprice, pos,
+         o_totalprice / 1000.0 AS price_k,
+         year(o_orderdate) - 1992 AS recency
+  FROM top20
+)
+SELECT o_orderkey,
+       round(CASE WHEN pos <= 10 THEN o_totalprice + 0.5
+                  + 0.6 * (CASE WHEN price_k <= 250.0 THEN 5.0
+                                WHEN recency <= 3.0 THEN 10.0
+                                ELSE 20.0 END)
+                  + 1.0 * (CASE WHEN recency <= 2.0 THEN 1.0 ELSE 2.0 END)
+             ELSE o_totalprice END, 3) AS new_score
+FROM feat
+""",
         "q47_payload_score": """
 SELECT doc_id, min(rp - 1)::BIGINT AS first_pos FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -37,13 +37,56 @@ def linear_model_score(features: Mapping[str, Column | str],
     return score
 
 
+def tree_score(features: Mapping[str, Column | str], tree: Mapping) -> Column:
+    """One regression tree -> a nested CASE WHEN expression.
+
+    Tree nodes follow the reference's MultipleAdditiveTreesModel JSON shape
+    (ltr/model/MultipleAdditiveTreesModel.java): a branch is
+    {"feature": name, "threshold": t, "left": node, "right": node} with
+    feature <= threshold going LEFT; a leaf is {"value": v}. The whole tree
+    compiles to a single Catalyst expression — codegen, no UDF.
+    """
+    if "value" in tree:
+        return F.lit(float(tree["value"]))
+    name = tree["feature"]
+    if name not in features:
+        raise ValueError(f"tree references unknown feature: {name!r}")
+    c = features[name]
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(col <= F.lit(float(tree["threshold"])),
+                  tree_score(features, tree["left"])) \
+            .otherwise(tree_score(features, tree["right"]))
+
+
+def trees_model_score(features: Mapping[str, Column | str],
+                      trees: Sequence[Mapping]) -> Column:
+    """MultipleAdditiveTreesModel: score = sum_i weight_i * tree_i(features).
+
+    Each entry: {"weight": w, "root": <tree node>} (the reference's
+    trees[].weight / trees[].root). Compiles the whole ensemble into one
+    additive expression — a GBDT of hundreds of trees stays JVM-side.
+    """
+    score: Column = F.lit(0.0)
+    for t in trees:
+        score = score + F.lit(float(t.get("weight", 1.0))) \
+            * tree_score(features, t["root"])
+    return score
+
+
 def ltr_rerank(topk: DataFrame, features: Mapping[str, Column | str],
-               weights: Mapping[str, float], rerank_docs: int,
-               first_sort: Sequence[Column], intercept: float = 0.0) -> DataFrame:
-    """Rescore the first-pass top-`rerank_docs` rows with a linear LTR model.
+               weights: Mapping[str, float] | None, rerank_docs: int,
+               first_sort: Sequence[Column], intercept: float = 0.0,
+               trees: Sequence[Mapping] | None = None) -> DataFrame:
+    """Rescore the first-pass top-`rerank_docs` rows with an LTR model —
+    linear (`weights`) or additive tree ensemble (`trees`), reference
+    LinearModel / MultipleAdditiveTreesModel.
 
     Rows beyond rerank_docs keep their first-pass score (LTRRescorer
     semantics). Output column: `new_score`.
     """
-    return rerank(topk, linear_model_score(features, weights, intercept),
-                  rerank_docs=rerank_docs, first_sort=first_sort)
+    if (weights is None) == (trees is None):
+        raise ValueError("pass exactly one of weights= or trees=")
+    model = (trees_model_score(features, trees) + F.lit(float(intercept))
+             if trees is not None
+             else linear_model_score(features, weights, intercept))
+    return rerank(topk, model, rerank_docs=rerank_docs, first_sort=first_sort)

@@ -359,3 +359,42 @@ def test_dictionary_expanded_fuzzy_prefix_wildcard(spark, built_index):
 
     # no expansion -> empty result, no error
     assert fuzzy_topk(spark, reader, "qqqqqqqqqq", k=5, max_edits=1).count() == 0
+
+
+def test_ltr_tree_ensemble(spark):
+    """MultipleAdditiveTreesModel: nested CASE WHEN trees, additive weights;
+    feature <= threshold goes left."""
+    import pytest as _pytest
+
+    from solr_spark.operators.ltr import ltr_rerank, tree_score, trees_model_score
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 8.0, 5.0), (3, 6.0, 9.0)],
+        "id int, score double, feat double")
+    trees = [
+        {"weight": 0.5, "root": {
+            "feature": "f", "threshold": 4.0,
+            "left": {"value": 10.0},
+            "right": {"feature": "f", "threshold": 8.0,
+                      "left": {"value": 20.0}, "right": {"value": 40.0}}}},
+        {"weight": 2.0, "root": {"value": 1.0}},
+    ]
+    feats = {"f": "feat"}
+    got = {r.id: r.s for r in df.select(
+        "id", trees_model_score(feats, trees).alias("s")).collect()}
+    # feat=2 -> 0.5*10+2 = 7; feat=5 -> 0.5*20+2 = 12; feat=9 -> 0.5*40+2 = 22
+    assert got == {1: 7.0, 2: 12.0, 3: 22.0}
+
+    out = ltr_rerank(df, feats, None, rerank_docs=2,
+                     first_sort=[F.desc("score"), F.asc("id")], trees=trees,
+                     intercept=1.0)
+    rows = {r.id: r.new_score for r in out.collect()}
+    assert rows[1] == 10.0 + 7.0 + 1.0 and rows[2] == 8.0 + 12.0 + 1.0
+    assert rows[3] == 6.0  # beyond rerank_docs: first-pass score kept
+
+    with _pytest.raises(ValueError, match="unknown feature"):
+        tree_score(feats, {"feature": "g", "threshold": 1.0,
+                           "left": {"value": 0}, "right": {"value": 1}})
+    with _pytest.raises(ValueError, match="exactly one"):
+        ltr_rerank(df, feats, {"f": 1.0}, rerank_docs=2,
+                   first_sort=[F.desc("score")], trees=trees)
