@@ -137,6 +137,21 @@ def main() -> None:
         t_build = time.time() - t0
         timings["index_build"] = round(t_build, 3)
 
+        build_only = os.environ.get("SPARK_GRAFT_BUILD_ONLY", "") == "1"
+        if build_only:
+            # scaling-protocol mode: the rep exists only for the build
+            # throughput sample; skip queries/operators so a local[2] rep
+            # fits the orchestrator's time box
+            total = time.time() - t_total0
+            print(json.dumps({
+                "metric": "e2e_wall_sec", "value": round(total, 3),
+                "unit": "sec", "queries": timings, "latency": {}, "sf": sf,
+                "cpus": cpus,
+                "index_build": {"turns": n_turns, "secs": round(t_build, 3),
+                                "turns_per_sec": round(n_turns / t_build, 1)},
+            }))
+            return
+
         # ---- query latency series: each query runs SPARK_GRAFT_QUERY_REPS
         # times (default 5); timings[name] keeps the median (headline), and
         # the full series feeds the p50/p95 block BENCH/BASELINE.md records.

@@ -398,3 +398,54 @@ def test_ltr_tree_ensemble(spark):
     with _pytest.raises(ValueError, match="exactly one"):
         ltr_rerank(df, feats, {"f": 1.0}, rerank_docs=2,
                    first_sort=[F.desc("score")], trees=trees)
+
+
+def test_scored_query_string_surface(spark, built_index):
+    """One-string `q` surface: terms, ^boosts, "phrase"~slop, fuzzy~N,
+    wildcards — parsed and dispatched to the scoring kernels."""
+    import pytest as _pytest
+
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+    from solr_spark.query.phrase import phrase_topk
+    from solr_spark.query.scored import parse_scored_query, scored_topk
+
+    sq = parse_scored_query('error timeout^2 "merge shard"~1^1.5 vectr~1 re*')
+    assert sq.terms == [("error", 1.0), ("timeout", 2.0)]
+    assert sq.phrases == [("merge shard", 1, 1.5)]
+    assert sq.fuzzies == [("vectr", 1, 1.0)]
+    assert sq.wildcards == [("re*", 1.0)]
+    with _pytest.raises(ValueError, match="cannot parse"):
+        parse_scored_query('ok "unterminated')
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+
+    # plain terms + boost == bm25_topk with boosts
+    got = scored_topk(spark, reader, "error timeout^2", k=10).collect()
+    want = bm25_topk(spark, reader, "error timeout", k=10,
+                     boosts={"timeout": 2.0}, mode="wand").collect()
+    assert [(r.docid, round(r.score, 9)) for r in got] == \
+        [(r.docid, round(r.score, 9)) for r in want]
+
+    # single phrase-only query == phrase_topk
+    got_p = scored_topk(spark, reader, '"error timeout"', k=10).collect()
+    want_p = phrase_topk(spark, reader, "error timeout", k=10).collect()
+    assert [(r.docid, round(r.score, 9)) for r in got_p] == \
+        [(r.docid, round(r.score, 9)) for r in want_p]
+
+    # phrase boost adds to matching docs' scores
+    base = {r.docid: r.score for r in
+            scored_topk(spark, reader, "error timeout", k=300).collect()}
+    boosted = {r.docid: r.score for r in
+               scored_topk(spark, reader, 'error timeout "error timeout"',
+                           k=300).collect()}
+    ph = {r.docid for r in phrase_topk(spark, reader, "error timeout",
+                                       k=1000).collect()}
+    bumped = {d for d in boosted if d in base
+              and boosted[d] > base[d] + 1e-12}
+    assert bumped and bumped <= ph
+
+    # fuzzy clause resolves through the dictionary
+    assert scored_topk(spark, reader, "erro~1", k=5).count() == 5
+    # nothing parseable -> empty
+    assert scored_topk(spark, reader, "zzznope~0", k=5).count() == 0

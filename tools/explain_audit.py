@@ -126,8 +126,32 @@ def main() -> None:
             "posting build single wide shuffle", p5,
             ["hashpartitioning(term", "MapInArrow"], []))
         assert n_exchanges == 1, f"expected 1 wide exchange, found {n_exchanges}"
+
+        # 6. edismax: dismax/mm combine is hash aggregation (map-side partial),
+        # never a cartesian product; phrase boost joins by docid
+        from solr_spark.query.edismax import edismax_topk
+
+        ed = edismax_topk(spark, {"text": reader}, "error timeout",
+                          {"text": 1.0}, k=5, tie=0.2, pf={"text": 1.0})
+        checks.append((
+            "edismax hash-aggregated dismax", plan_of(ed),
+            ["HashAggregate"], ["CartesianProduct"]))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+    # 7. scored join: inner side pre-aggregates to one row per key, and the
+    # (small) aggregate broadcasts under AQE
+    sj = streams.scored_join(
+        t("orders"),
+        t("lineitem").select("l_orderkey",
+                             (F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))).alias("net")),
+        "o_orderkey", "l_orderkey", score_col="net", mode="max")
+    sj.collect()
+    checks.append((
+        "scored join pre-agg + broadcast", plan_of(sj, "simple"),
+        ["isFinalPlan=true", "HashAggregate", "BroadcastHashJoin"],
+        ["SortMergeJoin"]))
 
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",

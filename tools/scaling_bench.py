@@ -69,9 +69,15 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
     update_md = "--update-md" in sys.argv
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    levels = LEVELS
+    for a in sys.argv[1:]:
+        if a.startswith("--levels="):
+            # run a subset (e.g. --levels=2) so long protocols can be split
+            # into separate time-capped invocations; each prints its own JSON
+            levels = tuple(int(x) for x in a.split("=", 1)[1].split(","))
 
     results: dict[int, dict] = {}
-    for cpus in LEVELS:
+    for cpus in levels:
         best = None
         for rep in range(reps):  # best-of-N: damps interference from host load
             t0 = time.time()
@@ -83,17 +89,21 @@ def main() -> None:
                 best = r
         results[cpus] = best
 
-    tput = {c: results[c]["index_build"]["turns_per_sec"] for c in LEVELS}
-    eff_2_8 = tput[8] / (4 * tput[2])
-    eff_8_32 = tput[32] / (4 * tput[8])
+    tput = {c: results[c]["index_build"]["turns_per_sec"] for c in levels}
     summary = {
         "n_turns": n_turns,
         "throughput": tput,
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
-        "bench": {str(c): results[c] for c in LEVELS},
+        "bench": {str(c): results[c] for c in levels},
     }
+    if 2 in tput and 8 in tput:
+        summary["scaling_efficiency_2_to_8"] = round(tput[8] / (4 * tput[2]), 3)
+    if 8 in tput and 32 in tput:
+        summary["scaling_efficiency_8_to_32"] = round(tput[32] / (4 * tput[8]), 3)
     print(json.dumps(summary))
+    if levels != LEVELS:
+        return
+    eff_2_8 = tput[8] / (4 * tput[2])
+    eff_8_32 = tput[32] / (4 * tput[8])
 
     if update_md:
         md = f"""# BENCH/BASELINE — two-cluster-size scaling protocol
