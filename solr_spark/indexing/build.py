@@ -112,7 +112,16 @@ def _posting_encoder(config: IndexConfig):
             codes, docs = codes[keep], docs[keep]
         if not len(codes):
             return  # partition of empty/stopword-only docs: no postings to emit
-        order = np.lexsort((docs, codes))
+        # docids are ascending within an analyzed partition (the docid window
+        # sorts by conv_id and docid = dense rank over conv_id) — when that
+        # holds, a SINGLE-key stable argsort on the term code yields the same
+        # (code, docid) order as the two-key lexsort at roughly half the
+        # memory traffic of this bandwidth-bound kernel. Fallback keeps
+        # correctness for arbitrary inputs.
+        if np.all(docid[1:] >= docid[:-1]):
+            order = np.argsort(codes, kind="stable")
+        else:
+            order = np.lexsort((docs, codes))
         c, d = codes[order], docs[order]
         del order, codes, docs
 
