@@ -1280,6 +1280,18 @@ def _dd04_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
 
 
+def _vv04_ivf_ann(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (seed centroids = vec_id < 16),
+    nearest-cluster assignment, 4-cluster probe, exact verify on candidates."""
+    from solr_spark.functions.vectors import ivf_ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = ivf_ann_topk(e, "embedding", [float(x) for x in qvec], k=10,
+                       n_centroids=16, n_probe=4)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _vv01_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
@@ -1383,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd04_simhash": _dd04_simhash,
         "vv01_cosine_topk": _vv01_cosine_topk,
         "vv02_lsh_ann_topk": _vv02_lsh_ann,
+        "vv04_ivf_ann_topk": _vv04_ivf_ann,
     }
 
 
@@ -1900,6 +1913,38 @@ jac AS (
   JOIN tsets sb ON sb.doc_id = i.id_b
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+""",
+        "vv04_ivf_ann_topk": """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec::DOUBLE[]), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (ORDER BY
+             list_cosine_similarity(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+             c.cid) AS rn
+    FROM cent c, q
+  ) WHERE rn <= 4
+),
+cand AS (SELECT vec_id FROM assign WHERE cluster IN (SELECT cid FROM probe)),
+sims AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS c
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
 """,
         "vv01_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -109,6 +109,58 @@ def lsh_ann_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
     return cosine_topk(cand, vec_col, query, k, id_col)
 
 
+def ivf_assign(df: DataFrame, vec_col: str, centroids: DataFrame,
+               id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF coarse
+    quantization). centroids: DataFrame(cid, cvec). Deterministic tiebreak:
+    highest cosine, then lowest cid. One broadcast join + window — at 100 TB
+    the assignment is a narrow scan against a few-thousand-row broadcast, and
+    the table is then written partitioned by `cluster` so probes prune files.
+    """
+    from pyspark.sql import Window
+
+    sim = _dot(F.col(vec_col).cast("array<double>"),
+               F.col("cvec").cast("array<double>")) / (
+        _norm(F.col(vec_col).cast("array<double>"))
+        * _norm(F.col("cvec").cast("array<double>")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cid"))
+    return (df.crossJoin(F.broadcast(centroids))
+            .withColumn("__sim", F.round(sim, 9))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__sim", "__rn", "cvec")
+            .withColumnRenamed("cid", "cluster"))
+
+
+def ivf_ann_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+                 id_col: str = "vec_id", n_centroids: int = 16,
+                 n_probe: int = 4) -> DataFrame:
+    """IVF approximate NN: coarse-quantize to `n_centroids` clusters, probe the
+    `n_probe` clusters nearest the query, exact cosine top-k on candidates.
+
+    Centroid choice is a deterministic seed set (the first n_centroids vectors
+    by id) rather than trained k-means — the PLUMBING (assignment, probe
+    pruning, candidate verify) is the IVF scale path; swapping in trained
+    centroids changes recall, not the plan. Complements lsh_ann_topk as the
+    second ANN family (reference context: DenseVectorField's HNSW is
+    pointer-chasing and wrong-shaped for Spark).
+    """
+    centroids = (df.where(F.col(id_col) < n_centroids)
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cvec")))
+    assigned = ivf_assign(df, vec_col, centroids, id_col)
+    q = np.asarray(list(query), dtype=np.float64)
+    cs = centroids.collect()  # tiny: n_centroids rows
+    scored = sorted(
+        ((float(np.dot(q, np.asarray(r["cvec"], dtype=np.float64))
+                / (np.linalg.norm(q)
+                   * np.linalg.norm(np.asarray(r["cvec"], dtype=np.float64)))),
+          -r["cid"]) for r in cs), reverse=True)
+    probe = sorted(-c for _, c in scored[:n_probe])
+    cand = assigned.where(F.col("cluster").isin(probe))
+    return cosine_topk(cand, vec_col, query, k, id_col)
+
+
 def cosine_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float, method: str = "lsh",
                           n_planes: int = 12, seed: int = 7) -> DataFrame:

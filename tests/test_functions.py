@@ -157,3 +157,28 @@ def test_cosine_near_dup_lsh_subset_of_exact(spark):
     planted = {(i, i + 1) for i in range(0, 40, 2)}
     assert planted <= exact                  # perturbed twins found exactly
     assert len(lsh & planted) >= len(planted) * 0.8  # high recall on twins
+
+
+def test_ivf_ann_topk(spark):
+    """IVF ANN: probe-pruned candidates, exact verify; recall vs brute force."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.vectors import cosine_topk, ivf_ann_topk
+
+    sf_embeddings = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qvec = [float(x) for x in
+            sf_embeddings.where(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [r.vec_id for r in
+             cosine_topk(sf_embeddings, "embedding", qvec, k=10).collect()]
+    approx = ivf_ann_topk(sf_embeddings, "embedding", qvec, k=10,
+                          n_centroids=16, n_probe=4).collect()
+    assert len(approx) == 10
+    # the query vector itself is always found (it lives in a probed cluster)
+    assert approx[0].vec_id == 0 and approx[0].cosine == 1.0
+    got = [r.vec_id for r in approx]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.3, f"IVF recall too low: {recall} ({got} vs {exact})"
+    # probing ALL clusters must recover the exact answer
+    full = ivf_ann_topk(sf_embeddings, "embedding", qvec, k=10,
+                        n_centroids=16, n_probe=16).collect()
+    assert [r.vec_id for r in full] == exact
