@@ -1140,6 +1140,26 @@ def _q39_ltr_rerank(spark, sf_dir):
     return out.select("o_orderkey", F.round("new_score", 3).alias("new_score"))
 
 
+def _q49_elevation(spark, sf_dir):
+    """Query elevation (QueryElevationComponent): editorial ids pinned to the
+    top in elevation order, one id excluded, organic order below."""
+    o = _t(spark, sf_dir, "orders")
+    out = windows.elevate(o, "o_orderkey", elevated_ids=[42, 7],
+                          excluded_ids=[1], sort=[F.desc("o_totalprice"),
+                                                  F.asc("o_orderkey")],
+                          rows=25)
+    # pin ORDER in the hash-compare: rank twin over the same elevation keys
+    elev = F.when(F.col("o_orderkey") == 42, F.lit(1)) \
+            .when(F.col("o_orderkey") == 7, F.lit(2))
+    w = Window.orderBy(F.asc_nulls_last(elev), F.desc("o_totalprice"),
+                       F.asc("o_orderkey"))
+    ranked = (o.where(F.col("o_orderkey") != 1)
+               .withColumn("pos", F.row_number().over(w).cast("long")))
+    return (out.select("o_orderkey", "o_totalprice")
+               .join(ranked.select("o_orderkey", "pos"), "o_orderkey")
+               .orderBy("pos"))
+
+
 def _q48_ltr_trees(spark, sf_dir):
     """Tree-ensemble LTR (MultipleAdditiveTreesModel.java): rescore the
     first-pass top-10 of 20 with a 2-tree GBDT compiled to CASE WHEN."""
@@ -1386,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_delete_tombstones": _q46_delete,
         "q47_payload_score": _q47_payload,
         "q48_ltr_trees": _q48_ltr_trees,
+        "q49_elevation": _q49_elevation,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1785,6 +1806,16 @@ FROM lineitem WHERE l_quantity > 45
 GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "q46_delete_tombstones": _q46_sql(),
+        "q49_elevation": """
+SELECT o_orderkey, o_totalprice, pos FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY
+            CASE WHEN o_orderkey = 42 THEN 1
+                 WHEN o_orderkey = 7 THEN 2 END ASC NULLS LAST,
+            o_totalprice DESC, o_orderkey)::BIGINT AS pos
+  FROM orders WHERE o_orderkey <> 1
+) WHERE pos <= 25 ORDER BY pos
+""",
         "q48_ltr_trees": """
 WITH top20 AS (
   SELECT o_orderkey, o_totalprice, o_orderdate,
