@@ -138,7 +138,7 @@ def phrase_topk(
     spark: SparkSession,
     reader: IndexReader,
     phrase_text: str,
-    k: int = 10,
+    k: int | None = 10,
     prefilter: bool = True,
     slop: int = 0,
 ) -> DataFrame:
@@ -147,6 +147,9 @@ def phrase_topk(
     _sloppy_phrase_kernel).
 
     Returns DataFrame(conv_id, turn_idx, docid, score, rank) like bm25_topk.
+    k=None returns the FULL unranked match set as (docid, score) — for boost
+    clauses that join scores onto another query's candidates (no global
+    sort/limit funnel).
     """
     cfg = reader.config
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
@@ -196,6 +199,10 @@ def phrase_topk(
         F.lit(w) * F.col("pf")
         / (F.col("pf") + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
     )
+    if k is None:
+        # unranked full match set (docid, score) — the boost-clause feed; no
+        # global sort/limit funnel
+        return scored.select("docid", "score")
     topk = scored.orderBy(F.desc("score"), F.asc("docid")).limit(k)
     return (topk.withColumn(
                 "rank",

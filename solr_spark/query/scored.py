@@ -136,7 +136,7 @@ def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
                                slop=slop).select(
                 "docid", (F.col("score") * F.lit(boost)).alias("score"))
             continue
-        ph = phrase_topk(spark, reader, text, k=1 << 30, slop=slop) \
+        ph = phrase_topk(spark, reader, text, k=None, slop=slop) \
             .select("docid", (F.col("score") * F.lit(boost)).alias("pboost"))
         main = (main.join(ph, "docid", "left")
                 .withColumn("score", F.col("score")
