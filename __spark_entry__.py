@@ -1017,6 +1017,24 @@ def _g02_shortest_path(spark, sf_dir):
     ).orderBy("pos")
 
 
+def _g03_graph_fixpoint(spark, sf_dir):
+    """{!graph} fixpoint traversal (GraphQuery.java:64,143): transitive closure
+    from 3 customer roots over the customer->order->part edge set."""
+    from solr_spark.operators.graph import graph_query
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                 F.concat(F.lit("o"), "o_orderkey").alias("dst"))
+         .unionByName(
+             li.select(F.concat(F.lit("o"), "l_orderkey").alias("src"),
+                       F.concat(F.lit("p"), "l_partkey").alias("dst")))
+    )
+    roots = spark.createDataFrame([("c1",), ("c2",), ("c3",)], "node string")
+    return graph_query(edges, roots, "src", "dst").orderBy("node")
+
+
 def _q34_geodist(spark, sf_dir):
     """geodist/geofilt over coordinates derived deterministically from keys
     (the TPC-H-ish tables carry no geo columns; the formula is the fixture)."""
@@ -1390,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_shingles": _q33_shingles,
         "g01_gather_nodes": _g01_gather_nodes,
         "g02_shortest_path": _g02_shortest_path,
+        "g03_graph_fixpoint": _g03_graph_fixpoint,
         "q34_geodist": _q34_geodist,
         "q35_date_math": _q35_date_math,
         "q36_jaro_winkler": _q36_jaro_winkler,
@@ -1724,6 +1743,18 @@ WITH RECURSIVE edges AS (
   WHERE path.pos > 0
 )
 SELECT pos::BIGINT AS pos, node FROM path ORDER BY pos
+""",
+        "g03_graph_fixpoint": """
+WITH RECURSIVE edges AS (
+  SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'o' || l_orderkey, 'p' || l_partkey FROM lineitem
+), walk AS (
+  SELECT node FROM (VALUES ('c1'), ('c2'), ('c3')) v(node)
+  UNION
+  SELECT e.dst FROM walk JOIN edges e ON e.src = walk.node
+)
+SELECT DISTINCT node FROM walk ORDER BY node
 """,
         "q34_geodist": """
 WITH pts AS (
