@@ -1086,6 +1086,18 @@ def _q37_reduce_group(spark, sf_dir):
              .orderBy("o_custkey"))
 
 
+def _q50_hll(spark, sf_dir):
+    """hll facet metric (HLLAgg): approximate distinct users per event type.
+    rows-only driver check: Spark's HLL++ and DuckDB's approx sketch produce
+    different estimates by construction; the exact-distinct twin is pinned by
+    pytest (test_operators) within HLL++ error bounds."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+                   F.count(F.lit(1)).alias("n"))
+              .orderBy("event_type"))
+
+
 def _q44_unique_block(spark, sf_dir):
     """uniqueBlock(_root_) facet metric (UniqueBlockAgg): distinct parent
     blocks containing a matching child, bucketed by a child field."""
@@ -1426,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_payload_score": _q47_payload,
         "q48_ltr_trees": _q48_ltr_trees,
         "q49_elevation": _q49_elevation,
+        "q50_hll_metric": _q50_hll,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,

@@ -258,3 +258,20 @@ def test_payload_score_and_check(spark):
     assert got == {1}  # doc 2 has b at position 0, doc 1 at position 1
     with _pytest.raises(ValueError, match="unknown payload func"):
         payload_score("ptext", "a", func="median")
+
+
+def test_hll_metric_within_error_bounds(spark):
+    """approx_count_distinct (the hll facet metric) stays within the HLL++
+    relative-error bound of the exact distinct count."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    approx = {r.event_type: r.hll for r in
+              ev.groupBy("event_type")
+                .agg(F.approx_count_distinct("user_id", 0.02).alias("hll"))
+                .collect()}
+    exact = {r.event_type: r.d for r in
+             ev.groupBy("event_type")
+               .agg(F.count_distinct("user_id").alias("d")).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k]), \
+            (k, approx[k], exact[k])
