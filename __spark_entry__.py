@@ -1098,6 +1098,64 @@ def _q50_hll(spark, sf_dir):
               .orderBy("event_type"))
 
 
+def _q51_evaluator_series(spark, sf_dir):
+    """Streaming-expression array evaluators as Column algebra (SURVEY §2.8;
+    ref solrj-streaming Lang.java:424-531, eval/MovingAverageEvaluator.java,
+    eval/TimeDifferencingEvaluator.java, eval/IntegrateEvaluator.java): per-user
+    event-value series -> movingAvg / diff / integral / l2norm / mean / stddev,
+    all pure JVM higher-order-function expressions — the series never leaves
+    Tungsten (solr_spark/functions/evaluators.py)."""
+    from solr_spark.functions import evaluators as ev
+
+    events = _t(spark, sf_dir, "events")
+    series = (events.groupBy("user_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+                  lambda s: s["value"].cast("double")).alias("s")))
+    a = F.col("s")
+    return (series.where(F.size(a) >= 4)
+            .select(
+                "user_id",
+                F.size(a).cast("long").alias("n"),
+                F.round(ev.arr_mean(a), 4).alias("mean"),
+                F.round(ev.arr_stddev(a), 4).alias("sd"),
+                F.round(ev.l2norm(a), 4).alias("l2"),
+                F.round(ev.integral_ev(a), 4).alias("integral"),
+                F.round(F.aggregate(ev.diff_ev(a), F.lit(0.0),
+                                    lambda acc, x: acc + x), 4).alias("diff_sum"),
+                F.round(F.element_at(ev.moving_avg(a, 3), -1), 4).alias("ma3_last"))
+            .orderBy("user_id"))
+
+
+def _q52_regress(spark, sf_dir):
+    """regress() dataset evaluator (eval/RegressionEvaluator.java): simple OLS
+    of event value on hour-of-day in ONE aggregation pass via the built-in
+    regr_* aggregates (solr_spark/functions/evaluators.py:regress)."""
+    from solr_spark.functions.evaluators import regress
+
+    events = _t(spark, sf_dir, "events") \
+        .select(F.col("value"), F.hour("ts").cast("double").alias("x"))
+    r = regress(events, "x", "value")
+    return r.select(F.round("slope", 6).alias("slope"),
+                    F.round("intercept", 6).alias("intercept"),
+                    F.round("r", 6).alias("r"),
+                    F.round("r_squared", 6).alias("r_squared"),
+                    F.col("n").cast("long").alias("n"))
+
+
+def _q53_hist(spark, sf_dir):
+    """hist() dataset evaluator (eval/HistogramEvaluator.java): equal-width
+    12-bin histogram over event values — bounds agg + one groupBy
+    (solr_spark/functions/evaluators.py:hist)."""
+    from solr_spark.functions.evaluators import hist
+
+    h = hist(_t(spark, sf_dir, "events"), "value", bins=12)
+    return h.select(F.col("bin").cast("long").alias("bin"),
+                    F.round("lo", 6).alias("lo"),
+                    F.round("hi", 6).alias("hi"),
+                    F.col("count"))
+
+
 def _q44_unique_block(spark, sf_dir):
     """uniqueBlock(_root_) facet metric (UniqueBlockAgg): distinct parent
     blocks containing a matching child, bucketed by a child field."""
@@ -1439,6 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ltr_trees": _q48_ltr_trees,
         "q49_elevation": _q49_elevation,
         "q50_hll_metric": _q50_hll,
+        "q51_evaluator_series": _q51_evaluator_series,
+        "q52_regress": _q52_regress,
+        "q53_hist": _q53_hist,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1694,6 +1755,50 @@ sh AS (
 )
 SELECT doc_id, len(list_distinct(shingles))::BIGINT AS n_distinct_shingles
 FROM sh ORDER BY doc_id
+""",
+        "q51_evaluator_series": """
+WITH ordered AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+agg AS (
+  SELECT user_id, max(n) AS n,
+         avg(value) AS mean,
+         stddev_samp(value) AS sd,
+         sqrt(sum(value * value)) AS l2,
+         sum(value) - (max(CASE WHEN rn = 1 THEN value END)
+                       + max(CASE WHEN rn = n THEN value END)) / 2 AS integral,
+         max(CASE WHEN rn = n THEN value END)
+           - max(CASE WHEN rn = 1 THEN value END) AS diff_sum,
+         avg(CASE WHEN rn > n - 3 THEN value END) AS ma3_last
+  FROM ordered GROUP BY user_id
+)
+SELECT user_id, n::BIGINT AS n, round(mean, 4) AS mean, round(sd, 4) AS sd,
+       round(l2, 4) AS l2, round(integral, 4) AS integral,
+       round(diff_sum, 4) AS diff_sum, round(ma3_last, 4) AS ma3_last
+FROM agg WHERE n >= 4 ORDER BY user_id
+""",
+        "q52_regress": """
+SELECT round(regr_slope(value, x), 6) AS slope,
+       round(regr_intercept(value, x), 6) AS intercept,
+       round(corr(value, x), 6) AS r,
+       round(regr_r2(value, x), 6) AS r_squared,
+       regr_count(value, x)::BIGINT AS n
+FROM (SELECT value, extract(hour FROM ts)::DOUBLE AS x FROM events)
+""",
+        "q53_hist": """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+binned AS (
+  SELECT least(floor((value - b.lo) / ((b.hi - b.lo) / 12)), 11)::BIGINT AS bin
+  FROM events, b
+)
+SELECT bin,
+       round(b.lo + bin * ((b.hi - b.lo) / 12), 6) AS lo,
+       round(b.lo + (bin + 1) * ((b.hi - b.lo) / 12), 6) AS hi,
+       count(*)::BIGINT AS "count"
+FROM binned, b GROUP BY bin, b.lo, b.hi ORDER BY bin
 """,
         "tx01_text_stats": f"""
 WITH t AS (
