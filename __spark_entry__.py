@@ -1156,6 +1156,34 @@ def _q53_hist(spark, sf_dir):
                     F.col("count"))
 
 
+def _q54_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov dataset evaluator (eval family of
+    KolmogorovSmirnovEvaluator.java): click vs purchase event-value
+    distributions. ECDFs at distinct-value boundaries (tie-exact), asymptotic
+    p-value (solr_spark/functions/evaluators.py:kolmogorov_smirnov)."""
+    from solr_spark.functions.evaluators import kolmogorov_smirnov
+
+    ev = _t(spark, sf_dir, "events") \
+        .where(F.col("event_type").isin("click", "purchase"))
+    ks = kolmogorov_smirnov(ev, "value", "event_type")
+    return spark.createDataFrame(
+        [(round(ks["d_statistic"], 6), round(ks["p_value"], 6))],
+        "d_statistic double, p_value double")
+
+
+def _q55_spearman(spark, sf_dir):
+    """Spearman rank correlation (eval/CorrelationEvaluator.java spearman
+    branch) of event value vs hour-of-day: fractional tie ranks via
+    per-distinct-value rank tables joined back — no global per-row sort
+    (solr_spark/functions/evaluators.py:dataset_corr)."""
+    from solr_spark.functions.evaluators import dataset_corr
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("x"), F.hour("ts").cast("double").alias("y"))
+    return dataset_corr(ev, "x", "y", method="spearman") \
+        .select(F.round("corr", 6).alias("spearman"))
+
+
 def _q44_unique_block(spark, sf_dir):
     """uniqueBlock(_root_) facet metric (UniqueBlockAgg): distinct parent
     blocks containing a matching child, bucketed by a child field."""
@@ -1500,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_evaluator_series": _q51_evaluator_series,
         "q52_regress": _q52_regress,
         "q53_hist": _q53_hist,
+        "q54_ks_test": _q54_ks_test,
+        "q55_spearman": _q55_spearman,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1799,6 +1829,39 @@ SELECT bin,
        round(b.lo + (bin + 1) * ((b.hi - b.lo) / 12), 6) AS hi,
        count(*)::BIGINT AS "count"
 FROM binned, b GROUP BY bin, b.lo, b.hi ORDER BY bin
+""",
+        "q54_ks_test": """
+WITH per AS (
+  SELECT value AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS c1,
+         sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+),
+n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM per),
+cum AS (
+  SELECT abs(sum(c1) OVER w / n.n1 - sum(c2) OVER w / n.n2) AS d
+  FROM per, n
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dd AS (SELECT max(d) AS d FROM cum),
+lam AS (SELECT d, n1 * n2 / (n1 + n2) AS ne FROM dd, n),
+pv AS (
+  SELECT d, 2 * sum(power(-1.0, k - 1) * exp(-2.0 * k * k
+         * power((sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d, 2))) AS p
+  FROM lam, generate_series(1, 100) AS t(k) GROUP BY d, ne
+)
+SELECT round(d, 6) AS d_statistic,
+       round(greatest(0.0, least(1.0, p)), 6) AS p_value
+FROM pv
+""",
+        "q55_spearman": """
+WITH src AS (SELECT value AS x, extract(hour FROM ts)::DOUBLE AS y FROM events),
+r AS (
+  SELECT rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+  FROM src
+)
+SELECT round(corr(rx, ry), 6) AS spearman FROM r
 """,
         "tx01_text_stats": f"""
 WITH t AS (

@@ -681,14 +681,26 @@ def dataset_corr(df: DataFrame, x: str, y: str, method: str = "pearson") -> Data
         return df.agg(F.corr(F.col(x).cast("double"),
                              F.col(y).cast("double")).alias("corr"))
     if method == "spearman":
+        # Fractional (average) ranks WITHOUT a global per-row sort: rank depends
+        # only on the value, so build a per-distinct-value rank table
+        # (rank(v) = #rows below v + (ties+1)/2, via a window over the distinct
+        # values — bounded cardinality, not the row count) and join it back
+        # (broadcast-able when the value domain is small).
         from pyspark.sql import Window
-        rx = F.rank().over(Window.orderBy(F.col(x).cast("double")))
-        ry = F.rank().over(Window.orderBy(F.col(y).cast("double")))
-        # fractional (average) ranks for ties: rank + (count-1)/2
-        cx = F.count("*").over(Window.partitionBy(F.col(x)))
-        cy = F.count("*").over(Window.partitionBy(F.col(y)))
-        ranked = df.select(
-            (rx + (cx - 1) / 2.0).alias("rx"), (ry + (cy - 1) / 2.0).alias("ry"))
+
+        def _rank_table(col: str, out: str) -> DataFrame:
+            per = df.groupBy(F.col(col).cast("double").alias("v")) \
+                    .agg(F.count("*").alias("c"))
+            w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+            return per.select(
+                F.col("v").alias(f"_{out}_v"),
+                (F.coalesce(F.sum("c").over(w), F.lit(0))
+                 + (F.col("c") + 1) / 2.0).alias(out))
+
+        ranked = (df.select(F.col(x).cast("double").alias("_rx_v"),
+                            F.col(y).cast("double").alias("_ry_v"))
+                    .join(_rank_table(x, "rx"), "_rx_v")
+                    .join(_rank_table(y, "ry"), "_ry_v"))
         return ranked.agg(F.corr("rx", "ry").alias("corr"))
     raise NotImplementedError(f"corr method {method} (kendall out of scope)")
 
@@ -898,21 +910,24 @@ def erf_poly(x: float) -> float:
 
 def kolmogorov_smirnov(df: DataFrame, value: str, group: str) -> dict:
     """Two-sample KS (eval/KolmogorovSmirnovEvaluator.java is one-sample vs a
-    distribution; the two-sample variant is what a pipeline wants). D = max
-    |F1(x)-F2(x)| via cumulative window sums; asymptotic p-value."""
+    distribution; the two-sample variant is what a pipeline wants). Both ECDFs
+    are evaluated at DISTINCT-value boundaries (per-value group counts, then a
+    cumulative window over the distinct values — bounded cardinality, not row
+    count), so cross-group ties are handled exactly; asymptotic p-value."""
     from pyspark.sql import Window
     groups = [r[0] for r in df.select(group).distinct().orderBy(group).collect()]
     if len(groups) != 2:
         raise ValueError("ks needs exactly 2 groups")
     g1 = groups[0]
-    counts = dict(df.groupBy(group).count().collect())
-    n1, n2 = float(counts[groups[0]]), float(counts[groups[1]])
-    v = F.col(value).cast("double")
-    w = Window.orderBy(v, F.col(group)).rowsBetween(Window.unboundedPreceding, 0)
-    cum1 = F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).over(w)
-    cum2 = F.sum(F.when(F.col(group) != g1, 1.0).otherwise(0.0)).over(w)
-    d = df.select((F.abs(cum1 / n1 - cum2 / n2)).alias("d")) \
-          .agg(F.max("d").alias("d")).collect()[0]["d"]
+    per = (df.groupBy(F.col(value).cast("double").alias("v"))
+             .agg(F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).alias("c1"),
+                  F.sum(F.when(F.col(group) != g1, 1.0).otherwise(0.0)).alias("c2")))
+    tot = per.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
+    n1, n2 = float(tot["n1"]), float(tot["n2"])
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    d = (per.select(
+            F.abs(F.sum("c1").over(w) / n1 - F.sum("c2").over(w) / n2).alias("d"))
+           .agg(F.max("d").alias("d")).collect()[0]["d"])
     ne = n1 * n2 / (n1 + n2)
     lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
     p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
