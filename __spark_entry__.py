@@ -117,6 +117,85 @@ def _ft01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(_doc_id(), F.round("score", 4).alias("score"))
 
 
+def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: Lucene ClassicSimilarity (TF-IDF) top-k via the
+    same WAND kernel (solr_spark/query/similarity.py; ref
+    search/similarities/ClassicSimilarityFactory.java). Same query as ft01 —
+    only the scoring model differs."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     similarity="classic")
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft16_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: Dirichlet-smoothed query likelihood (mu=2000)
+    top-k via WAND (ref search/similarities/LMDirichletSimilarityFactory.java);
+    needs the dictionary's collection frequencies (cf)."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     similarity="lmdirichlet")
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft15_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( pow(1.0 + ln((c.n_docs + 1.0) / (d.df + 1.0)), 2)
+                * sqrt(tf.tf) / sqrt(dl.dl) ) AS score
+    FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _ft16_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*)::DOUBLE AS total_tokens FROM toks),
+stats AS (
+    SELECT tok AS term, count(*)::DOUBLE AS cf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( greatest(0.0,
+                ln(1.0 + tf.tf / (2000.0 * (s.cf + 1.0) / (c.total_tokens + 1.0)))
+                + ln(2000.0 / (dl.dl + 2000.0))) ) AS score
+    FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+    HAVING sum( greatest(0.0,
+           ln(1.0 + tf.tf / (2000.0 * (s.cf + 1.0) / (c.total_tokens + 1.0)))
+           + ln(2000.0 / (dl.dl + 2000.0))) ) > 0.0
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def _ft02_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _ft_index(spark, sf_dir)
     docs = term_docs(spark, reader, "vector")
@@ -1471,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft12_boosted_query": _ft12_boosted,
         "ft13_sloppy_phrase": _ft13_sloppy_phrase,
         "ft14_fuzzy_scored": _ft14_fuzzy_scored,
+        "ft15_classic_tfidf": _ft15_classic_tfidf,
+        "ft16_lmdirichlet": _ft16_lmdirichlet,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -1582,6 +1663,8 @@ cand AS (
         "ft12_boosted_query": _ft12_sql(),
         "ft13_sloppy_phrase": _ft13_sql(),
         "ft14_fuzzy_scored": _ft14_sql(),
+        "ft15_classic_tfidf": _ft15_sql(),
+        "ft16_lmdirichlet": _ft16_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

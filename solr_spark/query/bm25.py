@@ -50,6 +50,11 @@ from solr_spark.indexing.build import live_segments
 
 _TOPK_SCHEMA = "docid long, score double"
 
+from solr_spark.query.similarity import BM25Similarity as _BM25Sim  # noqa: E402
+from solr_spark.query.similarity import resolve as _resolve_sim  # noqa: E402
+
+_DEFAULT_SIM = _BM25Sim()
+
 
 @dataclass
 class IndexReader:
@@ -161,7 +166,8 @@ def _idf(n_docs: int, df: int) -> float:
 
 def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
                  length_table: np.ndarray, min_match: int,
-                 groups: dict | None = None, gweights: dict | None = None):
+                 groups: dict | None = None, gweights: dict | None = None,
+                 sim=None, params: dict | None = None):
     """Score one range group; returns (docids, scores) numpy arrays.
 
     min_match is the edismax `mm` contract (ExtendedDismaxQParser.java:66):
@@ -172,7 +178,14 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     SynonymGraphFilter, managed-schema.xml:309): every member term of a group
     contributes to ONE pooled tf per document, saturated once, weighted by the
     group's idf (computed from the max member df, as SynonymQuery does).
+
+    sim/params plug the per-field Similarity (query/similarity.py; default
+    BM25): params maps term (or group id) -> the similarity's per-term scalar
+    (e.g. the LM collection probability).
     """
+    if sim is None:
+        sim = _DEFAULT_SIM
+    params = params or {}
     base = int(pdf["range_id"].iloc[0]) << cfg.range_shift
     norm_blob = pdf["norm_bytes"].iloc[0]
     if cfg.lucene_norms:
@@ -183,7 +196,6 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     width = len(dls)
     acc = np.zeros(width, dtype=np.float64)
     present = np.zeros(width, dtype=np.int32) if min_match > 1 else None
-    k1, b = cfg.k1, cfg.b
     # fixed term order => deterministic float summation (matches the oracle)
     order = np.argsort(pdf["term"].to_numpy(), kind="stable")
     if groups is None:
@@ -192,8 +204,9 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
             d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
             off = d - base
             tf = t.astype(np.float64)
-            denom = tf + k1 * (1.0 - b + b * dls[off] / avgdl)
-            acc[off] += weights[row["term"]] * tf / denom
+            term = row["term"]
+            acc[off] += sim.contrib(tf, dls[off], weights[term],
+                                    params.get(term, 0.0), cfg, avgdl)
             if present is not None:
                 present[off] += 1
         if present is not None:
@@ -220,8 +233,8 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
         tfg = pooled[gid]
         hit = np.flatnonzero(tfg)
         tf = tfg[hit]
-        denom = tf + k1 * (1.0 - b + b * dls[hit] / avgdl)
-        acc[hit] += gweights[gid] * tf / denom
+        acc[hit] += sim.contrib(tf, dls[hit], gweights[gid],
+                                params.get(gid, 0.0), cfg, avgdl)
         if present is not None:
             present[hit] += 1
     if present is not None:
@@ -333,8 +346,15 @@ def bm25_topk(
     min_match: int | None = None,
     synonyms: dict[str, list[str]] | None = None,
     boosts: dict[str, float] | None = None,
+    similarity: str | object = "bm25",
 ) -> DataFrame:
-    """Top-k BM25. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
+    """Top-k scored retrieval. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
+
+    similarity: scoring model — "bm25" (default), "classic" (TF-IDF),
+    "boolean", "lmdirichlet", "lmjelinekmercer", or a Similarity instance
+    (query/similarity.py; the reference's per-field SimilarityFactory surface,
+    schema/SimilarityFactory.java). Both exact and WAND modes honor it — each
+    similarity supplies its own block-max range bound.
 
     min_match: edismax-style min-should-match over distinct query terms
     (1 = OR, n_terms = AND); require_all is shorthand for min_match = n_terms.
@@ -352,6 +372,8 @@ def bm25_topk(
     one idf computed from the max member df. min_match counts GROUPS.
     """
     cfg = reader.config
+    sim = _resolve_sim(similarity)
+    total_tokens = reader.n_docs * reader.avgdl
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
     qterms = Counter(analyze_text(query_text, cfg))
     if not qterms:
@@ -381,34 +403,52 @@ def bm25_topk(
     dict_df = (
         reader.dictionary(spark)
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df").collect()
+        .select("term", "df", "cf").collect()
     )
     dfs = {r["term"]: r["df"] for r in dict_df}
+    cfs = {r["term"]: r["cf"] for r in dict_df}
     found = [t for t in terms if t in dfs]
     if not found:
         return spark.createDataFrame([], out_schema)
     gweights: dict[str, float] | None = None
+    score_params: dict[str, float]  # keyed like the kernel's weight dict
     if group_of is not None:
         groups_found: dict[str, list[str]] = {}
         for t in found:
             for g in group_of[t]:
                 groups_found.setdefault(g, []).append(t)
+        # SynonymQuery pooled stats: a group scores with its max member df/cf
         gweights = {
-            g: qterms[g] * (boosts or {}).get(g, 1.0)
-               * _idf(reader.n_docs, max(dfs[t] for t in ms))
+            g: sim.weight(qterms[g] * (boosts or {}).get(g, 1.0), reader.n_docs,
+                          max(dfs[t] for t in ms), max(cfs[t] for t in ms),
+                          total_tokens)
+            for g, ms in groups_found.items()
+        }
+        score_params = {
+            g: sim.term_param(max(dfs[t] for t in ms), max(cfs[t] for t in ms),
+                              reader.n_docs, total_tokens)
             for g, ms in groups_found.items()
         }
         # per-member weight for the WAND range bound: the sum of the weights of
         # every group the member feeds (per-term saturated bounds dominate each
-        # group's pooled score, so the sum is a valid upper bound)
+        # group's pooled score, so the sum is a valid upper bound); the bound
+        # param takes the MIN over those groups' params (LM bounds grow as the
+        # collection probability shrinks, so min keeps the bound dominant)
         weights = {t: sum(gweights[g] for g in group_of[t] if g in gweights)
                    for t in found}
+        bound_params = {t: min(score_params[g] for g in group_of[t]
+                               if g in score_params)
+                        for t in found}
         if min_match > len(groups_found):
             # a canonical term whose whole group is absent can never match
             return spark.createDataFrame([], out_schema)
     else:
-        weights = {t: qterms[t] * (boosts or {}).get(t, 1.0)
-                   * _idf(reader.n_docs, dfs[t]) for t in found}
+        weights = {t: sim.weight(qterms[t] * (boosts or {}).get(t, 1.0),
+                                 reader.n_docs, dfs[t], cfs[t], total_tokens)
+                   for t in found}
+        score_params = {t: sim.term_param(dfs[t], cfs[t], reader.n_docs,
+                                          total_tokens) for t in found}
+        bound_params = score_params
         if min_match > len(found):
             # absent terms can never match; mm above the found count is unsatisfiable
             return spark.createDataFrame([], out_schema)
@@ -441,7 +481,8 @@ def bm25_topk(
     if mode == "exact":
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
-                                min_match, group_of, gweights)
+                                min_match, group_of, gweights,
+                                sim, score_params)
             d, s = _live(d, s)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
@@ -451,11 +492,8 @@ def bm25_topk(
         w_map = F.create_map(
             *[x for t in found for x in (F.lit(t), F.lit(weights[t]))]
         )
-        k1b = cfg.k1 * (1.0 - cfg.b)
         bounded = joined.withColumn(
-            "term_bound",
-            w_map[F.col("term")] * F.col("max_tf") / (F.col("max_tf") + F.lit(k1b)),
-        )
+            "term_bound", sim.bound_expr(w_map, bound_params, cfg))
         w = Window.partitionBy("range_id")
         bounded = bounded.withColumn("bound", F.sum("term_bound").over(w))
         sorted_rows = bounded.sortWithinPartitions(
@@ -473,7 +511,8 @@ def bm25_topk(
                     if float(group["bound"].iloc[0]) < thresh:
                         return  # block-max skip: provably non-competitive
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
-                                    min_match, group_of, gweights)
+                                    min_match, group_of, gweights,
+                                    sim, score_params)
                 d, s = _live(d, s)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)

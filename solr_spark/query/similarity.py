@@ -1,0 +1,198 @@
+"""Pluggable per-field scoring similarities for the top-k query kernel.
+
+Reference analog: Solr's similarity factory surface
+(solr/core/src/java/org/apache/solr/schema/SimilarityFactory.java; shipped
+factories under search/similarities/ — BM25SimilarityFactory.java:48-49,
+ClassicSimilarityFactory.java, BooleanSimilarityFactory.java,
+LMDirichletSimilarityFactory.java, LMJelinekMercerSimilarityFactory.java).
+Each similarity supplies three pieces the kernel needs:
+
+  * ``weight``     — the query-time scalar for one term (idf-like part times
+                     query-tf and boost); computed once per term on the driver
+                     from broadcast global stats (the ExactStatsCache posture).
+  * ``contrib``    — the per-document score contribution as a vectorized numpy
+                     expression over (tf array, dl array); runs inside the
+                     scoring kernel.
+  * ``bound_expr`` — a JVM Column upper bound of ``contrib`` over ANY document
+                     in a posting range, given the range's max_tf — this is
+                     what block-max WAND prunes with, so it must dominate every
+                     achievable score (each class documents its bound argument).
+
+Formulas (Lucene's documented scoring, natural log):
+
+  BM25 (default)     w = qb * ln(1 + (N - df + .5)/(df + .5));
+                     contrib = w * tf / (tf + k1*(1 - b + b*dl/avgdl))
+  Classic TF-IDF     idf = 1 + ln((N + 1)/(df + 1)); w = qb * idf^2;
+                     contrib = w * sqrt(tf) / sqrt(dl)
+  Boolean            w = qb; contrib = w for every matching doc
+  LMDirichlet        p = (cf + 1)/(total_tokens + 1); w = qb;
+                     contrib = w * max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)))
+  LMJelinekMercer    p as above; w = qb;
+                     contrib = w * max(0, ln(1 + ((1-lam)*tf/dl)/(lam*p)))
+
+where qb = query-term-frequency * boost, N = docCount, cf = collection
+(total-term) frequency, total_tokens = N * avgdl. WAND bounds use dl >= 1 and
+tf <= dl (a doc containing the term has at least that one token).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _param_map(params: dict[str, float]) -> Column:
+    return F.create_map(*[x for t, p in sorted(params.items())
+                          for x in (F.lit(t), F.lit(p))])
+
+
+@dataclass(frozen=True)
+class BM25Similarity:
+    """Lucene 10 BM25 (no (k1+1) factor). k1/b come from IndexConfig so the
+    index's build-time choice stays authoritative."""
+
+    name = "bm25"
+
+    def weight(self, qb: float, n_docs: int, df: int, cf: int,
+               total_tokens: float) -> float:
+        return qb * float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+    def term_param(self, df: int, cf: int, n_docs: int,
+                   total_tokens: float) -> float:
+        return 0.0  # unused
+
+    def contrib(self, tf: np.ndarray, dls: np.ndarray, w: float, p: float,
+                cfg, avgdl: float) -> np.ndarray:
+        denom = tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dls / avgdl)
+        return w * tf / denom
+
+    def bound_expr(self, w_map: Column, params: dict[str, float], cfg) -> Column:
+        # dl -> 0 bound: tf/(tf + k1(1-b)) is increasing in tf
+        k1b = cfg.k1 * (1.0 - cfg.b)
+        return w_map[F.col("term")] * F.col("max_tf") \
+            / (F.col("max_tf") + F.lit(k1b))
+
+
+@dataclass(frozen=True)
+class ClassicSimilarity:
+    """Lucene ClassicSimilarity (TFIDFSimilarity): sqrt(tf) * idf^2 * 1/sqrt(dl)
+    (search/similarities/ClassicSimilarityFactory.java)."""
+
+    name = "classic"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        idf = 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
+        return qb * idf * idf
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return 0.0
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        return w * np.sqrt(tf) / np.sqrt(dls)
+
+    def bound_expr(self, w_map, params, cfg):
+        # dl >= 1 => 1/sqrt(dl) <= 1
+        return w_map[F.col("term")] * F.sqrt(F.col("max_tf"))
+
+
+@dataclass(frozen=True)
+class BooleanSimilarity:
+    """Constant boost per matching clause
+    (search/similarities/BooleanSimilarityFactory.java)."""
+
+    name = "boolean"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return 0.0
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        return np.full(len(tf), w, dtype=np.float64)
+
+    def bound_expr(self, w_map, params, cfg):
+        return w_map[F.col("term")] + F.lit(0.0) * F.col("max_tf")
+
+
+@dataclass(frozen=True)
+class LMDirichletSimilarity:
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty;
+    search/similarities/LMDirichletSimilarityFactory.java, default mu=2000).
+    Per-term param p = (cf+1)/(total_tokens+1); scores clamp at 0 as in
+    Lucene's LMSimilarity."""
+
+    mu: float = 2000.0
+    name = "lmdirichlet"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return (cf + 1.0) / (total_tokens + 1.0)
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        raw = np.log1p(tf / (self.mu * p)) + np.log(self.mu / (dls + self.mu))
+        return w * np.maximum(0.0, raw)
+
+    def bound_expr(self, w_map, params, cfg):
+        # sum of per-factor maxima: tf <= max_tf and dl >= 1
+        p_map = _param_map(params)
+        mu = self.mu
+        raw = F.log(F.lit(1.0) + F.col("max_tf") / (F.lit(mu) * p_map[F.col("term")])) \
+            + F.lit(math.log(mu / (1.0 + mu)))
+        return w_map[F.col("term")] * F.greatest(raw, F.lit(0.0))
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerSimilarity:
+    """Jelinek-Mercer-smoothed query likelihood
+    (search/similarities/LMJelinekMercerSimilarityFactory.java; lambda=0.7,
+    the factory's long-query default)."""
+
+    lam: float = 0.7
+    name = "lmjelinekmercer"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return (cf + 1.0) / (total_tokens + 1.0)
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        raw = np.log1p(((1.0 - self.lam) * tf / dls) / (self.lam * p))
+        return w * np.maximum(0.0, raw)
+
+    def bound_expr(self, w_map, params, cfg):
+        # tf/dl <= 1 always (a term occurs at most dl times in a dl-token doc)
+        p_map = _param_map(params)
+        raw = F.log(F.lit(1.0)
+                    + F.lit((1.0 - self.lam) / self.lam) / p_map[F.col("term")])
+        return w_map[F.col("term")] * F.greatest(raw, F.lit(0.0)) \
+            + F.lit(0.0) * F.col("max_tf")
+
+
+_REGISTRY = {
+    "bm25": BM25Similarity,
+    "classic": ClassicSimilarity,
+    "tfidf": ClassicSimilarity,
+    "boolean": BooleanSimilarity,
+    "lmdirichlet": LMDirichletSimilarity,
+    "lmjelinekmercer": LMJelinekMercerSimilarity,
+}
+
+
+def resolve(similarity) -> "BM25Similarity":
+    """Accept a Similarity instance or a registry name (case-insensitive)."""
+    if isinstance(similarity, str):
+        try:
+            return _REGISTRY[similarity.lower()]()
+        except KeyError:
+            raise ValueError(
+                f"unknown similarity '{similarity}' "
+                f"(registered: {sorted(_REGISTRY)})") from None
+    return similarity
