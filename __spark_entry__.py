@@ -196,6 +196,109 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+# ------------------------------------------------------------- text_en chain
+
+# Second index config: the reference's text_en-style chain (Porter stem +
+# possessive strip + ASCII fold, analysis/porter.py; ref managed-schema.xml
+# text_en field type). Separate scratch dir via the config hash.
+_FT_EN_CONFIG = IndexConfig(range_shift=12, num_term_buckets=16,
+                            lucene_norms=False, stem="porter", fold_ascii=True)
+
+# Porter stems of the closed 31-word documents vocabulary, HAND-verified
+# against the published algorithm (only the non-identity entries; pinned to
+# the implementation by tests/test_analyzer.py::test_porter_vectors). Keeping
+# this literal — not generated — keeps the SQL oracle independent of
+# solr_spark.analysis.porter.
+_STEM_CASE = ("CASE tok WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei' "
+              "WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri' "
+              "WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu' ELSE tok END")
+
+_FT17_QUERY = "merging tables queried customers"
+_FT17_TERMS = ("merg", "tabl", "queri", "custom")
+
+
+def _ft_en_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    from solr_spark.indexing import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        _SCRATCH, f"ftidx-{tag}-{_FT_EN_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(spark, _docs_as_transcripts(spark, sf_dir), index_dir,
+                _FT_EN_CONFIG, input_token=f"documents-{tag}")
+    return IndexReader.open(index_dir, _FT_EN_CONFIG)
+
+
+def _ft17_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Porter-stemmed BM25: inflected query forms retrieve base-form docs
+    ('merging' matches 'merge') because both sides pass the text_en chain."""
+    reader = _ft_en_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT17_QUERY, k=20, mode="wand")
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft18_folded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII folding ahead of stemming: accented query surface forms
+    ('mérging tablés quéried') fold to ASCII, then stem, then retrieve. The
+    oracle folds with DuckDB's own strip_accents — independent of the
+    engine's fold implementation."""
+    reader = _ft_en_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, "mérging tablés quéried", k=20, mode="wand")
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _stemmed_bm25_sql(q_cte: str, in_list: str) -> str:
+    k1, b = _FT_EN_CONFIG.k1, _FT_EN_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+stoks AS (SELECT doc_id, {_STEM_CASE} AS tok FROM toks),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM stoks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+{q_cte},
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM stoks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM stoks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _ft17_sql() -> str:
+    q_cte = "q(term) AS (VALUES " + ", ".join(
+        f"('{t}')" for t in sorted(_FT17_TERMS)) + ")"
+    in_list = ", ".join(f"'{t}'" for t in sorted(_FT17_TERMS))
+    return _stemmed_bm25_sql(q_cte, in_list)
+
+
+def _ft18_sql() -> str:
+    # DuckDB folds the accented surface forms itself; the fold target ->
+    # stem step reuses the hand-verified literal map (motoring->motor-style
+    # worked examples of the published algorithm).
+    q_cte = ("q(term) AS (SELECT CASE strip_accents(v) "
+             "WHEN 'merging' THEN 'merg' WHEN 'tables' THEN 'tabl' "
+             "WHEN 'queried' THEN 'queri' END "
+             "FROM (VALUES ('mérging'), ('tablés'), ('quéried')) t(v))")
+    in_list = "'merg', 'tabl', 'queri'"
+    return _stemmed_bm25_sql(q_cte, in_list)
+
+
 def _ft02_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _ft_index(spark, sf_dir)
     docs = term_docs(spark, reader, "vector")
@@ -1552,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft14_fuzzy_scored": _ft14_fuzzy_scored,
         "ft15_classic_tfidf": _ft15_classic_tfidf,
         "ft16_lmdirichlet": _ft16_lmdirichlet,
+        "ft17_stemmed_search": _ft17_stemmed_search,
+        "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
         "q03_terms_in_list": _q03_terms_in_list,
@@ -1665,6 +1770,8 @@ cand AS (
         "ft14_fuzzy_scored": _ft14_sql(),
         "ft15_classic_tfidf": _ft15_sql(),
         "ft16_lmdirichlet": _ft16_sql(),
+        "ft17_stemmed_search": _ft17_sql(),
+        "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem WHERE l_shipdate >= '1998-01-01' AND l_quantity > 30

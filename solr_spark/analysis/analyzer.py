@@ -68,6 +68,44 @@ def _stopset(config: IndexConfig) -> frozenset[str]:
     return ENGLISH_STOPWORDS if config.stopwords == "en" else frozenset()
 
 
+def _fold_text(text: str) -> str:
+    """ASCII folding, applied to the WHOLE document before tokenization.
+
+    Canonical (NFD) decomposition + drop combining marks — the diacritic
+    subset of Lucene's ASCIIFoldingFilter (which is a post-tokenize token
+    filter). Pre-tokenize application is observably identical here because
+    every folded codepoint is \\p{L} and every combining mark is \\p{M} —
+    both word-characters to the tokenizer — so token boundaries cannot move
+    (asserted in tests/test_analyzer.py). DuckDB's strip_accents computes the
+    same function, which is what makes an exact SQL oracle possible.
+    """
+    if text.isascii():
+        return text
+    import unicodedata
+
+    return "".join(c for c in unicodedata.normalize("NFD", text)
+                   if not unicodedata.combining(c))
+
+
+def _token_filter(config: IndexConfig):
+    """Post-stop-filter per-token transform, or None when no filter is on.
+
+    stem="porter" enables the text_en tail: EnglishPossessiveFilter (strip
+    trailing 's) then PorterStemFilter (analysis/porter.py)."""
+    if config.stem == "none":
+        return None
+    if config.stem != "porter":
+        raise ValueError(f"unknown stem mode {config.stem!r}")
+    from solr_spark.analysis.porter import porter_stem_cached
+
+    def filt(tok: str) -> str:
+        if tok.endswith(("'s", "’s")):
+            tok = tok[:-2]
+        return porter_stem_cached(tok)
+
+    return filt
+
+
 def analyze_text(text: str | None, config: IndexConfig = DEFAULT_CONFIG) -> list[str]:
     """Scalar analyzer (driver-side query analysis + pure-Python oracle).
 
@@ -80,7 +118,12 @@ def analyze_text(text: str | None, config: IndexConfig = DEFAULT_CONFIG) -> list
     if not text:
         return []
     stops = _stopset(config)
-    return [t for t in _scan(text.lower(), config.max_token_length) if t not in stops]
+    low = text.lower()
+    if config.fold_ascii:
+        low = _fold_text(low)
+    toks = [t for t in _scan(low, config.max_token_length) if t not in stops]
+    filt = _token_filter(config)
+    return [filt(t) for t in toks] if filt else toks
 
 
 def analyze_series(texts: pd.Series, config: IndexConfig = DEFAULT_CONFIG) -> pd.Series:
@@ -92,11 +135,20 @@ def analyze_series(texts: pd.Series, config: IndexConfig = DEFAULT_CONFIG) -> pd
     max_len = config.max_token_length
     stops = _stopset(config)
     low = texts.str.lower()
-    out = [
-        [tk for tk in _scan(t, max_len) if tk not in stops]
-        if isinstance(t, str) and t else []
-        for t in low
-    ]
+    fold = _fold_text if config.fold_ascii else (lambda t: t)
+    filt = _token_filter(config)
+    if filt is None:
+        out = [
+            [tk for tk in _scan(fold(t), max_len) if tk not in stops]
+            if isinstance(t, str) and t else []
+            for t in low
+        ]
+    else:
+        out = [
+            [filt(tk) for tk in _scan(fold(t), max_len) if tk not in stops]
+            if isinstance(t, str) and t else []
+            for t in low
+        ]
     return pd.Series(out, index=texts.index)
 
 
@@ -106,11 +158,21 @@ def analyze_series_joined(texts: pd.Series,
     max_len = config.max_token_length
     stops = _stopset(config)
     low = texts.str.lower()
-    out = [
-        " ".join(tk for tk in _scan(t, max_len) if tk not in stops)
-        if isinstance(t, str) and t else ""
-        for t in low
-    ]
+    fold = _fold_text if config.fold_ascii else (lambda t: t)
+    filt = _token_filter(config)
+    if filt is None:
+        out = [
+            " ".join(tk for tk in _scan(fold(t), max_len) if tk not in stops)
+            if isinstance(t, str) and t else ""
+            for t in low
+        ]
+    else:
+        out = [
+            " ".join(filt(tk) for tk in _scan(fold(t), max_len)
+                     if tk not in stops)
+            if isinstance(t, str) and t else ""
+            for t in low
+        ]
     return pd.Series(out, index=texts.index)
 
 
@@ -144,6 +206,24 @@ def make_tokenize_joined_udf(config: IndexConfig = DEFAULT_CONFIG):
     return tokenize_joined
 
 
+def _fold_translate_tables() -> tuple[str, str]:
+    """(src, dst) for F.translate implementing _fold_text JVM-side: every BMP
+    codepoint whose NFD form is one base char + combining marks maps to the
+    base; bare combining marks (U+0300-U+036F) map to nothing (translate
+    deletes src chars beyond len(dst), so they sit at the tail)."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in list(range(0x00C0, 0x0250)) + list(range(0x1E00, 0x1F00)):
+        ch = chr(cp)
+        nfd = unicodedata.normalize("NFD", ch)
+        if len(nfd) > 1 and all(unicodedata.combining(c) for c in nfd[1:]):
+            src.append(ch)
+            dst.append(nfd[0])
+    marks = "".join(chr(cp) for cp in range(0x0300, 0x0370))
+    return "".join(src) + marks, "".join(dst)
+
+
 # Java-regex rendition of _TOKEN_RE (Spark regexp_extract_all runs java.util.regex;
 # script classes spell \p{IsHan} there). Alternation order matters and is
 # preserved: single Han/Hiragana chars match before the generic word-run branch.
@@ -167,7 +247,15 @@ def tokenize_column(col, config: IndexConfig = DEFAULT_CONFIG):
     """
     from pyspark.sql import functions as F
 
+    if config.stem != "none":
+        raise NotImplementedError(
+            "stemming has no JVM expression form — use the Arrow analyzer "
+            "(make_tokenize_udf / make_tokenize_joined_udf); the index build "
+            "already does")
     c = F.col(col) if isinstance(col, str) else col
+    if config.fold_ascii:
+        src, dst = _fold_translate_tables()
+        c = F.translate(c, src, dst)
     toks = F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE_JAVA), 0)
     max_len = config.max_token_length
     toks = F.when(

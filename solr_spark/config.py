@@ -38,6 +38,13 @@ class IndexConfig:
     max_token_length: int = 255
     stopwords: str = "en"           # "en" | "none"
     lucene_norms: bool = True       # SmallFloat-quantized doc lengths (parity mode)
+    # Analyzer filters (both default off = the text_general chain; both on
+    # approximates the reference's text_en chain, managed-schema.xml:320-340):
+    #   stem: "none" | "porter" — PorterStemFilter + EnglishPossessiveFilter
+    #   fold_ascii: canonical-decompose + drop combining marks
+    #   (ASCIIFoldingFilter's diacritic subset; ligature table not included)
+    stem: str = "none"
+    fold_ascii: bool = False
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

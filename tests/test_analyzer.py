@@ -89,3 +89,102 @@ def test_jvm_tokenizer_no_stopwords(spark):
     df = spark.createDataFrame([("the quick fox",)], "text string")
     assert df.select(tokenize_column("text", cfg)).head()[0] == \
         ["the", "quick", "fox"]
+
+
+# ---------------------------------------------------------------------------
+# Porter stemming + ASCII folding filters (text_en chain parity)
+# ---------------------------------------------------------------------------
+
+PORTER_VECTORS = {
+    # step 1a / 1b / 1c (Porter 1980 §: worked examples)
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "sized": "size", "hopping": "hop", "tanned": "tan", "filing": "file",
+    "happy": "happi", "sky": "sky",
+    # step 2 incl. the two ANSI-C departures (bli->ble, logi->log)
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "digitizer": "digit", "conformabli": "conform",
+    "radicalli": "radic", "vileli": "vile", "analogousli": "analog",
+    "vietnamization": "vietnam", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "formaliti": "formal",
+    "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "analogi": "analog",   # logi->log fires (m("ana")=1)
+    "geologi": "geologi",  # logi->log blocked: m("geo")=0 — matches the C code
+    # step 3
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+    # step 5
+    "probate": "probat", "rate": "rate", "cease": "ceas",
+    "controll": "control", "roll": "roll",
+    # famous whole-chain examples
+    "generalizations": "gener", "oscillators": "oscil",
+    # short-token guard
+    "a": "a", "is": "is",
+}
+
+
+def test_porter_vectors():
+    from solr_spark.analysis.porter import porter_stem
+
+    bad = {w: (porter_stem(w), e) for w, e in PORTER_VECTORS.items()
+           if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_stem_chain_and_possessive():
+    cfg = IndexConfig(stem="porter")
+    assert analyze_text("John's queries were merging tables", cfg) == \
+        ["john", "queri", "were", "merg", "tabl"]
+    # query-side and index-side analysis share the one code path
+    assert analyze_series(pd.Series(["running dogs"]), cfg).iloc[0] == \
+        ["run", "dog"]
+
+
+def test_fold_ascii_scalar_and_batch():
+    cfg = IndexConfig(fold_ascii=True)
+    assert analyze_text("Café naïve Zürich mañana", cfg) == \
+        ["cafe", "naive", "zurich", "manana"]
+    assert analyze_series(pd.Series(["séries télé"]), cfg).iloc[0] == \
+        ["series", "tele"]
+    # folding must not move token boundaries vs unfolded text
+    assert len(analyze_text("très-bien café.net", cfg)) == \
+        len(analyze_text("tres-bien cafe.net"))
+
+
+def test_fold_matches_duckdb_strip_accents():
+    """_fold_text is the engine's claimed twin of DuckDB strip_accents (what
+    the ft18 oracle relies on) — check the whole Latin-1/Extended-A range."""
+    import duckdb
+
+    from solr_spark.analysis.analyzer import _fold_text
+
+    chars = "".join(chr(c) for c in range(0x00C0, 0x0180) if chr(c).isalpha())
+    con = duckdb.connect()
+    duck = con.execute("select strip_accents(?)", [chars]).fetchone()[0]
+    assert _fold_text(chars) == duck
+
+
+def test_jvm_fold_twin(spark):
+    from solr_spark.analysis.analyzer import tokenize_column
+
+    cfg = IndexConfig(fold_ascii=True)
+    texts = ["Café naïve Zürich mañana", "ẩ ḗ plain", "déjà-vu crème brûlée"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(tokenize_column("text", cfg)).collect()]
+    assert got == [analyze_text(t, cfg) for t in texts]
+
+
+def test_jvm_tokenizer_rejects_stem():
+    from solr_spark.analysis.analyzer import tokenize_column
+
+    with pytest.raises(NotImplementedError):
+        tokenize_column("text", IndexConfig(stem="porter"))
