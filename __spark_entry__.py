@@ -1405,6 +1405,93 @@ def _vv03_cosine_near_dup(spark, sf_dir):
                                  method="exact")
 
 
+def _q58_terms_enum(spark, sf_dir):
+    """TermsComponent enumeration: dictionary terms matching a regex inside a
+    [lower, upper) range with a mincount floor, count-sorted
+    (operators/components.py::enum_terms)."""
+    from solr_spark.operators.components import enum_terms
+
+    reader = _ft_index(spark, sf_dir)
+    return enum_terms(spark, reader.index_dir, regex="^s.*",
+                      lower="sc", upper="st", min_df=2, k=10)
+
+
+_Q58_SQL = f"""
+WITH {_TOKS_CTE},
+dcnt AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM toks GROUP BY tok
+)
+SELECT term, df FROM dcnt
+WHERE regexp_matches(term, '^s.*') AND term >= 'sc' AND term < 'st' AND df >= 2
+ORDER BY df DESC, term LIMIT 10
+"""
+
+
+def _q57_facet_domain(spark, sf_dir):
+    """JSON-facet domain changes: tagged filters with excludeTags (multi-
+    select faceting) + blockChildren domain mapping (operators/facets.py).
+    Orders carry two tagged filters (status, prio); the facet excludes the
+    prio tag, maps the surviving parent domain to its lineitem children, and
+    runs a terms facet with a sum metric over them."""
+    from solr_spark.operators.facets import facet_domain, to_children
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    tagged = {
+        "status": F.col("o_orderstatus") == "F",
+        "prio": F.col("o_orderpriority") == "1-URGENT",
+    }
+    domain = facet_domain(orders, tagged, exclude_tags=["prio"])
+    children = to_children(
+        domain.select(F.col("o_orderkey").alias("l_orderkey")), li,
+        "l_orderkey")
+    out = facets.terms_facet(
+        children, "l_returnflag", limit=10,
+        metrics=[F.round(F.sum("l_quantity"), 4).alias("sum_qty")])
+    return out
+
+
+_Q57_SQL = """
+SELECT l_returnflag AS bucket, count(*) AS count,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag ORDER BY count DESC, bucket LIMIT 10
+"""
+
+
+def _q56_context_window(spark, sf_dir):
+    """Search-hit context: error events with their +-1 neighboring events per
+    user's timeline (operators/windows.py::context_window — the transcript
+    'matching turn with surrounding turns' operator, one bounded window pass,
+    no self-join)."""
+    from solr_spark.operators.windows import context_window
+
+    ev = _t(spark, sf_dir, "events")
+    out = context_window(
+        ev, F.col("event_type") == "error",
+        partition_by=["user_id"], order_by=[F.col("ts"), F.col("event_id")],
+        before=1, after=1)
+    return (out.select("event_id", "user_id", "event_type", "is_match",
+                       "is_context")
+               .orderBy("event_id"))
+
+
+_Q56_SQL = """
+WITH flagged AS (
+    SELECT event_id, user_id, event_type, ts,
+           (event_type = 'error') AS is_match,
+           max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS keep
+    FROM events
+)
+SELECT event_id, user_id, event_type, is_match, NOT is_match AS is_context
+FROM flagged WHERE keep = 1 ORDER BY event_id
+"""
+
+
 def _q41_sessionize(spark, sf_dir):
     """Sessionization (30-min inactivity gap) of the events stream by user —
     the batch twin of streaming/sessions.py::sessionize_stream."""
@@ -1617,6 +1704,83 @@ def _vv01_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _vv05_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector search: BM25 WAND top-50 over the documents
+    index fused with cosine top-50 over the embeddings table (vec_id is the
+    document id) by reciprocal-rank fusion, k0=60 (query/hybrid.py; ref: the
+    knn+lucene combiner surface)."""
+    from solr_spark.query.hybrid import rrf_fuse
+
+    reader = _ft_index(spark, sf_dir)
+    lex = bm25_topk(spark, reader, _FT_QUERY, k=50, mode="wand") \
+        .select(_doc_id(), "score")
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    vec = cosine_topk(e, "embedding", [float(x) for x in qvec], k=50)
+    fused = rrf_fuse([(lex, "doc_id", "score"), (vec, "vec_id", "cosine")],
+                     k0=60, k=10)
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"),
+                        "rank")
+
+
+def _vv05_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+lex AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+),
+lexrank AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM lex QUALIFY r <= 50
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(qv.qv)::DOUBLE AS y
+  FROM embeddings e, qv
+),
+sims AS (
+  SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY vec_id
+),
+vecrank AS (
+    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY c DESC, vec_id) AS r
+    FROM sims QUALIFY r <= 50
+),
+fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + l.r), 0.0) + coalesce(1.0 / (60 + v.r), 0.0)
+               AS rrf_score
+    FROM lexrank l FULL OUTER JOIN vecrank v USING (doc_id)
+)
+SELECT doc_id, round(rrf_score, 6) AS rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id)::INT AS rank
+FROM fused QUALIFY rank <= 10 ORDER BY rank
+"""
+
+
 def _vv02_lsh_ann(spark, sf_dir):
     # rows-only: hyperplane-literal SQL twin is impractical; recall vs brute force
     # is asserted in tests/test_functions.py
@@ -1716,6 +1880,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_hist": _q53_hist,
         "q54_ks_test": _q54_ks_test,
         "q55_spearman": _q55_spearman,
+        "q56_context_window": _q56_context_window,
+        "q57_facet_domain": _q57_facet_domain,
+        "q58_terms_enum": _q58_terms_enum,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
@@ -1726,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv01_cosine_topk": _vv01_cosine_topk,
         "vv02_lsh_ann_topk": _vv02_lsh_ann,
         "vv04_ivf_ann_topk": _vv04_ivf_ann,
+        "vv05_hybrid_rrf": _vv05_hybrid_rrf,
     }
 
 
@@ -2053,6 +2221,9 @@ r AS (
 )
 SELECT round(corr(rx, ry), 6) AS spearman FROM r
 """,
+        "q56_context_window": _Q56_SQL,
+        "q57_facet_domain": _Q57_SQL,
+        "q58_terms_enum": _Q58_SQL,
         "tx01_text_stats": f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
@@ -2347,6 +2518,7 @@ jac AS (
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """,
+        "vv05_hybrid_rrf": _vv05_sql(),
         "vv04_ivf_ann_topk": """
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16

@@ -52,6 +52,34 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
              .orderBy(F.desc("df"), F.asc("term")).limit(k))
 
 
+def enum_terms(spark: SparkSession, index_dir: str, regex: str | None = None,
+               lower: str | None = None, upper: str | None = None,
+               min_df: int = 1, k: int = 10,
+               sort_by_df: bool = True) -> DataFrame:
+    """TermsComponent enumeration with the full request surface: terms.regex,
+    terms.lower/terms.upper range bounds, terms.mincount, terms.limit,
+    terms.sort=count|index (reference:
+    handler/component/TermsComponent.java:60 request params).
+
+    Like suggest_terms this touches only the term dictionary; the regex is a
+    dictionary-side filter, never a corpus scan. Range bounds are inclusive
+    lower / exclusive upper (Solr's terms.lower.incl=true, upper.incl=false
+    defaults). Output: term, df (long).
+    """
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    if regex is not None:
+        d = d.where(F.col("term").rlike(regex))
+    if lower is not None:
+        d = d.where(F.col("term") >= lower)
+    if upper is not None:
+        d = d.where(F.col("term") < upper)
+    if min_df > 1:
+        d = d.where(F.col("df") >= min_df)
+    order = [F.desc("df"), F.asc("term")] if sort_by_df else [F.asc("term")]
+    return (d.select("term", F.col("df").cast("long").alias("df"))
+             .orderBy(*order).limit(k))
+
+
 def spellcheck(spark: SparkSession, index_dir: str, word: str,
                k: int = 5, max_edits: int = 2,
                min_prefix: int = 1) -> DataFrame:

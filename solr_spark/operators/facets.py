@@ -180,3 +180,40 @@ def relatedness(df: DataFrame, bucket_field: str, fg_pred: Column,
     return counted.select(
         bucket_field, "fg_count", "bg_count",
         F.round(rel, 6).alias("relatedness"))
+
+
+# ----------------------------------------------------------- domain changes
+
+def facet_domain(base: DataFrame, tagged_filters: dict[str, Column],
+                 exclude_tags: Sequence[str] = ()) -> DataFrame:
+    """JSON Facet `domain:{excludeTags:[...]}`: re-derive a facet's domain by
+    applying every tagged filter EXCEPT the excluded ones (the multi-select
+    faceting idiom — a field's own filter is excluded from its facet counts).
+
+    Reference: the tag/ex local params + JSON facet domain filter exclusion
+    (search/facet/FacetRequest.java domain parsing; SimpleFacets excludeTags).
+    Filters compose as plain `where` predicates, so Catalyst still pushes the
+    conjunction of the kept filters into the scan — excluding a tag widens
+    the pushed predicate, it never disables pushdown.
+    """
+    out = base
+    for tag, pred in tagged_filters.items():
+        if tag not in exclude_tags:
+            out = out.where(pred)
+    return out
+
+
+def to_children(parents: DataFrame, children: DataFrame, on: str) -> DataFrame:
+    """JSON Facet `domain:{blockChildren:...}`: map a PARENT domain to its
+    child documents. Relational analog of Lucene's block-join child transform
+    (search/join/BlockJoinChildQParserPlugin.java): a left-semi join of the
+    child table against the parent keys — broadcastable when the parent
+    domain is filtered small, one shuffle otherwise; never a row-multiplying
+    join (semi keeps child rows unique)."""
+    return children.join(parents.select(on).distinct(), on, "left_semi")
+
+
+def to_parents(children: DataFrame, parents: DataFrame, on: str) -> DataFrame:
+    """JSON Facet `domain:{blockParent:...}` — child domain to parent docs
+    (search/join/BlockJoinParentQParserPlugin.java)."""
+    return parents.join(children.select(on).distinct(), on, "left_semi")

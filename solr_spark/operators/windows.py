@@ -94,3 +94,34 @@ def elevate(df: DataFrame, id_col: str, elevated_ids: Sequence,
     return (out.withColumn("__elev", elev_rank)
                .orderBy(F.asc_nulls_last("__elev"), *sort)
                .limit(rows).drop("__elev"))
+
+
+def context_window(
+    df: DataFrame,
+    match: Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    before: int = 1,
+    after: int = 1,
+) -> DataFrame:
+    """Matching rows plus their +-N neighbors within an ordered partition —
+    the transcript-pipeline "show the matching turn with surrounding turns"
+    operator (conversation context for a search hit; grep -C for tables).
+
+    Spark-first shape: ONE window pass, no self-join, no range-join blowup —
+    a row is kept iff any match lies within `after` rows before it or
+    `before` rows after it, computed as max(is_match) over a bounded row
+    frame. One hash exchange on partition_by; frame width is before+after+1
+    regardless of corpus size, so the plan is unchanged at 100 TB.
+
+    Returns the input rows (filtered) plus `is_match` (this row matched) and
+    `is_context` (kept only because of a neighbor).
+    """
+    flagged = df.withColumn("is_match", match.cast("boolean"))
+    w = (Window.partitionBy(*partition_by).orderBy(*order_by)
+         .rowsBetween(-after, before))
+    kept = flagged.withColumn(
+        "_keep", F.max(F.col("is_match").cast("int")).over(w) == 1)
+    return (kept.where("_keep")
+                .withColumn("is_context", ~F.col("is_match"))
+                .drop("_keep"))

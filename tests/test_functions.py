@@ -182,3 +182,22 @@ def test_ivf_ann_topk(spark):
     full = ivf_ann_topk(sf_embeddings, "embedding", qvec, k=10,
                         n_centroids=16, n_probe=16).collect()
     assert [r.vec_id for r in full] == exact
+
+
+def test_rrf_fuse(spark):
+    """RRF semantics: 1/(k0+rank) summed across lists, missing entries
+    contribute 0, ties broken by id."""
+    from solr_spark.query.hybrid import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], "id long, s double")
+    b = spark.createDataFrame([(2, 0.9), (4, 0.8)], "id long, c double")
+    out = rrf_fuse([(a, "id", "s"), (b, "id", "c")], k0=60, k=10).collect()
+    got = {r["doc_id"]: round(r["rrf_score"], 9) for r in out}
+    assert got == {
+        1: round(1 / 61, 9),
+        2: round(1 / 62 + 1 / 61, 9),
+        3: round(1 / 63, 9),
+        4: round(1 / 62, 9),
+    }
+    assert [r["doc_id"] for r in out] == [2, 1, 4, 3]  # 1/61 > 1/62: id tie-break
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]

@@ -275,3 +275,54 @@ def test_hll_metric_within_error_bounds(spark):
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k]), \
             (k, approx[k], exact[k])
+
+
+def test_context_window(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.windows import context_window
+
+    rows = [("c1", i, "hit" if i == 3 else "x") for i in range(6)] + \
+           [("c2", 0, "x"), ("c2", 1, "x")]
+    df = spark.createDataFrame(rows, "conv string, idx int, txt string")
+    out = context_window(df, F.col("txt") == "hit", ["conv"], ["idx"],
+                         before=1, after=2).collect()
+    got = sorted((r["conv"], r["idx"], r["is_match"], r["is_context"]) for r in out)
+    assert got == [("c1", 2, False, True), ("c1", 3, True, False),
+                   ("c1", 4, False, True), ("c1", 5, False, True)]
+
+
+def test_facet_domain_exclude_tags(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.facets import facet_domain, to_children, to_parents
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "b", 1)], "id int, cat string, pr int")
+    tagged = {"cat": F.col("cat") == "a", "pr": F.col("pr") == 1}
+    assert facet_domain(base, tagged).count() == 1
+    assert {r["id"] for r in facet_domain(base, tagged, ["pr"]).collect()} == {1, 2}
+    assert {r["id"] for r in facet_domain(base, tagged, ["cat", "pr"]).collect()} == {1, 2, 3}
+
+    kids = spark.createDataFrame([(1, 10), (1, 11), (3, 12)], "id int, kid int")
+    dom = facet_domain(base, tagged, ["pr"])  # ids {1,2}
+    assert {r["kid"] for r in to_children(dom, kids, "id").collect()} == {10, 11}
+    assert {r["id"] for r in to_parents(kids, base, "id").collect()} == {1, 3}
+
+
+def test_enum_terms(spark, tmp_path):
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.operators.components import enum_terms
+
+    rows = [("c%d" % i, 0, t) for i, t in enumerate(
+        ["scan scan sort", "sort stream", "stream scan", "spark small"])]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    idx = str(tmp_path / "enum_idx")
+    build_index(spark, df, idx, IndexConfig(range_shift=9, num_term_buckets=4),
+                input_token="t")
+    out = enum_terms(spark, idx, regex="^s", min_df=2, k=10).collect()
+    assert [(r["term"], r["df"]) for r in out] == \
+        [("scan", 2), ("sort", 2), ("stream", 2)]
+    out2 = enum_terms(spark, idx, lower="so", upper="st", sort_by_df=False, k=10)
+    assert [r["term"] for r in out2.collect()] == ["sort", "spark"]
