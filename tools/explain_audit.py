@@ -153,6 +153,27 @@ def main() -> None:
         ["isFinalPlan=true", "HashAggregate", "BroadcastHashJoin"],
         ["SortMergeJoin"]))
 
+    # 9. context_window: single window pass, no join, partial agg absent
+    from solr_spark.operators.windows import context_window
+    cw = context_window(t("events"), F.col("event_type") == "error",
+                        ["user_id"], [F.col("ts"), F.col("event_id")], 1, 1)
+    checks.append((
+        "context window: one exchange, no self-join", plan_of(cw),
+        ["Window", "hashpartitioning(user_id"],
+        ["Join", "CartesianProduct"]))
+
+    # 10. blockChildren domain: semi-join broadcasts the filtered parent side
+    from solr_spark.operators.facets import facet_domain, to_children
+    dom = facet_domain(t("orders"),
+                       {"s": F.col("o_orderstatus") == "F"})
+    kids = to_children(dom.select(F.col("o_orderkey").alias("l_orderkey")),
+                       t("lineitem"), "l_orderkey")
+    kids.collect()
+    checks.append((
+        "blockChildren semi-join broadcasts parent keys", plan_of(kids, "simple"),
+        ["BroadcastHashJoin", "LeftSemi"],
+        ["SortMergeJoin"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
