@@ -1461,6 +1461,119 @@ GROUP BY l_returnflag ORDER BY count DESC, bucket LIMIT 10
 """
 
 
+def _q59_result_clustering(spark, sf_dir):
+    """Search-result clustering: BM25 top-50 for the flagship query, each hit
+    assigned to its dominant result-set-TF-IDF term
+    (operators/clustering.py; the clustering component's organize-the-page
+    job). Returns doc_id, cluster label, rounded score."""
+    from solr_spark.operators.clustering import cluster_by_dominant_term
+
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=50, mode="wand")
+    analyzed = spark.read.parquet(
+        os.path.join(reader.index_dir, "analyzed", "batch-*")
+    ).select("docid", "toks")
+    hits = topk.select("docid", _doc_id()).join(analyzed, "docid")
+    out = cluster_by_dominant_term(hits.select("doc_id", "toks"),
+                                   id_col="doc_id")
+    return (out.select("doc_id", "cluster",
+                       F.round("score", 4).alias("score"))
+               .orderBy("doc_id"))
+
+
+def _q59_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tfq AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+lex AS (
+    SELECT tfq.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tfq.tf / (tfq.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tfq
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tfq.doc_id
+),
+page AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lex
+    ) WHERE r <= 50
+),
+ptoks AS (SELECT doc_id, tok FROM toks WHERE doc_id IN (SELECT doc_id FROM page)),
+tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM ptoks GROUP BY doc_id, tok),
+dfres AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM ptoks GROUP BY tok),
+nres AS (SELECT count(*)::DOUBLE AS n FROM page),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           tf.tf * ln(1.0 + nres.n / dfres.df) AS score
+    FROM tf JOIN dfres USING (tok) CROSS JOIN nres
+),
+best AS (
+    SELECT doc_id, tok AS cluster, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, tok) AS rn
+    FROM scored
+)
+SELECT doc_id, cluster, round(score, 4) AS score
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def _g04_score_nodes(spark, sf_dir):
+    """scoreNodes(): parts gathered by the c1..c5 customer walk, scored
+    count * ln(1 + N/df) against the global lineitem in-degree
+    (operators/graph.py::score_nodes). Top 20 by score."""
+    from solr_spark.operators.graph import score_nodes
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dom = o.where(F.col("o_custkey") <= 5).select(
+        F.col("o_orderkey").alias("l_orderkey"))
+    hits = (li.join(dom, "l_orderkey")
+              .groupBy(F.concat(F.lit("p"), "l_partkey").alias("node"))
+              .agg(F.count(F.lit(1)).alias("count")))
+    edges = li.select(F.concat(F.lit("p"), "l_partkey").alias("dst"))
+    out = score_nodes(hits, edges, "dst")
+    return (out.select("node", F.col("count").cast("long").alias("count"),
+                       F.round("score", 6).alias("score"))
+               .orderBy(F.desc("score"), "node").limit(20))
+
+
+_G04_SQL = """
+WITH hits AS (
+    SELECT 'p' || l_partkey AS node, count(*)::BIGINT AS count
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey <= 5)
+    GROUP BY l_partkey
+),
+indeg AS (
+    SELECT 'p' || l_partkey AS node, count(*)::DOUBLE AS df FROM lineitem
+    GROUP BY l_partkey
+),
+n AS (SELECT count(*)::DOUBLE AS n_edges FROM lineitem)
+SELECT h.node, h.count, round(h.count * ln(1.0 + n.n_edges / i.df), 6) AS score
+FROM hits h JOIN indeg i USING (node) CROSS JOIN n
+ORDER BY score DESC, node LIMIT 20
+"""
+
+
 def _q56_context_window(spark, sf_dir):
     """Search-hit context: error events with their +-1 neighboring events per
     user's timeline (operators/windows.py::context_window — the transcript
@@ -1625,6 +1738,43 @@ def _q38_fetch(spark, sf_dir):
 
 
 # ------------------------------------------------------------ text / dedup / knn
+
+
+def _tx04_analyze_chain(spark, sf_dir):
+    """Analyzer-chain parity, checked DIRECTLY (not via downstream scores):
+    per-document token count, distinct-token count, and first/last analyzed
+    token from the index's `analyzed` artifact vs DuckDB's independent
+    list-typed re-derivation of the same chain. This is the /analysis
+    handler's job (reference: handler/AnalysisRequestHandlerBase.java) and
+    pins the _TOKS_CTE equivalence every oracle here leans on."""
+    analyzed = spark.read.parquet(
+        os.path.join(_ft_index(spark, sf_dir).index_dir, "analyzed", "batch-*"))
+    toks = F.split("toks", " ")
+    return (analyzed.select(
+                _doc_id(),
+                F.col("dl").cast("long").alias("n_toks"),
+                F.when(F.col("dl") > 0, F.size(F.array_distinct(toks)))
+                 .otherwise(0).cast("long").alias("n_distinct"),
+                F.when(F.col("dl") > 0, F.element_at(toks, 1))
+                 .alias("first_tok"),
+                F.when(F.col("dl") > 0, F.element_at(toks, -1))
+                 .alias("last_tok"))
+            .orderBy("doc_id"))
+
+
+_TX04_SQL = f"""
+WITH lt AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '),
+                       x -> x <> '' AND lower(x) NOT IN ({_STOP_SQL})) AS l
+    FROM documents
+)
+SELECT doc_id, len(l)::BIGINT AS n_toks,
+       len(list_distinct(l))::BIGINT AS n_distinct,
+       CASE WHEN len(l) > 0 THEN l[1] END AS first_tok,
+       CASE WHEN len(l) > 0 THEN l[-1] END AS last_tok
+FROM lt ORDER BY doc_id
+"""
 
 
 def _tx01_text_stats(spark, sf_dir):
@@ -1883,9 +2033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_context_window": _q56_context_window,
         "q57_facet_domain": _q57_facet_domain,
         "q58_terms_enum": _q58_terms_enum,
+        "q59_result_clustering": _q59_result_clustering,
+        "g04_score_nodes": _g04_score_nodes,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
+        "tx04_analyze_chain": _tx04_analyze_chain,
         "dd01_exact_dedup": _dd01_exact,
         "dd02_minhash_lsh_pairs": _dd02_minhash_pairs,
         "dd03_minhash_verified": _dd03_minhash_verified,
@@ -2224,6 +2377,8 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q56_context_window": _Q56_SQL,
         "q57_facet_domain": _Q57_SQL,
         "q58_terms_enum": _Q58_SQL,
+        "q59_result_clustering": _q59_sql(),
+        "g04_score_nodes": _G04_SQL,
         "tx01_text_stats": f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
@@ -2476,6 +2631,7 @@ SELECT term, fg, bg,
        round((fg::DOUBLE / n_fg) / (bg::DOUBLE / n_bg), 4) AS score
 FROM cnt, tot ORDER BY term
 """,
+        "tx04_analyze_chain": _TX04_SQL,
         "tx03_more_like_this": """
 WITH pairs AS (
   SELECT DISTINCT doc_id, tok AS term FROM (

@@ -115,3 +115,30 @@ def shortest_path(edges: DataFrame, src, dst, from_col: str, to_col: str,
         return []
     finally:
         preds.unpersist()
+
+
+def score_nodes(node_hits: DataFrame, edges: DataFrame, to_col: str) -> DataFrame:
+    """scoreNodes(): TF-IDF relevance for traversal-gathered nodes
+    (reference: solrj-streaming stream/ScoreNodesStream.java — node count
+    from the traversal times an idf from the node's global frequency, so hub
+    nodes that appear everywhere rank below selective ones).
+
+    node_hits: (node, count) — occurrence counts local to the traversal
+    (e.g. gatherNodes output aggregated before dedup). df(node) = global
+    in-degree of the node in `edges`; N = total edge count.
+
+        score = count * ln(1 + N / df)
+
+    Shape: one groupBy over the edge table (map-side combinable), a scalar
+    count broadcast into the expression, and a join against the (small)
+    gathered node set — broadcastable, so the global in-degree table is the
+    only shuffle. Returns (node, count, score).
+    """
+    n_edges = edges.count()
+    indeg = edges.groupBy(F.col(to_col).alias("node")) \
+                 .agg(F.count(F.lit(1)).alias("df"))
+    return (node_hits.join(indeg, "node", "left")
+            .withColumn("score",
+                        F.col("count")
+                        * F.log1p(F.lit(float(n_edges)) / F.col("df")))
+            .select("node", "count", "score"))

@@ -326,3 +326,36 @@ def test_enum_terms(spark, tmp_path):
         [("scan", 2), ("sort", 2), ("stream", 2)]
     out2 = enum_terms(spark, idx, lower="so", upper="st", sort_by_df=False, k=10)
     assert [r["term"] for r in out2.collect()] == ["sort", "spark"]
+
+
+def test_score_nodes(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.graph import score_nodes
+
+    hits = spark.createDataFrame([("a", 2), ("b", 1)], "node string, count long")
+    edges = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 1 + [("c",)] * 5, "dst string")
+    out = {r["node"]: r["score"] for r in score_nodes(hits, edges, "dst").collect()}
+    assert abs(out["a"] - 2 * math.log1p(10 / 4)) < 1e-12
+    assert abs(out["b"] - 1 * math.log1p(10 / 1)) < 1e-12
+    # selective node 'b' outscores hub-ish 'a' per unit count
+    assert out["b"] > out["a"] / 2
+
+
+def test_cluster_by_dominant_term(spark):
+    from solr_spark.operators.clustering import (cluster_by_dominant_term,
+                                                 cluster_sizes)
+
+    rows = [(1, "spark spark merge"), (2, "merge merge window"),
+            (3, "spark window window"), (4, "")]
+    df = spark.createDataFrame(rows, "docid long, toks string")
+    got = {r["docid"]: r["cluster"]
+           for r in cluster_by_dominant_term(df).collect()}
+    # tf breaks toward the repeated term; empty doc gets no cluster row
+    assert got == {1: "spark", 2: "merge", 3: "window"}
+    sizes = cluster_sizes(cluster_by_dominant_term(df)).collect()
+    assert [(r["cluster"], r["size"]) for r in sizes] == \
+        [("merge", 1), ("spark", 1), ("window", 1)]

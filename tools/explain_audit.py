@@ -174,6 +174,28 @@ def main() -> None:
         ["BroadcastHashJoin", "LeftSemi"],
         ["SortMergeJoin"]))
 
+    # 11. bucketed tables co-locate the join: NO exchange on either side.
+    # This is the 100-TB fact-fact join strategy (write both tables bucketed
+    # by the join key; every rerun joins shuffle-free).
+    spark.sql("DROP TABLE IF EXISTS _audit_li_b")
+    spark.sql("DROP TABLE IF EXISTS _audit_o_b")
+    (t("lineitem").select("l_orderkey", "l_quantity")
+     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("_audit_li_b"))
+    (t("orders").select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+     .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("_audit_o_b"))
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bj = spark.table("_audit_li_b").join(spark.table("_audit_o_b"),
+                                         "l_orderkey")
+    bucket_plan = plan_of(bj)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    checks.append((
+        "bucketed co-located join: shuffle-free", bucket_plan,
+        ["SortMergeJoin", "Bucketed: true"],
+        ["Exchange hashpartitioning"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
