@@ -833,6 +833,50 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _ft19_bf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax `bf` additive + `boost` multiplicative function queries over
+    ft11's two-field dismax: bf = ln(1 + n_chars)/10 (longer docs nudged up),
+    boost = 1 + (doc_id % 3)/10 (a deterministic doc-value function). Final
+    score = (main + pf + bf) * boost (query/edismax.py nesting)."""
+    from solr_spark.query.edismax import edismax_topk
+
+    readers = {"text": _ft_index(spark, sf_dir),
+               "title": _ft_title_index(spark, sf_dir)}
+    docs = _t(spark, sf_dir, "documents").select(
+        F.format_string("%06d", F.col("doc_id")).alias("conv_id"),
+        "doc_id", "n_chars")
+    dm = readers["text"].doc_map(spark).join(docs, "conv_id")
+    bf = dm.select("docid",
+                   (F.log1p(F.col("n_chars")) / 10.0).alias("bf"))
+    boost = dm.select("docid",
+                      (1.0 + (F.col("doc_id") % 3) * 0.1).alias("boost"))
+    topk = edismax_topk(spark, readers, _EDISMAX_Q, _EDISMAX_QF, k=20,
+                        tie=_EDISMAX_TIE, pf={"text": _EDISMAX_PF},
+                        bf=bf, boost=boost)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft19_sql() -> str:
+    # ft11's derivation with the bf/boost functions wrapped around the final
+    # score — one source of truth for the dismax body.
+    base = _ft11_sql()
+    old_tail = """
+SELECT m.doc_id, round(m.score + coalesce(boost.bst, 0.0), 4) AS score
+FROM main m LEFT JOIN boost ON boost.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+    new_tail = """
+SELECT m.doc_id,
+       round((m.score + coalesce(boost.bst, 0.0) + ln(1.0 + d.n_chars) / 10.0)
+             * (1.0 + (m.doc_id % 3) * 0.1), 4) AS score
+FROM main m LEFT JOIN boost ON boost.doc_id = m.doc_id
+JOIN documents d ON d.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+    assert old_tail in base
+    return base.replace(old_tail, new_tail)
+
+
 def _ft07_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solr_spark.query.phrase import phrase_topk
 
@@ -1970,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft15_classic_tfidf": _ft15_classic_tfidf,
         "ft16_lmdirichlet": _ft16_lmdirichlet,
         "ft17_stemmed_search": _ft17_stemmed_search,
+        "ft19_bf_boost": _ft19_bf_boost,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -2092,6 +2137,7 @@ cand AS (
         "ft15_classic_tfidf": _ft15_sql(),
         "ft16_lmdirichlet": _ft16_sql(),
         "ft17_stemmed_search": _ft17_sql(),
+        "ft19_bf_boost": _ft19_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -159,6 +159,8 @@ def edismax_topk(
     tie: float = 0.0,
     min_match: int = 1,
     pf: dict[str, float] | None = None,
+    bf: DataFrame | None = None,
+    boost: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k edismax. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
@@ -167,6 +169,19 @@ def edismax_topk(
     query weights; tie: DisjunctionMaxQuery tiebreaker in [0, 1]; min_match:
     minimum number of distinct query terms that must match in any field;
     pf: optional per-field phrase-boost weights.
+
+    bf / boost are the edismax function-query boosts (ExtendedDismaxQParser
+    `bf` additive clauses / `boost` multiplicative wrapper): each is a
+    (docid, value) DataFrame — the relational restatement of a Lucene
+    ValueSource, computed by the caller from any doc-values table with plain
+    Column expressions. Missing docids contribute bf=0 / boost=1. Applied as
+        final = (main + bf) * boost
+    i.e. bf joins the BooleanQuery as an optional clause, then the boost
+    product wraps the whole query, matching the reference's nesting. Applied
+    to the FULL match set before the top-k cut (boost functions can promote
+    a doc from outside the unboosted top-k), as left joins keyed on docid —
+    the match set is bounded by query selectivity, and the function tables
+    prune to their two columns at the scan.
     """
     primary = readers[next(iter(sorted(qf)))]
     qterms = Counter(analyze_text(query_text, primary.config))
@@ -205,7 +220,24 @@ def edismax_topk(
             main = (main.join(boosts, "docid", "left")
                     .withColumn("score",
                                 F.col("score")
-                                + F.coalesce(F.col("boost"), F.lit(0.0))))
+                                + F.coalesce(F.col("boost"), F.lit(0.0)))
+                    .drop("boost"))
+
+    if bf is not None:
+        main = (main.join(bf.select("docid", F.col("bf").alias("_bf_add")),
+                          "docid", "left")
+                .withColumn("score",
+                            F.col("score")
+                            + F.coalesce(F.col("_bf_add"), F.lit(0.0)))
+                .drop("_bf_add"))
+    if boost is not None:
+        main = (main.join(
+                    boost.select("docid", F.col("boost").alias("_boost_mul")),
+                    "docid", "left")
+                .withColumn("score",
+                            F.col("score")
+                            * F.coalesce(F.col("_boost_mul"), F.lit(1.0)))
+                .drop("_boost_mul"))
 
     topk = main.select("docid", "score") \
                .orderBy(F.desc("score"), F.asc("docid")).limit(k)

@@ -161,3 +161,36 @@ def test_edismax_absent_terms(spark, built_index, title_index):
     got = _run(spark, built_index, title_index, query="zzznope qqqnada",
                qf={"text": 1.0, "title": 2.0}, k=10)
     assert got == []
+
+
+def test_edismax_bf_boost_functions(spark, built_index):
+    """bf adds, boost multiplies, nesting (main + bf) * boost; missing docids
+    fall back to bf=0 / boost=1; a boost can promote a doc from outside the
+    unboosted top-k."""
+    reader = IndexReader.open(built_index[0], CFG)
+    base = edismax_topk(spark, {"text": reader}, "error timeout",
+                        {"text": 1.0}, k=5).collect()
+    assert base
+    ids = [r.docid for r in base]
+    # bf only on the second-ranked doc, big enough to flip ranks 1/2
+    delta = base[0].score - base[1].score + 1.0
+    bf = spark.createDataFrame([(ids[1], delta)], "docid long, bf double")
+    got = edismax_topk(spark, {"text": reader}, "error timeout",
+                       {"text": 1.0}, k=5, bf=bf).collect()
+    assert got[0].docid == ids[1]
+    assert got[0].score == pytest.approx(base[1].score + delta, rel=1e-12)
+    assert got[1].score == pytest.approx(base[0].score, rel=1e-12)
+    # multiplicative boost: halve the top doc -> it drops below second
+    boost = spark.createDataFrame([(ids[0], 0.0)], "docid long, boost double")
+    got2 = edismax_topk(spark, {"text": reader}, "error timeout",
+                        {"text": 1.0}, k=5, boost=boost).collect()
+    assert ids[0] not in [r.docid for r in got2[:2]]
+    # nesting: bf applies before the boost product
+    both = edismax_topk(spark, {"text": reader}, "error timeout",
+                        {"text": 1.0}, k=5,
+                        bf=bf, boost=spark.createDataFrame(
+                            [(ids[1], 2.0)], "docid long, boost double")
+                        ).collect()
+    assert both[0].docid == ids[1]
+    assert both[0].score == pytest.approx(2.0 * (base[1].score + delta),
+                                          rel=1e-12)
