@@ -833,6 +833,70 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _q60_nrt_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NRT adds equal a batch build, SQL-verified: index 4/5 of documents,
+    `add_documents` the remaining 1/5 as a fresh segment (indexing/merge.py —
+    norms + dictionary + stats refreshed, no old-segment rewrite), then score
+    the flagship query over the merged index. The oracle is the plain
+    full-corpus BM25 derivation — if the incremental path diverged from the
+    batch path in any df/cf/dl/docid bookkeeping, every score would shift.
+    Full match set (no top-k cut) so the check is tie-order-independent."""
+    from solr_spark.indexing import build_index
+    from solr_spark.indexing.merge import add_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        _SCRATCH, f"nrtidx-{tag}-{_FT_CONFIG.config_hash()}")
+    docs = _docs_as_transcripts(spark, sf_dir)
+    base = docs.where(F.col("conv_id").cast("long") % 5 != 4)
+    adds = docs.where(F.col("conv_id").cast("long") % 5 == 4)
+    if not os.path.isdir(os.path.join(index_dir, "segments", "seg-001")):
+        os.makedirs(index_dir, exist_ok=True)
+        build_index(spark, base, index_dir, _FT_CONFIG,
+                    input_token=f"documents-base-{tag}")
+        add_documents(spark, adds, index_dir, _FT_CONFIG)
+    reader = IndexReader.open(index_dir, _FT_CONFIG)
+    # k >= corpus size = the full match set (TakeOrdered's buffer is O(k),
+    # so "unbounded" is spelled as a bound comfortably above n_docs)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=max(10**6, reader.n_docs),
+                     mode="exact")
+    return (topk.select(_doc_id(), F.round("score", 4).alias("score"))
+                .orderBy("doc_id"))
+
+
+def _q60_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored ORDER BY doc_id
+"""
+
+
 def _ft19_bf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """edismax `bf` additive + `boost` multiplicative function queries over
     ft11's two-field dismax: bf = ln(1 + n_chars)/10 (longer docs nudged up),
@@ -2079,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_facet_domain": _q57_facet_domain,
         "q58_terms_enum": _q58_terms_enum,
         "q59_result_clustering": _q59_result_clustering,
+        "q60_nrt_add": _q60_nrt_add,
         "g04_score_nodes": _g04_score_nodes,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
@@ -2424,6 +2489,7 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q57_facet_domain": _Q57_SQL,
         "q58_terms_enum": _Q58_SQL,
         "q59_result_clustering": _q59_sql(),
+        "q60_nrt_add": _q60_sql(),
         "g04_score_nodes": _G04_SQL,
         "tx01_text_stats": f"""
 WITH t AS (
