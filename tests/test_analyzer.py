@@ -188,3 +188,27 @@ def test_jvm_tokenizer_rejects_stem():
 
     with pytest.raises(NotImplementedError):
         tokenize_column("text", IndexConfig(stem="porter"))
+
+
+def test_fast_path_matches_scalar_randomized():
+    """The simple-text fast path (space-split, no regex) must equal the scalar
+    analyzer on a mixed corpus: simple rows, punctuation rows, accents, CJK,
+    multi-space runs, long-token chunking, and every filter combination."""
+    import random
+
+    rng = random.Random(7)
+    words = ["spark", "the", "merge", "query's", "v2.1.0", "café",
+             "東京", "a_b", "x" * 300, "", " ", "stop"]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 8)
+        sep = rng.choice([" ", "  ", " "])
+        texts.append(sep.join(rng.choice(words) for _ in range(n)))
+    texts += ["plain simple words only", "double  space", " lead trail ", None]
+    for cfg in (IndexConfig(), IndexConfig(max_token_length=4),
+                IndexConfig(stem="porter"), IndexConfig(fold_ascii=True),
+                IndexConfig(stem="porter", fold_ascii=True),
+                IndexConfig(stopwords="none")):
+        got = analyze_series(pd.Series(texts), cfg).tolist()
+        want = [analyze_text(t, cfg) for t in texts]
+        assert got == want, cfg
