@@ -833,6 +833,108 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _ft20_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnifiedHighlighter passage mode: for the flagship query's top-20 docs,
+    the best 8-token window scored by summed idf of the distinct query terms
+    it contains, matched terms wrapped in <em> (operators/components.py::
+    best_passage — pure codegen'd Column algebra over the analyzed tokens)."""
+    import math
+
+    from solr_spark.operators.components import best_passage
+
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand")
+    analyzed = spark.read.parquet(
+        os.path.join(reader.index_dir, "analyzed", "batch-*")
+    ).select("docid", "toks")
+    d = (spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+         .where(F.col("term").isin(_FT_TERMS)).select("term", "df").collect())
+    n = reader.n_docs
+    idfs = {r["term"]: math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            for r in d}
+    passage, score = best_passage("toks", idfs, window=8)
+    hits = topk.select("docid", _doc_id()).join(analyzed, "docid")
+    return (hits.select("doc_id", passage.alias("passage"),
+                        score.alias("pscore"))
+                .orderBy("doc_id"))
+
+
+def _ft20_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    ordered = sorted(_FT_TERMS)
+    # per-start score summed in sorted-term order (bit-matches the engine)
+    score_expr = " + ".join(
+        f"(list_contains(list_slice(l, i, i + 7), '{t}'))::INT * iv.i_{t}"
+        for t in ordered)
+    idf_cols = ", ".join(
+        f"max(CASE WHEN term = '{t}' THEN idf END) AS i_{t}" for t in ordered)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+lex AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+),
+page AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lex
+    ) WHERE r <= 20
+),
+idfv AS (
+    SELECT term, ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) AS idf
+    FROM dfreq CROSS JOIN corpus c
+),
+iv AS (SELECT {idf_cols} FROM idfv),
+doclists AS (
+    SELECT d.doc_id,
+           list_filter(string_split(d.text, ' '),
+                       x -> x <> '' AND lower(x) NOT IN ({_STOP_SQL})) AS l
+    FROM documents d JOIN page USING (doc_id)
+),
+scored AS (
+    SELECT doc_id, l,
+           list_transform(range(1, greatest(len(l) - 7, 1) + 1),
+                          i -> {score_expr}) AS ws
+    FROM doclists CROSS JOIN iv
+),
+best AS (
+    SELECT doc_id, l,
+           list_max(ws) AS best_score,
+           list_position(ws, list_max(ws)) AS best_start
+    FROM scored
+)
+SELECT doc_id,
+       CASE WHEN best_score > 0.0 THEN array_to_string(
+           list_transform(list_slice(l, best_start, best_start + 7),
+                          x -> CASE WHEN x IN ({in_list})
+                               THEN '<em>' || x || '</em>' ELSE x END), ' ')
+       END AS passage,
+       CASE WHEN best_score > 0.0 THEN round(best_score, 6) END AS pscore
+FROM best ORDER BY doc_id
+"""
+
+
 def _q60_nrt_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NRT adds equal a batch build, SQL-verified: index 4/5 of documents,
     `add_documents` the remaining 1/5 as a fresh segment (indexing/merge.py —
@@ -2079,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft16_lmdirichlet": _ft16_lmdirichlet,
         "ft17_stemmed_search": _ft17_stemmed_search,
         "ft19_bf_boost": _ft19_bf_boost,
+        "ft20_unified_highlight": _ft20_unified_highlight,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -2203,6 +2306,7 @@ cand AS (
         "ft16_lmdirichlet": _ft16_sql(),
         "ft17_stemmed_search": _ft17_sql(),
         "ft19_bf_boost": _ft19_sql(),
+        "ft20_unified_highlight": _ft20_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -36,6 +36,51 @@ def highlight(df: DataFrame, text_col: str, terms: Sequence[str],
     return F.when(frag != "", tagged).otherwise(F.lit(None))
 
 
+def best_passage(toks_col: Column | str, term_idfs: dict[str, float],
+                 window: int = 8, tag: str = "em") -> tuple[Column, Column]:
+    """UnifiedHighlighter passage scoring: the best fixed-width token window.
+
+    Reference semantics (Lucene UnifiedHighlighter / PassageScorer): candidate
+    passages are scored by the summed idf of the DISTINCT query terms they
+    contain; the best-scoring passage wins, earliest start on ties. Here a
+    passage is a `window`-token slide over the analyzed token string; returns
+    (passage_col, score_col) where passage_col has matched terms wrapped in
+    <tag>..</tag> and is NULL when no term matches.
+
+    Pure Column algebra — sequence/transform/slice/array_contains all stay in
+    whole-stage codegen; per-row cost is O(n_tokens * window * n_terms) with
+    tiny constants, and the caller applies it to an already-top-k page, so no
+    Python and no shuffle.
+    """
+    arr = F.split(toks_col if isinstance(toks_col, Column) else F.col(toks_col),
+                  " ")
+    n = F.greatest(F.size(arr) - F.lit(window - 1), F.lit(1))
+    starts = F.sequence(F.lit(1), n)
+
+    def win_score(i: Column) -> Column:
+        sl = F.slice(arr, i, window)
+        parts = [F.when(F.array_contains(sl, t), F.lit(idf)).otherwise(F.lit(0.0))
+                 for t, idf in sorted(term_idfs.items())]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out
+
+    scores = F.transform(starts, win_score)
+    best = F.array_max(scores)
+    # earliest argmax: array_position finds the FIRST element equal to best
+    best_start = F.array_position(scores, best).cast("int")
+    sl = F.slice(arr, best_start, window)
+    terms_arr = F.array(*[F.lit(t) for t in sorted(term_idfs)])
+    tagged = F.transform(
+        sl, lambda t: F.when(F.array_contains(terms_arr, t),
+                             F.concat(F.lit(f"<{tag}>"), t, F.lit(f"</{tag}>")))
+                       .otherwise(t))
+    passage = F.when(best > 0.0, F.array_join(tagged, " ")).otherwise(F.lit(None))
+    score = F.when(best > 0.0, F.round(best, 6)).otherwise(F.lit(None))
+    return passage, score
+
+
 def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
                   k: int = 10, num_term_buckets: int | None = None) -> DataFrame:
     """Terms-component enumeration: dictionary terms starting with `prefix`,

@@ -449,3 +449,23 @@ def test_scored_query_string_surface(spark, built_index):
     assert scored_topk(spark, reader, "erro~1", k=5).count() == 5
     # nothing parseable -> empty
     assert scored_topk(spark, reader, "zzznope~0", k=5).count() == 0
+
+
+def test_best_passage(spark):
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.components import best_passage
+
+    rows = [(1, "a b error c d error timeout e"),
+            (2, "x y z"),
+            (3, "timeout q")]
+    df = spark.createDataFrame(rows, "id int, toks string")
+    passage, score = best_passage("toks", {"error": 2.0, "timeout": 3.0},
+                                  window=4)
+    got = {r["id"]: (r["p"], r["s"]) for r in
+           df.select("id", passage.alias("p"), score.alias("s")).collect()}
+    # window [error, timeout, e] region scores 5.0 (both terms); earliest such
+    assert got[1][1] == 5.0
+    assert "<em>error</em>" in got[1][0] and "<em>timeout</em>" in got[1][0]
+    assert got[2] == (None, None)          # no match -> NULL
+    assert got[3] == ("<em>timeout</em> q", 3.0)  # short doc, whole-doc window
