@@ -1784,6 +1784,58 @@ ORDER BY score DESC, node LIMIT 20
 """
 
 
+def _q61_range_other(spark, sf_dir):
+    """facet.range.other=all: in-range value buckets plus before/after/between
+    summary rows in ONE conditional aggregation pass
+    (operators/facets.py::range_facet_other)."""
+    from solr_spark.operators.facets import range_facet_other
+
+    return range_facet_other(_t(spark, sf_dir, "events"), "value",
+                             start=5.0, end=20.0, gap=5.0)
+
+
+_Q61_SQL = """
+WITH b AS (
+    SELECT CASE WHEN value >= 5.0 AND value < 20.0
+                THEN (floor((value - 5.0) / 5.0) * 5.0 + 5.0)::VARCHAR
+                WHEN value < 5.0 THEN 'before' ELSE 'after' END AS bucket,
+           count(*)::BIGINT AS count
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'between', count(*)::BIGINT FROM events
+    WHERE value >= 5.0 AND value < 20.0
+)
+SELECT bucket, count FROM b
+ORDER BY (bucket IN ('before', 'after', 'between'))::INT, bucket
+"""
+
+
+def _dd05_det_split(spark, sf_dir):
+    """Deterministic train/val/test split of the documents table: stable
+    md5-keyed assignment, bit-reproducible by any engine
+    (functions/sampling.py — content-keyed, rerun/repartition-stable)."""
+    from solr_spark.functions.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_split(docs, F.col("doc_id"),
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+_DD05_SQL = """
+WITH u AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+               / 4294967296.0 AS u
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u ORDER BY doc_id
+"""
+
+
 def _q56_context_window(spark, sf_dir):
     """Search-hit context: error events with their +-1 neighboring events per
     user's timeline (operators/windows.py::context_window — the transcript
@@ -2247,6 +2299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_terms_enum": _q58_terms_enum,
         "q59_result_clustering": _q59_result_clustering,
         "q60_nrt_add": _q60_nrt_add,
+        "q61_range_other": _q61_range_other,
+        "dd05_det_split": _dd05_det_split,
         "g04_score_nodes": _g04_score_nodes,
         "tx01_text_stats": _tx01_text_stats,
         "tx02_significant_terms": _tx02_significant_terms,
@@ -2594,6 +2648,8 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q58_terms_enum": _Q58_SQL,
         "q59_result_clustering": _q59_sql(),
         "q60_nrt_add": _q60_sql(),
+        "q61_range_other": _Q61_SQL,
+        "dd05_det_split": _DD05_SQL,
         "g04_score_nodes": _G04_SQL,
         "tx01_text_stats": f"""
 WITH t AS (

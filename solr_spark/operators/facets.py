@@ -68,6 +68,34 @@ def range_facet(df: DataFrame, field: str, start: float, gap: float,
               .orderBy("bucket_start"))
 
 
+def range_facet_other(df: DataFrame, field: str, start: float, end: float,
+                      gap: float) -> DataFrame:
+    """`range` facet with the full facet.range.other surface: in-range buckets
+    PLUS the before / after / between summary rows (reference:
+    facet/FacetRange.java `other=all` — before = v < start, after = v >= end,
+    between = everything in [start, end)).
+
+    One single-pass conditional aggregation: the bucket key is a string label
+    so in-range buckets and the three summary rows share one groupBy — no
+    second scan, no union of jobs. Returns (bucket, count) with in-range
+    buckets labeled by their numeric start, ordered buckets-first.
+    """
+    v = F.col(field)
+    in_range = (v >= start) & (v < end)
+    bucket_start = (F.floor((v - F.lit(start)) / F.lit(gap))
+                    * F.lit(gap) + F.lit(start))
+    label = F.when(in_range, bucket_start.cast("string")) \
+             .when(v < start, F.lit("before")).otherwise(F.lit("after"))
+    buckets = (df.groupBy(label.alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("count")))
+    between = (df.where(in_range)
+                 .agg(F.count(F.lit(1)).alias("count"))
+                 .select(F.lit("between").alias("bucket"), "count"))
+    out = buckets.unionByName(between)
+    is_summary = F.col("bucket").isin("before", "after", "between")
+    return out.orderBy(is_summary.cast("int"), F.col("bucket"))
+
+
 def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
     """`query` facets: one bucket per named predicate, computed in a SINGLE pass via
     conditional aggregation + stack (the reference runs one DocSet intersection per

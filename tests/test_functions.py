@@ -201,3 +201,49 @@ def test_rrf_fuse(spark):
     }
     assert [r["doc_id"] for r in out] == [2, 1, 4, 3]  # 1/61 > 1/62: id tie-break
     assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+
+def test_deterministic_split_and_sample(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.sampling import (deterministic_sample,
+                                               deterministic_split)
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    out = deterministic_split(df, F.col("id"),
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["id"]: r["split"] for r in out.collect()}
+    # python twin: identical assignment
+    for i in (0, 1, 7, 42, 1999):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        want = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+        assert rows[i] == want, i
+    # fractions land near target and are rerun-stable
+    from collections import Counter
+    c = Counter(rows.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    rows2 = {r["id"]: r["split"] for r in
+             deterministic_split(df.repartition(7), F.col("id"),
+                                 {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert rows2 == rows
+    # nested supersets: 5% sample within the 10% sample
+    s5 = {r["id"] for r in deterministic_sample(df, F.col("id"), 0.05).collect()}
+    s10 = {r["id"] for r in deterministic_sample(df, F.col("id"), 0.10).collect()}
+    assert s5 <= s10 and len(s10) > len(s5) > 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        deterministic_split(df, F.col("id"), {"a": 0.5, "b": 0.4})
+
+
+def test_range_facet_other(spark):
+    from solr_spark.operators.facets import range_facet_other
+
+    df = spark.createDataFrame([(float(v),) for v in
+                                [-3, 1, 5, 6, 11, 19, 20, 25]], "v double")
+    got = {r["bucket"]: r["count"]
+           for r in range_facet_other(df, "v", 5.0, 20.0, 5.0).collect()}
+    assert got == {"5.0": 2, "10.0": 1, "15.0": 1,
+                   "before": 2, "after": 2, "between": 4}
