@@ -174,6 +174,28 @@ def main() -> None:
             timings[name] = series[0]
             latency[name] = {"p50": p50, "p95": p95, "reps": series}
 
+        # ---- serving-path latency: the in-process LocalSearcher
+        # (query/local.py — the reference's per-shard searcher role) over the
+        # SAME index; rank-identity vs the Spark path is pytest-asserted
+        # (tests/test_local.py), here we record what interactive queries cost
+        # once the Spark scheduler is out of the loop.
+        from solr_spark.query.local import LocalSearcher
+
+        searcher = LocalSearcher(reader)
+        local_latency: dict[str, dict] = {}
+        for name, q in FT_QUERIES.items():
+            searcher.search(q, k=10)  # warm the posting row groups
+            series = []
+            for _ in range(max(reps, 5)):
+                t0 = time.time()
+                searcher.search(q, k=10)
+                series.append(round(time.time() - t0, 4))
+            s = sorted(series)
+            local_latency[name] = {
+                "p50": s[len(s) // 2],
+                "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+            }
+
         # ---- operator headliners over the sf tables
         def t(name: str, fn) -> None:
             t0 = time.time()
@@ -224,6 +246,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "latency": latency,
+            "latency_local_serving": local_latency,
             "sf": sf,
             "cpus": cpus,
             "index_build": {

@@ -1,0 +1,200 @@
+"""Driver-local serving mode: millisecond warm top-k over the same index.
+
+Role in the architecture: the distributed `bm25_topk` path is the BATCH
+posture — a Spark job whose ~0.7s floor is job-scheduling overhead, fine for
+analytics, wrong for interactive search. The reference serves queries from a
+per-shard in-process searcher (SolrIndexSearcher over memory-mapped segment
+files); `LocalSearcher` is that role restated over THIS engine's artifacts:
+it memory-loads the small structures (norms, doc map, term dictionary — bytes
+per doc / per term), reads only the query's posting row groups via pyarrow
+(hive partition pruning on `term_bucket` + a `term` predicate, exactly the
+pruning the Spark path gets from Catalyst), and scores with the SAME
+vectorized numpy kernel contract (codec.decode_postings + the pluggable
+Similarity registry). Results are rank- and score-identical to `bm25_topk`
+(asserted in tests/test_local.py).
+
+At 100-TB scale this object is one SHARD's searcher: a serving tier holds one
+LocalSearcher per index shard (the index layout is already hive-partitioned
+and range-keyed for that) and merges per-shard top-k — the reference's
+distributed-search topology. It is NOT a driver-side replacement for the
+distributed path on corpus-sized scans; it exists so point queries don't pay
+the Spark scheduler.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from collections import Counter
+
+import numpy as np
+
+from solr_spark.analysis import analyze_text
+from solr_spark.codec.smallfloat import norm_length_table
+from solr_spark.codec.varint import decode_postings
+from solr_spark.indexing.build import live_segments
+from solr_spark.indexing.deletes import deleted_array
+from solr_spark.query.bm25 import IndexReader, _term_buckets
+from solr_spark.query.similarity import resolve as _resolve_sim
+
+
+class LocalSearcher:
+    """In-process top-k searcher over one index (or one shard of one)."""
+
+    def __init__(self, reader: IndexReader):
+        import pyarrow.parquet as pq
+
+        self.reader = reader
+        self.cfg = reader.config
+        idx = reader.index_dir
+
+        # norms: range_id -> float64 doc-length array (1-4 bytes/doc on disk)
+        table = norm_length_table()
+        self._dls: dict[int, np.ndarray] = {}
+        nt = pq.read_table(os.path.join(idx, "norms"))
+        for rid, blob in zip(nt["range_id"].to_numpy(),
+                             nt["norm_bytes"].to_pylist()):
+            if self.cfg.lucene_norms:
+                self._dls[int(rid)] = table[np.frombuffer(blob, np.uint8)]
+            else:
+                self._dls[int(rid)] = np.frombuffer(blob, np.uint32) \
+                                        .astype(np.float64)
+
+        # doc map: docids are dense 0..N-1 by construction -> direct indexing
+        dm = pq.ParquetDataset(os.path.join(idx, "analyzed")).read(
+            columns=["docid", "conv_id", "turn_idx"])
+        order = np.argsort(dm["docid"].to_numpy())
+        self._conv = dm["conv_id"].to_numpy(zero_copy_only=False)[order]
+        self._turn = dm["turn_idx"].to_numpy()[order]
+
+        # term dictionary, fully resident (bytes per unique term). A sharded
+        # deployment with a huge dictionary would keep this pruned-on-read
+        # like the postings below; at per-shard sizes resident is faster.
+        dt = pq.ParquetDataset(os.path.join(idx, "dictionary")).read(
+            columns=["term", "df", "cf"])
+        self._df = dict(zip(dt["term"].to_pylist(), dt["df"].to_numpy()))
+        self._cf = dict(zip(dt["term"].to_pylist(), dt["cf"].to_numpy()))
+
+        import pyarrow.dataset as ds
+
+        self._seg_paths = [os.path.join(idx, "segments", s)
+                           for s in live_segments(idx)]
+        # discover segment files ONCE; per-query scans reuse the dataset
+        # (file listing + schema unification is the constant cost here)
+        self._seg_ds = ds.dataset([ds.dataset(p, partitioning="hive")
+                                   for p in self._seg_paths])
+        self._deleted = deleted_array(None, idx)
+        # per-term postings cache (the SolrIndexSearcher filter/queryResult
+        # cache role): term -> [(range_id, doc_gaps, tfs)]. LRU, bounded by
+        # term count; hot query terms skip the parquet scan entirely.
+        from collections import OrderedDict
+
+        self._postings_cache: OrderedDict[str, list] = OrderedDict()
+        self._cache_cap = 4096
+
+    def _postings(self, terms: list[str]) -> dict[str, list]:
+        """term -> [(range_id, doc_gaps, tfs)] for the query's terms. Cache
+        misses are fetched in ONE pyarrow dataset scan pruned to the terms'
+        term_bucket partitions and filtered by term (row-group statistics
+        skip non-matching groups); hits cost a dict lookup."""
+        import pyarrow.dataset as ds
+
+        cache = self._postings_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            buckets = sorted(set(_term_buckets(missing,
+                                               self.cfg.num_term_buckets)))
+            filt = (ds.field("term_bucket").isin(buckets)
+                    & ds.field("term").isin(missing))
+            tbl = self._seg_ds.to_table(
+                columns=["term", "range_id", "doc_gaps", "tfs"], filter=filt)
+            got: dict[str, list] = {t: [] for t in missing}
+            shift = self.cfg.range_shift
+            for term, rid, gaps, tfs in zip(
+                    tbl["term"].to_pylist(), tbl["range_id"].to_numpy(),
+                    tbl["doc_gaps"].to_pylist(), tbl["tfs"].to_pylist()):
+                rid = int(rid)
+                base = rid << shift
+                d, t = decode_postings(bytes(gaps), bytes(tfs), base)
+                # cache DECODED, not blobs: the varint decode of a hot term
+                # dominates warm latency; offsets+tf as ready numpy arrays
+                # turn a repeat query into pure accumulate
+                got[term].append((rid, d - base, t.astype(np.float64)))
+            for t, rows in got.items():
+                cache[t] = rows
+                while len(cache) > self._cache_cap:
+                    cache.popitem(last=False)
+        out = {}
+        for t in terms:
+            out[t] = cache[t]
+            cache.move_to_end(t)
+        return out
+
+    def search(self, query_text: str, k: int = 10,
+               similarity: str | object = "bm25",
+               require_all: bool = False, min_match: int | None = None):
+        """Top-k as a list of dicts (conv_id, turn_idx, docid, score, rank) —
+        same contract and same scores as bm25_topk, no Spark session."""
+        cfg = self.cfg
+        sim = _resolve_sim(similarity)
+        qterms = Counter(analyze_text(query_text, cfg))
+        if not qterms:
+            return []
+        terms = sorted(qterms)
+        if require_all:
+            min_match = len(terms)
+        min_match = max(1, min(min_match or 1, len(terms)))
+        n, avgdl = self.reader.n_docs, self.reader.avgdl
+        total_tokens = n * avgdl
+        found = [t for t in terms if t in self._df]
+        if not found or min_match > len(found):
+            return []
+        weights = {t: sim.weight(qterms[t], n, self._df[t], self._cf[t],
+                                 total_tokens) for t in found}
+        params = {t: sim.term_param(self._df[t], self._cf[t], n, total_tokens)
+                  for t in found}
+
+        by_term = self._postings(found)
+        shift = cfg.range_shift
+        # group rows by range_id; fixed sorted-term order inside each group
+        # keeps float summation deterministic (matches the Spark kernel)
+        rows = sorted(
+            ((rid, term, off, tf)
+             for term, lst in by_term.items() for rid, off, tf in lst),
+            key=lambda r: (r[0], r[1]))
+        heap: list[tuple[float, int]] = []
+        i = 0
+        while i < len(rows):
+            rid = rows[i][0]
+            dls = self._dls[int(rid)]
+            base = int(rid) << shift
+            acc = np.zeros(len(dls))
+            present = np.zeros(len(dls), np.int32) if min_match > 1 else None
+            while i < len(rows) and rows[i][0] == rid:
+                _, term, off, tf = rows[i]
+                acc[off] += sim.contrib(tf, dls[off],
+                                        weights[term], params.get(term, 0.0),
+                                        cfg, avgdl)
+                if present is not None:
+                    present[off] += 1
+                i += 1
+            # same keep rule as the distributed kernel (_score_group):
+            # min_match>1 keeps by match count alone, else by positive score
+            hit = np.flatnonzero(acc > 0.0 if present is None
+                                 else present >= min_match)
+            docids = hit + base
+            if len(self._deleted):
+                live = ~np.isin(docids, self._deleted)
+                hit, docids = hit[live], docids[live]
+            for s, d in zip(acc[hit].tolist(), docids.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        return [
+            {"conv_id": str(self._conv[-neg]), "turn_idx": int(self._turn[-neg]),
+             "docid": -neg, "score": s, "rank": r + 1}
+            for r, (s, neg) in enumerate(out)
+        ]

@@ -1,0 +1,83 @@
+"""LocalSearcher (query/local.py): the in-process serving path must be rank-
+and score-identical to the distributed bm25_topk on the same index, for every
+similarity, with min_match, absent terms, and tombstones applied."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from solr_spark.config import IndexConfig
+from solr_spark.data import synth_transcripts_spark
+from solr_spark.indexing import build_index
+from solr_spark.query import IndexReader, LocalSearcher, bm25_topk
+
+CFG = IndexConfig(range_shift=9, num_term_buckets=16)
+QUERIES = ["error timeout", "deploy failed retry", "database", "zzz_nope",
+           "the and of", ""]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("local_idx"))
+    corpus = synth_transcripts_spark(spark, 1500, seed=11)
+    build_index(spark, corpus, idx, CFG, input_token="local-1500")
+    return idx
+
+
+def _spark_rows(spark, reader, q, **kw):
+    return [(r.docid, round(r.score, 10))
+            for r in bm25_topk(spark, reader, q, k=10, **kw).collect()]
+
+
+def test_local_matches_distributed(spark, built):
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    for q in QUERIES:
+        for sim in ("bm25", "classic", "lmdirichlet"):
+            want = _spark_rows(spark, reader, q, similarity=sim)
+            got = [(r["docid"], round(r["score"], 10))
+                   for r in ls.search(q, k=10, similarity=sim)]
+            assert got == want, (q, sim)
+
+
+def test_local_min_match(spark, built):
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    want = _spark_rows(spark, reader, "error timeout retry", min_match=2)
+    got = [(r["docid"], round(r["score"], 10))
+           for r in ls.search("error timeout retry", k=10, min_match=2)]
+    assert got == want
+    assert ls.search("error zzz_nope", k=5, require_all=True) == []
+
+
+def test_local_applies_tombstones(spark, built, tmp_path):
+    import shutil
+
+    from solr_spark.indexing.deletes import delete_docids
+
+    idx = str(tmp_path / "del_idx")
+    shutil.copytree(built, idx)
+    reader = IndexReader.open(idx, CFG)
+    top = LocalSearcher(reader).search("error timeout", k=3)
+    assert top
+    delete_docids(spark, idx, spark.createDataFrame(
+        [(r["docid"],) for r in top], "docid long"))
+    got = LocalSearcher(IndexReader.open(idx, CFG)).search("error timeout", k=3)
+    assert not ({r["docid"] for r in got} & {r["docid"] for r in top})
+    want = _spark_rows(spark, IndexReader.open(idx, CFG), "error timeout")
+    assert [(r["docid"], round(r["score"], 10))
+            for r in LocalSearcher(IndexReader.open(idx, CFG))
+            .search("error timeout", k=10)] == want
+
+
+def test_local_latency_budget(built):
+    """Warm point queries must be milliseconds, not Spark-job seconds."""
+    ls = LocalSearcher(IndexReader.open(built, CFG))
+    ls.search("error timeout", k=10)  # warm
+    t0 = time.time()
+    for _ in range(20):
+        ls.search("error timeout retry", k=10)
+    per_q = (time.time() - t0) / 20
+    assert per_q < 0.2, f"warm local query took {per_q:.3f}s"
