@@ -179,6 +179,12 @@ def main() -> None:
     # by the join key; every rerun joins shuffle-free).
     spark.sql("DROP TABLE IF EXISTS _audit_li_b")
     spark.sql("DROP TABLE IF EXISTS _audit_o_b")
+    # the metastore is per-session (in-memory) but spark-warehouse dirs
+    # persist — a fresh session's DROP can't see them, so clear directly
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("_audit_li_b", "_audit_o_b"):
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
     (t("lineitem").select("l_orderkey", "l_quantity")
      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
      .mode("overwrite").saveAsTable("_audit_li_b"))
