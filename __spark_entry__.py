@@ -1806,7 +1806,10 @@ WITH b AS (
     WHERE value >= 5.0 AND value < 20.0
 )
 SELECT bucket, count FROM b
-ORDER BY (bucket IN ('before', 'after', 'between'))::INT, bucket
+ORDER BY (bucket IN ('before', 'after', 'between'))::INT,
+         CASE WHEN bucket NOT IN ('before', 'after', 'between')
+              THEN bucket::DOUBLE END,
+         bucket
 """
 
 

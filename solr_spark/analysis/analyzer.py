@@ -218,22 +218,35 @@ def make_tokenize_joined_udf(config: IndexConfig = DEFAULT_CONFIG):
     return tokenize_joined
 
 
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+
+@_lru_cache(maxsize=1)
 def _fold_translate_tables() -> tuple[str, str]:
     """(src, dst) for F.translate implementing _fold_text JVM-side: every BMP
     codepoint whose NFD form is one base char + combining marks maps to the
-    base; bare combining marks (U+0300-U+036F) map to nothing (translate
-    deletes src chars beyond len(dst), so they sit at the tail)."""
+    base (Latin, Cyrillic, Greek incl. Greek Extended, ... — the FULL BMP is
+    scanned so the pure-JVM twin folds exactly what the Python analyzer
+    folds); bare combining marks (all \\p{Mn} in the BMP) map to nothing
+    (translate deletes src chars beyond len(dst), so they sit at the tail).
+
+    Codepoints whose bases are THEMSELVES decomposable (e.g. Greek Extended
+    with multiple marks) recurse through _fold_text so the table maps straight
+    to the fully-stripped base. Built once per process (~3k entries)."""
     import unicodedata
 
     src, dst = [], []
-    for cp in list(range(0x00C0, 0x0250)) + list(range(0x1E00, 0x1F00)):
+    marks = []
+    for cp in range(0x00C0, 0x10000):
         ch = chr(cp)
-        nfd = unicodedata.normalize("NFD", ch)
-        if len(nfd) > 1 and all(unicodedata.combining(c) for c in nfd[1:]):
+        if unicodedata.combining(ch):
+            marks.append(ch)
+            continue
+        folded = _fold_text(ch)
+        if len(folded) == 1 and folded != ch:
             src.append(ch)
-            dst.append(nfd[0])
-    marks = "".join(chr(cp) for cp in range(0x0300, 0x0370))
-    return "".join(src) + marks, "".join(dst)
+            dst.append(folded)
+    return "".join(src) + "".join(marks), "".join(dst)
 
 
 # Java-regex rendition of _TOKEN_RE (Spark regexp_extract_all runs java.util.regex;

@@ -446,18 +446,42 @@ def _config_dict(config: IndexConfig) -> dict:
     return asdict(config)
 
 
+def read_stats(index_dir: str) -> dict:
+    path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def write_stats(spark: SparkSession, index_dir: str, config: IndexConfig,
-                n_docs: int | None = None) -> dict:
+                n_docs: int | None = None, n_ghosts: int | None = None) -> dict:
     # Derived from the two SMALL index artifacts, not a corpus re-scan:
-    #   n_docs  = sum of per-range doc counts in norms (precomputable while the
-    #             dictionary job runs — serial-fraction overlap)
+    #   n_total = sum of per-range doc counts in norms (precomputable while the
+    #             dictionary job runs — serial-fraction overlap). This is the
+    #             docid-allocation watermark: ghost norms of merge-purged docs
+    #             persist (as in Lucene until a full rewrite), so n_total never
+    #             shrinks and add_documents keys new docids off it.
+    #   n_ghosts = cumulative tombstones purged by merges whose norms remain.
+    #             Carried forward from the previous stats.json unless the
+    #             caller (merge_segments) passes the updated count.
+    #   n_docs  = n_total - n_ghosts = LIVE docs. Lucene's docCount drops
+    #             deleted docs once a merge purges them (the merged segment no
+    #             longer contains those docs), so BM25/LM read this.
     #   sum_dl  = sum of collection frequencies in the dictionary (every analyzed
-    #             token appears in exactly one posting's tf)
-    if n_docs is None:
-        n_docs = _sum_parquet_column(spark, os.path.join(index_dir, "norms"), "n")
+    #             token appears in exactly one posting's tf). The dictionary is
+    #             rebuilt from purged postings at merge, so this is live-doc
+    #             token mass — consistent with n_docs for avgdl.
+    n_total = (n_docs if n_docs is not None else
+               _sum_parquet_column(spark, os.path.join(index_dir, "norms"), "n"))
+    if n_ghosts is None:
+        n_ghosts = int(read_stats(index_dir).get("n_ghosts", 0))
+    n_docs = n_total - n_ghosts
     sum_dl = _sum_parquet_column(spark, os.path.join(index_dir, "dictionary"), "cf")
     stats = {
         "n_docs": n_docs,
+        "n_total": n_total,
+        "n_ghosts": n_ghosts,
         "sum_dl": sum_dl,
         # Lucene BM25 avgFieldLength = sumTotalTermFreq / docCount (float division)
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
@@ -607,7 +631,7 @@ def build_index(
                                 os.path.join(index_dir, "norms"), "n")
             write_dictionary(spark, index_dir, [seg_path])
             n_docs = fut_n.result()
-        stats = write_stats(spark, index_dir, config, n_docs=n_docs)
+        stats = write_stats(spark, index_dir, config, n_docs=n_docs, n_ghosts=0)
         write_manifest(index_dir, "dictionary", cfg_hash, input_token, metrics=stats)
     else:
         with open(os.path.join(index_dir, "stats.json")) as f:

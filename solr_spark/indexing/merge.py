@@ -68,11 +68,20 @@ def merge_segments(
            .write.partitionBy("term_bucket").mode("overwrite").parquet(merged_path))
     B.write_live_segments(index_dir, [merged_name])
     B.write_dictionary(spark, index_dir, [merged_path])
+    # Refresh corpus stats: a Lucene merge updates docCount and
+    # sumTotalTermFreq along with docFreq. The purged docs' norms persist
+    # (ghost norms) so n_total stays, n_ghosts grows, n_docs = live docs, and
+    # sum_dl re-derives from the rebuilt (purged) dictionary — BM25/LM readers
+    # opened post-merge see internally consistent live-doc statistics.
+    prev_ghosts = int(B.read_stats(index_dir).get("n_ghosts", 0))
+    stats = B.write_stats(spark, index_dir, config,
+                          n_ghosts=prev_ghosts + len(dels))
     if len(dels):
         clear_deletes(index_dir)
     write_manifest(index_dir, f"merge-{merged_name}", config.config_hash(),
                    ",".join(names),
-                   metrics={"purged_tombstones": int(len(dels))},
+                   metrics={"purged_tombstones": int(len(dels)),
+                            **{k: v for k, v in stats.items() if k != "config"}},
                    partitions=B._bucket_metrics(spark, merged_path))
     return [merged_name]
 
@@ -94,7 +103,10 @@ def add_documents(
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     with open(os.path.join(index_dir, "stats.json")) as f:
-        docid_base = json.load(f)["n_docs"]
+        _stats = json.load(f)
+    # Allocation watermark, NOT live-doc count: post-merge n_docs excludes
+    # ghost docids whose norms entries still occupy the id space.
+    docid_base = _stats.get("n_total", _stats["n_docs"])
 
     existing = B.live_segments(index_dir)
     batch_no = len([d for d in os.listdir(os.path.join(index_dir, "analyzed"))])

@@ -86,14 +86,21 @@ def range_facet_other(df: DataFrame, field: str, start: float, end: float,
                     * F.lit(gap) + F.lit(start))
     label = F.when(in_range, bucket_start.cast("string")) \
              .when(v < start, F.lit("before")).otherwise(F.lit("after"))
-    buckets = (df.groupBy(label.alias("bucket"))
+    # numeric start carried as a separate sort column so in-range buckets come
+    # out in NUMERIC order (Solr's facet.range bucket order) — '10.0' must not
+    # sort before '5.0'; the string label is display-only.
+    buckets = (df.groupBy(label.alias("bucket"),
+                          F.when(in_range, bucket_start).alias("_start"))
                  .agg(F.count(F.lit(1)).alias("count")))
     between = (df.where(in_range)
                  .agg(F.count(F.lit(1)).alias("count"))
-                 .select(F.lit("between").alias("bucket"), "count"))
+                 .select(F.lit("between").alias("bucket"),
+                         F.lit(None).cast("double").alias("_start"), "count"))
     out = buckets.unionByName(between)
     is_summary = F.col("bucket").isin("before", "after", "between")
-    return out.orderBy(is_summary.cast("int"), F.col("bucket"))
+    return (out.orderBy(is_summary.cast("int"),
+                        F.col("_start"), F.col("bucket"))
+               .select("bucket", "count"))
 
 
 def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:

@@ -70,13 +70,23 @@ def doc_lengths(spark: SparkSession, reader: IndexReader) -> DataFrame:
 
 def _field_contributions(
     spark: SparkSession, reader: IndexReader, field_weight: float,
-    qterms: Counter, canon: list[str],
+    clause_terms: list[list[str]],
 ) -> tuple[DataFrame | None, dict[str, float]]:
-    """Per-(docid, term) weighted BM25 contributions for one field.
+    """Per-(docid, clause) weighted BM25 contributions for one field.
 
-    Returns (DataFrame(docid, term, contrib) or None if no term occurs in the
-    field, idf-by-term map for the phrase boost)."""
+    `clause_terms[i]` is the i-th query word analyzed with THIS field's own
+    analyzer config (the reference analyzes the query per field —
+    ExtendedDismaxQParser builds one DisjunctionMaxQuery per query word, each
+    arm produced by that field's analysis chain). A word that analyzes to
+    multiple terms in this field scores as their boolean-OR sum; a repeated
+    term within one clause weights by its count.
+
+    Returns (DataFrame(docid, clause, contrib) or None if no term occurs in
+    the field, idf-by-term map for the phrase boost)."""
     cfg = reader.config
+    canon = sorted({t for ts in clause_terms for t in ts})
+    if not canon:
+        return None, {}
     dict_rows = (
         reader.dictionary(spark)
         .where(F.col("term").isin(canon))
@@ -85,20 +95,32 @@ def _field_contributions(
     idfs = {r["term"]: _idf(reader.n_docs, r["df"]) for r in dict_rows}
     if not idfs:
         return None, {}
-    w_map = F.create_map(*[x for t, idf in sorted(idfs.items())
-                           for x in (F.lit(t), F.lit(qterms[t] * idf))])
+    # (term, clause, weight) mapping — tiny (|query words| rows), broadcast.
+    mapping = [(t, ci, float(field_weight * cnt * idfs[t]))
+               for ci, ts in enumerate(clause_terms)
+               for t, cnt in sorted(Counter(ts).items()) if t in idfs]
+    map_df = spark.createDataFrame(mapping, "term string, clause int, w double")
     k1, b, avgdl = cfg.k1, cfg.b, reader.avgdl
     post = terms_postings(spark, reader, [t for t in canon if t in idfs])
     contrib = (
         post.join(doc_lengths(spark, reader), "docid")
+        .join(F.broadcast(map_df), "term")
         .select(
-            "docid", "term",
-            (F.lit(field_weight) * w_map[F.col("term")] * F.col("tf")
+            "docid", "clause",
+            (F.col("w") * F.col("tf")
              / (F.col("tf")
                 + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
              ).alias("contrib"),
         )
     )
+    # A clause with >1 distinct matching term in this field (multi-term
+    # analysis) scores as the boolean-OR sum: pre-sum per (docid, clause) so
+    # the cross-field dismax sees ONE arm per field. Skipped in the common
+    # 1-term-per-clause case — no extra shuffle there.
+    clause_counts = Counter(ci for _, ci, _ in mapping)
+    if any(v > 1 for v in clause_counts.values()):
+        contrib = contrib.groupBy("docid", "clause").agg(
+            F.sum("contrib").alias("contrib"))
     return contrib, idfs
 
 
@@ -184,17 +206,27 @@ def edismax_topk(
     prune to their two columns at the scan.
     """
     primary = readers[next(iter(sorted(qf)))]
-    qterms = Counter(analyze_text(query_text, primary.config))
-    canon = sorted(qterms)
-    if not canon:
+    # One clause per whitespace-separated query word, each analyzed with the
+    # OWN analyzer config of every qf field (the reference analyzes per field:
+    # ExtendedDismaxQParser builds one DisjunctionMaxQuery per word whose arms
+    # come from each field's analysis chain). A word that analyzes to nothing
+    # in EVERY field (stopword) drops out of the clause list, so mm counts
+    # only surviving clauses — Lucene's BooleanQuery behavior.
+    words = [w for w in query_text.split() if w]
+    raw_clauses = {fld: [analyze_text(w, readers[fld].config) for w in words]
+                   for fld in sorted(qf)}
+    keep = [i for i in range(len(words))
+            if any(raw_clauses[f][i] for f in raw_clauses)]
+    if not keep:
         return spark.createDataFrame([], _OUT_SCHEMA)
-    min_match = max(1, min(min_match, len(canon)))
+    clause_by_field = {f: [cl[i] for i in keep] for f, cl in raw_clauses.items()}
+    min_match = max(1, min(min_match, len(keep)))
 
     contribs = []
     field_idfs: dict[str, dict[str, float]] = {}
     for fld in sorted(qf):
         c, idfs = _field_contributions(spark, readers[fld], qf[fld],
-                                       qterms, canon)
+                                       clause_by_field[fld])
         field_idfs[fld] = idfs
         if c is not None:
             contribs.append(c)
@@ -204,15 +236,15 @@ def edismax_topk(
     for c in contribs[1:]:
         allc = allc.unionByName(c)
 
-    # dismax per (doc, term): max + tie * (sum - max); then BooleanQuery
-    # combine: sum over terms, mm over the distinct-term match count
-    per_term = allc.groupBy("docid", "term").agg(
+    # dismax per (doc, clause): max + tie * (sum - max); then BooleanQuery
+    # combine: sum over clauses, mm over the matched-clause count
+    per_clause = allc.groupBy("docid", "clause").agg(
         (F.max("contrib")
-         + F.lit(tie) * (F.sum("contrib") - F.max("contrib"))).alias("tscore"))
-    main = (per_term.groupBy("docid")
-            .agg(F.sum("tscore").alias("score"),
-                 F.count(F.lit(1)).alias("nterms"))
-            .where(F.col("nterms") >= min_match))
+         + F.lit(tie) * (F.sum("contrib") - F.max("contrib"))).alias("cscore"))
+    main = (per_clause.groupBy("docid")
+            .agg(F.sum("cscore").alias("score"),
+                 F.count(F.lit(1)).alias("nclauses"))
+            .where(F.col("nclauses") >= min_match))
 
     if pf:
         boosts = _phrase_boosts(spark, readers, pf, query_text, field_idfs)

@@ -177,7 +177,11 @@ def test_jvm_fold_twin(spark):
     from solr_spark.analysis.analyzer import tokenize_column
 
     cfg = IndexConfig(fold_ascii=True)
-    texts = ["Café naïve Zürich mañana", "ẩ ḗ plain", "déjà-vu crème brûlée"]
+    texts = ["Café naïve Zürich mañana", "ẩ ḗ plain", "déjà-vu crème brûlée",
+             # non-Latin decomposables: Cyrillic й/ё, Greek ά, Greek Extended
+             # ἄ (U+1F04) — the JVM translate table must fold the full BMP,
+             # not just the Latin ranges (round-2 advice)
+             "йод Ёлка ελληνικά ἄνθρωπος ся́дзьмы"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(tokenize_column("text", cfg)).collect()]
     assert got == [analyze_text(t, cfg) for t in texts]

@@ -100,6 +100,65 @@ def test_merge_purges_tombstones_and_drops_df(spark, del_index):
     assert {r.conv_id for r in got} == {"c0", "c4"}
 
 
+def test_merge_refreshes_stats_and_watermark(spark, del_index, tmp_path):
+    """A merge updates docCount/sumTotalTermFreq like Lucene: post-merge
+    stats.json must equal a fresh build over the surviving docs (n_docs,
+    sum_dl, avgdl — so BM25/LM scores match a live-only index), while
+    n_total stays the docid-allocation watermark so add_documents never
+    collides with ghost docids."""
+    import json
+
+    from solr_spark.indexing import add_documents
+
+    reader = IndexReader.open(del_index)
+    delete_by_terms(spark, reader, ["vector"])  # tombstone c2, c3
+    merge_segments(spark, del_index, CFG)
+
+    with open(os.path.join(del_index, "stats.json")) as f:
+        stats = json.load(f)
+    assert (stats["n_total"], stats["n_ghosts"], stats["n_docs"]) == (5, 2, 3)
+
+    # fresh build over only the live docs agrees on every corpus stat
+    live = [("c0", 0, "u", "error timeout retry", None, None),
+            ("c1", 0, "u", "error merge", None, None),
+            ("c4", 0, "u", "timeout timeout", None, None)]
+    src = spark.createDataFrame(
+        live, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    fresh_dir = str(tmp_path / "fresh")
+    build_index(spark, src, fresh_dir, CFG, input_token="live-only")
+    with open(os.path.join(fresh_dir, "stats.json")) as f:
+        fresh = json.load(f)
+    assert stats["n_docs"] == fresh["n_docs"]
+    assert stats["sum_dl"] == fresh["sum_dl"]
+    assert stats["avgdl"] == pytest.approx(fresh["avgdl"], rel=1e-12)
+
+    # BM25 scores post-merge == fresh live-only build (per conv_id)
+    got = {r.conv_id: r.score for r in
+           bm25_topk(spark, IndexReader.open(del_index), "timeout",
+                     k=10).collect()}
+    want = {r.conv_id: r.score for r in
+            bm25_topk(spark, IndexReader.open(fresh_dir), "timeout",
+                      k=10).collect()}
+    assert set(got) == set(want) == {"c0", "c4"}
+    for c in got:
+        assert got[c] == pytest.approx(want[c], rel=1e-12)
+
+    # add_documents keys off the watermark, not the live count
+    new = spark.createDataFrame(
+        [("c5", 0, "u", "error again", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    add_documents(spark, new, del_index, CFG)
+    with open(os.path.join(del_index, "stats.json")) as f:
+        stats2 = json.load(f)
+    assert (stats2["n_total"], stats2["n_ghosts"], stats2["n_docs"]) == (6, 2, 4)
+    r2 = IndexReader.open(del_index)
+    new_docid = {r.conv_id: r.docid for r in
+                 bm25_topk(spark, r2, "again", k=10).collect()}["c5"]
+    assert new_docid == 5  # ghost ids 2,3 never reused
+
+
 def test_delete_docids_direct(spark, del_index):
     reader = IndexReader.open(del_index)
     delete_docids(spark, del_index,
