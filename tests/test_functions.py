@@ -184,6 +184,56 @@ def test_ivf_ann_topk(spark):
     assert [r.vec_id for r in full] == exact
 
 
+def test_ivf_trained_centroids_recall(spark):
+    """Trained quantizer (ivf_train spherical k-means) holds recall@10 >= 0.9
+    on EVERY query of a corpus where the untrained seed default demonstrably
+    fails some queries: ids are cluster-major and cluster 0 is angularly
+    TIGHT, so the 16 seed centroids (vec_id < 16) are near-parallel
+    directions — members of the WIDE query cones then split pseudo-randomly
+    across the degenerate Voronoi slivers and a 4-probe misses most of the
+    true neighborhood on unlucky queries. (Tight query clusters would assign
+    coherently under ANY quantizer, which is why the corpus uses wide cones.)
+    """
+    from solr_spark.functions.vectors import cosine_topk, ivf_ann_topk, ivf_train
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    centers = 1.5 * (centers / np.linalg.norm(centers, axis=1, keepdims=True))
+    rows, vid = [], 0
+    for c in range(8):
+        sigma = 0.02 if c == 0 else 0.375  # seeds tight, query cones wide
+        for _ in range(40):
+            v = centers[c] + sigma * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+
+    cents = ivf_train(df, "embedding", n_centroids=16, iters=5)
+    trained_r, seeded_r = [], []
+    for qid in [200, 205, 210, 215, 220, 45, 90, 130, 285, 310]:
+        q = rows[qid][1]
+        exact = [r.vec_id for r in
+                 cosine_topk(df, "embedding", q, 10).collect()]
+        tr = [r.vec_id for r in
+              ivf_ann_topk(df, "embedding", q, 10, n_probe=4,
+                           centroids=cents).collect()]
+        sd = [r.vec_id for r in
+              ivf_ann_topk(df, "embedding", q, 10,
+                           n_centroids=16, n_probe=4).collect()]
+        trained_r.append(len(set(tr) & set(exact)) / 10)
+        seeded_r.append(len(set(sd) & set(exact)) / 10)
+    assert min(trained_r) >= 0.9, f"trained recall@10 {trained_r}"
+    assert min(seeded_r) <= 0.5, (
+        f"seed centroids were supposed to fail some queries: {seeded_r}")
+    assert (sum(trained_r) / len(trained_r)
+            > sum(seeded_r) / len(seeded_r)), (trained_r, seeded_r)
+    # training is deterministic: same seed -> same centroids
+    again = ivf_train(df, "embedding", n_centroids=16, iters=5)
+    assert sorted(map(tuple, cents.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+
 def test_rrf_fuse(spark):
     """RRF semantics: 1/(k0+rank) summed across lists, missing entries
     contribute 0, ties broken by id."""
