@@ -84,9 +84,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet in the input_hint transcript shape. conv_id is the
     zero-padded doc_id so the engine's lexicographic docid order == numeric
-    doc_id order (keeps BM25 docid tie-breaks comparable with the SQL oracle)."""
+    doc_id order (keeps BM25 docid tie-breaks comparable with the SQL oracle).
+    Width 12 keeps lexicographic == numeric up to 10^12 docs (round-2 verdict:
+    %06d silently broke past 10^6)."""
     return _t(spark, sf_dir, "documents").select(
-        F.format_string("%06d", F.col("doc_id")).alias("conv_id"),
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.col("text"),
     )
@@ -100,7 +102,26 @@ def _ft_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     index_dir = os.path.join(_SCRATCH, f"ftidx-{tag}-{_FT_CONFIG.config_hash()}")
     os.makedirs(index_dir, exist_ok=True)
     build_index(spark, _docs_as_transcripts(spark, sf_dir), index_dir,
-                _FT_CONFIG, input_token=f"documents-{tag}")
+                _FT_CONFIG, input_token=f"documents-{tag}-w12")
+    return IndexReader.open(index_dir, _FT_CONFIG)
+
+
+def _ft_dedup_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over the token-DEDUPED documents corpus (array_distinct keeps
+    first-occurrence order), so every doc holds each token at most once —
+    the corpus the ft21 Lucene-sloppy oracle's closed form is exact on."""
+    from solr_spark.indexing import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        _SCRATCH, f"ftidx-dedup-{tag}-{_FT_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    src = _docs_as_transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.array_join(F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")), " "))
+    build_index(spark, src, index_dir, _FT_CONFIG,
+                input_token=f"documents-dedup-{tag}")
     return IndexReader.open(index_dir, _FT_CONFIG)
 
 
@@ -633,6 +654,67 @@ SELECT m.doc_id,
          AS score
 FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfp
 ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
+def _ft21_sloppy_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-parity sloppy phrase `"window fast"~2` (lucene_parity=True:
+    the SloppyPhraseMatcher pq algorithm — REVERSED alignments admitted at
+    slop>=2, weight 1/(1+matchLength); reference lucene/core/.../search/
+    SloppyPhraseMatcher.java via parser/QueryParser.jj) over the
+    token-deduped documents corpus. Dedup (first-occurrence array_distinct,
+    expressed identically in the oracle) makes every doc single-occurrence,
+    where the matcher's output has the closed form 1/(1+|pa-(pb-1)|) the SQL
+    twin computes — so the gate is full-hash while reversed-order docs appear
+    in the result (the ordered ft13 kernel would drop them).
+    Multi-occurrence traces are pinned by hand-derived vectors in
+    tests/test_components.py::test_lucene_sloppy_freq_vectors."""
+    from solr_spark.query.phrase import phrase_topk
+
+    reader = _ft_dedup_index(spark, sf_dir)
+    # k=80 spans the full sf0.01 match set (68 docs), so the reversed-order
+    # matches (tf=1/3, outranked by exact ones) provably appear in the gate
+    topk = phrase_topk(spark, reader, "window fast", k=80, slop=2,
+                       lucene_parity=True)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft21_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+),
+firsts AS (
+  SELECT doc_id, tok, min(rp) AS rp FROM raw WHERE tok <> ''
+  GROUP BY doc_id, tok
+),
+filtered AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS p
+  FROM firsts WHERE lower(tok) NOT IN ({_STOP_SQL})
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+a AS (SELECT doc_id, p FROM filtered WHERE tok = 'window'),
+bb AS (SELECT doc_id, p FROM filtered WHERE tok = 'fast'),
+m AS (
+  SELECT a.doc_id, 1.0 / (1.0 + abs(a.p - (bb.p - 1))) AS tf
+  FROM a JOIN bb USING (doc_id)
+  WHERE abs(a.p - (bb.p - 1)) <= 2
+),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1.0 + (c.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+              * m.tf / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id LIMIT 80
 """
 
 
@@ -2237,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft17_stemmed_search": _ft17_stemmed_search,
         "ft19_bf_boost": _ft19_bf_boost,
         "ft20_unified_highlight": _ft20_unified_highlight,
+        "ft21_sloppy_reversed": _ft21_sloppy_reversed,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -2364,6 +2447,7 @@ cand AS (
         "ft17_stemmed_search": _ft17_sql(),
         "ft19_bf_boost": _ft19_sql(),
         "ft20_unified_highlight": _ft20_sql(),
+        "ft21_sloppy_reversed": _ft21_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

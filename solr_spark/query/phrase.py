@@ -134,6 +134,127 @@ def _sloppy_phrase_kernel(terms: list[str], slop: int):
     return sloppy_iter
 
 
+def lucene_sloppy_freq(pos_lists: list[list[int]], slop: int) -> float:
+    """Lucene SloppyPhraseMatcher freq for DISTINCT-term phrases: the exact
+    pq algorithm over ADJUSTED positions (truePos - queryOffset), which admits
+    REVERSED alignments once slop allows ('b a' matches "a b"~2 with
+    matchLength 2). pos_lists[i] = sorted raw positions of terms[i].
+
+    Direct restatement of the published matcher loop (reference:
+    lucene/core/.../search/SloppyPhraseMatcher.java nextMatch; surfaced by
+    parser/QueryParser.jj `"a b"~n`): pop the minimum pp, minimize
+    matchLength = end - pp.position while advancing it up to the next-lowest
+    pp, emit a match when it crosses (or exhausts), weight 1/(1+matchLength).
+    Tie order is (position, queryOffset), matching PhrasePositions.compareTo.
+    """
+    import heapq
+
+    its = []
+    for off, ps in enumerate(pos_lists):
+        adj = [p - off for p in ps]
+        if not adj:
+            return 0.0
+        its.append((adj, off))
+    # pq entries: [position, offset, index-into-list]
+    pq = [[adj[0], off, 0] for adj, off in its]
+    heapq.heapify(pq)
+    end = max(e[0] for e in pq)
+    freq = 0.0
+    positioned = True
+    while positioned:
+        pp = heapq.heappop(pq)
+        match_length = end - pp[0]
+        nxt = pq[0][0]
+        adj = its[_off_index(its, pp[1])][0]
+        while True:
+            pp[2] += 1
+            if pp[2] >= len(adj):           # this term's stream is exhausted
+                positioned = False
+                if match_length <= slop:
+                    freq += 1.0 / (1.0 + match_length)
+                break
+            pp[0] = adj[pp[2]]
+            if pp[0] > end:
+                end = pp[0]
+            if pp[0] > nxt:                 # crossed the next-lowest pp
+                if match_length <= slop:
+                    heapq.heappush(pq, pp)
+                    freq += 1.0 / (1.0 + match_length)
+                    break
+                heapq.heappush(pq, pp)
+                pp = heapq.heappop(pq)
+                nxt = pq[0][0]
+                match_length = end - pp[0]
+                adj = its[_off_index(its, pp[1])][0]
+            else:                           # still minimizing this match
+                match_length = min(match_length, end - pp[0])
+    return freq
+
+
+def _off_index(its, off: int) -> int:
+    for i, (_, o) in enumerate(its):
+        if o == off:
+            return i
+    raise KeyError(off)
+
+
+def _lucene_sloppy_kernel(terms: list[str], slop: int):
+    """mapInArrow kernel for lucene_parity sloppy phrases: Arrow-vectorized
+    occurrence extraction (split_pattern/index_in over the whole batch), then
+    the per-doc sequential matcher (`lucene_sloppy_freq`) — the matcher IS
+    sequential in the reference too; it runs only on index-prefiltered
+    candidates (docs containing ALL phrase terms), so the Python loop is over
+    the phrase's candidate set, not the corpus."""
+    import numpy as np
+
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "lucene_parity sloppy phrases require distinct terms "
+            "(Lucene's repeats handling is out of scope — documented)")
+
+    def sloppy_iter(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = pa.schema([("docid", pa.int64()), ("tf", pa.float64()),
+                         ("dl", pa.int64())])
+        term_arr = pa.array(terms)
+        for b in batches:
+            if not b.num_rows:
+                continue
+            docid = b.column("docid").to_numpy()
+            dls = b.column("dl").to_numpy()
+            tok_lists = pc.split_pattern(b.column("toks"), " ")
+            lens = pc.list_value_length(tok_lists).to_numpy()
+            codes = pc.fill_null(
+                pc.index_in(pc.list_flatten(tok_lists), value_set=term_arr), -1
+            ).to_numpy().astype(np.int64, copy=False)
+            row_of = np.repeat(np.arange(len(docid), dtype=np.int64), lens)
+            pos = np.arange(len(codes), dtype=np.int64) \
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            occ = codes >= 0
+            oc, orow, opos = codes[occ], row_of[occ], pos[occ]
+            ids, tfs, odls = [], [], []
+            for r in np.unique(orow):
+                m = orow == r
+                lists = [opos[m & (oc == t)].tolist()
+                         for t in range(len(terms))]
+                if any(not ps for ps in lists):
+                    continue
+                f = lucene_sloppy_freq(lists, slop)
+                if f > 0:
+                    ids.append(docid[r])
+                    tfs.append(f)
+                    odls.append(int(dls[r]))
+            if ids:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.asarray(ids, dtype=np.int64)),
+                     pa.array(np.asarray(tfs, dtype=np.float64)),
+                     pa.array(np.asarray(odls, dtype=np.int64))], schema=out)
+
+    return sloppy_iter
+
+
 def phrase_topk(
     spark: SparkSession,
     reader: IndexReader,
@@ -141,10 +262,13 @@ def phrase_topk(
     k: int | None = 10,
     prefilter: bool = True,
     slop: int = 0,
+    lucene_parity: bool = False,
 ) -> DataFrame:
     """Top-k documents containing the analyzed phrase (slop=0: exact; slop>0:
     ordered sloppy matches weighted 1/(1+matchLength), see
-    _sloppy_phrase_kernel).
+    _sloppy_phrase_kernel; slop>0 with lucene_parity=True: the exact Lucene
+    SloppyPhraseMatcher semantics including reversed alignments at slop>=2,
+    see lucene_sloppy_freq — distinct-term phrases only).
 
     Returns DataFrame(conv_id, turn_idx, docid, score, rank) like bm25_topk.
     k=None returns the FULL unranked match set as (docid, score) — for boost
@@ -177,8 +301,10 @@ def phrase_topk(
         analyzed = analyzed.join(cand, "docid", "left_semi")
 
     if slop > 0:
+        kern = (_lucene_sloppy_kernel(terms, slop) if lucene_parity
+                else _sloppy_phrase_kernel(terms, slop))
         freq = analyzed.select("docid", "dl", "toks").mapInArrow(
-            _sloppy_phrase_kernel(terms, slop), "docid long, tf double, dl long")
+            kern, "docid long, tf double, dl long")
         matched = (freq.withColumnRenamed("tf", "pf")
                    .join(analyzed.select("docid", "conv_id", "turn_idx"),
                          "docid"))

@@ -295,6 +295,79 @@ def test_sloppy_phrase_conformance(spark, tmp_path):
     assert {r.conv_id for r in exact} == {"a", "e"}
 
 
+def test_lucene_sloppy_freq_vectors():
+    """Hand-traced Lucene SloppyPhraseMatcher vectors (pq algorithm over
+    adjusted positions): reversed alignments admitted at slop>=2, repeated
+    minimization, multi-occurrence greediness. Each expectation derived by
+    stepping the reference loop (SloppyPhraseMatcher.nextMatch) on paper."""
+    import pytest as _pytest
+
+    from solr_spark.query.phrase import lucene_sloppy_freq
+
+    # query "a b" -> offsets 0,1. pos_lists are RAW positions per term.
+    v = lucene_sloppy_freq
+    assert v([[0], [1]], 0) == 1.0            # "a b" exact
+    assert v([[1], [0]], 2) == _pytest.approx(1 / 3)   # "b a": reversed, ml=2
+    assert v([[1], [0]], 1) == 0.0            # reversed needs slop >= 2
+    assert v([[0], [2]], 2) == 0.5            # "a x b": ml=1
+    assert v([[0, 4], [2]], 2) == 0.5         # "a x b x a": only (0,2) in slop
+    assert v([[0, 4], [2]], 3) == _pytest.approx(0.75)  # + reversed (4,2) ml=3
+    assert v([[1], [0, 2]], 2) == 1.0         # "b a b": exact inner "a b"
+    # query "a b c" -> offsets 0,1,2
+    assert v([[1], [2], [0]], 2) == 0.0       # "c a b": ml=3
+    assert v([[1], [2], [0]], 3) == _pytest.approx(0.25)
+    assert v([[1], [0], [2]], 2) == _pytest.approx(1 / 3)  # "b a c": ml=2
+
+
+def test_sloppy_phrase_lucene_parity_end_to_end(spark, tmp_path):
+    """lucene_parity=True admits the reversed doc the ordered kernel skips;
+    ordered-only docs keep identical sloppy freqs in both modes."""
+    import math
+
+    import pytest as _pytest
+
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.phrase import phrase_topk
+
+    docs = {
+        "a": "merge join",              # ml=0 -> 1.0
+        "b": "merge x join",            # ml=1 -> 0.5
+        "c": "join merge",              # REVERSED: ml=2 -> 1/3 (Lucene only)
+        "d": "merge x x x join",        # ml=3 > slop=2 -> no match
+        "e": "merge x join merge join", # 0.5 + 1.0 = 1.5
+    }
+    rows = [(cid, 0, "u", t, None, None) for cid, t in sorted(docs.items())]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=4, stopwords="none",
+                      lucene_norms=False)
+    index_dir = str(tmp_path / "lpidx")
+    build_index(spark, src, index_dir, cfg, input_token="slop-lucene")
+    reader = IndexReader.open(index_dir)
+    got = {r.conv_id: r for r in
+           phrase_topk(spark, reader, "merge join", k=10, slop=2,
+                       lucene_parity=True).collect()}
+    assert set(got) == {"a", "b", "c", "e"}
+
+    sfreq = {"a": 1.0, "b": 0.5, "c": 1 / 3, "e": 1.5}
+    dls = {cid: len(t.split()) for cid, t in docs.items()}
+    n, df_p, avgdl = reader.n_docs, 4, reader.avgdl
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    for cid, tf in sfreq.items():
+        want = idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dls[cid] / avgdl))
+        assert got[cid].score == _pytest.approx(want, abs=1e-9), cid
+
+    # repeated terms are out of scope for parity mode, loudly
+    import pytest
+
+    with pytest.raises(Exception, match="distinct"):
+        phrase_topk(spark, reader, "merge merge", k=10, slop=2,
+                    lucene_parity=True).collect()
+
+
 def test_sloppy_phrase_repeated_terms(spark, tmp_path):
     """Phrase with a repeated term ('a a'): chains must advance past the start
     occurrence (strictly-after searchsorted)."""
