@@ -1895,6 +1895,58 @@ ORDER BY (bucket IN ('before', 'after', 'between'))::INT,
 """
 
 
+def _q62_facet_bucket_options(spark, sf_dir):
+    """JSON-facet bucket options (facet/FacetField.java:32-33,
+    FacetRequest.java:50-85): top-3 event_type buckets sorted by nested stat
+    avg(value) desc, plus the allBuckets, missing, and numBuckets rows — on a
+    derived field that is NULL when value < 0.5 so `missing` is non-trivial
+    (operators/facets.py::terms_facet)."""
+    from solr_spark.operators.facets import metric, terms_facet
+
+    src = _t(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 0.5, F.lit(None))
+         .otherwise(F.col("event_type")).alias("etype"),
+        "value")
+    out = terms_facet(src, "etype", limit=3,
+                      metrics=[metric("avg", "value"), metric("sum", "value")],
+                      sort="avg_value desc",
+                      all_buckets=True, num_buckets=True, missing=True)
+    return out.select("bucket", "count",
+                      F.round("avg_value", 4).alias("avg_value"),
+                      F.round("sum_value", 4).alias("sum_value"))
+
+
+_Q62_SQL = """
+WITH src AS (
+  SELECT CASE WHEN value < 0.5 THEN NULL ELSE event_type END AS etype, value
+  FROM events
+),
+b AS (
+  SELECT etype AS bucket, count(*)::BIGINT AS count,
+         avg(value) AS avg_value, sum(value) AS sum_value
+  FROM src WHERE etype IS NOT NULL GROUP BY 1
+),
+topb AS (
+  SELECT bucket, count, avg_value, sum_value FROM b
+  ORDER BY avg_value DESC, bucket LIMIT 3
+),
+u AS (
+  SELECT * FROM topb
+  UNION ALL
+  SELECT '__all__', count(*)::BIGINT, avg(value), sum(value)
+  FROM src WHERE etype IS NOT NULL
+  UNION ALL
+  SELECT '__missing__', count(*)::BIGINT, avg(value), sum(value)
+  FROM src WHERE etype IS NULL
+  UNION ALL
+  SELECT '__numBuckets__', (SELECT count(*) FROM b)::BIGINT, NULL, NULL
+)
+SELECT bucket, count, round(avg_value, 4) AS avg_value,
+       round(sum_value, 4) AS sum_value
+FROM u
+"""
+
+
 def _dd05_det_split(spark, sf_dir):
     """Deterministic train/val/test split of the documents table: stable
     md5-keyed assignment, bit-reproducible by any engine
@@ -2386,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_result_clustering": _q59_result_clustering,
         "q60_nrt_add": _q60_nrt_add,
         "q61_range_other": _q61_range_other,
+        "q62_facet_bucket_options": _q62_facet_bucket_options,
         "dd05_det_split": _dd05_det_split,
         "g04_score_nodes": _g04_score_nodes,
         "tx01_text_stats": _tx01_text_stats,
@@ -2736,6 +2789,7 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q59_result_clustering": _q59_sql(),
         "q60_nrt_add": _q60_sql(),
         "q61_range_other": _Q61_SQL,
+        "q62_facet_bucket_options": _Q62_SQL,
         "dd05_det_split": _DD05_SQL,
         "g04_score_nodes": _G04_SQL,
         "tx01_text_stats": f"""

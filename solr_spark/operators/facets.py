@@ -41,17 +41,64 @@ def metric(name: str, col: str) -> Column:
 
 def terms_facet(df: DataFrame, field: str, limit: int = 10,
                 metrics: Sequence[Column] = (), min_count: int = 1,
-                sort_by_count: bool = True) -> DataFrame:
-    """`terms` facet: top buckets of a field with per-bucket metrics.
+                sort_by_count: bool = True, sort: str | None = None,
+                all_buckets: bool = False, num_buckets: bool = False,
+                missing: bool = False) -> DataFrame:
+    """`terms` facet: top buckets of a field with per-bucket metrics, with the
+    JSON-facet bucket options surface.
 
-    Reference: FacetFieldProcessorByArrayDV.java / SimpleFacets.java:107. One shuffle
-    (partial-agg combines hot buckets map-side); top-N is TakeOrdered, not a sort.
+    Reference: FacetFieldProcessorByArrayDV.java / SimpleFacets.java:107;
+    options per facet/FacetField.java:32-33 + FacetRequest.java:50-85
+    (FacetSort). One shuffle (partial-agg combines hot buckets map-side);
+    top-N is TakeOrdered, not a sort. NULL field values are never a bucket
+    (Solr terms-facet semantics; they surface only via `missing`).
+
+    sort: "name desc|asc" over `count`, `index` (the bucket value), or any
+    metric alias (e.g. "avg_value desc" — FacetSort sort-by-nested-stat);
+    overrides sort_by_count.
+    all_buckets: append a `__all__` row — counts/metrics over ALL buckets,
+    unaffected by limit/min_count (AllBucketsAcc role).
+    num_buckets: append a `__numBuckets__` row — count = number of distinct
+    buckets prior to limit/min_count, metric columns NULL.
+    missing: append a `__missing__` row — counts/metrics over NULL-field docs.
+    With any option on, `bucket` is cast to string to carry the labels.
     """
-    agg = df.groupBy(F.col(field).alias("bucket")).agg(
-        F.count(F.lit(1)).alias("count"), *metrics
-    ).where(F.col("count") >= min_count)
-    order = [F.desc("count"), F.asc("bucket")] if sort_by_count else [F.asc("bucket")]
-    return agg.orderBy(*order).limit(limit)
+    present = df.where(F.col(field).isNotNull())
+    agg = present.groupBy(F.col(field).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("count"), *metrics)
+    filtered = agg.where(F.col("count") >= min_count)
+    if sort:
+        name, _, direction = sort.partition(" ")
+        key = F.col("bucket") if name == "index" else F.col(name)
+        order = [key.asc() if direction == "asc" else key.desc(),
+                 F.asc("bucket")]
+    else:
+        order = ([F.desc("count"), F.asc("bucket")] if sort_by_count
+                 else [F.asc("bucket")])
+    out = filtered.orderBy(*order).limit(limit)
+    if not (all_buckets or num_buckets or missing):
+        return out
+
+    out = out.withColumn("bucket", F.col("bucket").cast("string"))
+    metric_cols = [c for c in out.columns if c not in ("bucket", "count")]
+    extras = []
+    if all_buckets:
+        extras.append(present.agg(F.count(F.lit(1)).alias("count"), *metrics)
+                      .select(F.lit("__all__").alias("bucket"), "count",
+                              *metric_cols))
+    if missing:
+        extras.append(df.where(F.col(field).isNull())
+                      .agg(F.count(F.lit(1)).alias("count"), *metrics)
+                      .select(F.lit("__missing__").alias("bucket"), "count",
+                              *metric_cols))
+    if num_buckets:
+        extras.append(agg.agg(F.count(F.lit(1)).alias("count"))
+                      .select(F.lit("__numBuckets__").alias("bucket"), "count",
+                              *[F.lit(None).cast(out.schema[c].dataType)
+                                 .alias(c) for c in metric_cols]))
+    for e in extras:
+        out = out.unionByName(e)
+    return out
 
 
 def range_facet(df: DataFrame, field: str, start: float, gap: float,

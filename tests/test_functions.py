@@ -288,6 +288,34 @@ def test_deterministic_split_and_sample(spark):
         deterministic_split(df, F.col("id"), {"a": 0.5, "b": 0.4})
 
 
+def test_terms_facet_bucket_options(spark):
+    """JSON-facet bucket options: sort-by-nested-stat, allBuckets, numBuckets,
+    missing bucket; numeric bucket order for range_facet_other is covered
+    below. NULL field values never form a bucket (Solr semantics)."""
+    from solr_spark.operators.facets import metric, terms_facet
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 2.0), ("c", 5.0),
+            (None, 100.0), (None, 50.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = terms_facet(df, "k", limit=2, metrics=[metric("avg", "v")],
+                      sort="avg_v desc", all_buckets=True, num_buckets=True,
+                      missing=True).collect()
+    by = {r["bucket"]: r for r in out}
+    # sort by avg desc: b (6.0), c (5.0); a (2.0) cut by limit=2
+    assert [r["bucket"] for r in out[:2]] == ["b", "c"]
+    assert by["b"]["avg_v"] == 6.0 and by["b"]["count"] == 2
+    # allBuckets: all non-null rows regardless of limit
+    assert by["__all__"]["count"] == 5 and by["__all__"]["avg_v"] == 4.2
+    # missing: the NULL-field docs
+    assert by["__missing__"]["count"] == 2 and by["__missing__"]["avg_v"] == 75.0
+    # numBuckets: distinct buckets pre-limit, metrics NULL
+    assert by["__numBuckets__"]["count"] == 3
+    assert by["__numBuckets__"]["avg_v"] is None
+    # index sort + no options: legacy schema (native bucket type, no extras)
+    plain = terms_facet(df, "k", limit=10, sort="index asc").collect()
+    assert [r["bucket"] for r in plain] == ["a", "b", "c"]
+
+
 def test_range_facet_other(spark):
     from solr_spark.operators.facets import range_facet_other
 
