@@ -102,7 +102,7 @@ def _ft_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     index_dir = os.path.join(_SCRATCH, f"ftidx-{tag}-{_FT_CONFIG.config_hash()}")
     os.makedirs(index_dir, exist_ok=True)
     build_index(spark, _docs_as_transcripts(spark, sf_dir), index_dir,
-                _FT_CONFIG, input_token=f"documents-{tag}-w12")
+                _FT_CONFIG, input_token=f"documents-{tag}-w12l")
     return IndexReader.open(index_dir, _FT_CONFIG)
 
 
@@ -420,6 +420,27 @@ def _ft05_sql() -> str:
 WITH {_TOKS_CTE}
 SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE tok LIKE 's%'
+GROUP BY tok ORDER BY df DESC, term LIMIT 10
+"""
+
+
+def _ft22_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzing-infix suggester: mid-word contains-match over the dictionary,
+    df-weighted, matched span highlighted (SolrSuggester.java:56 +
+    AnalyzingInfixLookupFactory.java:39;
+    operators/components.py::suggest_infix)."""
+    from solr_spark.operators.components import suggest_infix
+
+    reader = _ft_index(spark, sf_dir)
+    return suggest_infix(spark, reader.index_dir, "er", k=10)
+
+
+def _ft22_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE}
+SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df,
+       replace(tok, 'er', '<b>er</b>') AS highlighted
+FROM toks WHERE tok LIKE '%er%'
 GROUP BY tok ORDER BY df DESC, term LIMIT 10
 """
 
@@ -2372,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft19_bf_boost": _ft19_bf_boost,
         "ft20_unified_highlight": _ft20_unified_highlight,
         "ft21_sloppy_reversed": _ft21_sloppy_reversed,
+        "ft22_suggest_infix": _ft22_suggest_infix,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -2501,6 +2523,7 @@ cand AS (
         "ft19_bf_boost": _ft19_sql(),
         "ft20_unified_highlight": _ft20_sql(),
         "ft21_sloppy_reversed": _ft21_sql(),
+        "ft22_suggest_infix": _ft22_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

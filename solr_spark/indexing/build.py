@@ -404,8 +404,12 @@ def write_dictionary(spark: SparkSession, index_dir: str, seg_paths: list[str]) 
         F.sum("n_docs").alias("df"),
         F.sum("range_cf").alias("cf"),
         F.max("max_tf").alias("max_tf"),
-    )
+    ).withColumn("tlen", F.length("term"))
+    # tlen is a PLAIN column so fuzzy expansion's length band pushes down to
+    # the parquet scan (F.length(term) never would); sorting by (tlen, term)
+    # clusters row groups so the min/max stats actually prune them.
     (dictionary.repartition(F.col("term_bucket"))
+               .sortWithinPartitions("tlen", "term")
                .write.partitionBy("term_bucket").mode("overwrite")
                .parquet(os.path.join(index_dir, "dictionary")))
 

@@ -97,6 +97,46 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
              .orderBy(F.desc("df"), F.asc("term")).limit(k))
 
 
+def suggest_infix(spark: SparkSession, index_dir: str, query: str,
+                  k: int = 10, highlight: bool = True) -> DataFrame:
+    """Analyzing-infix suggester: contains-match anywhere in the term
+    ("search-as-you-type mid-word"), weighted by document frequency, with the
+    matched span highlighted <b>...</b> like the reference's responses.
+
+    Reference: spelling/suggest/SolrSuggester.java:56 with
+    suggest/fst/AnalyzingInfixLookupFactory.java:39 (Lucene
+    AnalyzingInfixSuggester — the most-used production suggester mode).
+    The lookup touches only the term dictionary (vocabulary-sized);
+    Output: term, df (long)[, highlighted] — ordered df desc, term asc.
+    """
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    out = (d.where(F.col("term").contains(query))
+            .select("term", F.col("df").cast("long").alias("df")))
+    if highlight:
+        out = out.withColumn(
+            "highlighted",
+            F.replace(F.col("term"), F.lit(query), F.lit(f"<b>{query}</b>")))
+    return out.orderBy(F.desc("df"), F.asc("term")).limit(k)
+
+
+def suggest_fuzzy(spark: SparkSession, index_dir: str, word: str,
+                  k: int = 10, max_edits: int = 1) -> DataFrame:
+    """Fuzzy suggester: dictionary terms within `max_edits` Levenshtein of
+    the (possibly mistyped) input, most-frequent first — FuzzyLookupFactory's
+    role (suggest/fst/FuzzyLookupFactory.java) over the live dictionary.
+    Reuses the fuzzy expansion's pushed-down length-band pruning
+    (query/multiterm.py::fuzzy_candidates), so the scan is row-group-pruned,
+    not a vocabulary pass. Output: term, df (long), dist."""
+    from solr_spark.query.multiterm import fuzzy_candidates
+
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    cand = fuzzy_candidates(d, word, max_edits)
+    return (cand.select("term", F.col("df").cast("long").alias("df"),
+                        F.levenshtein(F.col("term"), F.lit(word))
+                         .alias("dist"))
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(k))
+
+
 def enum_terms(spark: SparkSession, index_dir: str, regex: str | None = None,
                lower: str | None = None, upper: str | None = None,
                min_df: int = 1, k: int = 10,

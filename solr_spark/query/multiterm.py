@@ -52,21 +52,34 @@ def expand_wildcard(spark: SparkSession, reader: IndexReader, pattern: str,
     return _top_expansions(d.where(F.col("term").like(like)), max_expansions)
 
 
+def fuzzy_candidates(d: DataFrame, term: str, max_edits: int) -> DataFrame:
+    """Dictionary rows within `max_edits` Levenshtein of `term`.
+
+    The length band |len(t) - len(term)| <= max_edits (a necessary condition
+    for the edit distance) filters on the dictionary's stored `tlen` column —
+    a PLAIN column predicate that reaches the parquet scan as PushedFilters
+    and prunes row groups (the dictionary is written length-clustered), so a
+    fuzzy query reads a sliver of the vocabulary instead of scanning it
+    (the automaton-intersection analog of Lucene's FuzzyQuery; plan-audited).
+    levenshtein's threshold form then short-circuits the DP on survivors."""
+    n = len(term)
+    band = ((F.col("tlen") >= n - max_edits) & (F.col("tlen") <= n + max_edits)
+            if "tlen" in d.columns else  # pre-tlen index layout
+            (F.length("term") >= n - max_edits)
+            & (F.length("term") <= n + max_edits))
+    return d.where(
+        band & (F.levenshtein(F.col("term"), F.lit(term), max_edits) >= 0))
+
+
 def expand_fuzzy(spark: SparkSession, reader: IndexReader, term: str,
                  max_edits: int = 2, max_expansions: int = 50) -> list[str]:
     """Analyzed terms within `max_edits` Levenshtein of `term` (FuzzyQuery).
 
-    The exact term itself is included when present (distance 0), as in Lucene.
-    The scan is JVM-side levenshtein over the dictionary with a cheap length
-    pre-filter (|len(t) - len(term)| <= max_edits — a necessary condition that
-    prunes most of the vocabulary before the quadratic distance)."""
-    d = reader.dictionary(spark)
-    n = len(term)
-    cand = d.where(
-        (F.length("term") >= n - max_edits)
-        & (F.length("term") <= n + max_edits)
-        & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits))
-    return _top_expansions(cand, max_expansions)
+    The exact term itself is included when present (distance 0), as in
+    Lucene. See fuzzy_candidates for the pushed-down pruning."""
+    return _top_expansions(
+        fuzzy_candidates(reader.dictionary(spark), term, max_edits),
+        max_expansions)
 
 
 def _blended_topk(spark: SparkSession, reader: IndexReader,

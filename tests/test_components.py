@@ -37,6 +37,29 @@ def test_suggest_terms(spark, built_index):
     assert out[0]["term"] == "retry"
 
 
+def test_suggest_infix_and_fuzzy(spark, built_index):
+    """Infix suggester: contains-match with <b> highlight, df-ranked; fuzzy
+    suggester: edit-distance lookup over the length-pruned dictionary."""
+    from solr_spark.operators.components import suggest_fuzzy, suggest_infix
+
+    index_dir, cfg, _ = built_index
+    out = suggest_infix(spark, index_dir, "im", k=10).collect()
+    assert out and all("im" in r["term"] for r in out)
+    assert all(r["highlighted"] == r["term"].replace("im", "<b>im</b>")
+               for r in out)
+    dfs = [r["df"] for r in out]
+    assert dfs == sorted(dfs, reverse=True)
+    # "timeout" contains 'im' mid-word — the case prefix suggest can't serve
+    assert "timeout" in {r["term"] for r in out}
+
+    fz = suggest_fuzzy(spark, index_dir, "tymeout", k=5, max_edits=1).collect()
+    assert fz and fz[0]["term"] == "timeout" and fz[0]["dist"] == 1
+    assert all(r["dist"] <= 1 for r in fz)
+    # exact-distance-0 ranks first when present
+    fz0 = suggest_fuzzy(spark, index_dir, "timeout", k=5, max_edits=1).collect()
+    assert fz0[0]["term"] == "timeout" and fz0[0]["dist"] == 0
+
+
 def test_rerank(spark):
     df = spark.createDataFrame(
         [(1, 10.0, 0.0), (2, 9.0, 5.0), (3, 8.0, 0.0), (4, 7.0, 99.0)],

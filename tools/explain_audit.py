@@ -136,6 +136,18 @@ def main() -> None:
         checks.append((
             "edismax hash-aggregated dismax", plan_of(ed),
             ["HashAggregate"], ["CartesianProduct"]))
+
+        # 6b. fuzzy expansion: the length band is a pushed plain-column
+        # filter on the (length-clustered) dictionary scan — no full
+        # vocabulary pass
+        from solr_spark.query.multiterm import fuzzy_candidates
+
+        fc = fuzzy_candidates(reader.dictionary(spark), "tymeout", 1)
+        checks.append((
+            "fuzzy expansion: length band pushed to dictionary scan",
+            plan_of(fc),
+            ["IsNotNull(tlen)", "GreaterThanOrEqual(tlen",
+             "LessThanOrEqual(tlen"], []))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
