@@ -1968,6 +1968,97 @@ FROM u
 """
 
 
+def _q63_igain(spark, sf_dir):
+    """Information-gain feature selection against a binary label
+    (lang == 'en'): the `features`/`igain` stream
+    (solrj-streaming FeaturesSelectionStream.java:62,
+    search/IGainTermsQParserPlugin.java; operators/classify.py::igain_terms).
+    One distinct-(doc,term) explode + one groupBy, closed-form entropy."""
+    from solr_spark.operators.classify import igain_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "text", (F.col("lang") == "en").cast("int").alias("y"))
+    return igain_terms(docs, "text", "y", k=10)
+
+
+_Q63_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+tot AS (SELECT count(*)::DOUBLE AS n, sum(y)::DOUBLE AS pos FROM lab),
+per AS (
+  SELECT tok AS term, count(*)::DOUBLE AS df_t, sum(y)::DOUBLE AS pos_t
+  FROM toks JOIN lab USING (doc_id) GROUP BY tok
+),
+ig AS (
+  SELECT term,
+    (CASE WHEN pos/n > 0 AND pos/n < 1
+          THEN -(pos/n)*ln(pos/n) - (1-pos/n)*ln(1-pos/n) ELSE 0 END)
+    - (df_t/n) * (CASE WHEN pos_t/df_t > 0 AND pos_t/df_t < 1
+          THEN -(pos_t/df_t)*ln(pos_t/df_t)
+               - (1-pos_t/df_t)*ln(1-pos_t/df_t) ELSE 0 END)
+    - (1 - df_t/n) * (CASE WHEN n > df_t
+          AND (pos-pos_t)/(n-df_t) > 0 AND (pos-pos_t)/(n-df_t) < 1
+          THEN -((pos-pos_t)/(n-df_t))*ln((pos-pos_t)/(n-df_t))
+               - (1-(pos-pos_t)/(n-df_t))*ln(1-(pos-pos_t)/(n-df_t))
+          ELSE 0 END) AS ig_raw
+  FROM per CROSS JOIN tot
+)
+SELECT term, round(ig_raw, 6) AS ig FROM ig
+ORDER BY ig_raw DESC, term LIMIT 10
+"""
+
+
+def _q64_interval_facet(spark, sf_dir):
+    """facet.interval (request/IntervalFacets.java:101): arbitrary
+    OVERLAPPING intervals over events.value, one conditional-agg pass
+    (operators/facets.py::interval_facet)."""
+    from solr_spark.operators.facets import interval_facet
+
+    return interval_facet(_t(spark, sf_dir, "events"), "value", {
+        "low": "[*,0.3)",
+        "mid": "[0.25,0.75)",   # overlaps low AND high
+        "high": "[0.5,*]",
+        "all": "(*,*)",
+    })
+
+
+_Q64_SQL = """
+SELECT 'low' AS interval, count(*) FILTER (value < 0.3)::BIGINT AS count
+FROM events
+UNION ALL
+SELECT 'mid', count(*) FILTER (value >= 0.25 AND value < 0.75)::BIGINT
+FROM events
+UNION ALL
+SELECT 'high', count(*) FILTER (value >= 0.5)::BIGINT FROM events
+UNION ALL
+SELECT 'all', count(*)::BIGINT FROM events
+"""
+
+
+def _q65_tlogit(spark, sf_dir):
+    """tlogit logistic-regression training (TextLogitStream.java:61) on the
+    lang=='en' label with igain-selected features; rows-only gate (iterative
+    training has no SQL twin — model quality is pytest-gated: test_classify
+    asserts AUC and exact determinism). Returns the trained weight vector."""
+    from solr_spark.operators.classify import igain_terms, tlogit_train
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "text", (F.col("lang") == "en").cast("int").alias("y"))
+    feats = [r["term"] for r in igain_terms(docs, "text", "y", k=5).collect()]
+    model = tlogit_train(docs, "text", "y", feats, iters=10, lr=1.0)
+    rows = [(t, float(round(w, 6))) for t, w in
+            sorted(model["weights"].items())]
+    rows.append(("__intercept__", float(round(model["intercept"], 6))))
+    return spark.createDataFrame(rows, "term string, weight double")
+
+
 def _dd05_det_split(spark, sf_dir):
     """Deterministic train/val/test split of the documents table: stable
     md5-keyed assignment, bit-reproducible by any engine
@@ -2461,6 +2552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_nrt_add": _q60_nrt_add,
         "q61_range_other": _q61_range_other,
         "q62_facet_bucket_options": _q62_facet_bucket_options,
+        "q63_igain": _q63_igain,
+        "q64_interval_facet": _q64_interval_facet,
+        "q65_tlogit": _q65_tlogit,
         "dd05_det_split": _dd05_det_split,
         "g04_score_nodes": _g04_score_nodes,
         "tx01_text_stats": _tx01_text_stats,
@@ -2813,6 +2907,9 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q60_nrt_add": _q60_sql(),
         "q61_range_other": _Q61_SQL,
         "q62_facet_bucket_options": _Q62_SQL,
+        "q63_igain": _Q63_SQL,
+        "q64_interval_facet": _Q64_SQL,
+        # q65_tlogit: no SQL twin (iterative training) — rows-only by design
         "dd05_det_split": _DD05_SQL,
         "g04_score_nodes": _G04_SQL,
         "tx01_text_stats": f"""

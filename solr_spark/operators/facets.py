@@ -150,6 +150,50 @@ def range_facet_other(df: DataFrame, field: str, start: float, end: float,
                .select("bucket", "count"))
 
 
+def interval_facet(df: DataFrame, field: str,
+                   intervals: dict[str, str]) -> DataFrame:
+    """`facet.interval`: arbitrary, possibly-OVERLAPPING intervals over one
+    field, counted in a SINGLE conditional-aggregation pass (the reference
+    streams doc values once through its interval list —
+    request/IntervalFacets.java:101; we fold all intervals into one scan,
+    same as query_facet).
+
+    Interval syntax is Solr's: '[lo,hi]' / '(lo,hi)' mixes inclusive and
+    exclusive ends, '*' is unbounded (e.g. '[*,10)'). Values parse as
+    numbers when possible, else compare as strings. Output: (interval,
+    count) in request order (Solr returns intervals in request order).
+    """
+    import re
+
+    def bound(raw: str):
+        raw = raw.strip()
+        if raw == "*":
+            return None
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+    v = F.col(field)
+    preds: dict[str, Column] = {}
+    for name, spec in intervals.items():
+        m = re.match(r"^([\[\(])(.*),(.*)([\]\)])$", spec.strip())
+        if not m:
+            raise ValueError(f"bad interval syntax {spec!r}")
+        lo, hi = bound(m.group(2)), bound(m.group(3))
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (v >= lo if m.group(1) == "[" else v > lo)
+        if hi is not None:
+            p = p & (v <= hi if m.group(4) == "]" else v < hi)
+        preds[name] = p
+    row = df.agg(*[F.count(F.when(p, F.lit(1))).alias(n)
+                   for n, p in preds.items()])
+    stack = ", ".join(f"'{n}', `{n}`" for n in preds)
+    return row.select(
+        F.expr(f"stack({len(preds)}, {stack}) as (interval, count)"))
+
+
 def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
     """`query` facets: one bucket per named predicate, computed in a SINGLE pass via
     conditional aggregation + stack (the reference runs one DocSet intersection per

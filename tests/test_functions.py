@@ -316,6 +316,23 @@ def test_terms_facet_bucket_options(spark):
     assert [r["bucket"] for r in plain] == ["a", "b", "c"]
 
 
+def test_interval_facet(spark):
+    """facet.interval: overlapping intervals, Solr bracket syntax, one pass."""
+    import pytest as _pytest
+
+    from solr_spark.operators.facets import interval_facet
+
+    df = spark.createDataFrame([(float(v),) for v in
+                                [0, 1, 2, 5, 5, 7, 10]], "v double")
+    got = {r["interval"]: r["count"] for r in interval_facet(df, "v", {
+        "lo": "[*,5)", "mid": "[2,7]", "hi": "(5,*]",
+        "excl": "(2,5)", "all": "[*,*]",
+    }).collect()}
+    assert got == {"lo": 3, "mid": 4, "hi": 2, "excl": 0, "all": 7}
+    with _pytest.raises(ValueError, match="bad interval"):
+        interval_facet(df, "v", {"x": "5..10"})
+
+
 def test_range_facet_other(spark):
     from solr_spark.operators.facets import range_facet_other
 
