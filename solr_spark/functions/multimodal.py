@@ -37,24 +37,42 @@ META_SCHEMA = "mime string, width int, height int, duration_ms int"
 def _decode_image_bytes(content: bytes, fake: bool) -> np.ndarray:
     """Decode encoded image bytes -> HxWx3 uint8 array.
 
-    REAL implementation requires an image codec (PIL / turbojpeg), which is not
-    available in this environment. The deterministic fake derives an 8x8x3
-    'image' from md5(content) so every downstream kernel has honest array
-    shapes and reproducible values.
+    REAL path (fake=False): pure-Python PPM (P3/P6) and 24bpp BMP decoders
+    (solr_spark/codec/media.py — no PIL needed). Other formats (JPEG/PNG)
+    still require an external codec and raise NotImplementedError. The
+    deterministic fake derives an 8x8x3 'image' from md5(content) so every
+    downstream kernel has honest array shapes and reproducible values.
     """
     if not fake:
+        from solr_spark.codec import media
+
+        if content[:2] in (b"P3", b"P6"):
+            return media.decode_ppm(content)
+        if content[:2] == b"BM":
+            return media.decode_bmp(content)
         raise NotImplementedError(
-            "image decode requires PIL/turbojpeg; pass fake=True for the "
-            "deterministic test codec")
+            "real decode supports PPM/BMP (codec/media.py); JPEG/PNG need "
+            "PIL/turbojpeg — or pass fake=True for the deterministic test "
+            "codec")
     seed = np.frombuffer(hashlib.md5(content).digest(), dtype=np.uint8)
     return np.tile(seed, 12)[: 8 * 8 * 3].reshape(8, 8, 3)
 
 
 def _decode_audio_bytes(content: bytes, sr: int, fake: bool) -> np.ndarray:
-    """Decode audio bytes -> float32 mono PCM at `sr` Hz (1 second in the fake)."""
+    """Decode audio bytes -> float32 mono PCM at `sr` Hz (1 second in the fake).
+
+    REAL path (fake=False): pure-Python RIFF/WAVE PCM decoder + deterministic
+    linear resample to `sr` (codec/media.py). Compressed formats need
+    soundfile/ffmpeg and raise NotImplementedError."""
     if not fake:
+        from solr_spark.codec import media
+
+        if content[:4] == b"RIFF":
+            pcm, rate = media.decode_wav(content)
+            return media.resample_linear(pcm, rate, sr)
         raise NotImplementedError(
-            "audio decode requires soundfile/ffmpeg; pass fake=True for the "
+            "real decode supports WAV PCM (codec/media.py); compressed audio "
+            "needs soundfile/ffmpeg — or pass fake=True for the "
             "deterministic test codec")
     seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
     rng = np.random.default_rng(seed)
