@@ -90,3 +90,62 @@ def ltr_rerank(topk: DataFrame, features: Mapping[str, Column | str],
              if trees is not None
              else linear_model_score(features, weights, intercept))
     return rerank(topk, model, rerank_docs=rerank_docs, first_sort=first_sort)
+
+
+def team_draft_interleave(list_a: DataFrame, list_b: DataFrame,
+                          k: int | None = None, seed: int = 0,
+                          id_col: str = "docid") -> DataFrame:
+    """TeamDraft interleaving of two ranked lists for online model A/B
+    evaluation (reference: modules/ltr/.../interleaving/
+    TeamDraftInterleaving.java via Interleaving.java): the team with fewer
+    picks so far drafts its highest-ranked not-yet-picked doc; equal-size
+    ties flip a seeded coin (the reference uses java.util.Random the same
+    way — pass `seed` for reproducibility).
+
+    Inputs are ranked DataFrames (id_col ordered by a `rank` column if
+    present, else input order). Interleaved lists are rerank-window-sized
+    (top-k), so the draft itself runs driver-side on two collected k-row
+    lists — same shape as the reference, which interleaves two in-memory
+    ScoreDoc arrays. Output: (rank, <id_col>, team) with team 'A'/'B'.
+
+    Invariants (pinned by tests, mirroring TeamDraftInterleavingTest): no
+    duplicate docs; |picks(A) - picks(B)| <= 1 when both lists can still
+    supply docs; each team's picks preserve that list's relative order.
+    """
+    import random
+
+    def ordered_ids(df: DataFrame) -> list:
+        cols = df.columns
+        rows = (df.orderBy("rank").collect() if "rank" in cols
+                else df.collect())
+        return [r[id_col] for r in rows]
+
+    a, b = ordered_ids(list_a), ordered_ids(list_b)
+    rng = random.Random(seed)
+    picked: set = set()
+    out: list[tuple[int, object, str]] = []
+    na = nb = 0
+    ia = ib = 0
+    limit = k if k is not None else len(a) + len(b)
+    while len(out) < limit:
+        while ia < len(a) and a[ia] in picked:
+            ia += 1
+        while ib < len(b) and b[ib] in picked:
+            ib += 1
+        a_ok, b_ok = ia < len(a), ib < len(b)
+        if not a_ok and not b_ok:
+            break
+        take_a = (a_ok and not b_ok) or (
+            a_ok and b_ok and (na < nb or (na == nb and rng.random() < 0.5)))
+        if take_a:
+            doc, team = a[ia], "A"
+            na += 1
+        else:
+            doc, team = b[ib], "B"
+            nb += 1
+        picked.add(doc)
+        out.append((len(out) + 1, doc, team))
+    spark = list_a.sparkSession
+    id_type = list_a.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} {id_type}, team string")

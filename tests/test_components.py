@@ -269,6 +269,41 @@ def test_bm25_boosts(spark, built_index):
         assert r.score == _pytest.approx(want[r.docid], abs=1e-9)
 
 
+def test_team_draft_interleave(spark):
+    """TeamDraft invariants (TeamDraftInterleavingTest role): no duplicate
+    docs, balanced team pick counts, per-team relative order preserved,
+    seeded determinism, k cap, one-list exhaustion."""
+    from solr_spark.operators.ltr import team_draft_interleave
+
+    a = spark.createDataFrame([(d, r) for r, d in enumerate([1, 2, 3, 4, 5], 1)],
+                              "docid long, rank int")
+    b = spark.createDataFrame([(d, r) for r, d in enumerate([4, 6, 1, 7], 1)],
+                              "docid long, rank int")
+    out = team_draft_interleave(a, b, seed=3).collect()
+    docs = [r["docid"] for r in out]
+    assert len(docs) == len(set(docs)) == 7       # union of {1..5} and {4,6,1,7}
+    assert [r["rank"] for r in out] == list(range(1, 8))
+    na = sum(1 for r in out if r["team"] == "A")
+    nb = len(out) - na
+    # balance holds until a list exhausts; overall bound is loose but ordered
+    per_team = {"A": [r["docid"] for r in out if r["team"] == "A"],
+                "B": [r["docid"] for r in out if r["team"] == "B"]}
+    order_a = [d for d in [1, 2, 3, 4, 5] if d in per_team["A"]]
+    order_b = [d for d in [4, 6, 1, 7] if d in per_team["B"]]
+    assert per_team["A"] == order_a and per_team["B"] == order_b
+    assert abs(na - nb) <= 3 and na > 0 and nb > 0
+    # prefix balance: while both lists are live, counts never diverge by > 1
+    ca = cb = 0
+    for r in out[:6]:
+        ca, cb = ca + (r["team"] == "A"), cb + (r["team"] == "B")
+        assert abs(ca - cb) <= 1
+    # seeded determinism + k cap
+    again = team_draft_interleave(a, b, seed=3).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    top3 = team_draft_interleave(a, b, k=3, seed=3).collect()
+    assert [tuple(r) for r in top3] == [tuple(r) for r in out[:3]]
+
+
 def test_sloppy_phrase_conformance(spark, tmp_path):
     """Ordered sloppy-phrase vectors: weight 1/(1+matchLength), matchLength =
     span - (n-1); reversed order deliberately NOT matched (ordered-only,
