@@ -739,6 +739,58 @@ ORDER BY score DESC, m.doc_id LIMIT 80
 """
 
 
+def _ft23_span_near_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested span algebra `2W(OR(fast, slow), scan)` — an ordered span-near
+    whose first clause is a span-or (surround parser family,
+    SurroundQParserPlugin.java:41; query/spans.py set-valued semantics:
+    tf = |distinct (start, end) spans|, BM25 like the phrase path)."""
+    from solr_spark.query.spans import SpanNear, SpanOr, SpanTerm, span_topk
+
+    reader = _ft_index(spark, sf_dir)
+    q = SpanNear([SpanOr(SpanTerm("fast"), SpanTerm("slow")),
+                  SpanTerm("scan")], slop=2, ordered=True)
+    topk = span_topk(spark, reader, q, k=20)
+    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+
+
+def _ft23_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    # unit spans: or-clause at p1, 'scan' at p2; ordered => p2 >= p1+1;
+    # width rule (p2+1 - p1) - 2 <= slop(2) => p2 - p1 <= 3; span = (p1, p2+1)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS p
+  FROM raw WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+u AS (SELECT doc_id, p FROM filtered WHERE tok IN ('fast', 'slow')),
+sc AS (SELECT doc_id, p FROM filtered WHERE tok = 'scan'),
+spans AS (
+  SELECT DISTINCT u.doc_id, u.p AS p1, sc.p AS p2
+  FROM u JOIN sc ON sc.doc_id = u.doc_id
+  WHERE sc.p >= u.p + 1 AND sc.p - u.p <= 3
+),
+m AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM spans GROUP BY doc_id),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1.0 + (c.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+              * m.tf / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 def _ft14_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-expanded scored fuzzy query `vectr~1` (QParserPlugin.java
     fuzzy entry; Lucene TopTermsBlendedFreqScoringRewrite shape): expansion
@@ -1112,7 +1164,7 @@ def _ft19_bf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     readers = {"text": _ft_index(spark, sf_dir),
                "title": _ft_title_index(spark, sf_dir)}
     docs = _t(spark, sf_dir, "documents").select(
-        F.format_string("%06d", F.col("doc_id")).alias("conv_id"),
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
         "doc_id", "n_chars")
     dm = readers["text"].doc_map(spark).join(docs, "conv_id")
     bf = dm.select("docid",
@@ -2485,6 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft20_unified_highlight": _ft20_unified_highlight,
         "ft21_sloppy_reversed": _ft21_sloppy_reversed,
         "ft22_suggest_infix": _ft22_suggest_infix,
+        "ft23_span_near_or": _ft23_span_near_or,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -2618,6 +2671,7 @@ cand AS (
         "ft20_unified_highlight": _ft20_sql(),
         "ft21_sloppy_reversed": _ft21_sql(),
         "ft22_suggest_infix": _ft22_sql(),
+        "ft23_span_near_or": _ft23_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
