@@ -2020,6 +2020,87 @@ FROM u
 """
 
 
+_MINHASH_QUERY = "fast merge scan spark vector window"
+
+
+def _dd06_minhash_query(spark, sf_dir):
+    """{!minhash} query parser (search/MinHashQParser.java:45): docs similar
+    to the query TEXT by minhash-signature overlap, sim = matched fraction of
+    16 signature parts (functions/dedup.py::minhash_query)."""
+    from solr_spark.functions.dedup import minhash_query
+
+    return minhash_query(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                         _MINHASH_QUERY, num_hashes=16, k=10)
+
+
+_DD06_SQL = """
+WITH rawtoks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ) WHERE tok <> ''
+),
+seeded AS (
+    SELECT doc_id, seed, md5(seed || ':' || tok) AS h
+    FROM rawtoks CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+),
+sig AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+qsig AS (
+    SELECT seed, min(md5(seed || ':' || tok)) AS minhash
+    FROM (SELECT unnest(['fast','merge','scan','spark','vector','window']) AS tok)
+    CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+    GROUP BY seed
+),
+m AS (
+    SELECT d.doc_id, count(*) / 16.0 AS sim
+    FROM sig d JOIN qsig q ON q.seed = d.seed AND q.minhash = d.minhash
+    GROUP BY d.doc_id
+)
+SELECT doc_id, sim FROM m ORDER BY sim DESC, doc_id LIMIT 10
+"""
+
+
+def _q66_geo_polygon(spark, sf_dir):
+    """Polygon Intersects filter over point fields (RPT family,
+    schema/AbstractSpatialPrefixTreeFieldType.java:40): literal-triangle
+    even-odd ray casting unrolled into Column algebra
+    (functions/geo.py::polygon_contains); coordinates derived from keys as
+    in q34 (no geo columns in the fixture tables)."""
+    from solr_spark.functions.geo import polygon_contains
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("lat", (F.col("c_custkey") % 180 - 90) + F.lit(0.5))
+         .withColumn("lon", (F.col("c_custkey") * 7 % 360 - 180) + F.lit(0.5)))
+    tri = [(-10.0, -20.0), (70.0, 0.0), (20.0, 90.0)]
+    return (c.where(polygon_contains("lat", "lon", tri))
+             .select("c_custkey", "lat", "lon").orderBy("c_custkey"))
+
+
+_Q66_SQL = """
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 180 - 90) + 0.5 AS lat,
+         (c_custkey * 7 % 360 - 180) + 0.5 AS lon
+  FROM customer
+),
+hits AS (
+  SELECT c_custkey, lat, lon,
+      (CASE WHEN ((-10.0 > lat) <> (70.0 > lat))
+            AND lon < (0.0 - (-20.0)) * (lat - (-10.0)) / (70.0 - (-10.0)) + (-20.0)
+            THEN 1 ELSE 0 END
+     + CASE WHEN ((70.0 > lat) <> (20.0 > lat))
+            AND lon < (90.0 - 0.0) * (lat - 70.0) / (20.0 - 70.0) + 0.0
+            THEN 1 ELSE 0 END
+     + CASE WHEN ((20.0 > lat) <> (-10.0 > lat))
+            AND lon < ((-20.0) - 90.0) * (lat - 20.0) / ((-10.0) - 20.0) + 90.0
+            THEN 1 ELSE 0 END) AS crossings
+  FROM pts
+  WHERE lat BETWEEN -10.0 AND 70.0 AND lon BETWEEN -20.0 AND 90.0
+)
+SELECT c_custkey, lat, lon FROM hits
+WHERE crossings % 2 = 1 ORDER BY c_custkey
+"""
+
+
 def _q63_igain(spark, sf_dir):
     """Information-gain feature selection against a binary label
     (lang == 'en'): the `features`/`igain` stream
@@ -2606,6 +2687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_range_other": _q61_range_other,
         "q62_facet_bucket_options": _q62_facet_bucket_options,
         "q63_igain": _q63_igain,
+        "q66_geo_polygon": _q66_geo_polygon,
+        "dd06_minhash_query": _dd06_minhash_query,
         "q64_interval_facet": _q64_interval_facet,
         "q65_tlogit": _q65_tlogit,
         "dd05_det_split": _dd05_det_split,
@@ -2962,6 +3045,8 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q61_range_other": _Q61_SQL,
         "q62_facet_bucket_options": _Q62_SQL,
         "q63_igain": _Q63_SQL,
+        "q66_geo_polygon": _Q66_SQL,
+        "dd06_minhash_query": _DD06_SQL,
         "q64_interval_facet": _Q64_SQL,
         # q65_tlogit: no SQL twin (iterative training) — rows-only by design
         "dd05_det_split": _DD05_SQL,

@@ -108,6 +108,43 @@ def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                   .select("id_a", "id_b", "jaccard"))
 
 
+def minhash_query(df: DataFrame, id_col: str, text_col: str, query_text: str,
+                  num_hashes: int = 16, k: int = 10,
+                  min_sim: float = 0.0) -> DataFrame:
+    """`{!minhash}` query parser: find documents similar to QUERY TEXT by
+    minhash-signature overlap (reference:
+    solr/core/src/java/org/apache/solr/search/MinHashQParser.java:45 — a
+    boolean query over the query's minhash tokens whose score is the matched
+    fraction of signature parts).
+
+    sim(doc) = |{seeds s : minhash_s(doc) == minhash_s(query)}| / num_hashes —
+    the standard unbiased Jaccard estimate. The query's signature is computed
+    driver-side with the SAME md5 scheme as minhash_signatures and rides in as
+    a broadcast literal map; one signature aggregation + one tiny groupBy per
+    query, never an all-pairs pass. Output: id, sim (desc, id asc), top-k,
+    sim >= min_sim (> 0 always — non-matching docs never surface, like the
+    reference's boolean SHOULD semantics).
+    """
+    import hashlib
+
+    qtoks = sorted({t for t in query_text.split() if t})
+    if not qtoks:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+                f"sim double")
+    qsig = {s: min(hashlib.md5(f"{s}:{t}".encode()).hexdigest()
+                   for t in qtoks)
+            for s in range(num_hashes)}
+    sig = minhash_signatures(df, id_col, text_col, num_hashes)
+    qmap = F.create_map(*[x for s in range(num_hashes)
+                          for x in (F.lit(s), F.lit(qsig[s]))])
+    matched = sig.where(F.col("minhash") == qmap[F.col("seed")])
+    sim = (F.count(F.lit(1)) / float(num_hashes)).alias("sim")
+    return (matched.groupBy(id_col).agg(sim)
+                   .where(F.col("sim") >= max(min_sim, 1e-12))
+                   .orderBy(F.desc("sim"), F.asc(id_col)).limit(k))
+
+
 # --------------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

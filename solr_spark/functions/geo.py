@@ -78,3 +78,44 @@ def geo_grid_cell(lat_col: Column | str, lon_col: Column | str,
     row = F.floor((_c(lat_col) + F.lit(90.0)) / F.lit(float(cell_deg)))
     colc = F.floor((_c(lon_col) + F.lit(180.0)) / F.lit(float(cell_deg)))
     return F.concat_ws(":", row.cast("long"), colc.cast("long"))
+
+
+def polygon_contains(lat_col: Column | str, lon_col: Column | str,
+                     polygon: list[tuple[float, float]]) -> Column:
+    """Point-in-polygon predicate for a LITERAL polygon — the RPT/geometry
+    family's `Intersects(POLYGON(...))` filter over point fields (reference:
+    schema/AbstractSpatialPrefixTreeFieldType.java:40 + the spatial-extras
+    RptWithGeometrySpatialField; we support point-column vs literal-polygon,
+    the common filtering shape — polygon COLUMNS remain out of scope).
+
+    Even-odd ray casting in planar (lat, lon) coordinates: the edge list is
+    a literal, so the crossing test unrolls into pure JVM Column algebra
+    (whole-stage codegen, pushdown-friendly conjunction with a bbox
+    pre-filter). Vertices: [(lat, lon), ...], closed implicitly. Points ON an
+    edge follow the half-open crossing rule (deterministic, engine-portable).
+    """
+    if len(polygon) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    lat, lon = _c(lat_col), _c(lon_col)
+    crossings: Column | None = None
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = polygon[i]
+        y2, x2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray test
+        cond = (
+            ((F.lit(float(y1)) > lat) != (F.lit(float(y2)) > lat))
+            & (lon < (F.lit(float(x2 - x1)) * (lat - F.lit(float(y1)))
+                      / F.lit(float(y2 - y1)) + F.lit(float(x1))))
+        )
+        c = cond.cast("int")
+        crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        return F.lit(False)
+    # bbox pre-filter keeps the unrolled edge tests off non-candidate rows
+    lats = [p[0] for p in polygon]
+    lons = [p[1] for p in polygon]
+    in_box = (lat.between(min(lats), max(lats))
+              & lon.between(min(lons), max(lons)))
+    return in_box & (crossings % 2 == 1)

@@ -342,3 +342,21 @@ def test_range_facet_other(spark):
            for r in range_facet_other(df, "v", 5.0, 20.0, 5.0).collect()}
     assert got == {"5.0": 2, "10.0": 1, "15.0": 1,
                    "before": 2, "after": 2, "between": 4}
+
+
+def test_minhash_query(spark, docs):
+    """{!minhash} parser: identical text estimates sim 1.0; shuffled token
+    order too (order-free token sets); disjoint content never surfaces."""
+    from solr_spark.functions.dedup import minhash_query
+
+    q = "the quick brown fox jumps over the lazy dog"  # == doc 0 and dup 2
+    got = {r["doc_id"]: r["sim"] for r in
+           minhash_query(docs, "doc_id", "text", q, num_hashes=16,
+                         k=10).collect()}
+    assert got[0] == 1.0 and got[2] == 1.0
+    assert got[4] == 1.0            # shuffled word order, same token set
+    assert 3 not in got             # disjoint content
+    top = minhash_query(docs, "doc_id", "text", q, num_hashes=16,
+                        k=2).collect()
+    assert [r["doc_id"] for r in top] == [0, 2]  # sim desc, id asc
+    assert minhash_query(docs, "doc_id", "text", "  ", k=5).collect() == []

@@ -132,3 +132,49 @@ def test_jw_udf(spark):
     got = [r[0] for r in df.select(jaro_winkler("a", "b")).collect()]
     assert abs(got[0] - 0.9611111111111111) < 1e-12
     assert got[1] == 0.0
+
+
+def test_polygon_contains(spark):
+    """Even-odd ray casting: inside/outside/bbox-cut points of a triangle,
+    and a concave quad where the bbox alone would be wrong."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.functions.geo import polygon_contains
+
+    tri = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    pts = [(1.0, 1.0, True),    # inside
+           (9.0, 9.0, False),   # inside the bbox, outside the hypotenuse
+           (-1.0, 5.0, False),  # outside bbox
+           (5.0, 4.0, True)]
+    df = spark.createDataFrame([(la, lo) for la, lo, _ in pts],
+                               "lat double, lon double")
+    got = [r[0] for r in
+           df.select(polygon_contains("lat", "lon", tri)).collect()]
+    assert got == [w for _, _, w in pts]
+
+    # concave "arrow": (0,0) (4,2) (0,4) (8,2) — centroid-side points differ
+    arrow = [(0.0, 0.0), (2.0, 4.0), (4.0, 0.0), (2.0, 8.0)]
+    df2 = spark.createDataFrame([(2.0, 1.0), (2.0, 5.0), (2.0, 3.0)],
+                                "lat double, lon double")
+    got2 = [r[0] for r in
+            df2.select(polygon_contains("lat", "lon", arrow)).collect()]
+    # ray casting handles concavity: in, in, and the notch depends on shape —
+    # pin against a pure-Python twin
+    def twin(lat, lon):
+        c = 0
+        n = len(arrow)
+        for i in range(n):
+            y1, x1 = arrow[i]
+            y2, x2 = arrow[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if ((y1 > lat) != (y2 > lat)) and \
+                    lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1:
+                c += 1
+        return c % 2 == 1
+    assert got2 == [twin(2.0, 1.0), twin(2.0, 5.0), twin(2.0, 3.0)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        polygon_contains("lat", "lon", [(0.0, 0.0), (1.0, 1.0)])
