@@ -122,6 +122,8 @@ def read_transcripts(
             fmt = "json"
         elif source.endswith(".csv"):
             fmt = "csv"
+        elif source.endswith((".arrow", ".arrows", ".feather", ".ipc")):
+            fmt = "arrow"
         else:
             fmt = "parquet"
     if fmt == "table":
@@ -132,7 +134,44 @@ def read_transcripts(
         df = spark.read.schema(TRANSCRIPT_SCHEMA).csv(source, header=True)
     elif fmt == "parquet":
         df = spark.read.parquet(source)
+    elif fmt == "arrow":
+        df = _read_arrow_ipc(spark, source)
     else:
         raise ValueError(f"unknown transcript format {fmt!r}")
     token = input_fingerprint(spark, source if fmt == "table" else None, df)
     return validate_transcripts(df, strict=strict), token
+
+
+def _read_arrow_ipc(spark: SparkSession, source: str) -> DataFrame:
+    """Binary-ingest role (JavabinLoader/CborLoader analog, SURVEY §2.1):
+    Arrow IPC / Feather-v2 files, decoded DISTRIBUTED — `binaryFile` hands
+    each file's bytes to one task, `mapInArrow` streams its record batches
+    out zero-copy. Memory per task is bounded by one IPC file (write many
+    small files at scale, exactly like parquet). Columns resolve by name;
+    extra columns are dropped, missing nullable columns fill with null."""
+    fields = [(f.name, f.dataType.simpleString()) for f in TRANSCRIPT_SCHEMA]
+    ddl = ", ".join(f"{n} {t}" for n, t in fields)
+
+    def decode(batches):
+        import pyarrow as pa
+
+        target = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("role", pa.string()), ("text", pa.string()),
+            ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ])
+        for b in batches:
+            for blob in b.column("content"):
+                reader = pa.ipc.open_file(pa.BufferReader(blob.as_py()))
+                for i in range(reader.num_record_batches):
+                    rb = reader.get_batch(i)
+                    cols = []
+                    for name, typ in zip(target.names, target.types):
+                        if name in rb.schema.names:
+                            cols.append(rb.column(name).cast(typ))
+                        else:
+                            cols.append(pa.nulls(rb.num_rows, typ))
+                    yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+    return (spark.read.format("binaryFile").load(source)
+            .select("content").mapInArrow(decode, ddl))

@@ -74,3 +74,36 @@ def test_catalog_table_fingerprint(spark, corpus_dir):
     assert df.count() == 200
     assert token.startswith("files-")
     assert input_fingerprint(spark, "transcripts_v").startswith("files-")
+
+
+def test_arrow_ipc_reader(spark, tmp_path):
+    """Binary ingest (JavabinLoader/CborLoader role): Arrow IPC files decode
+    distributed via binaryFile + mapInArrow; columns resolve by name, missing
+    nullable columns fill with null, extra columns drop."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    rows = {
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+        "text": ["hello world", "error timeout", "retry merge"],
+        "role": ["u", "a", "u"],
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * 3,
+                       type=pa.timestamp("us")),
+        "extra_col": [1, 2, 3],    # dropped
+        # 'tool' missing -> null
+    }
+    t = pa.table(rows)
+    for name, (off, n) in [("a.arrow", (0, 2)), ("b.arrow", (2, 1))]:
+        with pa.ipc.new_file(str(tmp_path / name), t.schema) as w:
+            w.write_table(t.slice(off, n))
+    df, token = read_transcripts(spark, str(tmp_path) + "/*.arrow")
+    got = sorted((r.conv_id, r.turn_idx, r.text, r.tool)
+                 for r in df.collect())
+    assert got == [("c1", 0, "hello world", None),
+                   ("c1", 1, "error timeout", None),
+                   ("c2", 0, "retry merge", None)]
+    assert df.schema["turn_idx"].dataType.simpleString() == "int"
+    assert token.startswith("files-")
