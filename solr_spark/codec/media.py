@@ -147,7 +147,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 def encode_wav(pcm: np.ndarray, rate: int) -> bytes:
     """float [-1,1] mono -> 16-bit PCM WAV."""
     samples = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
-    raw = (samples * 32767.0).astype("<i2").tobytes()
+    raw = np.round(samples * 32767.0).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
             + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt

@@ -162,7 +162,8 @@ def test_multimodal_real_bytes_end_to_end(spark):
         [(0, media.encode_wav(pcm, 1600))], "media_id long, content binary")
     af = audio_features(adf, sr=1600, n_bands=4, fake=False).collect()
     spec = np.abs(np.fft.rfft(
-        media.resample_linear((np.clip(pcm, -1, 1) * 32767).astype("<i2")
+        media.resample_linear(np.round(np.clip(pcm, -1, 1) * 32767.0)
+                              .astype("<i2")
                               .astype(np.float32) / 32768.0, 1600, 1600)))
     want = [float(b.mean()) for b in np.array_split(spec, 4)]
     assert np.allclose(af[0]["features"], want, rtol=1e-5)
