@@ -2101,6 +2101,40 @@ WHERE crossings % 2 = 1 ORDER BY c_custkey
 """
 
 
+def _q67_facet2d(spark, sf_dir):
+    """facet2D() stream (Facet2DStream.java): top-3 lang x top-4 source cells
+    with avg(n_chars) (operators/facets.py::facet_2d — one (x,y) groupBy +
+    outer-total rank + per-outer window, no per-bucket re-query)."""
+    from solr_spark.operators.facets import facet_2d, metric
+
+    out = facet_2d(_t(spark, sf_dir, "documents"), "lang", "source",
+                   limit_x=3, limit_y=4,
+                   metrics=[metric("avg", "n_chars")])
+    return out.select("x", "y", "count",
+                      F.round("avg_n_chars", 4).alias("avg_n_chars"))
+
+
+_Q67_SQL = """
+WITH cell AS (
+  SELECT lang AS x, source AS y, count(*)::BIGINT AS count,
+         avg(n_chars) AS avg_n_chars
+  FROM documents GROUP BY 1, 2
+),
+outer_rank AS (
+  SELECT x, sum(count) AS xtot FROM cell GROUP BY x
+  ORDER BY xtot DESC, x LIMIT 3
+),
+ranked AS (
+  SELECT c.x, c.y, c.count, c.avg_n_chars,
+         row_number() OVER (PARTITION BY c.x
+                            ORDER BY c.count DESC, c.y) AS rn
+  FROM cell c JOIN outer_rank USING (x)
+)
+SELECT x, y, count, round(avg_n_chars, 4) AS avg_n_chars
+FROM ranked WHERE rn <= 4
+"""
+
+
 def _q63_igain(spark, sf_dir):
     """Information-gain feature selection against a binary label
     (lang == 'en'): the `features`/`igain` stream
@@ -2688,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_facet_bucket_options": _q62_facet_bucket_options,
         "q63_igain": _q63_igain,
         "q66_geo_polygon": _q66_geo_polygon,
+        "q67_facet2d": _q67_facet2d,
         "dd06_minhash_query": _dd06_minhash_query,
         "q64_interval_facet": _q64_interval_facet,
         "q65_tlogit": _q65_tlogit,
@@ -3046,6 +3081,7 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q62_facet_bucket_options": _Q62_SQL,
         "q63_igain": _Q63_SQL,
         "q66_geo_polygon": _Q66_SQL,
+        "q67_facet2d": _Q67_SQL,
         "dd06_minhash_query": _DD06_SQL,
         "q64_interval_facet": _Q64_SQL,
         # q65_tlogit: no SQL twin (iterative training) — rows-only by design

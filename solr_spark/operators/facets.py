@@ -150,6 +150,30 @@ def range_facet_other(df: DataFrame, field: str, start: float, end: float,
                .select("bucket", "count"))
 
 
+def facet_2d(df: DataFrame, x: str, y: str, limit_x: int = 5,
+             limit_y: int = 3, metrics: Sequence[Column] = ()) -> DataFrame:
+    """`facet2D()` stream: top-X outer buckets (by total count), top-Y inner
+    buckets per outer, with per-cell count + metrics (reference:
+    solrj-streaming/.../io/stream/Facet2DStream.java — dimensions=(X, Y)).
+
+    One (x, y) groupBy produces every cell, outer totals rank the X cut, and
+    a per-outer window takes the Y cut — two exchanges total, no per-bucket
+    re-query, no refinement (exact, like all facets here). Output:
+    (x, y, count, *metrics) ordered by outer total desc, x, count desc, y.
+    """
+    cell = df.groupBy(F.col(x).alias("x"), F.col(y).alias("y")).agg(
+        F.count(F.lit(1)).alias("count"), *metrics)
+    top_outer = (cell.groupBy("x").agg(F.sum("count").alias("_xtot"))
+                 .orderBy(F.desc("_xtot"), F.asc("x")).limit(limit_x))
+    w = Window.partitionBy("x").orderBy(F.desc("count"), F.asc("y"))
+    return (cell.join(F.broadcast(top_outer), "x")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= limit_y)
+                .orderBy(F.desc("_xtot"), F.asc("x"),
+                         F.desc("count"), F.asc("y"))
+                .drop("_rn", "_xtot"))
+
+
 def interval_facet(df: DataFrame, field: str,
                    intervals: dict[str, str]) -> DataFrame:
     """`facet.interval`: arbitrary, possibly-OVERLAPPING intervals over one

@@ -360,3 +360,17 @@ def test_minhash_query(spark, docs):
                         k=2).collect()
     assert [r["doc_id"] for r in top] == [0, 2]  # sim desc, id asc
     assert minhash_query(docs, "doc_id", "text", "  ", k=5).collect() == []
+
+
+def test_facet_2d(spark):
+    """facet2D: top-X outer by total, top-Y inner per outer, exact counts."""
+    from solr_spark.operators.facets import facet_2d
+
+    rows = ([("a", "p")] * 5 + [("a", "q")] * 3 + [("a", "r")] * 1
+            + [("b", "p")] * 4 + [("b", "q")] * 2
+            + [("c", "p")] * 1)
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = facet_2d(df, "x", "y", limit_x=2, limit_y=2).collect()
+    got = [(r["x"], r["y"], r["count"]) for r in out]
+    # outer cut: a (9), b (6); c dropped. inner cut per outer: top-2 by count
+    assert got == [("a", "p", 5), ("a", "q", 3), ("b", "p", 4), ("b", "q", 2)]
