@@ -198,3 +198,78 @@ class LocalSearcher:
              "docid": -neg, "score": s, "rank": r + 1}
             for r, (s, neg) in enumerate(out)
         ]
+
+    # ------------------------------------------------------- serving suggest
+    # The suggester family belongs on the serving tier (autocomplete needs
+    # millisecond latency, not a Spark job): the dictionary is already fully
+    # resident here, so these are in-process twins of
+    # operators/components.py::suggest_terms / suggest_infix / suggest_fuzzy
+    # with identical ranking (parity pytest-asserted in test_local).
+
+    @property
+    def _sorted_terms(self) -> list[str]:
+        if not hasattr(self, "_terms_sorted"):
+            self._terms_sorted = sorted(self._df)
+        return self._terms_sorted
+
+    def suggest(self, prefix: str, k: int = 10) -> list[dict]:
+        """Prefix suggester: bisect the sorted dictionary to the prefix range
+        (no vocabulary scan), rank df desc, term asc."""
+        import bisect
+
+        ts = self._sorted_terms
+        lo = bisect.bisect_left(ts, prefix)
+        hi = bisect.bisect_left(ts, prefix[:-1] + chr(ord(prefix[-1]) + 1)) \
+            if prefix else len(ts)
+        cand = ts[lo:hi]
+        top = heapq.nsmallest(k, cand, key=lambda t: (-int(self._df[t]), t))
+        return [{"term": t, "df": int(self._df[t])} for t in top]
+
+    def suggest_infix(self, query: str, k: int = 10,
+                      highlight: bool = True) -> list[dict]:
+        """Analyzing-infix suggester (AnalyzingInfixLookupFactory role):
+        contains-match over the resident vocabulary, df-ranked."""
+        cand = [t for t in self._df if query in t]
+        top = heapq.nsmallest(k, cand, key=lambda t: (-int(self._df[t]), t))
+        out = []
+        for t in top:
+            row = {"term": t, "df": int(self._df[t])}
+            if highlight:
+                row["highlighted"] = t.replace(query, f"<b>{query}</b>")
+            out.append(row)
+        return out
+
+    def suggest_fuzzy(self, word: str, k: int = 10,
+                      max_edits: int = 1) -> list[dict]:
+        """Fuzzy suggester: length-banded, capped-DP Levenshtein over the
+        vocabulary (the serving twin of the pushed tlen filter), ranked
+        (dist asc, df desc, term asc)."""
+        n = len(word)
+        hits = []
+        for t in self._df:
+            if abs(len(t) - n) > max_edits:
+                continue
+            d = _levenshtein_capped(t, word, max_edits)
+            if d <= max_edits:
+                hits.append((d, -int(self._df[t]), t))
+        top = heapq.nsmallest(k, hits)
+        return [{"term": t, "df": -negdf, "dist": d} for d, negdf, t in top]
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Edit distance with early exit once every cell in a row exceeds cap."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < best:
+                best = v
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]

@@ -81,3 +81,40 @@ def test_local_latency_budget(built):
         ls.search("error timeout retry", k=10)
     per_q = (time.time() - t0) / 20
     assert per_q < 0.2, f"warm local query took {per_q:.3f}s"
+
+
+def test_local_suggesters_match_spark_path(spark, built):
+    """Serving-path suggest/suggest_infix/suggest_fuzzy are rank-identical to
+    the operators/components.py Spark implementations on the same index."""
+    from solr_spark.operators.components import (
+        suggest_fuzzy,
+        suggest_infix,
+        suggest_terms,
+    )
+
+    ls = LocalSearcher(IndexReader.open(built, CFG))
+
+    want = [(r.term, r.df) for r in suggest_terms(spark, built, "re", k=8).collect()]
+    got = [(r["term"], r["df"]) for r in ls.suggest("re", k=8)]
+    assert got == want and got
+
+    want = [(r.term, r.df, r.highlighted)
+            for r in suggest_infix(spark, built, "im", k=8).collect()]
+    got = [(r["term"], r["df"], r["highlighted"])
+           for r in ls.suggest_infix("im", k=8)]
+    assert got == want and got
+    assert any("<b>im</b>" in h for _, _, h in got)
+
+    want = [(r.term, r.df, r.dist)
+            for r in suggest_fuzzy(spark, built, "tymeout", k=5,
+                                   max_edits=1).collect()]
+    got = [(r["term"], r["df"], r["dist"])
+           for r in ls.suggest_fuzzy("tymeout", k=5, max_edits=1)]
+    assert got == want and got[0][0] == "timeout"
+
+    # warm serving latency: vocabulary-sized work, milliseconds
+    t0 = time.time()
+    for _ in range(20):
+        ls.suggest("re", k=8)
+        ls.suggest_infix("im", k=8)
+    assert (time.time() - t0) / 40 < 0.05
