@@ -199,6 +199,25 @@ def main() -> None:
                 "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
             }
 
+        # serving-path suggesters (same tier): warm per-call p50 in ms-range
+        for sname, call in (
+                ("suggest_prefix", lambda: searcher.suggest("re", k=10)),
+                ("suggest_infix",
+                 lambda: searcher.suggest_infix("im", k=10)),
+                ("suggest_fuzzy",
+                 lambda: searcher.suggest_fuzzy("tymeout", k=5))):
+            call()  # warm (sorted-vocab build on first prefix call)
+            series = []
+            for _ in range(max(reps, 5)):
+                t0 = time.time()
+                call()
+                series.append(round(time.time() - t0, 4))
+            s = sorted(series)
+            local_latency[sname] = {
+                "p50": s[len(s) // 2],
+                "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+            }
+
         # ---- operator headliners over the sf tables
         def t(name: str, fn) -> None:
             t0 = time.time()
