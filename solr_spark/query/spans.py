@@ -109,6 +109,18 @@ def span_eval(node, positions: dict[str, list[int]]) -> list[tuple[int, int]]:
         child_spans = [span_eval(c, positions) for c in node.clauses]
         if any(not cs for cs in child_spans):
             return []
+        # Exhaustive alignment is exponential in the worst case (a hostile
+        # doc repeating every clause term hundreds of times). Fail LOUDLY
+        # instead of hanging an executor; real span queries have 2-4 clauses
+        # over bounded per-doc occurrence counts, far under this cap.
+        fanout = 1
+        for cs in child_spans:
+            fanout *= len(cs)
+        if fanout > 1_000_000:
+            raise ValueError(
+                f"span-near fan-out {fanout} exceeds the per-doc alignment "
+                f"cap (clause occurrence counts "
+                f"{[len(cs) for cs in child_spans]})")
         out: set[tuple[int, int]] = set()
         n = len(child_spans)
 

@@ -86,3 +86,14 @@ def test_span_topk_end_to_end(spark, tmp_path):
                    SpanNear([SpanTerm("fast"), SpanTerm("scan")], 0, True))
     got_not = {r.conv_id for r in span_topk(spark, reader, qnot, k=10).collect()}
     assert got_not == {"d2", "d3", "d4"}  # d1's 'scan' sits inside 'fast scan'
+
+
+def test_span_fanout_guard():
+    """Hostile repetition fails loudly rather than hanging an executor."""
+    a, b, c = SpanTerm("a"), SpanTerm("b"), SpanTerm("c")
+    pos = {"a": list(range(0, 600, 3)), "b": list(range(1, 600, 3)),
+           "c": list(range(2, 600, 3))}
+    with pytest.raises(ValueError, match="fan-out"):
+        span_eval(SpanNear([a, b, c], 5, False), pos)
+    # two-clause stays under the cap and works
+    assert span_eval(SpanNear([a, b], 0, True), pos)
