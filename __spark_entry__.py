@@ -2610,13 +2610,53 @@ FROM fused QUALIFY rank <= 10 ORDER BY rank
 
 
 def _vv02_lsh_ann(spark, sf_dir):
-    # rows-only: hyperplane-literal SQL twin is impractical; recall vs brute force
-    # is asserted in tests/test_functions.py
+    """Sign-LSH ANN with 2-probe: bucket filter, exact cosine verify.
+    Full-hash since round 3: the seeded hyperplanes are plain double
+    literals, so the oracle recomputes the same buckets with DuckDB's
+    list_inner_product (sign flips would need a dot within float-sum error
+    of exactly 0 — measured safe on the fixed corpora); recall vs brute
+    force stays pytest-asserted in tests/test_functions.py."""
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
     out = lsh_ann_topk(e, "embedding", [float(x) for x in qvec], k=10,
                        n_planes=8, multiprobe=2)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _vv02_sql() -> str:
+    from solr_spark.functions.vectors import hyperplanes
+
+    planes = hyperplanes(64, 8, seed=7)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(e.embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({bucket_terms}) AS bucket
+  FROM embeddings e
+),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+probe AS (
+  SELECT DISTINCT x FROM (
+    SELECT qbucket AS x FROM q
+    UNION ALL SELECT xor(qbucket, 1) FROM q
+    UNION ALL SELECT xor(qbucket, 2) FROM q
+  )
+),
+cand AS (SELECT b.vec_id, b.v FROM b JOIN probe ON b.bucket = probe.x),
+sims AS (
+  SELECT c.vec_id,
+         list_inner_product(c.v, q.qv)
+           / (sqrt(list_inner_product(c.v, c.v))
+              * sqrt(list_inner_product(q.qv, q.qv))) AS cos
+  FROM cand c, q
+)
+SELECT vec_id, round(cos, 4) AS cosine FROM sims
+ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 # --------------------------------------------------------------------- contract
@@ -3415,6 +3455,7 @@ sims AS (
 )
 SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
 """,
+        "vv02_lsh_ann_topk": _vv02_sql(),
         "vv01_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 flat AS (

@@ -165,7 +165,7 @@ def lucene_sloppy_freq(pos_lists: list[list[int]], slop: int) -> float:
         pp = heapq.heappop(pq)
         match_length = end - pp[0]
         nxt = pq[0][0]
-        adj = its[_off_index(its, pp[1])][0]
+        adj = its[pp[1]][0]  # its[i] holds offset i's positions by construction
         while True:
             pp[2] += 1
             if pp[2] >= len(adj):           # this term's stream is exhausted
@@ -185,17 +185,10 @@ def lucene_sloppy_freq(pos_lists: list[list[int]], slop: int) -> float:
                 pp = heapq.heappop(pq)
                 nxt = pq[0][0]
                 match_length = end - pp[0]
-                adj = its[_off_index(its, pp[1])][0]
+                adj = its[pp[1]][0]
             else:                           # still minimizing this match
                 match_length = min(match_length, end - pp[0])
     return freq
-
-
-def _off_index(its, off: int) -> int:
-    for i, (_, o) in enumerate(its):
-        if o == off:
-            return i
-    raise KeyError(off)
 
 
 def _lucene_sloppy_kernel(terms: list[str], slop: int):
