@@ -225,6 +225,16 @@ def main() -> None:
         ["FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython",
          "MapInPandas"]))
 
+    # 13. facet2D: outer-total cut broadcasts onto the cell aggregate; the
+    # inner cut is one window — no per-bucket re-query, no sort-merge join
+    from solr_spark.operators.facets import facet_2d
+    f2 = facet_2d(t("documents"), "lang", "source", limit_x=3, limit_y=4)
+    f2.collect()
+    checks.append((
+        "facet2D: broadcast outer cut + one window", plan_of(f2, "simple"),
+        ["BroadcastHashJoin", "Window", "HashAggregate"],
+        ["SortMergeJoin", "CartesianProduct"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
