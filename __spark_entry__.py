@@ -2509,8 +2509,37 @@ def _dd03_minhash_verified(spark, sf_dir):
 
 
 def _dd04_simhash(spark, sf_dir):
-    # rows-only check: xxhash64 has no DuckDB twin (pinned instead by pytest oracle)
-    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy("doc_id")
+    """SimHash fingerprints, full-hash since round 3: the gate runs the
+    engine-portable md5 hash mode (top 60 bits of md5 — bit-identical in
+    DuckDB), so the oracle recomputes every fingerprint; the xxhash64 fast
+    default stays pinned by the pytest invariants (functions/dedup.py)."""
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                   hash="md5").orderBy("doc_id")
+
+
+def _dd04_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(60))
+    pack = "\n       + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60))
+    return f"""
+WITH occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM occ GROUP BY doc_id
+)
+SELECT doc_id,
+       ({pack})::BIGINT AS simhash
+FROM sums ORDER BY doc_id
+"""
 
 
 def _vv04_ivf_ann(spark, sf_dir):
@@ -3401,6 +3430,7 @@ SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
        count(*) OVER (PARTITION BY md5(text))::BIGINT AS group_size
 FROM documents ORDER BY doc_id
 """,
+        "dd04_simhash": _dd04_sql(),
         "dd02_minhash_lsh_pairs": minhash_cte + """
 SELECT id_a, id_b FROM cand ORDER BY id_a, id_b
 """,

@@ -147,11 +147,19 @@ def minhash_query(df: DataFrame, id_col: str, text_col: str, query_text: str,
 
 # --------------------------------------------------------------------- SimHash
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            hash: str = "xxhash64") -> DataFrame:
     """SimHash fingerprint: tf-weighted sign-sum of token hash bits.
 
-    Token hash = Spark's xxhash64 (stable, seedless, JVM-side); bit j of the
-    64-bit fingerprint is 1 iff sum over tokens of tf * sign(bit_j(hash)) > 0.
+    Token hash (the `hash` arg):
+      * "xxhash64" (default, fast path): Spark's seedless JVM xxhash64,
+        64 fingerprint bits.
+      * "md5": top 60 bits of md5 (15 hex chars via conv) — engine-PORTABLE,
+        bit-identical in DuckDB (('0x' || substr(md5(t),1,15))::UBIGINT), so
+        the dd04 gate is full-hash-checkable; 60 fingerprint bits (the top 4
+        stay 0 on both sides).
+    Bit j of the fingerprint is 1 iff sum over tokens of
+    tf * sign(bit_j(hash)) > 0.
 
     Pure Column algebra, no Python in the path: the tf weight is just the
     occurrence count, so Σ_tok tf·sign_j == Σ_occurrence sign_j — the explode
@@ -166,18 +174,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from functools import reduce
 
+    if hash == "xxhash64":
+        hcol, nbits = F.xxhash64("tok"), 64
+    elif hash == "md5":
+        hcol = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10) \
+                .cast("long")
+        nbits = 60
+    else:
+        raise ValueError(f"unknown simhash hash {hash!r}")
     occ = (df.select(F.col(id_col),
                      F.explode(whitespace_tokens(text_col)).alias("tok"))
-             .withColumn("h", F.xxhash64("tok")))
-    # sign_j = +1 if bit j of h is set else -1; 64 map-side-combinable sums
+             .withColumn("h", hcol))
+    # sign_j = +1 if bit j of h is set else -1; nbits map-side-combinable sums
     sums = occ.groupBy(id_col).agg(*[
         F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1))
                .cast("long") * 2 - 1).alias(f"s{j}")
-        for j in range(64)
+        for j in range(nbits)
     ])
     fp = reduce(
         lambda a, b: a.bitwiseOR(b),
-        [F.shiftleft((F.col(f"s{j}") > 0).cast("long"), j) for j in range(64)],
+        [F.shiftleft((F.col(f"s{j}") > 0).cast("long"), j)
+         for j in range(nbits)],
     )
     return sums.select(id_col, fp.alias("simhash"))
 

@@ -96,6 +96,30 @@ def test_simhash_python_oracle(spark, docs):
     assert pairs.get((0, 2)) == 0 and pairs.get((0, 4)) == 0
 
 
+def test_simhash_md5_mode_python_oracle(spark, docs):
+    """Portable md5 mode: fingerprints match a pure-Python md5 twin exactly
+    (the dd04 oracle contract), and the invariants of the default mode hold."""
+    out = {r["doc_id"]: r["simhash"] for r in
+           simhash(docs, "doc_id", "text", hash="md5").collect()}
+
+    def twin(text):
+        sums = [0] * 60
+        for tok in text.split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                sums[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(60) if sums[j] > 0)
+
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (3, "completely different content about spark engines")]:
+        assert out[doc_id] == twin(text)
+    assert out[0] == out[2] == out[4]  # dup + shuffled identical
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown simhash hash"):
+        simhash(docs, "doc_id", "text", hash="crc").collect()
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((50, 16)).astype(np.float32)
