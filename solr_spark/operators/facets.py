@@ -43,7 +43,8 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
                 metrics: Sequence[Column] = (), min_count: int = 1,
                 sort_by_count: bool = True, sort: str | None = None,
                 all_buckets: bool = False, num_buckets: bool = False,
-                missing: bool = False) -> DataFrame:
+                missing: bool = False, prefix: str | None = None,
+                contains: str | None = None) -> DataFrame:
     """`terms` facet: top buckets of a field with per-bucket metrics, with the
     JSON-facet bucket options surface.
 
@@ -62,8 +63,16 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
     buckets prior to limit/min_count, metric columns NULL.
     missing: append a `__missing__` row — counts/metrics over NULL-field docs.
     With any option on, `bucket` is cast to string to carry the labels.
+    prefix / contains: restrict the bucket DOMAIN before counting
+    (facet.prefix / facet.contains — SimpleFacets request params); allBuckets,
+    numBuckets, and missing are computed over the same restricted domain,
+    matching the reference's per-request filtering.
     """
     present = df.where(F.col(field).isNotNull())
+    if prefix is not None:
+        present = present.where(F.col(field).startswith(prefix))
+    if contains is not None:
+        present = present.where(F.col(field).contains(contains))
     agg = present.groupBy(F.col(field).alias("bucket")).agg(
         F.count(F.lit(1)).alias("count"), *metrics)
     filtered = agg.where(F.col("count") >= min_count)

@@ -398,3 +398,22 @@ def test_facet_2d(spark):
     got = [(r["x"], r["y"], r["count"]) for r in out]
     # outer cut: a (9), b (6); c dropped. inner cut per outer: top-2 by count
     assert got == [("a", "p", 5), ("a", "q", 3), ("b", "p", 4), ("b", "q", 2)]
+
+
+def test_terms_facet_prefix_contains(spark):
+    """facet.prefix / facet.contains restrict the bucket domain pre-count."""
+    from solr_spark.operators.facets import terms_facet
+
+    rows = [("apple",), ("apricot",), ("apricot",), ("banana",), ("grape",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["bucket"]: r["count"] for r in
+           terms_facet(df, "k", limit=10, prefix="ap").collect()}
+    assert got == {"apple": 1, "apricot": 2}
+    got2 = {r["bucket"]: r["count"] for r in
+            terms_facet(df, "k", limit=10, contains="ap").collect()}
+    assert got2 == {"apple": 1, "apricot": 2, "grape": 1}
+    # option rows respect the restricted domain
+    out = {r["bucket"]: r["count"] for r in
+           terms_facet(df, "k", limit=1, prefix="ap", all_buckets=True,
+                       num_buckets=True).collect()}
+    assert out["__all__"] == 3 and out["__numBuckets__"] == 2
