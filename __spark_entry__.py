@@ -31,6 +31,15 @@ from solr_spark.query.parser import parse_query
 
 # --------------------------------------------------------------------- helpers
 
+# Every gate rounds floats with the engine-portable half-away kernel (bit-exact
+# vs DuckDB's round(DOUBLE, s), fuzz-verified) so a gate and its SQL twin apply
+# the IDENTICAL rounding function; Spark's F.round HALF_UPs the shortest decimal
+# repr instead, which disagrees for doubles within ~1 ulp of a half boundary —
+# one such disagreement per ~1e5 rounded sums at sf0.1 was the entire round-2
+# robustness-sweep fallout.
+from solr_spark.functions.portable import round_half_away as _dround
+
+
 _SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
 
 # exact-float norms so the SQL oracle (which has no SmallFloat table) matches
@@ -135,7 +144,7 @@ def _doc_id(col: str = "conv_id") -> F.Column:
 def _ft01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _ft_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand")
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +155,7 @@ def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _ft_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
                      similarity="classic")
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft16_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +165,7 @@ def _ft16_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _ft_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
                      similarity="lmdirichlet")
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft15_sql() -> str:
@@ -255,7 +264,7 @@ def _ft17_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('merging' matches 'merge') because both sides pass the text_en chain."""
     reader = _ft_en_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, _FT17_QUERY, k=20, mode="wand")
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft18_folded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +274,7 @@ def _ft18_folded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's fold implementation."""
     reader = _ft_en_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, "mérging tablés quéried", k=20, mode="wand")
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _stemmed_bm25_sql(q_cte: str, in_list: str) -> str:
@@ -343,7 +352,7 @@ def _ft04_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_terms.select(
         F.lit(reader.n_docs).cast("long").alias("n_docs"),
         F.col("n_terms").cast("long"),
-        F.round(F.lit(reader.avgdl), 6).alias("avgdl"),
+        _dround(F.lit(reader.avgdl), 6).alias("avgdl"),
     )
 
 
@@ -492,7 +501,7 @@ def _ft09_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader = _ft_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, "merge", k=20, mode="wand",
                      synonyms={"merge": ["join"]})
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft09_sql() -> str:
@@ -527,7 +536,7 @@ def _ft10_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = _ft_index(spark, sf_dir)
     topk = near_topk(spark, reader, "merge join", window=3, k=20)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft10_sql() -> str:
@@ -591,9 +600,14 @@ def _ft12_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term's BM25 weight and its WAND bound (QueryParser.jj `^`,
     BoostQParserPlugin.java)."""
     reader = _ft_index(spark, sf_dir)
-    topk = bm25_topk(spark, reader, "merge vector", k=20, mode="wand",
+    # over-fetch, then cut on the ROUNDED score with doc_id tiebreak: the raw
+    # k=20 cut is engine-unstable when two docs tie at 4dp (summation-order
+    # low bits decide rank 20 vs 21); the rounded cut is deterministic and the
+    # SQL twin applies the same ordering.
+    topk = bm25_topk(spark, reader, "merge vector", k=60, mode="wand",
                      boosts={"vector": 2.5})
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return (topk.select(_doc_id(), _dround("score", 4).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(20))
 
 
 def _ft12_sql() -> str:
@@ -624,7 +638,7 @@ scored AS (
     GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id LIMIT 20
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
 """
 
 
@@ -636,7 +650,7 @@ def _ft13_sloppy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = _ft_index(spark, sf_dir)
     topk = phrase_topk(spark, reader, "merge join", k=20, slop=2)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft13_sql() -> str:
@@ -697,7 +711,7 @@ def _ft21_sloppy_reversed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches (tf=1/3, outranked by exact ones) provably appear in the gate
     topk = phrase_topk(spark, reader, "window fast", k=80, slop=2,
                        lucene_parity=True)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft21_sql() -> str:
@@ -750,7 +764,7 @@ def _ft23_span_near_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = SpanNear([SpanOr(SpanTerm("fast"), SpanTerm("slow")),
                   SpanTerm("scan")], slop=2, ordered=True)
     topk = span_topk(spark, reader, q, k=20)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft23_sql() -> str:
@@ -799,7 +813,7 @@ def _ft14_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = _ft_index(spark, sf_dir)
     topk = fuzzy_topk(spark, reader, "vectr", k=20, max_edits=1)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft14_sql() -> str:
@@ -859,7 +873,7 @@ def _q46_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DeleteStream.java / DirectUpdateHandler2.java)."""
     reader = _ft_del_index(spark, sf_dir)
     topk = bm25_topk(spark, reader, "merge", k=20, mode="wand")
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _q46_sql() -> str:
@@ -901,7 +915,7 @@ def _ft11_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
                "title": _ft_title_index(spark, sf_dir)}
     topk = edismax_topk(spark, readers, _EDISMAX_Q, _EDISMAX_QF, k=20,
                         tie=_EDISMAX_TIE, pf={"text": _EDISMAX_PF})
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft11_sql() -> str:
@@ -1117,7 +1131,7 @@ def _q60_nrt_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so "unbounded" is spelled as a bound comfortably above n_docs)
     topk = bm25_topk(spark, reader, _FT_QUERY, k=max(10**6, reader.n_docs),
                      mode="exact")
-    return (topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return (topk.select(_doc_id(), _dround("score", 4).alias("score"))
                 .orderBy("doc_id"))
 
 
@@ -1174,7 +1188,7 @@ def _ft19_bf_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = edismax_topk(spark, readers, _EDISMAX_Q, _EDISMAX_QF, k=20,
                         tie=_EDISMAX_TIE, pf={"text": _EDISMAX_PF},
                         bf=bf, boost=boost)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft19_sql() -> str:
@@ -1203,7 +1217,7 @@ def _ft07_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = _ft_index(spark, sf_dir)
     topk = phrase_topk(spark, reader, _FT_PHRASE, k=20, prefilter=True)
-    return topk.select(_doc_id(), F.round("score", 4).alias("score"))
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
 def _ft07_sql() -> str:
@@ -1282,7 +1296,7 @@ def _q04_terms_facet(spark, sf_dir):
 def _q05_range_facet(spark, sf_dir):
     return facets.range_facet(
         _t(spark, sf_dir, "orders"), "o_totalprice", start=0.0, gap=50000.0,
-        metrics=[F.round(F.avg("o_totalprice"), 4).alias("avg_price")],
+        metrics=[_dround(F.avg("o_totalprice"), 4).alias("avg_price")],
     )
 
 
@@ -1300,7 +1314,7 @@ def _q07_nested_facet(spark, sf_dir):
         "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"))
     return facets.nested_facet(
         ev, "event_type", "day",
-        metrics=[F.round(F.avg("value"), 4).alias("avg_value")],
+        metrics=[_dround(F.avg("value"), 4).alias("avg_value")],
     )
 
 
@@ -1310,7 +1324,15 @@ def _q08_pivot_facet(spark, sf_dir):
 
 
 def _q09_stats(spark, sf_dir):
-    return facets.stats_component(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    # sum / sum_of_squares are exact DECIMAL(38,4); compare as strings so the
+    # gate never depends on an engine's decimal->double cast (ulp is 0.25 at
+    # the sf0.1 sum_of_squares magnitude, and DuckDB's cast is not
+    # nearest-rounding there).
+    stats = facets.stats_component(_t(spark, sf_dir, "lineitem"),
+                                   "l_extendedprice")
+    return stats.withColumn("sum", F.col("sum").cast("string")) \
+                .withColumn("sum_of_squares",
+                            F.col("sum_of_squares").cast("string"))
 
 
 def _q10_percentiles(spark, sf_dir):
@@ -1321,7 +1343,7 @@ def _q10_percentiles(spark, sf_dir):
 def _q11_timeseries(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = facets.timeseries(ev, "ts", "day",
-                            metrics=[F.round(F.avg("value"), 4).alias("avg_value")])
+                            metrics=[_dround(F.avg("value"), 4).alias("avg_value")])
     return out.select(F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
                       "count", "avg_value")
 
@@ -1372,7 +1394,7 @@ def _q18_merge_union(spark, sf_dir):
     a = ev.where(F.col("event_type") == "error")
     b = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
     return (streams.merge(a, b)
-            .select("event_id", "event_type", F.round("value", 2).alias("value"))
+            .select("event_id", "event_type", _dround("value", 2).alias("value"))
             .orderBy("event_id"))
 
 
@@ -1412,7 +1434,7 @@ def _q22_join_rollup(spark, sf_dir):
                                       "n_name"), ["c_nationkey"])
     return streams.rollup(
         j, ["n_name"],
-        [F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        [_dround(F.sum("o_totalprice"), 2).alias("revenue"),
          F.count(F.lit(1)).alias("n_orders")],
     ).orderBy("n_name")
 
@@ -1424,7 +1446,7 @@ def _q23_hash_join(spark, sf_dir):
                                        "p_brand"), ["l_partkey"])
     return streams.rollup(
         j, ["p_brand"],
-        [F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        [_dround(F.sum("l_quantity"), 2).alias("sum_qty"),
          F.count(F.lit(1)).alias("n_items")],
     ).orderBy("p_brand")
 
@@ -1443,8 +1465,8 @@ def _q25_function_queries(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
     return o.select(
         "o_orderkey",
-        F.round(F.log(F.col("o_totalprice")), 4).alias("ln_price"),
-        F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+        _dround(F.log(F.col("o_totalprice")), 4).alias("ln_price"),
+        _dround(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.when(F.col("o_totalprice") > 100000, F.lit("big"))
          .otherwise(F.lit("small")).alias("size_class"),
@@ -1494,14 +1516,14 @@ def _q30_rerank(spark, sf_dir):
                  first_sort=[F.desc("score"), F.asc("o_orderkey")])
     # value-hash compare is order-insensitive; the semantic under test is that
     # ONLY the first-pass top-10 get the boost applied
-    return out.select("o_orderkey", F.round("new_score", 2).alias("new_score"))
+    return out.select("o_orderkey", _dround("new_score", 2).alias("new_score"))
 
 
 def _q31_rollup_cube(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.sum("l_quantity"), 2).alias("qty"))
+                   _dround(F.sum("l_quantity"), 2).alias("qty"))
               .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -1512,7 +1534,7 @@ def _q32_moving_avg(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n")))
     w = Window.orderBy("day").rowsBetween(-2, 0)
     return daily.select("day", "n",
-                        F.round(F.avg("n").over(w), 4).alias("ma3")).orderBy("day")
+                        _dround(F.avg("n").over(w), 4).alias("ma3")).orderBy("day")
 
 
 def _q33_shingles(spark, sf_dir):
@@ -1592,7 +1614,7 @@ def _q34_geodist(spark, sf_dir):
          .withColumn("lon", (F.col("c_custkey") * 7 % 360 - 180) + F.lit(0.5)))
     return (c.where(geofilt("lat", "lon", 10.0, 20.0, 4000.0))
              .select("c_custkey",
-                     F.round(geodist("lat", "lon", 10.0, 20.0), 2)
+                     _dround(geodist("lat", "lon", 10.0, 20.0), 2)
                       .alias("dist_km"))
              .orderBy("c_custkey"))
 
@@ -1614,7 +1636,7 @@ def _q36_jaro_winkler(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
     return (c.select("c_custkey",
-                     F.round(jaro_winkler("c_name", F.lit("Customer#000000042")), 4)
+                     _dround(jaro_winkler("c_name", F.lit("Customer#000000042")), 4)
                       .alias("jw"))
              .orderBy("c_custkey"))
 
@@ -1664,13 +1686,13 @@ def _q51_evaluator_series(spark, sf_dir):
             .select(
                 "user_id",
                 F.size(a).cast("long").alias("n"),
-                F.round(ev.arr_mean(a), 4).alias("mean"),
-                F.round(ev.arr_stddev(a), 4).alias("sd"),
-                F.round(ev.l2norm(a), 4).alias("l2"),
-                F.round(ev.integral_ev(a), 4).alias("integral"),
-                F.round(F.aggregate(ev.diff_ev(a), F.lit(0.0),
+                _dround(ev.arr_mean(a), 4).alias("mean"),
+                _dround(ev.arr_stddev(a), 4).alias("sd"),
+                _dround(ev.l2norm(a), 4).alias("l2"),
+                _dround(ev.integral_ev(a), 4).alias("integral"),
+                _dround(F.aggregate(ev.diff_ev(a), F.lit(0.0),
                                     lambda acc, x: acc + x), 4).alias("diff_sum"),
-                F.round(F.element_at(ev.moving_avg(a, 3), -1), 4).alias("ma3_last"))
+                _dround(F.element_at(ev.moving_avg(a, 3), -1), 4).alias("ma3_last"))
             .orderBy("user_id"))
 
 
@@ -1683,10 +1705,10 @@ def _q52_regress(spark, sf_dir):
     events = _t(spark, sf_dir, "events") \
         .select(F.col("value"), F.hour("ts").cast("double").alias("x"))
     r = regress(events, "x", "value")
-    return r.select(F.round("slope", 6).alias("slope"),
-                    F.round("intercept", 6).alias("intercept"),
-                    F.round("r", 6).alias("r"),
-                    F.round("r_squared", 6).alias("r_squared"),
+    return r.select(_dround("slope", 6).alias("slope"),
+                    _dround("intercept", 6).alias("intercept"),
+                    _dround("r", 6).alias("r"),
+                    _dround("r_squared", 6).alias("r_squared"),
                     F.col("n").cast("long").alias("n"))
 
 
@@ -1698,8 +1720,8 @@ def _q53_hist(spark, sf_dir):
 
     h = hist(_t(spark, sf_dir, "events"), "value", bins=12)
     return h.select(F.col("bin").cast("long").alias("bin"),
-                    F.round("lo", 6).alias("lo"),
-                    F.round("hi", 6).alias("hi"),
+                    _dround("lo", 6).alias("lo"),
+                    _dround("hi", 6).alias("hi"),
                     F.col("count"))
 
 
@@ -1728,7 +1750,7 @@ def _q55_spearman(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         F.col("value").alias("x"), F.hour("ts").cast("double").alias("y"))
     return dataset_corr(ev, "x", "y", method="spearman") \
-        .select(F.round("corr", 6).alias("spearman"))
+        .select(_dround("corr", 6).alias("spearman"))
 
 
 def _q44_unique_block(spark, sf_dir):
@@ -1745,7 +1767,7 @@ def _q43_frange(spark, sf_dir):
     """{!frange l=.. u=..} over a function query (FunctionRangeQParserPlugin):
     rows whose computed value falls in the range, Catalyst-pushable."""
     li = _t(spark, sf_dir, "lineitem")
-    fv = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    fv = _dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
     return (li.select("l_orderkey", "l_linenumber", fv.alias("net"))
               .where(fv.between(900.0, 1000.0))
               .orderBy("l_orderkey", "l_linenumber"))
@@ -1813,7 +1835,7 @@ def _q57_facet_domain(spark, sf_dir):
         "l_orderkey")
     out = facets.terms_facet(
         children, "l_returnflag", limit=10,
-        metrics=[F.round(F.sum("l_quantity"), 4).alias("sum_qty")])
+        metrics=[_dround(F.sum("l_quantity"), 4).alias("sum_qty")])
     return out
 
 
@@ -1842,7 +1864,7 @@ def _q59_result_clustering(spark, sf_dir):
     out = cluster_by_dominant_term(hits.select("doc_id", "toks"),
                                    id_col="doc_id")
     return (out.select("doc_id", "cluster",
-                       F.round("score", 4).alias("score"))
+                       _dround("score", 4).alias("score"))
                .orderBy("doc_id"))
 
 
@@ -1917,7 +1939,7 @@ def _g04_score_nodes(spark, sf_dir):
     edges = li.select(F.concat(F.lit("p"), "l_partkey").alias("dst"))
     out = score_nodes(hits, edges, "dst")
     return (out.select("node", F.col("count").cast("long").alias("count"),
-                       F.round("score", 6).alias("score"))
+                       _dround("score", 6).alias("score"))
                .orderBy(F.desc("score"), "node").limit(20))
 
 
@@ -1985,8 +2007,8 @@ def _q62_facet_bucket_options(spark, sf_dir):
                       sort="avg_value desc",
                       all_buckets=True, num_buckets=True, missing=True)
     return out.select("bucket", "count",
-                      F.round("avg_value", 4).alias("avg_value"),
-                      F.round("sum_value", 4).alias("sum_value"))
+                      _dround("avg_value", 4).alias("avg_value"),
+                      _dround("sum_value", 4).alias("sum_value"))
 
 
 _Q62_SQL = """
@@ -2111,7 +2133,7 @@ def _q67_facet2d(spark, sf_dir):
                    limit_x=3, limit_y=4,
                    metrics=[metric("avg", "n_chars")])
     return out.select("x", "y", "count",
-                      F.round("avg_n_chars", 4).alias("avg_n_chars"))
+                      _dround("avg_n_chars", 4).alias("avg_n_chars"))
 
 
 _Q67_SQL = """
@@ -2313,7 +2335,7 @@ def _q39_ltr_rerank(spark, sf_dir):
         intercept=2.0,
         rerank_docs=10,
         first_sort=[F.desc("score"), F.asc("o_orderkey")])
-    return out.select("o_orderkey", F.round("new_score", 3).alias("new_score"))
+    return out.select("o_orderkey", _dround("new_score", 3).alias("new_score"))
 
 
 def _q49_elevation(spark, sf_dir):
@@ -2362,7 +2384,7 @@ def _q48_ltr_trees(spark, sf_dir):
         weights=None, trees=trees, intercept=0.5,
         rerank_docs=10,
         first_sort=[F.desc("score"), F.asc("o_orderkey")])
-    return out.select("o_orderkey", F.round("new_score", 3).alias("new_score"))
+    return out.select("o_orderkey", _dround("new_score", 3).alias("new_score"))
 
 
 def _q40_geo_heatmap(spark, sf_dir):
@@ -2402,7 +2424,7 @@ def _q45_scored_join(spark, sf_dir):
     out = streams.scored_join(o, li, "o_orderkey", "l_orderkey",
                               score_col="net", mode="max")
     return (out.select("o_orderkey", "o_totalprice",
-                       F.round("score", 2).alias("score"))
+                       _dround("score", 2).alias("score"))
               .orderBy("o_orderkey"))
 
 
@@ -2475,7 +2497,7 @@ def _tx02_significant_terms(spark, sf_dir):
                                     term_col="term", doc_col="doc_id")
     return out.select("term", F.col("fg").cast("long").alias("fg"),
                       F.col("bg").cast("long").alias("bg"),
-                      F.round("score", 4).alias("score")).orderBy("term")
+                      _dround("score", 4).alias("score")).orderBy("term")
 
 
 def _tx03_mlt(spark, sf_dir):
@@ -2551,14 +2573,14 @@ def _vv04_ivf_ann(spark, sf_dir):
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
     out = ivf_ann_topk(e, "embedding", [float(x) for x in qvec], k=10,
                        n_centroids=16, n_probe=4)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
 
 
 def _vv01_cosine_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
     out = cosine_topk(e, "embedding", [float(x) for x in qvec], k=10)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
 
 
 def _vv05_hybrid_rrf(spark, sf_dir):
@@ -2576,7 +2598,7 @@ def _vv05_hybrid_rrf(spark, sf_dir):
     vec = cosine_topk(e, "embedding", [float(x) for x in qvec], k=50)
     fused = rrf_fuse([(lex, "doc_id", "score"), (vec, "vec_id", "cosine")],
                      k0=60, k=10)
-    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"),
+    return fused.select("doc_id", _dround("rrf_score", 6).alias("rrf_score"),
                         "rank")
 
 
@@ -2649,7 +2671,7 @@ def _vv02_lsh_ann(spark, sf_dir):
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
     out = lsh_ann_topk(e, "embedding", [float(x) for x in qvec], k=10,
                        n_planes=8, multiprobe=2)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
 
 
 def _vv02_sql() -> str:
@@ -2903,10 +2925,12 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "q09_stats_component": """
 SELECT min(l_extendedprice) AS min, max(l_extendedprice) AS max,
-       round(sum(l_extendedprice), 4) AS sum, count(l_extendedprice)::BIGINT AS count,
+       sum(round(l_extendedprice, 4)::DECIMAL(38,4))::VARCHAR AS sum,
+       count(l_extendedprice)::BIGINT AS count,
        count(*) FILTER (l_extendedprice IS NULL)::BIGINT AS missing,
        round(avg(l_extendedprice), 6) AS mean,
-       round(sum(l_extendedprice * l_extendedprice), 4) AS sum_of_squares,
+       sum(round(l_extendedprice * l_extendedprice, 4)::DECIMAL(38,4))::VARCHAR
+         AS sum_of_squares,
        round(stddev_samp(l_extendedprice), 6) AS stddev
 FROM lineitem
 """,

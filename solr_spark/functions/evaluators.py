@@ -1020,6 +1020,120 @@ def get_cluster(kmeans_result: tuple, cluster_id: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# array-evaluator long tail (round-3 census additions)
+# ---------------------------------------------------------------------------
+
+
+def earth_movers(a, b):
+    """eval/EarthMoversEvaluator.java → commons-math EarthMoversDistance:
+    1-D EMD = sum of |running prefix sum of (a_i - b_i)| — one `aggregate`
+    with a struct accumulator, O(n) pure JVM."""
+    d = F.zip_with(_arr(a), _arr(b), lambda x, y: x - y)
+    return F.aggregate(
+        d,
+        F.struct(F.lit(0.0).alias("cum"), F.lit(0.0).alias("tot")),
+        lambda acc, x: F.struct((acc["cum"] + x).alias("cum"),
+                                (acc["tot"] + F.abs(acc["cum"] + x)).alias("tot")),
+        lambda acc: acc["tot"])
+
+
+def mode_ev(arr):
+    """eval/ModeEvaluator.java → StatUtils.mode: ALL most-frequent values,
+    ascending. O(n * n_distinct) JVM set algebra — evaluator arrays are
+    row-local series, not corpus-sized."""
+    a = _arr(arr)
+    counts = F.transform(
+        F.array_distinct(a),
+        lambda v: F.struct(F.size(F.filter(a, lambda x: x == v)).alias("c"),
+                           v.alias("v")))
+    maxc = F.array_max(F.transform(counts, lambda s: s["c"]))
+    return F.array_sort(
+        F.transform(F.filter(counts, lambda s: s["c"] == maxc),
+                    lambda s: s["v"]))
+
+
+def rank_ev(arr):
+    """eval/RankEvaluator.java → commons-math NaturalRanking (ties averaged):
+    rank_i = #less + (#equal + 1) / 2, 1-based."""
+    a = _arr(arr)
+    return F.transform(
+        a,
+        lambda x: F.size(F.filter(a, lambda y: y < x)).cast("double")
+        + (F.size(F.filter(a, lambda y: y == x)).cast("double") + 1.0) / 2.0)
+
+
+def scale_ev(lo, hi, arr):
+    """eval/ScaleEvaluator.java: min-max scale the array into [lo, hi]."""
+    a = _arr(arr)
+    amin, amax = F.array_min(a), F.array_max(a)
+    lo, hi = _num(lo), _num(hi)
+    mid = (lo + hi) / 2.0
+    return F.transform(
+        a,
+        lambda x: F.when(amax == amin, mid)
+        .otherwise(lo + (x - amin) * (hi - lo) / (amax - amin)))
+
+
+def sum_difference(a, b):
+    """eval/SumDifferenceEvaluator.java: sum of element-wise differences."""
+    return F.aggregate(F.zip_with(_arr(a), _arr(b), lambda x, y: x - y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def mean_difference(a, b):
+    """eval/MeanDifferenceEvaluator.java: mean of element-wise differences."""
+    return sum_difference(a, b) / F.size(_arr(a)).cast("double")
+
+
+def primes_ev(size: int, start: int):
+    """eval/PrimesEvaluator.java: first `size` primes >= `start` (literal
+    array; the enumeration is driver-side O(size) trial division)."""
+    out: list[int] = []
+    n = max(2, int(start))
+    while len(out) < int(size):
+        is_p = n >= 2 and all(n % p for p in range(2, int(math.isqrt(n)) + 1))
+        if is_p:
+            out.append(n)
+        n += 1
+    return F.array(*[F.lit(p) for p in out])
+
+
+def lerp_interpolate(xs, ys, x):
+    """eval/LerpEvaluator.java: piecewise-linear interpolation of (xs, ys)
+    evaluated at x, clamped to the endpoints. Segment lookup is a `filter`
+    over consecutive pairs — O(n) JVM per point."""
+    xa, ya, x = _arr(xs), _arr(ys), _num(x)
+    n = F.size(xa)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(xa, i).alias("x0"),
+                           F.element_at(xa, i + 1).alias("x1"),
+                           F.element_at(ya, i).alias("y0"),
+                           F.element_at(ya, i + 1).alias("y1")))
+    hit = F.element_at(
+        F.filter(pairs, lambda s: (x >= s["x0"]) & (x <= s["x1"])), 1)
+    interp = hit["y0"] + (x - hit["x0"]) * (hit["y1"] - hit["y0"]) \
+        / (hit["x1"] - hit["x0"])
+    return (F.when(x <= F.element_at(xa, 1), F.element_at(ya, 1))
+             .when(x >= F.element_at(xa, -1), F.element_at(ya, -1))
+             .otherwise(interp))
+
+
+def distance_matrix(m):
+    """eval/DistanceEvaluator.java single-matrix form: pairwise euclidean
+    distances between the rows of a matrix (array<array<double>>)."""
+    m = _c(m)
+    return F.transform(m, lambda r1: F.transform(m, lambda r2: euclidean(r1, r2)))
+
+
+def distance_ev(*args):
+    """Lang `distance`: two arrays → euclidean; one matrix → pairwise matrix."""
+    if len(args) == 1:
+        return distance_matrix(args[0])
+    return euclidean(*args)
+
+
+# ---------------------------------------------------------------------------
 # registry + dispatch
 # ---------------------------------------------------------------------------
 

@@ -272,15 +272,24 @@ def stats_component(df: DataFrame, field: str) -> DataFrame:
     Reference: handler/component/StatsComponent.java:34, StatsValuesFactory.java.
     Single map-side-combinable aggregation.
     """
+    from solr_spark.functions.portable import exact_sum
+
     c = F.col(field)
+    # sum / sumOfSquares use the order-independent exact_sum kernel and stay
+    # DECIMAL(38,4): double accumulation is partition-order-nondeterministic
+    # (sum_of_squares at sf0.1 reaches ~2e15, where order noise exceeds the 4dp
+    # rounding grain, and even the final decimal->double cast is
+    # engine-specific once the ulp reaches 0.25), while the quantize-then-
+    # DECIMAL sum is deterministic at every scale and every partitioning, and
+    # still map-side combinable.
     return df.agg(
         F.min(c).alias("min"),
         F.max(c).alias("max"),
-        F.round(F.sum(c), 4).alias("sum"),
+        exact_sum(c, 4).alias("sum"),
         F.count(c).alias("count"),
         F.count(F.when(c.isNull(), F.lit(1))).alias("missing"),
         F.round(F.avg(c), 6).alias("mean"),
-        F.round(F.sum(c * c), 4).alias("sum_of_squares"),
+        exact_sum(c * c, 4).alias("sum_of_squares"),
         F.round(F.stddev(c), 6).alias("stddev"),
     )
 
