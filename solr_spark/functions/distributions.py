@@ -187,6 +187,8 @@ class ParamDistribution:
 
     # -- pdf / pmf ----------------------------------------------------------
     def probability(self, x) -> Column:
+        if self.kind == "multivariateNormal":
+            return self._mvn_pdf(x)
         x = _num(x)
         p = self.params
         if self.kind == "uniformInteger":
@@ -240,8 +242,6 @@ class ParamDistribution:
             k = F.floor(x)
             pmf = F.pow(k.cast("double"), F.lit(-s)) / F.lit(h)
             return F.when((k < 1) | (k > n), F.lit(0.0)).otherwise(pmf)
-        if self.kind == "multivariateNormal":
-            return self._mvn_pdf(x)
         raise NotImplementedError(self.kind)
 
     # -- cdf ------------------------------------------------------------------
@@ -543,3 +543,34 @@ def corr_pvalues(df: DataFrame, cols: Sequence[str]) -> list[list[float]]:
             t = abs(r) * math.sqrt((n - 2) / (1.0 - r * r))
             out[i][j] = t_sf(t, n - 2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# registry hookup (runs after both modules are fully defined)
+# ---------------------------------------------------------------------------
+
+from solr_spark.functions import evaluators as _ev  # noqa: E402
+
+_ev.DISTRIBUTION_EVALUATORS.update({
+    "uniformIntegerDistribution": uniform_integer_distribution,
+    "constantDistribution": constant_distribution,
+    "enumeratedDistribution": enumerated_distribution,
+    "weibullDistribution": weibull_distribution,
+    "logNormalDistribution": log_normal_distribution,
+    "gammaDistribution": gamma_distribution,
+    "betaDistribution": beta_distribution,
+    "triangularDistribution": triangular_distribution,
+    "geometricDistribution": geometric_distribution,
+    "zipFDistribution": zipf_distribution,
+    "multiVariateNormalDistribution": multivariate_normal_distribution,
+    "density": density,
+    "outliers": outliers,
+    "sample": sample_dist,
+})
+_ev.DATASET_EVALUATORS.update({
+    "chiSquareDataSet": chi_square_dataset,
+    "gtestDataSet": gtest_dataset,
+    "corrPValues": corr_pvalues,
+})
+_ev.EVALUATORS.update(_ev.DISTRIBUTION_EVALUATORS)
+_ev.EVALUATORS.update(_ev.DATASET_EVALUATORS)

@@ -1161,6 +1161,11 @@ ARRAY_EVALUATORS = {
     "sumRows": sum_rows, "sumColumns": sum_columns, "grandSum": grand_sum,
     "rowAt": row_at, "colAt": col_at, "rowCount": row_count,
     "columnCount": column_count,
+    # round-3 census additions
+    "earthMovers": earth_movers, "mode": mode_ev, "rank": rank_ev,
+    "scale": scale_ev, "sumDifference": sum_difference,
+    "meanDifference": mean_difference, "primes": primes_ev,
+    "lerp": lerp_interpolate, "distance": distance_ev,
 }
 
 DISTRIBUTION_EVALUATORS = {
@@ -1170,6 +1175,8 @@ DISTRIBUTION_EVALUATORS = {
     "binomialDistribution": binomial_distribution,
     "probability": probability,
     "cumulativeProbability": cumulative_probability,
+    # long-tail kinds live in functions/distributions.py (registered below at
+    # import time to avoid a circular import at module top)
 }
 
 DATASET_EVALUATORS = {
@@ -1214,3 +1221,10 @@ def ev(name: str, *args, **kwargs):
             f"evaluator '{name}' is out of scope: {OUT_OF_SCOPE[name]}")
     raise KeyError(f"unknown evaluator '{name}' "
                    f"({len(EVALUATORS)} registered, {len(OUT_OF_SCOPE)} documented out)")
+
+
+# -- long-tail distribution / inference registrations live at the bottom of
+#    distributions.py (it imports helpers from this module, so it must finish
+#    initializing second regardless of which module is imported first); this
+#    bottom import just triggers them when evaluators is the entry point.
+from solr_spark.functions import distributions as _dist  # noqa: E402, F401

@@ -155,3 +155,46 @@ def auc(pairs: list[tuple[float, int]]) -> float:
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def term_vectors(df: DataFrame, id_col: str, text_col: str,
+                 min_df_frac: float = 0.0, max_df_frac: float = 1.0,
+                 ) -> tuple[DataFrame, list[str]]:
+    """TF-IDF document-term vectors, the `termVectors` evaluator.
+
+    Reference: solr/solrj-streaming/.../io/eval/TermVectorsEvaluator.java:135-176
+    — value = sqrt(tf) * (ln((n+1)/(df+1)) + 1); terms kept when
+    min_df_frac <= df/n <= max_df_frac, columns ordered alphabetically (the
+    reference's TreeMap iteration order).
+
+    Returns (DataFrame(id, vector array<double>), term_labels). The vocabulary
+    after the doc-freq band is the matrix width — bounded exactly like the
+    reference's in-memory matrix — so the per-term weights ride as a broadcast
+    map literal; the doc pass itself is one explode + one groupBy (scale-safe).
+    Feed the result to evaluators.kmeans for the reference's
+    `kmeans(termVectors(...))` clustering pipeline.
+    """
+    n = df.count()
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(whitespace_tokens(F.col(text_col))).alias("term"))
+              .groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (dfreq.where((F.col("df") >= float(min_df_frac) * n)
+                        & (F.col("df") <= float(max_df_frac) * n))
+                 .orderBy("term").collect())
+    labels = [r["term"] for r in kept]
+    idf = {r["term"]: math.log((n + 1) / (r["df"] + 1.0)) + 1.0 for r in kept}
+    weights = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in labels]),
+        F.array(*[F.lit(idf[t]) for t in labels]))
+    per_doc = (toks.where(F.col("term").isin(labels))
+                   .groupBy("_id")
+                   .agg(F.map_from_entries(
+                       F.collect_list(F.struct("term", "tf"))).alias("tfs")))
+    vec = F.transform(
+        F.array(*[F.lit(t) for t in labels]),
+        lambda t: F.coalesce(
+            F.sqrt(F.element_at(F.col("tfs"), t).cast("double")), F.lit(0.0))
+        * F.element_at(weights, t))
+    out = per_doc.select(F.col("_id").alias(id_col), vec.alias("vector"))
+    return out, labels
