@@ -2123,6 +2123,86 @@ WHERE crossings % 2 = 1 ORDER BY c_custkey
 """
 
 
+def _q68_distributions(spark, sf_dir):
+    """Streaming-expression probability distributions as Column algebra
+    (Lang.java weibullDistribution/triangularDistribution/
+    geometricDistribution + cumulativeProbability/probability;
+    solr_spark/functions/distributions.py): three closed-form cdfs/pmfs
+    evaluated over events.value — whole-stage codegen, never leaves the JVM.
+    4dp rounding absorbs libm-vs-JVM pow ulps."""
+    from solr_spark.functions import distributions as D
+
+    ev_t = _t(spark, sf_dir, "events")
+    w = D.weibull_distribution(1.5, 120.0)
+    tri = D.triangular_distribution(0.0, 100.0, 500.0)
+    geo = D.geometric_distribution(0.3)
+    v = F.col("value")
+    return (ev_t.select(
+                "event_id",
+                _dround(w.cumulative_probability(v), 4).alias("weibull_cdf"),
+                _dround(tri.cumulative_probability(v), 4).alias("tri_cdf"),
+                _dround(geo.probability(F.floor(v / 50)), 4).alias("geo_pmf"))
+            .orderBy("event_id"))
+
+
+_Q68_SQL = """
+SELECT event_id,
+       round(1.0 - exp(-pow(value / 120.0, 1.5)), 4) AS weibull_cdf,
+       round(CASE WHEN value <= 0 THEN 0.0
+                  WHEN value >= 500 THEN 1.0
+                  WHEN value < 100 THEN value * value / (500.0 * 100.0)
+                  ELSE 1.0 - (500.0 - value) * (500.0 - value)
+                        / (500.0 * 400.0) END, 4) AS tri_cdf,
+       round(CASE WHEN floor(value / 50) < 0 THEN 0.0
+                  ELSE 0.3 * pow(0.7, floor(value / 50)) END, 4) AS geo_pmf
+FROM events ORDER BY event_id
+"""
+
+
+def _q69_term_vectors(spark, sf_dir):
+    """termVectors() TF-IDF doc-term matrix (TermVectorsEvaluator.java:135-176:
+    sqrt(tf) * (ln((n+1)/(df+1)) + 1), doc-frequency band) — flattened to
+    (doc_id, term, weight) rows so the SQL twin is exact
+    (solr_spark/operators/classify.py::term_vectors)."""
+    from solr_spark.operators.classify import term_vectors
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs, labels = term_vectors(docs, "doc_id", "text",
+                                min_df_frac=0.3, max_df_frac=0.9)
+    lab = F.array(*[F.lit(t) for t in labels])
+    flat = (vecs.select("doc_id",
+                        F.explode(F.arrays_zip(lab.alias("term"),
+                                               F.col("vector").alias("w")))
+                        .alias("z"))
+                .select("doc_id", F.col("z")["term"].alias("term"),
+                        _dround(F.col("z")["w"], 4).alias("weight"))
+                .where(F.col("weight") > 0))
+    return flat.orderBy("doc_id", "term")
+
+
+_Q69_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+kept AS (
+  SELECT term, df FROM dfreq CROSS JOIN n
+  WHERE df >= 0.3 * n.n AND df <= 0.9 * n.n
+)
+SELECT tf.doc_id, tf.term,
+       round(sqrt(tf.tf) * (ln((n.n + 1) / (kept.df + 1)) + 1.0), 4) AS weight
+FROM tf JOIN kept USING (term) CROSS JOIN n
+ORDER BY tf.doc_id, tf.term
+"""
+
+
 def _q67_facet2d(spark, sf_dir):
     """facet2D() stream (Facet2DStream.java): top-3 lang x top-4 source cells
     with avg(n_chars) (operators/facets.py::facet_2d — one (x,y) groupBy +
@@ -2814,6 +2894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_igain": _q63_igain,
         "q66_geo_polygon": _q66_geo_polygon,
         "q67_facet2d": _q67_facet2d,
+        "q68_distributions": _q68_distributions,
+        "q69_term_vectors": _q69_term_vectors,
         "dd06_minhash_query": _dd06_minhash_query,
         "q64_interval_facet": _q64_interval_facet,
         "q65_tlogit": _q65_tlogit,
@@ -3175,6 +3257,8 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q63_igain": _Q63_SQL,
         "q66_geo_polygon": _Q66_SQL,
         "q67_facet2d": _Q67_SQL,
+        "q68_distributions": _Q68_SQL,
+        "q69_term_vectors": _Q69_SQL,
         "dd06_minhash_query": _DD06_SQL,
         "q64_interval_facet": _Q64_SQL,
         # q65_tlogit: no SQL twin (iterative training) — rows-only by design
