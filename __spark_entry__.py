@@ -2663,6 +2663,44 @@ def _vv01_cosine_topk(spark, sf_dir):
     return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
 
 
+def _q70_quantized_cosine(spark, sf_dir):
+    """int8 scalar-quantized vector search (Lucene scalar-quantized KNN role,
+    Lucene99ScalarQuantizedVectorsFormat behavior;
+    solr_spark/functions/vectors.py::quantize_int8/cosine_topk_int8): codes
+    are engine-portable (round_half_away), so the SQL twin requantizes and
+    reproduces the exact same top-k. The quantized scan reads ~1/4 the bytes
+    of the float column at 100 TB."""
+    from solr_spark.functions.vectors import cosine_topk_int8, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qt = quantize_int8(e, "embedding")
+    out = cosine_topk_int8(qt, [float(x) for x in qvec], k=10)
+    return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
+
+
+_Q70_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+base AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+),
+amax AS (SELECT vec_id, max(abs(x)) AS m FROM base GROUP BY vec_id),
+deq AS (
+  SELECT b.vec_id,
+         CASE WHEN a.m = 0 THEN 0.0
+              ELSE round(b.x * 127.0 / a.m) * (a.m / 127.0) END AS dx,
+         b.y
+  FROM base b JOIN amax a USING (vec_id)
+),
+sims AS (
+  SELECT vec_id, sum(dx * y) / (sqrt(sum(dx * dx)) * sqrt(sum(y * y))) AS c
+  FROM deq GROUP BY vec_id
+)
+SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
 def _vv05_hybrid_rrf(spark, sf_dir):
     """Hybrid lexical+vector search: BM25 WAND top-50 over the documents
     index fused with cosine top-50 over the embeddings table (vec_id is the
@@ -2910,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd03_minhash_verified": _dd03_minhash_verified,
         "dd04_simhash": _dd04_simhash,
         "vv01_cosine_topk": _vv01_cosine_topk,
+        "q70_quantized_cosine": _q70_quantized_cosine,
         "vv02_lsh_ann_topk": _vv02_lsh_ann,
         "vv04_ivf_ann_topk": _vv04_ivf_ann,
         "vv05_hybrid_rrf": _vv05_hybrid_rrf,
@@ -3594,6 +3633,7 @@ sims AS (
 SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
 """,
         "vv02_lsh_ann_topk": _vv02_sql(),
+        "q70_quantized_cosine": _Q70_SQL,
         "vv01_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 flat AS (

@@ -67,6 +67,56 @@ def cosine_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
                   .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
 
 
+def quantize_int8(df: DataFrame, vec_col: str, id_col: str = "vec_id",
+                  keep_cols: Sequence[str] = ()) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: q_i = round(127 x_i /
+    max|x|), stored as array<tinyint> plus one double `scale` (= max|x|/127).
+
+    The 100-TB lever: a quantized embedding column scans at ~1/4 the bytes
+    (int8 vs float32/64 per component) and the dequantized dot product stays
+    whole-stage codegen. Reference role: Lucene's scalar-quantized
+    KNN vectors (Lucene99ScalarQuantizedVectorsFormat behavior; Solr
+    DenseVectorField picks it up via the codec). One narrow map — no shuffle.
+
+    Rounding uses the engine-portable half-away kernel so a SQL twin
+    (round(127 * x / amax)) reproduces the exact same codes.
+    """
+    from solr_spark.functions.portable import round_half_away
+
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    qvec = F.transform(
+        v, lambda x: F.when(amax == 0, F.lit(0))
+        .otherwise(round_half_away(x * F.lit(127.0) / amax, 0))
+        .cast("tinyint")).alias("qvec")
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], qvec, scale)
+
+
+def dequantize(qvec_col: Column | str, scale_col: Column | str) -> Column:
+    """array<tinyint> + scale -> array<double> (exact inverse up to the
+    quantization grid)."""
+    q = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def cosine_topk_int8(df: DataFrame, query: Sequence[float], k: int,
+                     id_col: str = "vec_id", qvec_col: str = "qvec",
+                     scale_col: str = "scale") -> DataFrame:
+    """cosine_topk over an int8-quantized table (output contract identical:
+    id, cosine 6dp, desc with id tiebreak). Note cosine is scale-invariant,
+    so the per-vector scale cancels and scoring is a pure int8->double
+    dot against the literal query — the scan reads 1/4 the bytes and the
+    expression stays codegen."""
+    dq = dequantize(qvec_col, scale_col)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    sim = _dot(dq, q) / (_norm(dq) * F.lit(qn))
+    return (df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+              .orderBy(F.desc("cosine"), F.asc(id_col)).limit(k))
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH (seeded PCG64 — generated on
     the driver, broadcast as literals; no executor-side RNG, so retries are safe)."""

@@ -140,6 +140,40 @@ def test_cosine_topk_matches_numpy(spark):
             assert abs(c - sims[i]) < 1e-5
 
 
+def test_int8_quantized_cosine(spark):
+    from solr_spark.functions.vectors import (
+        cosine_topk_int8,
+        dequantize,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id int, embedding array<float>")
+    qt = quantize_int8(df, "embedding")
+    # codes in range, dequantization error bounded by half a grid step
+    row = qt.where(F.col("vec_id") == 0).select(
+        "qvec", "scale", dequantize("qvec", "scale").alias("dq")).collect()[0]
+    assert all(-127 <= c <= 127 for c in row["qvec"])
+    err = np.abs(np.array(row["dq"]) - vecs[0].astype(np.float64))
+    assert err.max() <= row["scale"] / 2 + 1e-12
+
+    q = [float(x) for x in vecs[7]]
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", q, 10).collect()]
+    quant = cosine_topk_int8(qt, q, 10).collect()
+    got = [r["vec_id"] for r in quant]
+    # int8 grid keeps >= 9/10 of the true neighbors and sims within 1%
+    assert len(set(exact) & set(got)) >= 9
+    assert got[0] == 7 and quant[0]["cosine"] > 0.999
+    v = vecs.astype(np.float64)
+    qq = np.asarray(q)
+    sims = v @ qq / (np.linalg.norm(v, axis=1) * np.linalg.norm(qq))
+    for r in quant:
+        assert abs(r["cosine"] - sims[r["vec_id"]]) < 0.01
+
+
 def test_lsh_ann_recall(spark):
     # clustered data (the realistic near-dup/embedding shape): 10 centers,
     # 20 small-noise members each — true neighbors share LSH sign-buckets
