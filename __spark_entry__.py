@@ -2663,6 +2663,78 @@ def _vv01_cosine_topk(spark, sf_dir):
     return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
 
 
+def _q71_quality_repetition(spark, sf_dir):
+    """Training-pipeline quality rules (Gopher/MassiveText repetition filters +
+    PII scrub; solr_spark/functions/textanalysis.py::repetition_stats /
+    pii_redact): per-doc bigram duplication mass, duplicate-token fraction,
+    and the md5 of the PII-redacted text — all row-local codegen expressions,
+    no shuffle."""
+    from solr_spark.functions.textanalysis import (
+        pii_redact,
+        repetition_stats,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_stats(F.col("text"), 2)
+    return (docs.where(token_count("text") >= 2)
+            .select("doc_id",
+                    rep["top_ngram_char_frac"].alias("top_bigram_char_frac"),
+                    rep["dup_ngram_char_frac"].alias("dup_bigram_char_frac"),
+                    rep["dup_token_frac"].alias("dup_token_frac"),
+                    F.md5(pii_redact(F.col("text"))).alias("redacted_md5"))
+            .orderBy("doc_id"))
+
+
+_Q71_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t,
+         length(text)::DOUBLE AS nc
+  FROM documents
+),
+eligible AS (SELECT * FROM base WHERE len(t) >= 2),
+grams AS (
+  SELECT doc_id, nc,
+         unnest(list_transform(range(1, len(t)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM eligible
+),
+counts AS (
+  SELECT doc_id, any_value(nc) AS nc, g,
+         count(*)::DOUBLE AS c, length(g)::DOUBLE AS l
+  FROM grams GROUP BY doc_id, g
+),
+rep AS (
+  SELECT doc_id,
+         round(max(c * l) / any_value(nc), 4) AS top_bigram_char_frac,
+         round(coalesce(sum(CASE WHEN c > 1 THEN c * l END), 0)
+               / any_value(nc), 4) AS dup_bigram_char_frac
+  FROM counts GROUP BY doc_id
+),
+dup_tok AS (
+  SELECT doc_id,
+         round(1.0 - count(DISTINCT tok) / count(*)::DOUBLE, 4)
+           AS dup_token_frac
+  FROM (SELECT doc_id, unnest(t) AS tok FROM eligible) GROUP BY doc_id
+),
+red AS (
+  SELECT doc_id, md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{9,}\b', '<NUM>', 'g')) AS redacted_md5
+  FROM eligible
+)
+SELECT doc_id, top_bigram_char_frac, dup_bigram_char_frac, dup_token_frac,
+       redacted_md5
+FROM rep JOIN dup_tok USING (doc_id) JOIN red USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _q70_quantized_cosine(spark, sf_dir):
     """int8 scalar-quantized vector search (Lucene scalar-quantized KNN role,
     Lucene99ScalarQuantizedVectorsFormat behavior;
@@ -2949,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd04_simhash": _dd04_simhash,
         "vv01_cosine_topk": _vv01_cosine_topk,
         "q70_quantized_cosine": _q70_quantized_cosine,
+        "q71_quality_repetition": _q71_quality_repetition,
         "vv02_lsh_ann_topk": _vv02_lsh_ann,
         "vv04_ivf_ann_topk": _vv04_ivf_ann,
         "vv05_hybrid_rrf": _vv05_hybrid_rrf,
@@ -3634,6 +3707,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
 """,
         "vv02_lsh_ann_topk": _vv02_sql(),
         "q70_quantized_cosine": _Q70_SQL,
+        "q71_quality_repetition": _Q71_SQL,
         "vv01_cosine_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 flat AS (

@@ -107,6 +107,94 @@ def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def repetition_stats(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signals over word n-grams, per document, as one
+    codegen'd expression (no shuffle — the shingle set algebra is row-local):
+
+      * top_ngram_char_frac — duplication mass of the heaviest n-gram:
+        max over grams of count * len(gram) / len(text). (Deterministic
+        variant of the published "fraction of characters in the most common
+        n-gram" — overlapping windows make exact coverage ill-defined, so we
+        use the standard count*len approximation.)
+      * dup_ngram_char_frac — sum of count * len over grams with count > 1,
+        / len(text) (the published "fraction of characters in duplicate
+        n-grams" approximation).
+      * dup_token_frac — 1 - distinct/total tokens.
+
+    The repetition filters of the large-scale LM data pipelines (Gopher /
+    MassiveText rules; public) — a document failing these is boilerplate or a
+    crawler trap. Per-gram counts come from ONE array_sort + run-length scan
+    (a struct-accumulator `aggregate`), so the per-row cost is
+    O(tokens log tokens) JVM work — documents are bounded, the corpus is not.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = whitespace_tokens(c)
+    sorted_sh = F.array_sort(ngram_shingles(c, n))
+    total = F.length(c).cast("double")
+    # run-length scan over the sorted grams: acc = (prev gram, run length,
+    # max single-gram mass, duplicated mass); mass of a run = count * len(gram)
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0.0).alias("top"),
+                    F.lit(0.0).alias("dup"))
+
+    def _close_run(acc):
+        mass = acc["run"].cast("double") * F.length(acc["prev"]).cast("double")
+        mass = F.coalesce(mass, F.lit(0.0))
+        return (F.greatest(acc["top"], mass),
+                acc["dup"] + F.when(acc["run"] > 1, mass).otherwise(F.lit(0.0)))
+
+    def _step(acc, g):
+        top2, dup2 = _close_run(acc)
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+             .alias("run"),
+            F.when(same, acc["top"]).otherwise(top2).alias("top"),
+            F.when(same, acc["dup"]).otherwise(dup2).alias("dup"))
+
+    def _finish(acc):
+        top2, dup2 = _close_run(acc)
+        return F.struct(top2.alias("top"), dup2.alias("dup"))
+
+    scanned = F.aggregate(sorted_sh, init, _step, _finish)
+    top = scanned["top"] / total
+    dup = scanned["dup"] / total
+    dup_tok = (F.lit(1.0)
+               - F.size(F.array_distinct(toks)).cast("double")
+               / F.size(toks).cast("double"))
+    from solr_spark.functions.portable import round_half_away
+
+    return F.struct(
+        round_half_away(top, 4).alias("top_ngram_char_frac"),
+        round_half_away(dup, 4).alias("dup_ngram_char_frac"),
+        round_half_away(dup_tok, 4).alias("dup_token_frac"),
+    )
+
+
+# conservative, lookaround-free patterns shared verbatim by the DuckDB twin
+# (Java regex and RE2 agree on this subset)
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Training-data PII scrub: emails, IPv4 literals, and 9+ digit runs
+    (phone/account/card shapes) replaced with typed placeholders — a chain of
+    codegen regexp_replace calls, engine-portable (patterns avoid dialect
+    features; identical in Java regex and RE2). Order matters (emails first,
+    so their digits aren't half-eaten) and is part of the contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile: id, n_tokens, n_chars, mean_token_len,
     stop_ratio, lang, fingerprint, quality struct."""

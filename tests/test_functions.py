@@ -140,6 +140,30 @@ def test_cosine_topk_matches_numpy(spark):
             assert abs(c - sims[i]) < 1e-5
 
 
+def test_repetition_stats_and_pii(spark):
+    from solr_spark.functions.textanalysis import pii_redact, repetition_stats
+
+    text = "a b a b a b c d"          # bigrams: "a b" x3, "b a" x2, "b c", "c d"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(repetition_stats(F.col("text"), 2).alias("r")) \
+            .collect()[0]["r"]
+    total = len(text)
+    assert got["top_ngram_char_frac"] == round(3 * 3 / total, 4)
+    assert got["dup_ngram_char_frac"] == round((3 * 3 + 2 * 3) / total, 4)
+    assert got["dup_token_frac"] == round(1 - 4 / 8, 4)
+    # no duplicate grams -> dup mass 0, top = single-gram mass
+    got2 = spark.createDataFrame([("x yy zzz",)], "text string") \
+        .select(repetition_stats(F.col("text"), 2).alias("r")).collect()[0]["r"]
+    assert got2["dup_ngram_char_frac"] == 0.0
+    assert got2["top_ngram_char_frac"] == round(len("yy zzz") / len("x yy zzz"), 4)
+
+    red = spark.createDataFrame(
+        [("mail bob@example.com ip 10.0.0.1 acct 123456789 ok 123",)],
+        "text string").select(pii_redact(F.col("text")).alias("t")) \
+        .collect()[0]["t"]
+    assert red == "mail <EMAIL> ip <IP> acct <NUM> ok 123"
+
+
 def test_int8_quantized_cosine(spark):
     from solr_spark.functions.vectors import (
         cosine_topk_int8,
