@@ -2311,21 +2311,104 @@ SELECT 'all', count(*)::BIGINT FROM events
 """
 
 
+def _py_round_half_away(v: float, s: int = 6) -> float:
+    """Driver-side twin of portable.round_half_away / DuckDB round(DOUBLE,s)
+    (Python's round() is banker's — half-even — and would diverge)."""
+    import math as _math
+
+    p = 10.0 ** s
+    i = v * p
+    return _math.floor(abs(i) + 0.5) * (1.0 if i >= 0 else -1.0) / p
+
+
 def _q65_tlogit(spark, sf_dir):
     """tlogit logistic-regression training (TextLogitStream.java:61) on the
-    lang=='en' label with igain-selected features; rows-only gate (iterative
-    training has no SQL twin — model quality is pytest-gated: test_classify
-    asserts AUC and exact determinism). Returns the trained weight vector."""
+    lang=='en' label with igain-selected features. Full-hash gate: the DuckDB
+    twin UNROLLS the 10 batch-gradient iterations as chained CTEs with the
+    margin folded in the identical literal order (b + w0*x0 + ... + w4*x4),
+    so both engines walk the same IEEE trajectory to the same weights.
+    Model quality (AUC, determinism) is separately pytest-gated
+    (test_classify). Returns the trained weight vector."""
     from solr_spark.operators.classify import igain_terms, tlogit_train
 
     docs = _t(spark, sf_dir, "documents").select(
         "text", (F.col("lang") == "en").cast("int").alias("y"))
     feats = [r["term"] for r in igain_terms(docs, "text", "y", k=5).collect()]
     model = tlogit_train(docs, "text", "y", feats, iters=10, lr=1.0)
-    rows = [(t, float(round(w, 6))) for t, w in
+    rows = [(t, _py_round_half_away(w)) for t, w in
             sorted(model["weights"].items())]
-    rows.append(("__intercept__", float(round(model["intercept"], 6))))
+    rows.append(("__intercept__", _py_round_half_away(model["intercept"])))
     return spark.createDataFrame(rows, "term string, weight double")
+
+
+def _q65_sql(iters: int = 10, k: int = 5) -> str:
+    """Unrolled gradient-descent twin: one (m, e, g, w) CTE block per
+    iteration; weights ride as a single-row CTE so every margin is the same
+    left-fold b + w0*x0 + ... the Spark expression builds."""
+    feat_cols = ", ".join(
+        f"coalesce(max(CASE WHEN tf.j = {j} THEN 1.0 END), 0.0) AS x{j}"
+        for j in range(k))
+    head = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+lab AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+tot AS (SELECT count(*)::DOUBLE AS n, sum(y)::DOUBLE AS pos FROM lab),
+per AS (
+  SELECT tok AS term, count(*)::DOUBLE AS df_t, sum(y)::DOUBLE AS pos_t
+  FROM toks JOIN lab USING (doc_id) GROUP BY tok
+),
+ig AS (
+  SELECT term,
+    (CASE WHEN pos/n > 0 AND pos/n < 1
+          THEN -(pos/n)*ln(pos/n) - (1-pos/n)*ln(1-pos/n) ELSE 0 END)
+    - (df_t/n) * (CASE WHEN pos_t/df_t > 0 AND pos_t/df_t < 1
+          THEN -(pos_t/df_t)*ln(pos_t/df_t)
+               - (1-pos_t/df_t)*ln(1-pos_t/df_t) ELSE 0 END)
+    - (1 - df_t/n) * (CASE WHEN n > df_t
+          AND (pos-pos_t)/(n-df_t) > 0 AND (pos-pos_t)/(n-df_t) < 1
+          THEN -((pos-pos_t)/(n-df_t))*ln((pos-pos_t)/(n-df_t))
+               - (1-(pos-pos_t)/(n-df_t))*ln(1-(pos-pos_t)/(n-df_t))
+          ELSE 0 END) AS ig_raw
+  FROM per CROSS JOIN tot
+),
+feats AS (
+  SELECT term, row_number() OVER (ORDER BY ig_raw DESC, term) - 1 AS j
+  FROM ig ORDER BY ig_raw DESC, term LIMIT {k}
+),
+x AS MATERIALIZED (
+  SELECT l.doc_id, any_value(l.y) AS y, {feat_cols}
+  FROM lab l
+  LEFT JOIN (SELECT t.doc_id, f.j FROM toks t
+             JOIN feats f ON t.tok = f.term) tf
+    ON tf.doc_id = l.doc_id
+  GROUP BY l.doc_id
+),
+w0_ AS MATERIALIZED (SELECT {', '.join(f'0.0 AS w{j}' for j in range(k))}, 0.0 AS b)"""
+    blocks = []
+    for i in range(1, iters + 1):
+        fold = " + ".join(f"w.w{j} * x.x{j}" for j in range(k))
+        gsel = ", ".join(f"avg(e * x{j}) AS g{j}" for j in range(k))
+        wsel = ", ".join(f"w.w{j} - g.g{j} AS w{j}" for j in range(k))
+        blocks.append(f""",
+m{i} AS MATERIALIZED (SELECT x.*, w.b + {fold} AS marg FROM x CROSS JOIN w{i-1}_ w),
+e{i} AS MATERIALIZED (SELECT *, 1.0/(1.0 + exp(-marg)) - y AS e FROM m{i}),
+g{i} AS MATERIALIZED (SELECT {gsel}, avg(e) AS gb FROM e{i}),
+w{i}_ AS MATERIALIZED (SELECT {wsel}, w.b - g.gb AS b FROM w{i-1}_ w CROSS JOIN g{i} g)""")
+    wcase = " ".join(f"WHEN {j} THEN w.w{j}" for j in range(k))
+    tail = f"""
+SELECT f.term AS term, round(CASE f.j {wcase} END, 6) AS weight
+FROM feats f CROSS JOIN w{iters}_ w
+UNION ALL
+SELECT '__intercept__', round(w.b, 6) FROM w{iters}_ w
+ORDER BY term
+"""
+    return head + "".join(blocks) + tail
 
 
 def _dd05_det_split(spark, sf_dir):
@@ -3367,6 +3450,7 @@ SELECT round(corr(rx, ry), 6) AS spearman FROM r
         "q61_range_other": _Q61_SQL,
         "q62_facet_bucket_options": _Q62_SQL,
         "q63_igain": _Q63_SQL,
+        "q65_tlogit": _q65_sql(),
         "q66_geo_polygon": _Q66_SQL,
         "q67_facet2d": _Q67_SQL,
         "q68_distributions": _Q68_SQL,
