@@ -149,10 +149,9 @@ def test_sampling_moments(spark):
 
 
 def test_outliers_and_density(spark):
-    n = D.ParamDistribution  # outliers works with the base kinds too
+    # outliers/density accept the base evaluators.Distribution kinds too
     from solr_spark.functions.evaluators import normal_distribution
     dist = normal_distribution(0.0, 1.0)
-    arr = F.lit(None)
     df = spark.createDataFrame([([0.1, -4.0, 0.5, 3.8, -0.2],)], "a array<double>")
     got = df.select(D.outliers(dist, F.col("a"), 0.01, 0.99).alias("o")) \
             .collect()[0]["o"]

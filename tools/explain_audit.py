@@ -235,6 +235,32 @@ def main() -> None:
         ["BroadcastHashJoin", "Window", "HashAggregate"],
         ["SortMergeJoin", "CartesianProduct"]))
 
+    # 14b. int8-quantized cosine top-k: narrow scan -> codegen score ->
+    # TakeOrderedAndProject; no join, no Python, no wide exchange
+    from solr_spark.functions.vectors import cosine_topk_int8, quantize_int8
+    emb = t("embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qtk = cosine_topk_int8(quantize_int8(emb, "embedding"), qv, 10)
+    # (higher-order array fns are CodegenFallback, so no WholeStageCodegen
+    # node — the binding assertion is: no exchange, no Python, no join)
+    checks.append((
+        "quantized cosine top-k: narrow scan -> TakeOrdered, no shuffle",
+        plan_of(qtk),
+        ["TakeOrderedAndProject"],
+        ["Exchange hashpartitioning", "BatchEvalPython", "ArrowEvalPython",
+         "SortMergeJoin", "BroadcastHashJoin"]))
+
+    # 14c. repetition stats: row-local set algebra — NO shuffle of any kind
+    # (the run-length scan happens inside the project, per row)
+    from solr_spark.functions.textanalysis import repetition_stats
+    rep = t("documents").select(
+        "doc_id", repetition_stats(F.col("text"), 2).alias("r"))
+    checks.append((
+        "repetition stats: shuffle-free row-local scan", plan_of(rep),
+        ["Project"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
