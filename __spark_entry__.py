@@ -2818,6 +2818,86 @@ ORDER BY doc_id
 """
 
 
+def _vv06_prefiltered_knn(spark, sf_dir):
+    """Solr 9 filtered KNN ({!knn} + fq/preFilter as a PRE-filter;
+    solr/core/src/java/org/apache/solr/search/vector/KnnQParser.java:44-53,141-192
+    via solr_spark/functions/vectors.py::knn_prefiltered): the label predicate
+    restricts candidates BEFORE the vector search, so all 10 neighbors are
+    eligible — post-filtering the unfiltered top-10 would starve."""
+    from solr_spark.functions.vectors import knn_prefiltered
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = knn_prefiltered(e, "embedding", [float(x) for x in qvec], k=10,
+                          prefilter=F.col("label") == 1)
+    return out.select("vec_id", _dround("cosine", 4).alias("cosine"))
+
+
+_VV06_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.label = 1
+),
+sims AS (
+  SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY vec_id
+)
+SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+def _dd07_text_profile(spark, sf_dir):
+    """Signature-based index-time dedup (SignatureUpdateProcessorFactory role
+    with TextProfileSignature; solr_spark/functions/dedup.py::signature_dedup):
+    the fuzzy Nutch content profile — lowercase alnum tokens len>2, counts
+    quantized to multiples of quant=floor(maxFreq/100+0.5) (min 2 when any
+    token repeats), 'tok cnt' lines sorted by count desc — md5-hashed; one
+    doc per signature survives. Tie order deviation documented in dedup.py."""
+    from solr_spark.functions.dedup import signature_dedup
+
+    return (signature_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text",
+                            method="text_profile")
+            .orderBy("doc_id"))
+
+
+_DD07_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+           x -> length(x) > 2)) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*)::INT AS cnt FROM toks GROUP BY doc_id, tok
+),
+q AS (
+  SELECT doc_id,
+         CASE WHEN floor(max(cnt) * 0.01 + 0.5) >= 2
+                THEN floor(max(cnt) * 0.01 + 0.5)::INT
+              WHEN max(cnt) > 1 THEN 2 ELSE 1 END AS quant
+  FROM counts GROUP BY doc_id
+),
+prof AS (
+  SELECT c.doc_id,
+         string_agg(c.tok || ' ' || ((c.cnt // q.quant) * q.quant),
+                    chr(10) ORDER BY (c.cnt // q.quant) * q.quant DESC, c.tok)
+           AS profile
+  FROM counts c JOIN q USING (doc_id)
+  WHERE (c.cnt // q.quant) * q.quant >= q.quant
+  GROUP BY c.doc_id
+),
+sigs AS (
+  SELECT d.doc_id, md5(coalesce(p.profile, '')) AS signature
+  FROM documents d LEFT JOIN prof p USING (doc_id)
+)
+SELECT doc_id, signature,
+       min(doc_id) OVER (PARTITION BY signature) AS canonical_id,
+       count(*) OVER (PARTITION BY signature) AS group_size
+FROM sigs ORDER BY doc_id
+"""
+
+
 def _q70_quantized_cosine(spark, sf_dir):
     """int8 scalar-quantized vector search (Lucene scalar-quantized KNN role,
     Lucene99ScalarQuantizedVectorsFormat behavior;
@@ -3108,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv02_lsh_ann_topk": _vv02_lsh_ann,
         "vv04_ivf_ann_topk": _vv04_ivf_ann,
         "vv05_hybrid_rrf": _vv05_hybrid_rrf,
+        "vv06_prefiltered_knn": _vv06_prefiltered_knn,
+        "dd07_text_profile_signature": _dd07_text_profile,
     }
 
 
@@ -3804,4 +3886,6 @@ sims AS (
 )
 SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
 """,
+        "vv06_prefiltered_knn": _VV06_SQL,
+        "dd07_text_profile_signature": _DD07_SQL,
     }

@@ -7,11 +7,14 @@ pipeline needs, built as single-shuffle DataFrame programs.
 """
 
 from solr_spark.functions.dedup import (
+    drop_signature_duplicates,
     exact_dedup,
     minhash_bands,
     minhash_near_dup_pairs,
+    signature_dedup,
     simhash,
     simhash_near_dup_pairs,
+    text_profile_signature,
 )
 from solr_spark.functions.datemath import date_math, date_math_sql
 from solr_spark.functions.geo import (
@@ -29,12 +32,19 @@ from solr_spark.functions.textanalysis import (
     token_count,
     whitespace_tokens,
 )
-from solr_spark.functions.vectors import cosine_sim, cosine_topk, lsh_ann_topk
+from solr_spark.functions.vectors import (
+    cosine_sim,
+    cosine_topk,
+    knn_prefiltered,
+    lsh_ann_topk,
+)
 
 __all__ = [
     "exact_dedup", "minhash_bands", "minhash_near_dup_pairs", "simhash",
-    "simhash_near_dup_pairs", "doc_fingerprint", "lang_id", "quality_score",
-    "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk", "lsh_ann_topk",
+    "simhash_near_dup_pairs", "signature_dedup", "text_profile_signature",
+    "drop_signature_duplicates", "doc_fingerprint", "lang_id", "quality_score",
+    "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk",
+    "lsh_ann_topk", "knn_prefiltered",
     "date_math", "date_math_sql", "haversine_km", "geodist", "geofilt",
     "bbox_filter", "geo_grid_cell", "jaro_winkler",
 ]

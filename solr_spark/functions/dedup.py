@@ -145,6 +145,115 @@ def minhash_query(df: DataFrame, id_col: str, text_col: str, query_text: str,
                    .orderBy(F.desc("sim"), F.asc(id_col)).limit(k))
 
 
+# ------------------------------------------------- signature URP (index-time)
+
+def text_profile_signature(text_col: Column | str, quant_rate: float = 0.01,
+                           min_token_len: int = 2) -> Column:
+    """TextProfileSignature: the fuzzy content signature Solr's signature-dedup
+    update processor ships (reference behavior spec:
+    solr/core/src/java/org/apache/solr/update/processor/TextProfileSignature.java:51-134,
+    itself copied from Apache Nutch):
+
+      1. lowercase; tokens = maximal runs of letters/digits,
+      2. discard tokens of length <= min_token_len (STRICT — default keeps >= 3),
+      3. per-token frequency; quant = floor(maxFreq * quant_rate + 0.5),
+         raised to 2 when maxFreq > 1 else 1,
+      4. counts rounded DOWN to a multiple of quant; tokens whose rounded
+         count falls below quant are dropped (so freq-1 tokens vanish
+         whenever any token repeats),
+      5. profile = "tok cnt" lines, counts descending, joined by \\n; the
+         signature is md5(profile).
+
+    Deterministic deviation (documented): the reference breaks count ties in
+    HashMap iteration order (not reproducible anywhere); we order ties by
+    token ascending, so signatures are stable across engines and retries.
+    Pure Column algebra — the signature is a row-local expression (no
+    shuffle); dedup on it is one exchange, identical shape to exact_dedup.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(t), r"[^\p{L}\p{N}]+"),
+                    lambda x: F.length(x) > min_token_len)
+    uniq = F.array_distinct(toks)
+    counts = F.transform(
+        uniq, lambda u: F.struct(
+            F.size(F.filter(toks, lambda x: x == u)).alias("cnt"),
+            u.alias("tok")))
+    maxf = F.coalesce(F.array_max(F.transform(counts, lambda c: c["cnt"])),
+                      F.lit(0))
+    qraw = F.floor(maxf.cast("double") * F.lit(float(quant_rate))
+                   + F.lit(0.5)).cast("int")
+    quant = (F.when(qraw >= 2, qraw)
+              .otherwise(F.when(maxf > 1, F.lit(2)).otherwise(F.lit(1))))
+    quantized = F.filter(
+        F.transform(counts, lambda c: F.struct(
+            ((c["cnt"] / quant).cast("int") * quant).alias("cnt"),
+            c["tok"].alias("tok"))),
+        lambda c: c["cnt"] >= quant)
+    ordered = F.array_sort(
+        quantized,
+        lambda a, b: F.when(a["cnt"] > b["cnt"], F.lit(-1))
+                      .when(a["cnt"] < b["cnt"], F.lit(1))
+                      .when(a["tok"] < b["tok"], F.lit(-1))
+                      .when(a["tok"] > b["tok"], F.lit(1))
+                      .otherwise(F.lit(0)))
+    profile = F.array_join(
+        F.transform(ordered, lambda c: F.concat_ws(" ", c["tok"], c["cnt"])),
+        "\n")
+    return F.md5(profile)
+
+
+def signature_dedup(df: DataFrame, id_col: str, text_col: str,
+                    method: str = "text_profile",
+                    quant_rate: float = 0.01,
+                    min_token_len: int = 2) -> DataFrame:
+    """SignatureUpdateProcessor semantics as a batch operator (reference:
+    solr/core/src/java/org/apache/solr/update/processor/SignatureUpdateProcessorFactory.java
+    — computes a signature per doc; with overwriteDupes the signature becomes
+    the unique key so one doc per signature survives).
+
+    method="text_profile" (fuzzy, near-dup tolerant) or "md5" (exact bytes —
+    Solr's MD5Signature). Output: id, signature, canonical_id (min id in the
+    group — our deterministic stand-in for last-write-wins), group_size.
+    One shuffle on the signature; signature computation itself is row-local.
+    Lookup3Signature is out of scope (Java-specific 64-bit hash with no
+    cross-engine twin; md5 fills the exact-signature role).
+    """
+    if method == "text_profile":
+        sig = text_profile_signature(text_col, quant_rate, min_token_len)
+    elif method == "md5":
+        sig = F.md5(F.col(text_col))
+    else:
+        raise ValueError(f"unknown signature method {method!r}")
+    w = Window.partitionBy("signature")
+    return (df.select(F.col(id_col), sig.alias("signature"))
+              .withColumn("canonical_id", F.min(id_col).over(w))
+              .withColumn("group_size",
+                          F.count(F.lit(1)).over(w).cast("long"))
+              .select(id_col, "signature", "canonical_id", "group_size"))
+
+
+def drop_signature_duplicates(df: DataFrame, id_col: str, text_col: str,
+                              method: str = "text_profile", **kw) -> DataFrame:
+    """Index-time dedup URP: keep exactly one row per signature (the smallest
+    id) and drop the rest, preserving all input columns — the pre-index stage
+    a Solr user gets from SignatureUpdateProcessorFactory(overwriteDupes=true).
+    Compose ahead of build_index to keep near-duplicate transcripts out of
+    the posting lists. One row_number window over the signature — a single
+    exchange at any corpus size.
+    """
+    if method == "text_profile":
+        sig = text_profile_signature(text_col, **kw)
+    elif method == "md5":
+        sig = F.md5(F.col(text_col))
+    else:
+        raise ValueError(f"unknown signature method {method!r}")
+    w = Window.partitionBy("__sig").orderBy(F.asc(id_col))
+    return (df.withColumn("__sig", sig)
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .drop("__sig", "__rn"))
+
+
 # --------------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

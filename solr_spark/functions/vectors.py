@@ -244,6 +244,38 @@ def ivf_ann_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
     return cosine_topk(cand, vec_col, query, k, id_col)
 
 
+def knn_prefiltered(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+                    prefilter: Column, id_col: str = "vec_id",
+                    method: str = "exact", **kw) -> DataFrame:
+    """Solr 9 filtered KNN: `{!knn}` with fq / preFilter acting as a PRE-filter
+    (reference: solr/core/src/java/org/apache/solr/search/vector/KnnQParser.java:44-53,
+    141-192 — filters restrict the candidate set BEFORE the vector search, so
+    exactly k ELIGIBLE neighbors come back; post-filtering a fixed top-k can
+    starve to fewer than k results, which is why Lucene threads the filter
+    into the KNN search itself).
+
+    `prefilter` is any boolean Column over `df`. It is applied before the
+    chosen search path:
+      * exact — filter -> brute-force cosine top-k. The predicate pushes into
+        the parquet scan, so at 100 TB a selective prefilter prunes row
+        groups before any vector math runs.
+      * lsh / ivf — filter -> bucket/probe pruning -> exact verify. Buckets
+        carry only eligible vectors: filter selectivity MULTIPLIES with the
+        bucket pruning instead of probe budget being spent on hits the
+        filter would discard.
+    Extra kwargs flow to the underlying ANN (n_planes/multiprobe for lsh,
+    n_centroids/n_probe/centroids for ivf).
+    """
+    filtered = df.where(prefilter)
+    if method == "exact":
+        return cosine_topk(filtered, vec_col, query, k, id_col)
+    if method == "lsh":
+        return lsh_ann_topk(filtered, vec_col, query, k, id_col, **kw)
+    if method == "ivf":
+        return ivf_ann_topk(filtered, vec_col, query, k, id_col, **kw)
+    raise ValueError(f"unknown knn method {method!r}")
+
+
 def cosine_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float, method: str = "lsh",
                           n_planes: int = 12, seed: int = 7) -> DataFrame:

@@ -475,3 +475,105 @@ def test_terms_facet_prefix_contains(spark):
            terms_facet(df, "k", limit=1, prefix="ap", all_buckets=True,
                        num_buckets=True).collect()}
     assert out["__all__"] == 3 and out["__numBuckets__"] == 2
+
+
+def _tps_oracle(text: str, quant_rate: float = 0.01, min_len: int = 2) -> str:
+    """Pure-Python TextProfileSignature oracle, written from the reference
+    behavior spec (update/processor/TextProfileSignature.java:51-134) with the
+    repo's documented deterministic tie-break (count desc, token asc)."""
+    import math
+    from collections import Counter
+
+    runs = "".join(ch if ch.isalnum() else " " for ch in text.lower()).split()
+    toks = [t for t in runs if len(t) > min_len]
+    c = Counter(toks)
+    if not c:
+        profile = ""
+    else:
+        maxf = max(c.values())
+        quant = math.floor(maxf * quant_rate + 0.5)
+        if quant < 2:
+            quant = 2 if maxf > 1 else 1
+        items = [(t, (n // quant) * quant) for t, n in c.items()]
+        items = [(t, n) for t, n in items if n >= quant]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        profile = "\n".join(f"{t} {n}" for t, n in items)
+    return hashlib.md5(profile.encode()).hexdigest()
+
+
+def test_text_profile_signature_python_oracle(spark):
+    from solr_spark.functions.dedup import text_profile_signature
+
+    rows = [
+        (0, "Alpha alpha ALPHA, beta beta; gamma!"),   # quant=2, gamma dropped
+        (1, "alpha alpha alpha beta beta delta"),      # same profile as 0
+        (2, "one two two three three three"),          # 'one' len 3 kept, freq 1
+        (3, "a an to be it — of in on"),               # all tokens len<=2 -> empty
+        (4, ""),
+        (5, "x1y z2w x1y ... x1y?? z2w"),              # digits inside tokens
+        (6, "word " * 250),                            # maxFreq 250 -> quant 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["sig"] for r in
+           df.select("doc_id",
+                     text_profile_signature("text").alias("sig")).collect()}
+    for i, text in rows:
+        assert got[i] == _tps_oracle(text), (i, text)
+    assert got[0] == got[1]          # rare-token difference is invisible
+    assert got[3] == got[4]          # both empty profiles
+    assert got[0] != got[2]
+
+
+def test_signature_dedup_and_drop(spark):
+    from solr_spark.functions.dedup import (
+        drop_signature_duplicates,
+        signature_dedup,
+    )
+
+    rows = [
+        (0, "alpha alpha alpha beta beta gamma", "s0"),
+        (1, "alpha alpha alpha beta beta delta", "s1"),  # TPS-dup of 0
+        (2, "totally different words here today", "s2"),
+        (3, "alpha alpha alpha beta beta gamma", "s3"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, src string")
+    tps = {r["doc_id"]: r for r in
+           signature_dedup(df, "doc_id", "text").collect()}
+    assert tps[0]["canonical_id"] == 0 and tps[0]["group_size"] == 3
+    assert tps[1]["canonical_id"] == 0 and tps[3]["canonical_id"] == 0
+    assert tps[2]["group_size"] == 1
+    # md5 method only collapses the byte-exact pair
+    md5g = {r["doc_id"]: r for r in
+            signature_dedup(df, "doc_id", "text", method="md5").collect()}
+    assert md5g[0]["group_size"] == 2 and md5g[1]["group_size"] == 1
+    # URP drop: one survivor per signature, original columns intact
+    kept = drop_signature_duplicates(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+    assert kept.columns == ["doc_id", "text", "src"]
+
+
+def test_knn_prefiltered(spark):
+    from solr_spark.functions.vectors import knn_prefiltered
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 8))
+    rows = [(i, [float(x) for x in vecs[i]], int(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    q = [float(x) for x in vecs[0]]
+    pred = F.col("label") == 1
+    got = knn_prefiltered(df, "embedding", q, k=5, prefilter=pred).collect()
+    # identical to brute-force over the manually filtered frame
+    want = cosine_topk(df.where(pred), "embedding", q, 5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+           [(r["vec_id"], r["cosine"]) for r in want]
+    assert all(r["vec_id"] % 3 == 1 for r in got) and len(got) == 5
+    # ANN paths: eligible-only candidates, scores exact on what they return
+    for method, kw in (("lsh", {"n_planes": 4, "multiprobe": 2}),
+                       ("ivf", {"n_centroids": 4, "n_probe": 3})):
+        ann = knn_prefiltered(df, "embedding", q, k=5, prefilter=pred,
+                              method=method, **kw).collect()
+        assert all(r["vec_id"] % 3 == 1 for r in ann), method
+        exact = {r["vec_id"]: r["cosine"] for r in want}
+        hits = [r for r in ann if r["vec_id"] in exact]
+        assert all(abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9 for r in hits)
