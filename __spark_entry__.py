@@ -2818,6 +2818,44 @@ ORDER BY doc_id
 """
 
 
+def _ft24_phonetic(spark, sf_dir):
+    """Phonetic (sounds-like) term matching — PhoneticFilterFactory role
+    (solr-ref-guide indexing-guide/phonetic-matching.adoc:101, Soundex;
+    solr_spark/functions/textanalysis.py::soundex_code/phonetic_matches):
+    corpus tokens whose US-census Soundex equals each misspelled query
+    name's. 'skan' -> S250 matches 'scan'; 'joyn' -> J500 matches 'join'."""
+    from solr_spark.functions.textanalysis import phonetic_matches
+
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for q in ("skan", "joyn", "merje"):
+        m = (phonetic_matches(docs, "text", q)
+             .select(F.lit(q).alias("query"), "token", "code"))
+        out = m if out is None else out.unionAll(m)
+    return out.orderBy("query", "token")
+
+
+def _ft24_sql() -> str:
+    from solr_spark.functions.textanalysis import soundex_sql
+
+    parts = []
+    for q in ("skan", "joyn", "merje"):
+        parts.append(f"""
+SELECT '{q}' AS query, token, code FROM coded
+WHERE code = ({soundex_sql(f"'{q}'")})""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT tok AS token FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+coded AS (SELECT token, {soundex_sql('token')} AS code FROM toks)
+{body}
+ORDER BY query, token
+"""
+
+
 def _vv06_prefiltered_knn(spark, sf_dir):
     """Solr 9 filtered KNN ({!knn} + fq/preFilter as a PRE-filter;
     solr/core/src/java/org/apache/solr/search/vector/KnnQParser.java:44-53,141-192
@@ -3190,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv05_hybrid_rrf": _vv05_hybrid_rrf,
         "vv06_prefiltered_knn": _vv06_prefiltered_knn,
         "dd07_text_profile_signature": _dd07_text_profile,
+        "ft24_phonetic": _ft24_phonetic,
     }
 
 
@@ -3888,4 +3927,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
 """,
         "vv06_prefiltered_knn": _VV06_SQL,
         "dd07_text_profile_signature": _DD07_SQL,
+        "ft24_phonetic": _ft24_sql(),
     }

@@ -28,7 +28,9 @@ from solr_spark.functions.textanalysis import (
     doc_fingerprint,
     jaro_winkler,
     lang_id,
+    phonetic_matches,
     quality_score,
+    soundex_code,
     token_count,
     whitespace_tokens,
 )
@@ -44,7 +46,7 @@ __all__ = [
     "simhash_near_dup_pairs", "signature_dedup", "text_profile_signature",
     "drop_signature_duplicates", "doc_fingerprint", "lang_id", "quality_score",
     "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk",
-    "lsh_ann_topk", "knn_prefiltered",
+    "lsh_ann_topk", "knn_prefiltered", "soundex_code", "phonetic_matches",
     "date_math", "date_math_sql", "haversine_km", "geodist", "geofilt",
     "bbox_filter", "geo_grid_cell", "jaro_winkler",
 ]

@@ -195,6 +195,75 @@ def pii_redact(col: Column | str) -> Column:
     return c
 
 
+_SOUNDEX_FROM = "AEIOUYHWBFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "00000099111122222222334556"
+
+
+def soundex_code(col: Column | str) -> Column:
+    """American (US-census) Soundex, implemented from the published algorithm
+    as engine-portable Column algebra — the phonetic-matching role of Solr's
+    PhoneticFilterFactory / SoundexFilter (reference surface:
+    solr/solr-ref-guide/modules/indexing-guide/pages/phonetic-matching.adoc:101;
+    Solr delegates to commons-codec — no code consulted or copied here).
+
+    Pipeline (identical expression shape in the DuckDB twin):
+      1. strip non-letters, uppercase; empty -> ''.
+      2. translate letters to codes (vowels+Y -> 0; H,W -> 9; consonant
+         groups -> 1..6), delete the 9s FIRST — that makes letters separated
+         only by H/W adjacent, implementing the census H/W-transparency rule.
+      3. collapse runs of each digit 1..6 (no regex backreferences, so the
+         RE2-based oracle runs the same six replaces).
+      4. drop the leading code — it belongs to the kept first letter — UNLESS
+         the first letter is H or W (its 9 was already deleted, so the lead
+         code belongs to the second letter and must survive: Wright -> W623).
+      5. delete the 0s (vowels only separate), pad with '000', keep 3.
+    Pinned by the published census vectors (Robert/Rupert -> R163,
+    Ashcraft -> A261, Tymczak -> T522, Pfister -> P236, Jackson -> J250).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.upper(F.regexp_replace(c, "[^A-Za-z]+", ""))
+    first = F.substring(s, 1, 1)
+    mapped = F.translate(s, _SOUNDEX_FROM, _SOUNDEX_TO)
+    nohw = F.regexp_replace(mapped, "9", "")
+    collapsed = nohw
+    for d in "123456":
+        collapsed = F.regexp_replace(collapsed, d + "{2,}", d)
+    body = F.when(first.isin("H", "W"), collapsed) \
+            .otherwise(F.substring(collapsed, 2, 2147483647))
+    digits = F.regexp_replace(body, "0", "")
+    return F.when(F.length(s) == 0, F.lit("")).otherwise(
+        F.concat(first, F.substring(F.concat(digits, F.lit("000")), 1, 3)))
+
+
+def soundex_sql(expr: str) -> str:
+    """The DuckDB twin of soundex_code — same pipeline, RE2-safe (global
+    flags explicit; DuckDB regexp_replace is first-match by default)."""
+    s = f"upper(regexp_replace({expr}, '[^A-Za-z]+', '', 'g'))"
+    mapped = f"translate({s}, '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    collapsed = f"regexp_replace({mapped}, '9', '', 'g')"
+    for d in "123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}{{2,}}', '{d}', 'g')"
+    body = (f"CASE WHEN substr({s}, 1, 1) IN ('H', 'W') THEN {collapsed} "
+            f"ELSE substr({collapsed}, 2) END")
+    digits = f"regexp_replace({body}, '0', '', 'g')"
+    return (f"CASE WHEN length({s}) = 0 THEN '' "
+            f"ELSE substr({s}, 1, 1) || substr({digits} || '000', 1, 3) END")
+
+
+def phonetic_matches(df: DataFrame, text_col: str, query_term: str,
+                     id_col: str | None = None) -> DataFrame:
+    """Phonetic term matching: the distinct tokens of `text_col` whose Soundex
+    equals the query term's — a sounds-like spellcheck/search primitive
+    (PhoneticFilterFactory's query-side effect). Output: token, code (token
+    asc). One distinct-aggregate over the exploded tokens; the token
+    dictionary is vocabulary-sized, so this survives any corpus size.
+    """
+    toks = df.select(F.explode(whitespace_tokens(text_col)).alias("token"))
+    coded = toks.select("token", soundex_code("token").alias("code")).distinct()
+    return (coded.where(F.col("code") == soundex_code(F.lit(query_term)))
+                 .orderBy("token"))
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document text profile: id, n_tokens, n_chars, mean_token_len,
     stop_ratio, lang, fingerprint, quality struct."""

@@ -577,3 +577,41 @@ def test_knn_prefiltered(spark):
         exact = {r["vec_id"]: r["cosine"] for r in want}
         hits = [r for r in ann if r["vec_id"] in exact]
         assert all(abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9 for r in hits)
+
+
+def test_soundex_census_vectors(spark):
+    """Published US-census Soundex vectors, incl. the H/W-transparency rule
+    and H/W-first-letter handling."""
+    from solr_spark.functions.textanalysis import soundex_code, soundex_sql
+    import duckdb
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Jackson": "J250", "Honeyman": "H555", "Wright": "W623",
+        "Whitney": "W350", "Gutierrez": "G362", "o'Brien": "O165",
+        "a": "A000", "": "", "123": "",
+    }
+    df = spark.createDataFrame([(k,) for k in vectors], "name string")
+    got = {r["name"]: r["c"] for r in
+           df.select("name", soundex_code("name").alias("c")).collect()}
+    assert got == vectors
+    # the DuckDB twin emits byte-identical codes
+    for name, want in vectors.items():
+        lit = "'" + name.replace("'", "''") + "'"
+        tw = duckdb.sql(f"SELECT {soundex_sql(lit)}").fetchone()[0]
+        assert tw == want, (name, tw, want)
+
+
+def test_phonetic_matches(spark):
+    from solr_spark.functions.textanalysis import phonetic_matches
+
+    df = spark.createDataFrame(
+        [(0, "scan skim join merge jane"), (1, "scam gem chain shine")],
+        "doc_id int, text string")
+    # skan -> S500 (first-letter S collapses with same-code k); shine is
+    # S500 too via the census H-transparency rule
+    got = [r["token"] for r in phonetic_matches(df, "text", "skan").collect()]
+    assert got == ["scam", "scan", "shine", "skim"]
+    got2 = [r["token"] for r in phonetic_matches(df, "text", "joyn").collect()]
+    assert got2 == ["jane", "join"]          # J500; gem is G500, chain C500
