@@ -2818,6 +2818,106 @@ ORDER BY doc_id
 """
 
 
+def _dd08_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram train/eval overlap;
+    solr_spark/functions/dedup.py::decontaminate): docs with doc_id % 50 == 0
+    play the benchmark set; training docs sharing any 13-gram with it are
+    flagged with their distinct-hit counts. Bench n-grams broadcast; the
+    corpus never shuffles its gram stream."""
+    from solr_spark.functions.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return (decontaminate(docs, bench, "doc_id", "text", n=13)
+            .orderBy("doc_id"))
+
+
+_DD08_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 13
+              THEN list_transform(range(1, len(t) - 11),
+                                  i -> array_to_string(t[i:i+12], ' '))
+              ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks
+),
+bgrams AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0
+),
+tgrams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams)
+SELECT t.doc_id, count(*)::BIGINT AS n_hits
+FROM tgrams t JOIN bgrams b USING (g)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def _dd09_stratified_quota(spark, sf_dir):
+    """Exact-count stratified sampling (data-mixing quotas;
+    solr_spark/functions/sampling.py::stratified_quota_sample): the 5
+    md5-smallest docs per language — deterministic, engine-portable,
+    nesting (quota 10 contains quota 5)."""
+    from solr_spark.functions.sampling import stratified_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (stratified_quota_sample(docs, "doc_id", ["lang"], 5)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+_DD09_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 4294967296.0 AS u
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u) AS r
+  FROM u
+)
+SELECT doc_id, lang FROM rk WHERE r <= 5 ORDER BY doc_id
+"""
+
+
+def _dd10_token_packs(spark, sf_dir):
+    """Token-budget sequence packing (pretraining shard assembly;
+    solr_spark/functions/sampling.py::token_budget_packs): consecutive docs
+    per source packed into ~500-token units; running count restarts per
+    source so packing is embarrassingly parallel."""
+    from solr_spark.functions.sampling import token_budget_packs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (token_budget_packs(docs, "doc_id", "text", budget=500,
+                               shard_col="source")
+            .select("doc_id", "source",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "pack_id")
+            .orderBy("doc_id"))
+
+
+_DD10_SQL = """
+WITH nt AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+run AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM nt
+)
+SELECT doc_id, source, n_tokens, (before // 500)::BIGINT AS pack_id
+FROM run ORDER BY doc_id
+"""
+
+
 def _ft24_phonetic(spark, sf_dir):
     """Phonetic (sounds-like) term matching — PhoneticFilterFactory role
     (solr-ref-guide indexing-guide/phonetic-matching.adoc:101, Soundex;
@@ -3229,6 +3329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv06_prefiltered_knn": _vv06_prefiltered_knn,
         "dd07_text_profile_signature": _dd07_text_profile,
         "ft24_phonetic": _ft24_phonetic,
+        "dd08_decontaminate": _dd08_decontaminate,
+        "dd09_stratified_quota": _dd09_stratified_quota,
+        "dd10_token_packs": _dd10_token_packs,
     }
 
 
@@ -3928,4 +4031,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "vv06_prefiltered_knn": _VV06_SQL,
         "dd07_text_profile_signature": _DD07_SQL,
         "ft24_phonetic": _ft24_sql(),
+        "dd08_decontaminate": _DD08_SQL,
+        "dd09_stratified_quota": _DD09_SQL,
+        "dd10_token_packs": _DD10_SQL,
     }

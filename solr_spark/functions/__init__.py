@@ -7,6 +7,7 @@ pipeline needs, built as single-shuffle DataFrame programs.
 """
 
 from solr_spark.functions.dedup import (
+    decontaminate,
     drop_signature_duplicates,
     exact_dedup,
     minhash_bands,
@@ -47,6 +48,7 @@ __all__ = [
     "drop_signature_duplicates", "doc_fingerprint", "lang_id", "quality_score",
     "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk",
     "lsh_ann_topk", "knn_prefiltered", "soundex_code", "phonetic_matches",
+    "decontaminate",
     "date_math", "date_math_sql", "haversine_km", "geodist", "geofilt",
     "bbox_filter", "geo_grid_cell", "jaro_winkler",
 ]

@@ -145,6 +145,37 @@ def minhash_query(df: DataFrame, id_col: str, text_col: str, query_text: str,
                    .orderBy(F.desc("sim"), F.asc(id_col)).limit(k))
 
 
+def decontaminate(train_df: DataFrame, bench_df: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str | None = None,
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    n-gram with an evaluation/benchmark set — the standard 13-gram overlap
+    rule LLM pretraining pipelines run before training (train/test leakage
+    guard). Not a reference operator: Solr has no eval-set concept; this
+    extends the dedup family the brief asks for.
+
+    Scale shape: the benchmark side is tiny next to the corpus — its distinct
+    n-grams BROADCAST, so the training corpus streams its n-grams through a
+    map-side hash join; the only exchange is the per-doc hit count (one long
+    per contaminated doc). Documents shorter than n tokens contribute their
+    full token string as a single shingle (ngram_shingles contract).
+
+    Output: id, n_hits (distinct contaminated n-grams in the doc) — only
+    contaminated docs surface.
+    """
+    from solr_spark.functions.textanalysis import ngram_shingles
+
+    bcol = bench_text_col or text_col
+    bgrams = (bench_df.select(F.explode(ngram_shingles(bcol, n)).alias("gram"))
+                      .distinct())
+    tgrams = train_df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngram_shingles(text_col, n))).alias("gram"))
+    return (tgrams.join(F.broadcast(bgrams), "gram")
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+
+
 # ------------------------------------------------- signature URP (index-time)
 
 def text_profile_signature(text_col: Column | str, quant_rate: float = 0.01,

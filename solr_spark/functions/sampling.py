@@ -59,3 +59,78 @@ def deterministic_sample(df: DataFrame, key: Column | str,
     keys survive on every engine and every rerun; supersets nest (a 10%
     sample contains the 5% sample)."""
     return df.where(split_fraction_col(key) < fraction)
+
+
+def stratified_quota_sample(df: DataFrame, key: Column | str,
+                            strata_cols: list[str],
+                            quota: int | dict[tuple, int]) -> DataFrame:
+    """Exact-count stratified sampling: keep the `quota` rows with the
+    smallest md5 fraction inside each stratum — the data-mixing primitive
+    (N docs per language/source) a pretraining pipeline uses to hit target
+    mixture weights exactly, deterministically, on any engine.
+
+    `quota` is either one int for every stratum or {stratum-value-tuple: n}
+    (strata missing from the dict are dropped). Ranking is md5-keyed, so the
+    sample is stable under reruns/repartitioning and nests: quota 100
+    contains quota 50. One window (rank inside stratum) — a single exchange
+    on the strata columns; no global sort.
+    """
+    from pyspark.sql import Window
+
+    u = split_fraction_col(key)
+    w = (Window.partitionBy(*strata_cols)
+               .orderBy(F.asc("__u"), *[F.asc(c) for c in strata_cols]))
+    ranked = (df.withColumn("__u", u)
+                .withColumn("__rk", F.row_number().over(w)))
+    if isinstance(quota, int):
+        keep = ranked.where(F.col("__rk") <= quota)
+    else:
+        expr = None
+        for svals, n in quota.items():
+            svals = svals if isinstance(svals, tuple) else (svals,)
+            cond = F.lit(True)
+            for c, v in zip(strata_cols, svals):
+                cond = cond & (F.col(c) == F.lit(v))
+            branch = cond & (F.col("__rk") <= int(n))
+            expr = branch if expr is None else (expr | branch)
+        keep = ranked.where(expr)
+    return keep.drop("__u", "__rk")
+
+
+def token_budget_packs(df: DataFrame, id_col: str, text_col: str,
+                       budget: int, shard_col: str | None = None) -> DataFrame:
+    """Token-budget packing: assign consecutive documents (in `id_col` order)
+    to packs so each pack holds ~`budget` tokens — the sequence-packing /
+    shard-assembly step before pretraining batch construction.
+
+    Semantics (budget-quantized, exactly reproducible in SQL): pack_id =
+    floor(tokens_before / budget), where tokens_before is the exclusive
+    running token count in id order. A document never splits; a pack may
+    overshoot by at most its last document's length.
+
+    Scale: with `shard_col` the running count restarts per shard and packing
+    is embarrassingly parallel (pack within file/source — what production
+    pipelines do); the pack key is then (shard, pack_id). Without it the
+    prefix sum needs a total order — fine up to the sort capacity of one
+    stage, and the window carries only (id, n_tokens) longs, but prefer
+    sharded packing at 100 TB.
+
+    Output: id [, shard], n_tokens, pack_id.
+    """
+    from pyspark.sql import Window
+
+    from solr_spark.functions.textanalysis import token_count
+
+    parts = [shard_col] if shard_col else []
+    w = (Window.partitionBy(*parts).orderBy(F.asc(id_col))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    nt = token_count(text_col)
+    out_cols = [id_col] + parts + ["n_tokens", "pack_id"]
+    return (df.select(*( [F.col(id_col)] + [F.col(c) for c in parts]),
+                      nt.alias("n_tokens"))
+              .withColumn("__before",
+                          F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+              .withColumn("pack_id",
+                          F.floor(F.col("__before") / F.lit(budget))
+                           .cast("long"))
+              .select(*out_cols))

@@ -615,3 +615,68 @@ def test_phonetic_matches(spark):
     assert got == ["scam", "scan", "shine", "skim"]
     got2 = [r["token"] for r in phonetic_matches(df, "text", "joyn").collect()]
     assert got2 == ["jane", "join"]          # J500; gem is G500, chain C500
+
+
+def test_decontaminate(spark):
+    from solr_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame([
+        (0, "a b c d e f"),            # contains bench gram "b c d"+"c d e"
+        (1, "x y z w q r"),            # clean
+        (2, "c d e zz ww"),            # one hit: "c d e"
+        (3, "sh ort"),                 # short doc, no match
+    ], "doc_id int, text string")
+    bench = spark.createDataFrame([(100, "b c d e")],
+                                  "doc_id int, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           decontaminate(train, bench, "doc_id", "text", n=3).collect()}
+    assert got == {0: 2, 2: 1}
+
+
+def test_stratified_quota_sample(spark):
+    from solr_spark.functions.sampling import (
+        split_fraction_col,
+        stratified_quota_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out5 = stratified_quota_sample(df, "doc_id", ["lang"], 5)
+    got = out5.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 5, "fr": 5}
+    # nests: quota 10 contains quota 5
+    ids5 = {r["doc_id"] for r in out5.collect()}
+    ids10 = {r["doc_id"] for r in
+             stratified_quota_sample(df, "doc_id", ["lang"], 10).collect()}
+    assert ids5 <= ids10
+    # per-stratum dict quotas, including dropping a stratum
+    d = stratified_quota_sample(df, "doc_id", ["lang"], {("en",): 3})
+    assert d.count() == 3 and all(r["lang"] == "en" for r in d.collect())
+    # python oracle: the quota keeps the md5-smallest keys
+    import hashlib
+    u = {i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+         for i, _ in rows}
+    want_en = set(sorted((i for i, l in rows if l == "en"),
+                         key=lambda i: u[i])[:5])
+    assert {r["doc_id"] for r in out5.where("lang = 'en'").collect()} == want_en
+
+
+def test_token_budget_packs(spark):
+    from solr_spark.functions.sampling import token_budget_packs
+
+    rows = [(i, "s%d" % (i % 2), "w " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {(r["source"], r["doc_id"]): (r["n_tokens"], r["pack_id"]) for r in
+           token_budget_packs(df, "doc_id", "text", budget=6,
+                              shard_col="source").collect()}
+    # shard s0: docs 0,2,4,6 with 1,3,5,7 tokens; before = 0,1,4,9
+    assert got[("s0", 0)] == (1, 0) and got[("s0", 2)] == (3, 0)
+    assert got[("s0", 4)] == (5, 0) and got[("s0", 6)] == (7, 1)
+    # shard s1: docs 1,3,5,7 with 2,4,6,8 tokens; before = 0,2,6,12
+    assert got[("s1", 1)] == (2, 0) and got[("s1", 3)] == (4, 0)
+    assert got[("s1", 5)] == (6, 1) and got[("s1", 7)] == (8, 2)
+    # global (unsharded) variant: one running count in id order
+    g = {r["doc_id"]: r["pack_id"] for r in
+         token_budget_packs(df, "doc_id", "text", budget=10).collect()}
+    # before = 0,1,3,6,10,15,21,28 -> packs 0,0,0,0,1,1,2,2
+    assert [g[i] for i in range(8)] == [0, 0, 0, 0, 1, 1, 2, 2]

@@ -261,6 +261,19 @@ def main() -> None:
         ["Project"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"]))
 
+    # 17. decontamination: the benchmark gram set BROADCASTS (map-side hash
+    # join against the corpus gram stream); hit counts partial-aggregate —
+    # the corpus never sort-merge-joins its exploded grams
+    from solr_spark.functions.dedup import decontaminate
+    docs17 = t("documents")
+    dec = decontaminate(docs17, docs17.where(F.col("doc_id") % 50 == 0),
+                        "doc_id", "text", n=13)
+    checks.append((
+        "decontamination: broadcast bench grams, partial-agg hit counts",
+        plan_of(dec),
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
