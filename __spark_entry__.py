@@ -2818,6 +2818,51 @@ ORDER BY doc_id
 """
 
 
+def _q72_collapse_null_policy(spark, sf_dir):
+    """{!collapse} nullPolicy parity (CollapsingQParserPlugin.java:121
+    NULL_IGNORE/NULL_EXPAND/NULL_COLLAPSE; operators/windows.py::collapse):
+    collapse docs on nullif(source,'web') — 'web' docs get a NULL collapse
+    key — under all three policies, best = longest text then doc_id."""
+    from solr_spark.operators.windows import collapse
+
+    docs = (_t(spark, sf_dir, "documents")
+            .withColumn("grp", F.nullif("source", F.lit("web"))))
+    sort = [F.desc("n_chars"), F.asc("doc_id")]
+    out = None
+    for pol in ("ignore", "expand", "collapse"):
+        r = (collapse(docs, "grp", sort, null_policy=pol)
+             .select(F.lit(pol).alias("policy"), "doc_id", "grp"))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("policy", "doc_id")
+
+
+_Q72_SQL = """
+WITH d AS (
+  SELECT doc_id, nullif(source, 'web') AS grp, n_chars FROM documents
+),
+rk AS (
+  SELECT doc_id, grp,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM d
+),
+rk_nn AS (
+  SELECT doc_id, grp,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM d WHERE grp IS NOT NULL
+)
+SELECT 'collapse' AS policy, doc_id, grp FROM rk WHERE r = 1
+UNION ALL
+SELECT 'expand' AS policy, doc_id, grp FROM rk_nn WHERE r = 1
+UNION ALL
+SELECT 'expand' AS policy, doc_id, grp FROM d WHERE grp IS NULL
+UNION ALL
+SELECT 'ignore' AS policy, doc_id, grp FROM rk_nn WHERE r = 1
+ORDER BY policy, doc_id
+"""
+
+
 def _dd08_decontaminate(spark, sf_dir):
     """Benchmark decontamination (13-gram train/eval overlap;
     solr_spark/functions/dedup.py::decontaminate): docs with doc_id % 50 == 0
@@ -3332,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd08_decontaminate": _dd08_decontaminate,
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
+        "q72_collapse_null_policy": _q72_collapse_null_policy,
     }
 
 
@@ -4034,4 +4080,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd08_decontaminate": _DD08_SQL,
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,
+        "q72_collapse_null_policy": _Q72_SQL,
     }

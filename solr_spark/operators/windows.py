@@ -14,16 +14,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def collapse(df: DataFrame, field: str, sort: Sequence[Column | str]) -> DataFrame:
-    """{!collapse field=f} — keep exactly one best row per group.
+def collapse(df: DataFrame, field: str, sort: Sequence[Column | str],
+             null_policy: str = "ignore") -> DataFrame:
+    """{!collapse field=f nullPolicy=...} — keep exactly one best row per group.
 
     Reference: search/CollapsingQParserPlugin.java:121 (PostFilter with min/max/sort
-    head selection). Spark: row_number over (partitionBy field, orderBy sort) == 1.
+    head selection; NULL_IGNORE/NULL_EXPAND/NULL_COLLAPSE). Spark: row_number over
+    (partitionBy field, orderBy sort) == 1.
     One shuffle; at 100 TB prefer a pre-bucketed table on `field` to skip it.
+
+    null_policy (the reference's nullPolicy):
+      * "ignore"   (default) — rows with a null collapse field are DROPPED;
+      * "expand"   — every null-field row survives as its own group (they skip
+        the window entirely, so no skew from a hot null partition);
+      * "collapse" — all null-field rows form ONE group with one survivor
+        (Spark's partitionBy groups nulls together, which is exactly this).
     """
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError(f"unknown nullPolicy {null_policy!r}")
     w = Window.partitionBy(field).orderBy(*sort)
-    return (df.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1).drop("__rn"))
+    base = df if null_policy == "collapse" else df.where(F.col(field).isNotNull())
+    out = (base.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
+    if null_policy == "expand":
+        out = out.unionByName(df.where(F.col(field).isNull()))
+    return out
 
 
 def group_top_n(df: DataFrame, field: str, sort: Sequence[Column | str],

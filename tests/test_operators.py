@@ -359,3 +359,22 @@ def test_cluster_by_dominant_term(spark):
     sizes = cluster_sizes(cluster_by_dominant_term(df)).collect()
     assert [(r["cluster"], r["size"]) for r in sizes] == \
         [("merge", 1), ("spark", 1), ("window", 1)]
+
+
+def test_collapse_null_policy(spark):
+    from solr_spark.operators.windows import collapse
+
+    rows = [(0, "a", 5), (1, "a", 9), (2, None, 3), (3, None, 7), (4, "b", 1)]
+    df = spark.createDataFrame(rows, "id int, grp string, score int")
+    sort = [F.desc("score"), F.asc("id")]
+    ign = sorted(r["id"] for r in collapse(df, "grp", sort).collect())
+    assert ign == [1, 4]                      # nulls dropped
+    exp = sorted(r["id"] for r in
+                 collapse(df, "grp", sort, null_policy="expand").collect())
+    assert exp == [1, 2, 3, 4]                # every null survives
+    col = sorted(r["id"] for r in
+                 collapse(df, "grp", sort, null_policy="collapse").collect())
+    assert col == [1, 3, 4]                   # one head for the null group
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nullPolicy"):
+        collapse(df, "grp", sort, null_policy="bogus")
