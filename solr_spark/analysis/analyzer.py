@@ -91,16 +91,23 @@ def _token_filter(config: IndexConfig):
     """Post-stop-filter per-token transform, or None when no filter is on.
 
     stem="porter" enables the text_en tail: EnglishPossessiveFilter (strip
-    trailing 's) then PorterStemFilter (analysis/porter.py)."""
+    trailing 's) then PorterStemFilter (analysis/porter.py). Tokens in
+    config.protected_words (KeywordMarkerFilter role, Solr protwords.txt)
+    bypass the stemmer — checked after the possessive strip, mirroring the
+    reference chain order possessive -> keywordmarker -> porter."""
     if config.stem == "none":
         return None
     if config.stem != "porter":
         raise ValueError(f"unknown stem mode {config.stem!r}")
     from solr_spark.analysis.porter import porter_stem_cached
 
+    protected = frozenset(config.protected_words)
+
     def filt(tok: str) -> str:
         if tok.endswith(("'s", "’s")):
             tok = tok[:-2]
+        if tok in protected:
+            return tok
         return porter_stem_cached(tok)
 
     return filt

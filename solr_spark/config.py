@@ -45,6 +45,12 @@ class IndexConfig:
     #   (ASCIIFoldingFilter's diacritic subset; ligature table not included)
     stem: str = "none"
     fold_ascii: bool = False
+    # KeywordMarkerFilter role (Solr's protwords.txt,
+    # managed-schema.xml text_en <filter class="solr.KeywordMarkerFilterFactory">):
+    # tokens in this set bypass the stemmer (matched AFTER lowercasing and
+    # possessive strip, like the reference's post-tokenizer position).
+    # A tuple so the dataclass stays hashable/JSON-stable for config_hash.
+    protected_words: tuple = ()
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

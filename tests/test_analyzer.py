@@ -216,3 +216,22 @@ def test_fast_path_matches_scalar_randomized():
         got = analyze_series(pd.Series(texts), cfg).tolist()
         want = [analyze_text(t, cfg) for t in texts]
         assert got == want, cfg
+
+
+def test_protected_words_keyword_marker(spark):
+    """KeywordMarkerFilter role (protwords.txt): protected tokens bypass the
+    stemmer in BOTH the scalar and the Arrow batch analyzer; possessive strip
+    still applies; config_hash changes so indexes don't alias."""
+    import pandas as pd
+
+    from solr_spark.analysis.analyzer import analyze_series, analyze_text
+    from solr_spark.config import IndexConfig
+
+    cfg = IndexConfig(stem="porter", protected_words=("running", "foxes"))
+    plain = IndexConfig(stem="porter")
+    text = "The running foxes's jumping"
+    assert analyze_text(text, cfg) == ["running", "foxes", "jump"]
+    assert analyze_text(text, plain) == ["run", "fox", "jump"]
+    got = analyze_series(pd.Series([text]), cfg)[0]
+    assert list(got) == ["running", "foxes", "jump"]
+    assert cfg.config_hash() != plain.config_hash()
