@@ -2891,9 +2891,15 @@ grams AS (
   FROM toks
 ),
 bgrams AS (
-  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0
+  SELECT DISTINCT g FROM (
+    SELECT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0
+  ) WHERE g <> ''
 ),
-tgrams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM grams)
+tgrams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(gs) AS g FROM grams
+  ) WHERE g <> ''
+)
 SELECT t.doc_id, count(*)::BIGINT AS n_hits
 FROM tgrams t JOIN bgrams b USING (g)
 GROUP BY t.doc_id ORDER BY t.doc_id
@@ -2921,7 +2927,7 @@ WITH u AS (
 ),
 rk AS (
   SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang ORDER BY u) AS r
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS r
   FROM u
 )
 SELECT doc_id, lang FROM rk WHERE r <= 5 ORDER BY doc_id
@@ -2968,7 +2974,8 @@ def _ft24_phonetic(spark, sf_dir):
     (solr-ref-guide indexing-guide/phonetic-matching.adoc:101, Soundex;
     solr_spark/functions/textanalysis.py::soundex_code/phonetic_matches):
     corpus tokens whose US-census Soundex equals each misspelled query
-    name's. 'skan' -> S250 matches 'scan'; 'joyn' -> J500 matches 'join'."""
+    name's. 'skan' -> S500 matches 'scan' (S and K share code 2 and
+    collapse); 'joyn' -> J500 matches 'join'."""
     from solr_spark.functions.textanalysis import phonetic_matches
 
     docs = _t(spark, sf_dir, "documents")

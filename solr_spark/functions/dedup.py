@@ -166,11 +166,15 @@ def decontaminate(train_df: DataFrame, bench_df: DataFrame, id_col: str,
     from solr_spark.functions.textanalysis import ngram_shingles
 
     bcol = bench_text_col or text_col
+    # zero-token docs shingle to [''] (ngram_shingles contract) — drop the
+    # empty gram on BOTH sides so one empty bench doc can't flag every
+    # empty training doc as contaminated
     bgrams = (bench_df.select(F.explode(ngram_shingles(bcol, n)).alias("gram"))
-                      .distinct())
-    tgrams = train_df.select(
+                      .where(F.col("gram") != "").distinct())
+    tgrams = (train_df.select(
         F.col(id_col),
         F.explode(F.array_distinct(ngram_shingles(text_col, n))).alias("gram"))
+        .where(F.col("gram") != ""))
     return (tgrams.join(F.broadcast(bgrams), "gram")
                   .groupBy(id_col)
                   .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
@@ -204,33 +208,66 @@ def text_profile_signature(text_col: Column | str, quant_rate: float = 0.01,
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.filter(F.split(F.lower(t), r"[^\p{L}\p{N}]+"),
                     lambda x: F.length(x) > min_token_len)
-    uniq = F.array_distinct(toks)
-    counts = F.transform(
-        uniq, lambda u: F.struct(
-            F.size(F.filter(toks, lambda x: x == u)).alias("cnt"),
-            u.alias("tok")))
-    maxf = F.coalesce(F.array_max(F.transform(counts, lambda c: c["cnt"])),
-                      F.lit(0))
-    qraw = F.floor(maxf.cast("double") * F.lit(float(quant_rate))
-                   + F.lit(0.5)).cast("int")
-    quant = (F.when(qraw >= 2, qraw)
-              .otherwise(F.when(maxf > 1, F.lit(2)).otherwise(F.lit(1))))
-    quantized = F.filter(
-        F.transform(counts, lambda c: F.struct(
-            ((c["cnt"] / quant).cast("int") * quant).alias("cnt"),
-            c["tok"].alias("tok"))),
-        lambda c: c["cnt"] >= quant)
-    ordered = F.array_sort(
-        quantized,
-        lambda a, b: F.when(a["cnt"] > b["cnt"], F.lit(-1))
-                      .when(a["cnt"] < b["cnt"], F.lit(1))
-                      .when(a["tok"] < b["tok"], F.lit(-1))
-                      .when(a["tok"] > b["tok"], F.lit(1))
-                      .otherwise(F.lit(0)))
-    profile = F.array_join(
-        F.transform(ordered, lambda c: F.concat_ws(" ", c["tok"], c["cnt"])),
-        "\n")
-    return F.md5(profile)
+    # per-token counts in one O(n log n) pass: sort, then a single aggregate
+    # run-length fold over the sorted array — NOT the O(distinct x total)
+    # filter-per-distinct-token shape (quadratic per row on long docs), and
+    # the sorted array is referenced exactly once (a boundary-index variant
+    # with zip_with duplicated the token subtree ~6x per reference and blew
+    # Catalyst's expression tree up past usable analysis time)
+    st = F.array_sort(toks)
+    empty = F.array().cast("array<struct<cnt:int,tok:string>>")
+
+    def _flush(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(F.struct(
+                acc["run"].cast("int").alias("cnt"),
+                acc["prev"].alias("tok")))))
+
+    counts = F.aggregate(
+        st,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), empty.alias("out")),
+        lambda acc, x: F.when(x == acc["prev"], F.struct(
+            acc["prev"].alias("prev"), (acc["run"] + 1).alias("run"),
+            acc["out"].alias("out"))).otherwise(F.struct(
+            x.alias("prev"), F.lit(1).alias("run"),
+            _flush(acc).alias("out"))),
+        _flush)
+    # Bind `counts` (and then `quant`) to lambda variables via single-element
+    # transform()s: Catalyst has no common-subexpression elimination across
+    # Column reuse, so naming them normally re-evaluates the aggregate once
+    # per downstream reference (~6x slower measured); a lambda variable is
+    # evaluated once and referenced cheaply.
+    def _with_counts(cts):
+        maxf = F.coalesce(
+            F.array_max(F.transform(cts, lambda c: c["cnt"])), F.lit(0))
+        qraw = F.floor(maxf.cast("double") * F.lit(float(quant_rate))
+                       + F.lit(0.5)).cast("int")
+        quant = (F.when(qraw >= 2, qraw)
+                  .otherwise(F.when(maxf > 1, F.lit(2)).otherwise(F.lit(1))))
+
+        def _with_quant(q):
+            quantized = F.filter(
+                F.transform(cts, lambda c: F.struct(
+                    ((c["cnt"] / q).cast("int") * q).alias("cnt"),
+                    c["tok"].alias("tok"))),
+                lambda c: c["cnt"] >= q)
+            ordered = F.array_sort(
+                quantized,
+                lambda a, b: F.when(a["cnt"] > b["cnt"], F.lit(-1))
+                              .when(a["cnt"] < b["cnt"], F.lit(1))
+                              .when(a["tok"] < b["tok"], F.lit(-1))
+                              .when(a["tok"] > b["tok"], F.lit(1))
+                              .otherwise(F.lit(0)))
+            profile = F.array_join(
+                F.transform(ordered,
+                            lambda c: F.concat_ws(" ", c["tok"], c["cnt"])),
+                "\n")
+            return F.md5(profile)
+
+        return F.element_at(F.transform(F.array(quant), _with_quant), 1)
+
+    return F.element_at(F.transform(F.array(counts), _with_counts), 1)
 
 
 def signature_dedup(df: DataFrame, id_col: str, text_col: str,

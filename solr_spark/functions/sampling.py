@@ -77,17 +77,27 @@ def stratified_quota_sample(df: DataFrame, key: Column | str,
     """
     from pyspark.sql import Window
 
+    kcol = key if isinstance(key, Column) else F.col(key)
     u = split_fraction_col(key)
+    # Tie-break on the KEY, not the (partition-constant) strata columns:
+    # the 32-bit md5 fraction collides within large strata, and an
+    # unresolved tie would make reruns/engines disagree and break nesting.
     w = (Window.partitionBy(*strata_cols)
-               .orderBy(F.asc("__u"), *[F.asc(c) for c in strata_cols]))
+               .orderBy(F.asc("__u"), kcol.asc()))
     ranked = (df.withColumn("__u", u)
                 .withColumn("__rk", F.row_number().over(w)))
     if isinstance(quota, int):
         keep = ranked.where(F.col("__rk") <= quota)
     else:
+        if not quota:
+            raise ValueError("quota dict must not be empty")
         expr = None
         for svals, n in quota.items():
             svals = svals if isinstance(svals, tuple) else (svals,)
+            if len(svals) != len(strata_cols):
+                raise ValueError(
+                    f"quota key {svals!r} must name all strata columns "
+                    f"{strata_cols}")
             cond = F.lit(True)
             for c, v in zip(strata_cols, svals):
                 cond = cond & (F.col(c) == F.lit(v))

@@ -250,8 +250,8 @@ def soundex_sql(expr: str) -> str:
             f"ELSE substr({s}, 1, 1) || substr({digits} || '000', 1, 3) END")
 
 
-def phonetic_matches(df: DataFrame, text_col: str, query_term: str,
-                     id_col: str | None = None) -> DataFrame:
+def phonetic_matches(df: DataFrame, text_col: str,
+                     query_term: str) -> DataFrame:
     """Phonetic term matching: the distinct tokens of `text_col` whose Soundex
     equals the query term's — a sounds-like spellcheck/search primitive
     (PhoneticFilterFactory's query-side effect). Output: token, code (token

@@ -272,6 +272,16 @@ def knn_prefiltered(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
     if method == "lsh":
         return lsh_ann_topk(filtered, vec_col, query, k, id_col, **kw)
     if method == "ivf":
+        # The coarse quantizer must come from the WHOLE corpus, not the
+        # filtered view: a prefilter excluding the low ids would otherwise
+        # leave the default seed-centroid set empty (0 neighbors returned)
+        # or degraded. Only the candidate set is filtered.
+        if kw.get("centroids") is None:
+            n_centroids = kw.get("n_centroids", 16)
+            kw = {**kw,
+                  "centroids": (df.where(F.col(id_col) < n_centroids)
+                                  .select(F.col(id_col).alias("cid"),
+                                          F.col(vec_col).alias("cvec")))}
         return ivf_ann_topk(filtered, vec_col, query, k, id_col, **kw)
     raise ValueError(f"unknown knn method {method!r}")
 

@@ -680,3 +680,46 @@ def test_token_budget_packs(spark):
          token_budget_packs(df, "doc_id", "text", budget=10).collect()}
     # before = 0,1,3,6,10,15,21,28 -> packs 0,0,0,0,1,1,2,2
     assert [g[i] for i in range(8)] == [0, 0, 0, 0, 1, 1, 2, 2]
+
+
+def test_knn_prefiltered_ivf_filter_excludes_seed_ids(spark):
+    """Regression: the IVF coarse quantizer seeds from the WHOLE corpus, so a
+    prefilter excluding every id < n_centroids still returns k neighbors."""
+    from solr_spark.functions.vectors import knn_prefiltered
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((80, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[50]]
+    got = knn_prefiltered(df, "embedding", q, k=5,
+                          prefilter=F.col("vec_id") >= 40, method="ivf",
+                          n_centroids=16, n_probe=16).collect()
+    assert len(got) == 5 and all(r["vec_id"] >= 40 for r in got)
+    assert got[0]["vec_id"] == 50  # probe-all recovers the exact best
+
+
+def test_decontaminate_ignores_empty_docs(spark):
+    from solr_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame([(0, ""), (1, "  "), (2, "real b c d text")],
+                                  "doc_id int, text string")
+    bench = spark.createDataFrame([(9, ""), (10, "b c d")],
+                                  "doc_id int, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           decontaminate(train, bench, "doc_id", "text", n=3).collect()}
+    assert got == {2: 1}  # empty docs never flag
+
+
+def test_stratified_quota_validation(spark):
+    from solr_spark.functions.sampling import stratified_quota_sample
+
+    df = spark.createDataFrame([(1, "en", "web")],
+                               "doc_id int, lang string, source string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must name all strata"):
+        stratified_quota_sample(df, "doc_id", ["lang", "source"],
+                                {("en",): 5}).collect()
+    with _pytest.raises(ValueError, match="must not be empty"):
+        stratified_quota_sample(df, "doc_id", ["lang"], {})
