@@ -52,6 +52,13 @@ class IndexConfig:
     # A tuple so the dataclass stays hashable/JSON-stable for config_hash.
     protected_words: tuple = ()
 
+    def __post_init__(self):
+        # JSON round-trips (stats.json -> IndexConfig(**d)) deliver a list;
+        # normalize so equality and config_hash are representation-free.
+        if not isinstance(self.protected_words, tuple):
+            object.__setattr__(self, "protected_words",
+                               tuple(self.protected_words))
+
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
