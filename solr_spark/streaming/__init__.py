@@ -3,8 +3,10 @@
 from solr_spark.streaming.topic import (
     daemon,
     index_stream,
+    signature_ledger_init,
     topic_poll,
     windowed_counts,
 )
 
-__all__ = ["daemon", "index_stream", "topic_poll", "windowed_counts"]
+__all__ = ["daemon", "index_stream", "signature_ledger_init",
+           "topic_poll", "windowed_counts"]

@@ -39,6 +39,7 @@ def index_stream(
     config: IndexConfig = DEFAULT_CONFIG,
     available_now: bool = True,
     processing_interval: str | None = None,
+    dedup_signatures: str | None = None,
 ):
     """topic()-style continuous indexing: consume new transcript parquet files,
     append each micro-batch as a fresh LSM segment.
@@ -46,6 +47,19 @@ def index_stream(
     The streaming checkpoint (consumed-file log) is the TopicStream watermark;
     `add_documents` per batch is the NRT segment add; `merge_segments` can run
     as the background TieredMergePolicy analog whenever segment count grows.
+
+    dedup_signatures: None (off), "text_profile" or "md5" — the update-time
+    SignatureUpdateProcessor role (reference:
+    solr/core/src/java/org/apache/solr/update/processor/SignatureUpdateProcessorFactory.java,
+    which dedups each UPDATE against the live index). Each batch drops rows
+    whose content signature was already indexed: within-batch keep-first on
+    (conv_id, turn_idx), then a broadcast anti-join against the signature
+    ledger parquet under `{index_dir}/signatures/` (vocabulary of distinct
+    signatures — ledger-sized, not corpus-sized), and the survivors' new
+    signatures append to the ledger AFTER the segment add. Ordering note:
+    segment-add-then-ledger keeps crash-replay at-least-once (a replayed
+    batch may re-index docs whose ledger write was lost — duplicates, never
+    data loss; the reference's soft-commit window has the same exposure).
 
     Returns the StreamingQuery; with available_now=True it drains pending files
     and stops (a scheduled daemon run), with processing_interval it keeps
@@ -56,9 +70,33 @@ def index_stream(
     stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
               .option("maxFilesPerTrigger", 64)
               .parquet(source_dir))
+    ledger = os.path.join(index_dir, "signatures")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if dedup_signatures:
+            from pyspark.sql import Window
+
+            sig = _signature_col(dedup_signatures)
+            w = (Window.partitionBy("__sig")
+                       .orderBy("conv_id", "turn_idx"))
+            fresh = (batch_df.withColumn("__sig", sig)
+                     .withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1).drop("__rn"))
+            if os.path.isdir(ledger):
+                seen = (spark.read.parquet(ledger)
+                        .select(F.col("signature").alias("__sig")).distinct())
+                fresh = fresh.join(F.broadcast(seen), "__sig", "left_anti")
+            fresh = fresh.persist()
+            try:
+                if fresh.isEmpty():
+                    return
+                add_documents(spark, fresh.drop("__sig"), index_dir, config)
+                (fresh.select(F.col("__sig").alias("signature")).distinct()
+                      .write.mode("append").parquet(ledger))
+            finally:
+                fresh.unpersist()
             return
         add_documents(spark, batch_df, index_dir, config)
 
@@ -69,6 +107,28 @@ def index_stream(
     elif processing_interval:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+def _signature_col(method: str):
+    from solr_spark.functions.dedup import text_profile_signature
+
+    if method == "text_profile":
+        return text_profile_signature("text")
+    if method == "md5":
+        return F.md5(F.col("text"))
+    raise ValueError(f"unknown dedup_signatures {method!r}")
+
+
+def signature_ledger_init(spark: SparkSession, df: DataFrame, index_dir: str,
+                          method: str = "text_profile") -> None:
+    """Bootstrap the update-time dedup ledger from documents that are ALREADY
+    in the index (e.g. after a batch `build_index`), so a subsequent
+    `index_stream(dedup_signatures=...)` dedups new arrivals against the full
+    live corpus — the reference's SignatureUpdateProcessor checks every
+    update against the existing collection, not just other updates."""
+    ledger = os.path.join(index_dir, "signatures")
+    (df.select(_signature_col(method).alias("signature")).distinct()
+       .write.mode("append").parquet(ledger))
 
 
 def topic_poll(

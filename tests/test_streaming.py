@@ -10,7 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from solr_spark.config import IndexConfig
-from solr_spark.streaming import daemon, index_stream, topic_poll, windowed_counts
+from solr_spark.streaming import (daemon, index_stream, signature_ledger_init,
+                                  topic_poll, windowed_counts)
 
 CFG = IndexConfig(range_shift=8, num_term_buckets=8)
 
@@ -157,3 +158,44 @@ def test_sessionize_stream_closes_superseded_sessions(spark, tmp_path):
     want = {(r.conv_id, r.session_id, r.n_turns, r.n_tokens)
             for r in batch} - {("A", 1, 2, 3)}
     assert got == want
+
+
+def test_streaming_index_dedup_signatures(spark, tmp_path):
+    """Update-time signature dedup (SignatureUpdateProcessor role): exact and
+    near-duplicate turns arriving in LATER micro-batches are dropped against
+    the signature ledger; within-batch dups keep one."""
+    from solr_spark.indexing import build_index
+    from solr_spark.query import IndexReader, bm25_topk
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "alpha alpha alpha beta beta gamma unique"
+    tps_dup = "alpha alpha alpha beta beta delta unique"  # TPS-equal profile
+    seed_df = _mini_batch(spark, "seed", [base], 100)
+    build_index(spark, seed_df, idx, CFG, input_token="dedup-t0")
+    signature_ledger_init(spark, seed_df, idx)  # live corpus into the ledger
+
+    # batch 1: an exact dup of the seed, a TPS near-dup, a fresh doc,
+    # and a within-batch pair of identical fresh docs
+    _mini_batch(spark, "b1", [base, tps_dup, "totally new words here",
+                              "pair pair pair same same",
+                              "pair pair pair same same"], 200) \
+        .write.parquet(src)
+    q = index_stream(spark, src, idx, ckpt, CFG, available_now=True,
+                     dedup_signatures="text_profile")
+    q.awaitTermination(120)
+    assert IndexReader.open(idx, CFG).n_docs == 3  # seed + 2 survivors
+
+    # batch 2: replays the same contents as new files -> all dropped
+    _mini_batch(spark, "b2", ["totally new words here",
+                              "pair pair pair same same"], 300) \
+        .write.mode("append").parquet(src)
+    q = index_stream(spark, src, idx, ckpt, CFG, available_now=True,
+                     dedup_signatures="text_profile")
+    q.awaitTermination(120)
+    reader = IndexReader.open(idx, CFG)
+    assert reader.n_docs == 3
+    hits = bm25_topk(spark, reader, "unique", k=10, mode="exact").collect()
+    assert {r["conv_id"] for r in hits} == {"seed-000"}
