@@ -149,3 +149,32 @@ def team_draft_interleave(list_a: DataFrame, list_b: DataFrame,
     id_type = list_a.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         out, f"rank int, {id_col} {id_type}, team string")
+
+
+def log_features(hits: DataFrame, features: Mapping[str, Column | str],
+                 fmt: str = "struct", out_col: str = "features") -> DataFrame:
+    """`[features]` doc transformer / FeatureLogger role (reference:
+    solr/modules/ltr/src/java/org/apache/solr/ltr/response/transform/
+    LTRFeatureLoggerTransformerFactory.java:66-84 with CSVFeatureLogger's
+    DENSE format): materialize every declared feature per result row, so a
+    training pipeline can export judgments + features for offline model
+    fitting — the extraction half of the LTR loop (ltr_rerank is the
+    serving half, and the two share the same feature Mapping, which is
+    what keeps training/serving features consistent).
+
+    fmt="struct": one struct column of named double features (the shape a
+    DataFrame trainer wants). fmt="dense": Solr's CSV form
+    "name1=v1,name2=v2" in declaration order. Pure projection — no shuffle,
+    no Python; feature expressions stay whole-stage codegen.
+    """
+    cols = {n: (F.col(c) if isinstance(c, str) else c).cast("double")
+            for n, c in features.items()}
+    if fmt == "struct":
+        out = F.struct(*[c.alias(n) for n, c in cols.items()])
+    elif fmt == "dense":
+        out = F.concat_ws(",", *[
+            F.concat_ws("=", F.lit(n), c.cast("string"))
+            for n, c in cols.items()])
+    else:
+        raise ValueError(f"unknown feature log format {fmt!r}")
+    return hits.withColumn(out_col, out)

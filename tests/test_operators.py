@@ -378,3 +378,39 @@ def test_collapse_null_policy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="nullPolicy"):
         collapse(df, "grp", sort, null_policy="bogus")
+
+
+def test_ltr_log_features(spark):
+    from solr_spark.operators.ltr import (
+        linear_model_score,
+        log_features,
+        ltr_rerank,
+    )
+
+    rows = [(1, 10.0, 2.0), (2, 5.0, 8.0), (3, 1.0, 1.0)]
+    hits = (spark.createDataFrame(rows,
+                                  "doc int, recency double, clicks double")
+            .withColumn("score", F.col("recency")))
+    feats = {"recency": F.col("recency") / 10.0, "clicks": "clicks"}
+    logged = log_features(hits, feats).collect()
+    got = {r["doc"]: r["features"] for r in logged}
+    assert got[1]["recency"] == 1.0 and got[1]["clicks"] == 2.0
+    dense = log_features(hits, feats, fmt="dense", out_col="fv") \
+        .where(F.col("doc") == 2).head()["fv"]
+    assert dense == "recency=0.5,clicks=8.0"
+    # training/serving share the same mapping: the logged features reproduce
+    # the serving-side model score exactly
+    w = {"recency": 2.0, "clicks": 0.25}
+    # ReRank adds the model to the first-pass score (rerank() contract)
+    score = {r["doc"]: r["recency"] + 2.0 * r["features"]["recency"]
+             + 0.25 * r["features"]["clicks"] for r in logged}
+    served = ltr_rerank(hits, feats, w, rerank_docs=3,
+                        first_sort=[F.desc("recency")]).collect()
+    got_order = [r["doc"] for r in
+                 sorted(served, key=lambda r: (-r["new_score"], r["doc"]))]
+    assert got_order == sorted(score, key=lambda d: (-score[d], d))
+    for r in served:
+        assert abs(r["new_score"] - score[r["doc"]]) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="format"):
+        log_features(hits, feats, fmt="sparse")
