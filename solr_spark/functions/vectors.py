@@ -286,6 +286,52 @@ def knn_prefiltered(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
     raise ValueError(f"unknown knn method {method!r}")
 
 
+def ivf_write(df: DataFrame, vec_col: str, path: str, id_col: str = "vec_id",
+              n_centroids: int = 16, centroids: DataFrame | None = None,
+              train: bool = False) -> None:
+    """Persist the IVF layout the 100-TB ANN story depends on: vectors
+    written hive-partitioned by their coarse cluster (`{path}/data/cluster=*`)
+    plus the centroid table (`{path}/centroids`). A probe then prunes to
+    n_probe PARTITIONS at the file level — the scan never touches the other
+    clusters' bytes (plan-audited: PartitionFilters on `cluster`). This is
+    the on-disk role Lucene's HNSW graph files play for DenseVectorField,
+    reshaped for Spark (data-skipping instead of pointer-chasing).
+
+    train=True fits spherical k-means centroids (ivf_train); otherwise the
+    deterministic seed set (or a provided `centroids`) is used.
+    """
+    if centroids is None:
+        centroids = (ivf_train(df, vec_col, n_centroids, id_col=id_col)
+                     if train else
+                     df.where(F.col(id_col) < n_centroids)
+                       .select(F.col(id_col).alias("cid"),
+                               F.col(vec_col).alias("cvec")))
+    assigned = ivf_assign(df, vec_col, centroids, id_col)
+    assigned.write.mode("overwrite").partitionBy("cluster") \
+        .parquet(path + "/data")
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_read_topk(spark, path: str, query: Sequence[float], k: int,
+                  n_probe: int = 4, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Query a persisted IVF layout: pick the `n_probe` centroids nearest the
+    query driver-side (centroid table is tiny), push `cluster IN (probes)`
+    into the partitioned scan (file-level pruning), exact cosine top-k on the
+    surviving candidates."""
+    cents = spark.read.parquet(path + "/centroids").collect()
+    q = np.asarray(list(query), dtype=np.float64)
+    scored = sorted(
+        ((float(np.dot(q, np.asarray(r["cvec"], dtype=np.float64))
+                / (np.linalg.norm(q)
+                   * np.linalg.norm(np.asarray(r["cvec"], dtype=np.float64)))),
+          -r["cid"]) for r in cents), reverse=True)
+    probe = sorted(-c for _, c in scored[:n_probe])
+    df = (spark.read.parquet(path + "/data")
+          .where(F.col("cluster").isin(probe)))
+    return cosine_topk(df, vec_col, query, k, id_col)
+
+
 def cosine_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float, method: str = "lsh",
                           n_planes: int = 12, seed: int = 7) -> DataFrame:

@@ -723,3 +723,32 @@ def test_stratified_quota_validation(spark):
                                 {("en",): 5}).collect()
     with _pytest.raises(ValueError, match="must not be empty"):
         stratified_quota_sample(df, "doc_id", ["lang"], {})
+
+
+def test_ivf_persisted_layout(spark, tmp_path):
+    """ivf_write/ivf_read_topk: probe-all equals exact cosine top-k; a narrow
+    probe returns eligible-cluster hits with exact scores; the data lands
+    hive-partitioned by cluster (the file-level pruning layout)."""
+    import os
+
+    from solr_spark.functions.vectors import ivf_read_topk, ivf_write
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((120, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    ivf_write(df, "embedding", path, n_centroids=8)
+    assert any(d.startswith("cluster=")
+               for d in os.listdir(path + "/data"))
+    q = [float(x) for x in vecs[9]]
+    exact = cosine_topk(df, "embedding", q, 10).collect()
+    got_all = ivf_read_topk(spark, path, q, k=10, n_probe=8).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got_all] == \
+           [(r["vec_id"], r["cosine"]) for r in exact]
+    got_2 = ivf_read_topk(spark, path, q, k=10, n_probe=2).collect()
+    assert got_2 and got_2[0]["vec_id"] == 9  # own cluster is probed first
+    ex = {r["vec_id"]: r["cosine"] for r in exact}
+    assert all(abs(ex[r["vec_id"]] - r["cosine"]) < 1e-9
+               for r in got_2 if r["vec_id"] in ex)

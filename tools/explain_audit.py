@@ -274,6 +274,24 @@ def main() -> None:
         ["BroadcastHashJoin", "HashAggregate"],
         ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"]))
 
+    # 18. persisted IVF layout: a probe must prune at the FILE level —
+    # PartitionFilters on `cluster` in the scan, no shuffle before top-k
+    import tempfile
+
+    from solr_spark.functions.vectors import ivf_read_topk, ivf_write
+    emb18 = t("embeddings")
+    qv18 = [float(x) for x in
+            emb18.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    ivf_dir = tempfile.mkdtemp(prefix="plans_ivf_")
+    ivf_write(emb18, "embedding", ivf_dir, n_centroids=8)
+    probe_q = ivf_read_topk(spark, ivf_dir, qv18, k=10, n_probe=2)
+    checks.append((
+        "persisted IVF: partition-pruned probe scan -> TakeOrdered",
+        plan_of(probe_q),
+        ["PartitionFilters: [", "cluster", "TakeOrderedAndProject"],
+        ["Exchange hashpartitioning", "SortMergeJoin", "BatchEvalPython",
+         "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
