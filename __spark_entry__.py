@@ -2969,6 +2969,43 @@ FROM run ORDER BY doc_id
 """
 
 
+def _ft25_word_delimiter(spark, sf_dir):
+    """WordDelimiterGraphFilter role (text_en_splitting chain:
+    WhitespaceTokenizer + WordDelimiterGraphFilter + LowerCase + Stop;
+    solr_spark/analysis/analyzer.py::_WD_STEPS, config.word_delimiter).
+    Mixed-case/punctuated input is built identically on both sides from
+    TPC-H customer columns ("Customer#000000042", "SegBUILDING", a
+    possessive/hyphen/version literal); the splitting pipelines are fully
+    independent (Spark java-regex Column chain vs DuckDB RE2). Output:
+    token df across the derived corpus."""
+    from solr_spark.analysis.analyzer import tokenize_column
+
+    cfg = IndexConfig(word_delimiter=True)
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    txt = F.concat(F.lit("Seg"), F.col("c_mktsegment"), F.lit(" "),
+                   F.col("c_name"), F.lit(" O'Neil's Wi-Fi v2.1"))
+    toks = cust.select(F.explode(tokenize_column(txt, cfg)).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+                .orderBy(F.desc("n"), "token").limit(40))
+
+
+def _ft25_sql() -> str:
+    from solr_spark.analysis.analyzer import word_delimiter_sql
+
+    return f"""
+WITH src AS (
+  SELECT 'Seg' || c_mktsegment || ' ' || c_name || ' O''Neil''s Wi-Fi v2.1' AS t
+  FROM customer WHERE c_custkey <= 200
+),
+toks AS (
+  SELECT unnest(string_split({word_delimiter_sql('t')}, ' ')) AS token FROM src
+)
+SELECT token, count(*)::BIGINT AS n FROM toks
+WHERE token <> '' AND token NOT IN ({_STOP_SQL})
+GROUP BY token ORDER BY n DESC, token LIMIT 40
+"""
+
+
 def _ft24_phonetic(spark, sf_dir):
     """Phonetic (sounds-like) term matching — PhoneticFilterFactory role
     (solr-ref-guide indexing-guide/phonetic-matching.adoc:101, Soundex;
@@ -3381,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv06_prefiltered_knn": _vv06_prefiltered_knn,
         "dd07_text_profile_signature": _dd07_text_profile,
         "ft24_phonetic": _ft24_phonetic,
+        "ft25_word_delimiter": _ft25_word_delimiter,
         "dd08_decontaminate": _dd08_decontaminate,
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
@@ -4084,6 +4122,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "vv06_prefiltered_knn": _VV06_SQL,
         "dd07_text_profile_signature": _DD07_SQL,
         "ft24_phonetic": _ft24_sql(),
+        "ft25_word_delimiter": _ft25_sql(),
         "dd08_decontaminate": _DD08_SQL,
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,

@@ -68,6 +68,62 @@ def _stopset(config: IndexConfig) -> frozenset[str]:
     return ENGLISH_STOPWORDS if config.stopwords == "en" else frozenset()
 
 
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter role (config.word_delimiter) — the text_en_splitting
+# chain: whitespace tokenize + split subwords on case/digit/delimiter
+# boundaries (reference surface: WordDelimiterGraphFilterFactory, wired in
+# sample schemas' text_en_splitting; Solr delegates the rules to Lucene — no
+# reference code consulted or copied; rules re-derived from the documented
+# behavior and pinned by conformance vectors in tests/test_analyzer.py).
+#
+# ONE ordered step table renders into all three engines (Python `regex`,
+# Spark/Java regexp_replace, DuckDB/RE2) — global, non-overlapping,
+# left-to-right replace semantics are identical in all three, which is what
+# makes the full-hash oracle gate possible:
+#   1. strip English possessives ('s / ’s at a word end — stemEnglishPossessive)
+#   2. acronym boundary: Lu-run followed by a capitalized word ("USAToday")
+#   3. camelCase boundary: Ll -> Lu ("PowerShot")
+#   4/5. letter <-> digit transitions ("SD500", "500X")
+#   6. every non-alphanumeric run becomes one separator
+# then lowercase, split, drop empties. \b is ASCII-word-boundary in RE2 and
+# (default-flags) Java but Unicode in Python `regex`; the difference is only
+# observable for possessives glued to non-ASCII word chars, which the
+# conformance vectors deliberately avoid.
+_WD_STEPS: list[tuple[str, str]] = [
+    (r"['’][sS]\b", ""),
+    (r"(\p{Lu}+)(\p{Lu}\p{Ll})", r"\1 \2"),
+    (r"(\p{Ll})(\p{Lu})", r"\1 \2"),
+    (r"(\p{L})(\p{Nd})", r"\1 \2"),
+    (r"(\p{Nd})(\p{L})", r"\1 \2"),
+    (r"[^\p{L}\p{Nd}]+", " "),
+]
+
+_WD_COMPILED = [(regex.compile(pat), repl) for pat, repl in _WD_STEPS]
+
+
+def _wd_tokens(text: str, max_len: int) -> list[str]:
+    """Word-delimiter tokens of one ORIGINAL-CASE text (case drives the
+    splits, so lowering happens after the boundary passes)."""
+    for pat, repl in _WD_COMPILED:
+        text = pat.sub(repl, text)
+    toks = [t for t in text.lower().split(" ") if t]
+    if any(len(t) > max_len for t in toks):
+        toks = _chunk_long(toks, max_len)
+    return toks
+
+
+def word_delimiter_sql(expr: str) -> str:
+    """DuckDB twin of the word-delimiter passes: returns the lowered,
+    single-space-separated subword string (callers string_split on ' ' and
+    drop empties). RE2 replacement backrefs are \\1-style; 'g' makes the
+    replace global (DuckDB is first-match by default)."""
+    out = expr
+    for pat, repl in _WD_STEPS:
+        sql_pat = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return f"lower({out})"
+
+
 def _fold_text(text: str) -> str:
     """ASCII folding, applied to the WHOLE document before tokenization.
 
@@ -125,11 +181,16 @@ def analyze_text(text: str | None, config: IndexConfig = DEFAULT_CONFIG) -> list
     if not text:
         return []
     stops = _stopset(config)
+    filt = _token_filter(config)
+    if config.word_delimiter:
+        t = _fold_text(text) if config.fold_ascii else text
+        toks = [tk for tk in _wd_tokens(t, config.max_token_length)
+                if tk not in stops]
+        return [filt(tk) for tk in toks] if filt else toks
     low = text.lower()
     if config.fold_ascii:
         low = _fold_text(low)
     toks = [t for t in _scan(low, config.max_token_length) if t not in stops]
-    filt = _token_filter(config)
     return [filt(t) for t in toks] if filt else toks
 
 
@@ -158,6 +219,20 @@ def _series_token_lists(texts: pd.Series, config: IndexConfig) -> list[list[str]
     stops = _stopset(config)
     fold = _fold_text if config.fold_ascii else None
     filt = _token_filter(config)
+    if config.word_delimiter:
+        # Case drives the splits, so this path cannot share the
+        # lowercase-first fast path; the per-row regex passes are the same
+        # cost shape as _scan on the general path.
+        out_wd: list[list[str]] = []
+        for t in texts:
+            if not isinstance(t, str) or not t:
+                out_wd.append([])
+                continue
+            if fold is not None:
+                t = fold(t)
+            toks = [tk for tk in _wd_tokens(t, max_len) if tk not in stops]
+            out_wd.append([filt(tk) for tk in toks] if filt else toks)
+        return out_wd
     low = texts.str.lower()
     simple = ~low.str.contains(_NON_SIMPLE_RE, na=True)
     out: list[list[str]] = []
@@ -288,7 +363,16 @@ def tokenize_column(col, config: IndexConfig = DEFAULT_CONFIG):
     if config.fold_ascii:
         src, dst = _fold_translate_tables()
         c = F.translate(c, src, dst)
-    toks = F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE_JAVA), 0)
+    if config.word_delimiter:
+        # Same ordered passes as _wd_tokens, Java-regex rendition
+        # ($1-style backrefs); java.util.regex replace is global,
+        # non-overlapping, left-to-right — identical to the Python kernel.
+        for pat, repl in _WD_STEPS:
+            c = F.regexp_replace(
+                c, pat, repl.replace("\\1", "$1").replace("\\2", "$2"))
+        toks = F.filter(F.split(F.lower(c), " "), lambda t: t != "")
+    else:
+        toks = F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RE_JAVA), 0)
     max_len = config.max_token_length
     toks = F.when(
         F.exists(toks, lambda t: F.length(t) > max_len),

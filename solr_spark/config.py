@@ -51,6 +51,20 @@ class IndexConfig:
     # possessive strip, like the reference's post-tokenizer position).
     # A tuple so the dataclass stays hashable/JSON-stable for config_hash.
     protected_words: tuple = ()
+    # WordDelimiterGraphFilter role (Solr's text_en_splitting fieldType:
+    # WhitespaceTokenizer + WordDelimiterGraphFilter, reference surface
+    # managed-schema.xml / WordDelimiterGraphFilterFactory). When on, the
+    # UAX#29 tokenizer is replaced by whitespace splitting (the reference
+    # pairing — WDGF is documented as incompatible with StandardTokenizer)
+    # and each token is split on non-alphanumerics, lower->Upper case
+    # changes, Lu-run->capitalized-word boundaries, and letter<->digit
+    # transitions, with English possessives stripped first
+    # (stemEnglishPossessive=1 default). Scope: the phrase-safe subset
+    # (generateWordParts/generateNumberParts/splitOnCaseChange/
+    # splitOnNumerics); catenateWords/preserveOriginal are out of scope
+    # because they emit stacked positions, which Lucene itself warns break
+    # index-time phrase queries without FlattenGraph.
+    word_delimiter: bool = False
 
     def __post_init__(self):
         # JSON round-trips (stats.json -> IndexConfig(**d)) deliver a list;

@@ -235,3 +235,66 @@ def test_protected_words_keyword_marker(spark):
     got = analyze_series(pd.Series([text]), cfg)[0]
     assert list(got) == ["running", "foxes", "jump"]
     assert cfg.config_hash() != plain.config_hash()
+
+
+WD_CASES = [
+    ("PowerShot SD500", ["power", "shot", "sd", "500"]),
+    ("USAToday", ["usa", "today"]),
+    ("wi-fi", ["wi", "fi"]),
+    ("O'Neil's car", ["o", "neil", "car"]),
+    ("it's 3.14", ["3", "14"]),  # possessive strip, then "it" stop-filtered
+    ("Customer#000000123", ["customer", "000000123"]),
+    ("SegBUILDING v2.1-beta", ["seg", "building", "v", "2", "1", "beta"]),
+    ("ABCd eFGh", ["ab", "cd", "e", "f", "gh"]),
+    ("500X2", ["500", "x", "2"]),
+    ("café-Bar’s", ["café", "bar"]),
+    ("the And of", []),                      # stop filter composes after lowering
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("raw,expected", WD_CASES)
+def test_word_delimiter_vectors(raw, expected):
+    """WordDelimiterGraphFilter role (text_en_splitting chain): possessive
+    strip, acronym/camelCase/letter-digit boundaries, delimiter splits —
+    pinned vectors match Lucene's documented generate-parts behavior."""
+    cfg = IndexConfig(word_delimiter=True)
+    assert analyze_text(raw, cfg) == expected
+
+
+def test_word_delimiter_three_engine_parity(spark):
+    """Scalar, Arrow-batch, pure-JVM Column, and DuckDB-SQL word-delimiter
+    pipelines must all emit identical tokens (the full-hash gate contract)."""
+    import duckdb
+
+    from solr_spark.analysis.analyzer import tokenize_column, word_delimiter_sql
+
+    texts = [raw for raw, _ in WD_CASES] + [
+        "X-23b McKinley", "mixedUPPERlower", "a1b2c3", "trailing's",
+        "The QUICK brown-fox!", "tabs\tand\nnewlines", "double  space",
+    ]
+    cfg = IndexConfig(word_delimiter=True)
+    want = [analyze_text(t, cfg) for t in texts]
+    assert analyze_series(pd.Series(texts), cfg).tolist() == want
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [r[0] for r in df.select(tokenize_column("text", cfg)).collect()]
+    assert jvm == want
+    stops = ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS))
+    sql = word_delimiter_sql("t")
+    duck = [r[0] for r in duckdb.connect().execute(
+        f"SELECT list_filter(string_split({sql}, ' '), "
+        f"x -> x <> '' AND x NOT IN ({stops})) "
+        f"FROM (SELECT unnest(?) AS t)", [texts]).fetchall()]
+    assert duck == want
+
+
+def test_word_delimiter_stem_and_fold_compose():
+    """wd + porter (text_en_splitting's tail) and wd + fold run in chain
+    order fold -> wd -> lower -> stop -> stem; config_hash distinguishes."""
+    cfg = IndexConfig(word_delimiter=True, stem="porter")
+    assert analyze_text("FastRunning foxes's", cfg) == ["fast", "run", "fox"]
+    fold = IndexConfig(word_delimiter=True, fold_ascii=True)
+    assert analyze_text("CaféBar", fold) == ["cafe", "bar"]
+    assert cfg.config_hash() != fold.config_hash() != IndexConfig().config_hash()
+    got = analyze_series(pd.Series(["FastRunning foxes's"]), cfg)[0]
+    assert list(got) == ["fast", "run", "fox"]
