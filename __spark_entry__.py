@@ -2693,6 +2693,55 @@ def _dd03_minhash_verified(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def _dd11_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: transitive closure of the verified MinHash pair
+    graph (dd03's pairs) into duplicate components via alternating-star CC
+    (operators/graph.py::connected_components, Kiveris et al. SoCC'14 —
+    O(log n) shuffle rounds, no all-pairs). The oracle recomputes the same
+    closure with a recursive CTE (min reachable id per node). This is the
+    pipeline step between pair emission and survivor selection
+    (functions/dedup.py::drop_near_duplicates)."""
+    from solr_spark.functions import near_dup_clusters
+
+    pairs = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                   "doc_id", "text", num_hashes=16,
+                                   band_size=4, jaccard_threshold=0.5)
+    return (near_dup_clusters(pairs)
+            .select(F.col("id").alias("doc_id"), "component_id")
+            .orderBy("doc_id"))
+
+
+_DD11_SQL_TAIL = """,
+tsets AS (SELECT doc_id, count(*) AS n FROM rawtoks GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN rawtoks ta ON ta.doc_id = c.id_a
+  JOIN rawtoks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         n_inter::DOUBLE / (sa.n + sb.n - n_inter) AS jaccard
+  FROM inter i
+  JOIN tsets sa ON sa.doc_id = i.id_a
+  JOIN tsets sb ON sb.doc_id = i.id_b
+),
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+cedges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(id, comp) AS (
+  SELECT a, a FROM cedges
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN cedges e ON e.a = w.id
+)
+SELECT id AS doc_id, min(comp) AS component_id
+FROM walk GROUP BY id ORDER BY doc_id
+"""
+
+
 def _dd04_simhash(spark, sf_dir):
     """SimHash fingerprints, full-hash since round 3: the gate runs the
     engine-portable md5 hash mode (top 60 bits of md5 — bit-identical in
@@ -3408,6 +3457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd01_exact_dedup": _dd01_exact,
         "dd02_minhash_lsh_pairs": _dd02_minhash_pairs,
         "dd03_minhash_verified": _dd03_minhash_verified,
+        "dd11_dedup_clusters": _dd11_dedup_clusters,
         "dd04_simhash": _dd04_simhash,
         "vv01_cosine_topk": _vv01_cosine_topk,
         "q70_quantized_cosine": _q70_quantized_cosine,
@@ -4071,6 +4121,7 @@ jac AS (
 )
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """,
+        "dd11_dedup_clusters": minhash_cte.replace("WITH ", "WITH RECURSIVE ", 1) + _DD11_SQL_TAIL,
         "vv05_hybrid_rrf": _vv05_sql(),
         "vv04_ivf_ann_topk": """
 WITH cent AS (

@@ -12,6 +12,8 @@ from solr_spark.functions.dedup import (
     exact_dedup,
     minhash_bands,
     minhash_near_dup_pairs,
+    near_dup_clusters,
+    drop_near_duplicates,
     signature_dedup,
     simhash,
     simhash_near_dup_pairs,
@@ -44,6 +46,7 @@ from solr_spark.functions.vectors import (
 
 __all__ = [
     "exact_dedup", "minhash_bands", "minhash_near_dup_pairs", "simhash",
+    "near_dup_clusters", "drop_near_duplicates",
     "simhash_near_dup_pairs", "signature_dedup", "text_profile_signature",
     "drop_signature_duplicates", "doc_fingerprint", "lang_id", "quality_score",
     "token_count", "whitespace_tokens", "cosine_sim", "cosine_topk",

@@ -405,3 +405,29 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("hamming", hamming)
                 .where(F.col("hamming") <= max_hamming)
                 .select("id_a", "id_b", "hamming"))
+
+
+def near_dup_clusters(pairs: DataFrame, a_col: str = "id_a",
+                      b_col: str = "id_b") -> DataFrame:
+    """Transitive closure of a near-dup pair list into duplicate clusters:
+    (id, component_id) with component_id = the cluster's min id. Near-duplicate
+    similarity is not transitive, but dedup treats the pair graph's connected
+    components as one duplicate group (the standard web-pipeline contract);
+    pairs come from minhash/simhash/cosine `*_near_dup_pairs`. Delegates to
+    the alternating-star CC kernel (operators/graph.py::connected_components
+    — O(log n) shuffle rounds, no all-pairs, no driver state)."""
+    from solr_spark.operators.graph import connected_components
+
+    return connected_components(pairs, a_col, b_col)
+
+
+def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame,
+                         a_col: str = "id_a", b_col: str = "id_b") -> DataFrame:
+    """Survivor selection: keep exactly one document (the min id) per near-dup
+    cluster plus every unpaired document. The loser set is cluster-membership
+    sized (small relative to the corpus), so the final anti-join broadcasts in
+    practice; the heavy lifting stays in the pair/CC stages."""
+    comp = near_dup_clusters(pairs, a_col, b_col)
+    losers = (comp.where(F.col("id") != F.col("component_id"))
+                  .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")

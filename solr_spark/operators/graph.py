@@ -117,6 +117,69 @@ def shortest_path(edges: DataFrame, src, dst, from_col: str, to_col: str,
         preds.unpersist()
 
 
+def connected_components(edges: DataFrame, src_col: str, dst_col: str,
+                         max_rounds: int = 50) -> DataFrame:
+    """Undirected connected components by alternating large-star / small-star
+    contraction — the shuffle-native CC algorithm from the public literature
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014). The reference has no CC operator; this is the transitive-closure
+    step the near-dup dedup pipeline needs between pair emission
+    (minhash/simhash/cosine near_dup_pairs) and survivor selection.
+
+    Returns (id, component_id) for every node incident to an edge, where
+    component_id is the component's minimum id (any orderable id type).
+
+    Scale shape: each half-round is one map-side-combinable groupBy (per-node
+    neighborhood min) plus one equi-join of the edge list against it — never
+    all-pairs, no driver-side state, and the edge set contracts toward star
+    graphs in O(log n) rounds. Lineage is cut with an eager localCheckpoint
+    per round like the other fixpoint walkers in this module; convergence is
+    detected with a (count, xor-of-hashes) edge-set fingerprint, and
+    non-convergence within max_rounds fails loudly rather than returning a
+    partial clustering.
+    """
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+              .where(F.col("a") != F.col("b")).distinct())
+    nodes = e.select(F.col("a").alias("id")) \
+             .union(e.select(F.col("b").alias("id"))).distinct()
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.select(F.count(F.lit(1)).alias("n"),
+                        F.bit_xor(F.xxhash64("a", "b")).alias("h")).head()
+        return (row["n"], row["h"])
+
+    cur, prev_fp = e, None
+    for _ in range(max_rounds):
+        sym = cur.union(cur.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        # large-star(u): every neighbor v > u links to min(N(u) + {u})
+        mins = (sym.groupBy("a").agg(F.min("b").alias("mb"))
+                   .select("a", F.least("mb", "a").alias("m")))
+        large = (sym.join(mins, "a").where(F.col("b") > F.col("a"))
+                    .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                    .distinct())
+        # small-star(u): u and its smaller neighbors link to their min
+        # (edges out of large-star are already oriented larger -> smaller)
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (large.join(mins2, "a").where(F.col("b") != F.col("m"))
+                      .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                      .union(mins2.select("a", F.col("m").alias("b")))
+                      .distinct())
+        cur = small.localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+    comp = (cur.groupBy("a").agg(F.min("b").alias("component_id"))
+               .withColumnRenamed("a", "id"))
+    return (nodes.join(comp, "id", "left")
+                 .select("id", F.coalesce("component_id", "id")
+                                .alias("component_id")))
+
+
 def score_nodes(node_hits: DataFrame, edges: DataFrame, to_col: str) -> DataFrame:
     """scoreNodes(): TF-IDF relevance for traversal-gathered nodes
     (reference: solrj-streaming stream/ScoreNodesStream.java — node count

@@ -752,3 +752,69 @@ def test_ivf_persisted_layout(spark, tmp_path):
     ex = {r["vec_id"]: r["cosine"] for r in exact}
     assert all(abs(ex[r["vec_id"]] - r["cosine"]) < 1e-9
                for r in got_2 if r["vec_id"] in ex)
+
+
+def _uf_oracle(edges):
+    """Pure-Python union-find ground truth for connected components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Alternating-star CC: a long chain (worst diameter), two islands, and a
+    clique all resolve to min-id components."""
+    from solr_spark.operators.graph import connected_components
+
+    edges = ([(i, i + 1) for i in range(1, 12)]          # chain 1..12
+             + [(20, 21), (21, 22), (20, 22)]             # clique island
+             + [(30, 31)])                                # pair island
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(df, "a", "b").collect()}
+    assert got == _uf_oracle(edges)
+    assert got[12] == 1 and got[22] == 20 and got[31] == 30
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Seeded random graphs (including duplicate + reversed + self edges)
+    match the union-find oracle exactly."""
+    import random
+
+    from solr_spark.operators.graph import connected_components
+
+    rng = random.Random(17)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+    df = spark.createDataFrame(edges + [(e[1], e[0]) for e in edges[:10]],
+                               "a long, b long")
+    got = {r["id"]: r["component_id"]
+           for r in connected_components(df, "a", "b").collect()}
+    assert got == _uf_oracle(e for e in edges if e[0] != e[1])
+
+
+def test_near_dup_cluster_survivors(spark):
+    """drop_near_duplicates keeps exactly the min id per pair-graph component
+    plus all unpaired docs; works on string ids."""
+    from solr_spark.functions import drop_near_duplicates, near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}") for i in range(8)], "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("d0", "d1"), ("d1", "d2"), ("d4", "d5")], "id_a string, id_b string")
+    comp = {r["id"]: r["component_id"]
+            for r in near_dup_clusters(pairs).collect()}
+    assert comp == {"d0": "d0", "d1": "d0", "d2": "d0", "d4": "d4", "d5": "d4"}
+    kept = sorted(r["doc_id"]
+                  for r in drop_near_duplicates(docs, "doc_id", pairs).collect())
+    assert kept == ["d0", "d3", "d4", "d6", "d7"]
