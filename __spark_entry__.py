@@ -3055,6 +3055,50 @@ GROUP BY token ORDER BY n DESC, token LIMIT 40
 """
 
 
+def _ft26_html_strip(spark, sf_dir):
+    """Char-filter stage (TokenizerChain charFilters* slot) — HTMLStrip role:
+    tags/comments/script bodies removed, entities single-pass decoded,
+    BEFORE tokenization (analyzer.py::_HTML_STRIP_STEPS, config.html_strip).
+    HTML-wrapped input is built identically on both sides from the part
+    table (p_brand carries the '#'+digits shape); the strip pipelines are independent (java.util.regex vs DuckDB
+    RE2), and the oracle's tokenizer twin is the punctuation-split
+    equivalence (valid on this joiner-free ASCII input)."""
+    from solr_spark.analysis.analyzer import tokenize_column
+
+    cfg = IndexConfig(html_strip=True)
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    txt = F.concat(F.lit('<div class="item"><b>'), F.col("p_name"),
+                   F.lit('</b></div> <p>'), F.col("p_brand"),
+                   F.lit('</p> <!-- hidden --> <script>var x=1;</script>'
+                         ' Tom &amp; Jerry &lt;3'))
+    toks = part.select(F.explode(tokenize_column(txt, cfg)).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+                .orderBy(F.desc("n"), "token").limit(40))
+
+
+def _ft26_sql() -> str:
+    from solr_spark.analysis.analyzer import char_filters_sql
+
+    stripped = char_filters_sql("t", IndexConfig(html_strip=True))
+    return f"""
+WITH src AS (
+  SELECT '<div class="item"><b>' || p_name || '</b></div> <p>' || p_brand ||
+         '</p> <!-- hidden --> <script>var x=1;</script> Tom &amp; Jerry &lt;3'
+         AS t
+  FROM part WHERE p_partkey <= 200
+),
+toks AS (
+  SELECT unnest(string_split(
+           regexp_replace(lower({stripped}), '[^a-z0-9]+', ' ', 'g'), ' '))
+         AS token
+  FROM src
+)
+SELECT token, count(*)::BIGINT AS n FROM toks
+WHERE token <> '' AND token NOT IN ({_STOP_SQL})
+GROUP BY token ORDER BY n DESC, token LIMIT 40
+"""
+
+
 def _ft24_phonetic(spark, sf_dir):
     """Phonetic (sounds-like) term matching — PhoneticFilterFactory role
     (solr-ref-guide indexing-guide/phonetic-matching.adoc:101, Soundex;
@@ -3469,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd07_text_profile_signature": _dd07_text_profile,
         "ft24_phonetic": _ft24_phonetic,
         "ft25_word_delimiter": _ft25_word_delimiter,
+        "ft26_html_strip": _ft26_html_strip,
         "dd08_decontaminate": _dd08_decontaminate,
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
@@ -4174,6 +4219,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd07_text_profile_signature": _DD07_SQL,
         "ft24_phonetic": _ft24_sql(),
         "ft25_word_delimiter": _ft25_sql(),
+        "ft26_html_strip": _ft26_sql(),
         "dd08_decontaminate": _DD08_SQL,
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,

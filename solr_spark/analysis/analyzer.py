@@ -69,6 +69,57 @@ def _stopset(config: IndexConfig) -> frozenset[str]:
 
 
 # ---------------------------------------------------------------------------
+# Char-filter stage (TokenizerChain's charFilters* slot — reference:
+# solr/core/src/java/org/apache/solr/analysis/TokenizerChain.java:36-49).
+# Runs on the RAW text before any tokenization, in every engine path.
+#
+# html_strip = HTMLStripCharFilterFactory role, as an ordered engine-portable
+# regex pipeline (documented subset of Lucene's state machine): script/style
+# bodies, comments, then every tag become one separator each (deviation:
+# Lucene drops inline tags without a separator; here every tag separates
+# tokens); the common named entities decode, with &amp; LAST so entities are
+# single-pass decoded ("&amp;lt;" -> "&lt;", never "<"); numeric entities
+# become separators. No lookaround/backrefs, so the identical patterns run on
+# java.util.regex, RE2 (DuckDB), and Python `regex`.
+_HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&apos;", "'"),
+    (r"&#[0-9]+;", " "),
+    (r"&amp;", "&"),
+]
+
+
+def _char_filter_steps(config: IndexConfig) -> list[tuple[str, str]]:
+    steps = list(_HTML_STRIP_STEPS) if config.html_strip else []
+    steps.extend(config.pattern_replace)
+    return steps
+
+
+def _apply_char_filters(text: str, compiled) -> str:
+    for pat, repl in compiled:
+        text = pat.sub(repl, text)
+    return text
+
+
+def char_filters_sql(expr: str, config: IndexConfig) -> str:
+    """DuckDB twin of the char-filter stage (RE2: 'g' for global, \\1-style
+    backrefs in replacements)."""
+    out = expr
+    for pat, repl in _char_filter_steps(config):
+        sql_pat = pat.replace("'", "''")
+        sql_repl = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{sql_repl}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
 # WordDelimiterGraphFilter role (config.word_delimiter) — the text_en_splitting
 # chain: whitespace tokenize + split subwords on case/digit/delimiter
 # boundaries (reference surface: WordDelimiterGraphFilterFactory, wired in
@@ -180,6 +231,9 @@ def analyze_text(text: str | None, config: IndexConfig = DEFAULT_CONFIG) -> list
     """
     if not text:
         return []
+    cf = _char_filter_steps(config)
+    if cf:
+        text = _apply_char_filters(text, [(regex.compile(p), r) for p, r in cf])
     stops = _stopset(config)
     filt = _token_filter(config)
     if config.word_delimiter:
@@ -219,6 +273,11 @@ def _series_token_lists(texts: pd.Series, config: IndexConfig) -> list[list[str]
     stops = _stopset(config)
     fold = _fold_text if config.fold_ascii else None
     filt = _token_filter(config)
+    cf = _char_filter_steps(config)
+    if cf:
+        compiled = [(regex.compile(p), r) for p, r in cf]
+        texts = texts.map(lambda t: _apply_char_filters(t, compiled)
+                          if isinstance(t, str) else t)
     if config.word_delimiter:
         # Case drives the splits, so this path cannot share the
         # lowercase-first fast path; the per-row regex passes are the same
@@ -359,7 +418,13 @@ def tokenize_column(col, config: IndexConfig = DEFAULT_CONFIG):
             "stemming has no JVM expression form — use the Arrow analyzer "
             "(make_tokenize_udf / make_tokenize_joined_udf); the index build "
             "already does")
+    import re as _stdre
+
     c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _char_filter_steps(config):
+        # java.util.regex replacements use $N backrefs; configs carry the
+        # portable \N form (same as RE2/Python)
+        c = F.regexp_replace(c, pat, _stdre.sub(r"\\(\d)", r"$\1", repl))
     if config.fold_ascii:
         src, dst = _fold_translate_tables()
         c = F.translate(c, src, dst)

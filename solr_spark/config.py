@@ -65,13 +65,31 @@ class IndexConfig:
     # because they emit stacked positions, which Lucene itself warns break
     # index-time phrase queries without FlattenGraph.
     word_delimiter: bool = False
+    # Char-filter stage (TokenizerChain's charFilters* slot, reference:
+    # solr/core/src/java/org/apache/solr/analysis/TokenizerChain.java:36-49;
+    # applied to the RAW text before tokenization in every engine path):
+    #   html_strip: HTMLStripCharFilterFactory role — removes script/style
+    #     bodies, comments and tags (each becomes one separator) and decodes
+    #     the common named entities; numeric entities become separators
+    #     (documented subset of Lucene's full state machine).
+    #   pattern_replace: PatternReplaceCharFilterFactory role — ordered
+    #     (pattern, replacement) pairs in the engine-portable regex subset
+    #     (no lookaround/backrefs, so the same pattern runs on java.util.regex,
+    #     RE2/DuckDB, and Python `regex`).
+    html_strip: bool = False
+    pattern_replace: tuple = ()
 
     def __post_init__(self):
-        # JSON round-trips (stats.json -> IndexConfig(**d)) deliver a list;
+        # JSON round-trips (stats.json -> IndexConfig(**d)) deliver lists;
         # normalize so equality and config_hash are representation-free.
         if not isinstance(self.protected_words, tuple):
             object.__setattr__(self, "protected_words",
                                tuple(self.protected_words))
+        if not isinstance(self.pattern_replace, tuple) or any(
+                not isinstance(p, tuple) for p in self.pattern_replace):
+            object.__setattr__(
+                self, "pattern_replace",
+                tuple(tuple(p) for p in self.pattern_replace))
 
     def config_hash(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

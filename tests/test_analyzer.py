@@ -298,3 +298,74 @@ def test_word_delimiter_stem_and_fold_compose():
     assert cfg.config_hash() != fold.config_hash() != IndexConfig().config_hash()
     got = analyze_series(pd.Series(["FastRunning foxes's"]), cfg)[0]
     assert list(got) == ["fast", "run", "fox"]
+
+
+HTML_CASES = [
+    ('<div class="x"><b>hello</b> world</div>', ["hello", "world"]),
+    ('Tom &amp; Jerry &lt;3 &quot;quoted&quot;', ["tom", "jerry", "3", "quoted"]),
+    ('<script>var x=1;</script>keep <!-- gone --> here', ["keep", "here"]),
+    ('<STYLE type="a">h1{color:red}</STYLE>after', ["after"]),
+    ("a&#169;b &amp;lt; stays", ["b", "lt", "stays"]),  # single-pass decode
+    ("<p>Line</p><p>Two</p>", ["line", "two"]),
+    ("no markup here", ["markup", "here"]),
+]
+
+
+@pytest.mark.parametrize("raw,expected", HTML_CASES)
+def test_html_strip_char_filter(raw, expected):
+    """HTMLStripCharFilter role: tags/comments/script/style become separators,
+    common entities decode exactly once."""
+    assert analyze_text(raw, IndexConfig(html_strip=True)) == expected
+
+
+def test_char_filters_three_engine_parity(spark):
+    """Char-filter stage parity: scalar, Arrow-batch, JVM Column, DuckDB SQL
+    agree on html_strip and a \\N-backref pattern_replace chain."""
+    import duckdb
+
+    from solr_spark.analysis.analyzer import char_filters_sql, tokenize_column
+
+    simple_texts = ["call 555-1234 now #tag", "a-1 2-b", None, ""]
+    for cfg, texts in (
+            (IndexConfig(html_strip=True),
+             [raw for raw, _ in HTML_CASES] + simple_texts),
+            # pattern_replace alone: joiner-free inputs only, because the
+            # test's punctuation-split DuckDB stand-in can't mimic the UAX
+            # ':'/'.' mid-token joiners ("color:red") that survive unstripped
+            (IndexConfig(pattern_replace=((r"(\d+)-(\d+)", r"\1\2"),
+                                          (r"#\w+", " "))),
+             simple_texts)):
+        want = [analyze_text(t, cfg) if t else [] for t in texts]
+        got = analyze_series(pd.Series(texts), cfg).tolist()
+        assert [list(x) for x in got] == want, cfg
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        jvm = [r[0] for r in df.select(
+            tokenize_column("text", cfg)).collect()]
+        assert [x if x is not None else [] for x in jvm] == want, cfg
+        # DuckDB twin of the char-filter stage only (tokenizer twins are
+        # gate-specific); ASCII punctuation-split equivalence holds here
+        stops = ", ".join(f"'{s}'" for s in sorted(ENGLISH_STOPWORDS))
+        sql = char_filters_sql("t", cfg)
+        duck = [r[0] for r in duckdb.connect().execute(
+            f"""SELECT list_filter(
+                   string_split(regexp_replace(lower({sql}),
+                                '[^a-z0-9]+', ' ', 'g'), ' '),
+                   x -> x <> '' AND x NOT IN ({stops}))
+                FROM (SELECT unnest(?) AS t)""", [texts]).fetchall()]
+        assert [x if x is not None else [] for x in duck] == want, cfg
+
+
+def test_char_filters_compose_with_wd_and_config_roundtrip():
+    """Chain order charfilters -> tokenizer(+wd); pattern_replace survives the
+    JSON list round-trip (stats.json contract)."""
+    cfg = IndexConfig(html_strip=True, word_delimiter=True)
+    assert analyze_text("<b>PowerShot</b> SD500", cfg) == \
+        ["power", "shot", "sd", "500"]
+    import dataclasses
+    import json
+
+    d = json.loads(json.dumps(dataclasses.asdict(
+        IndexConfig(pattern_replace=(("x", "y"),)))))
+    rt = IndexConfig(**d)
+    assert rt == IndexConfig(pattern_replace=(("x", "y"),))
+    assert rt.config_hash() == IndexConfig(pattern_replace=(("x", "y"),)).config_hash()
