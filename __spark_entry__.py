@@ -23,6 +23,7 @@ from solr_spark.functions import (
     minhash_near_dup_pairs,
     simhash,
 )
+from solr_spark.functions.lm import bigram_lm_score, lm_score_sql
 from solr_spark.functions.textanalysis import text_stats
 from solr_spark.functions.vectors import cosine_topk
 from solr_spark.operators import facets, streams, windows
@@ -2640,6 +2641,19 @@ FROM lt ORDER BY doc_id
 """
 
 
+def _tx05_lm_perplexity(spark, sf_dir):
+    """Bigram-LM pseudo-perplexity quality scoring (CCNet-style filtering;
+    solr_spark/functions/lm.py). Self-trained on the documents corpus —
+    interpolated additive bigram LM, exact integer counts, order-free
+    DECIMAL sum per doc, so the oracle reproduces every value bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return (bigram_lm_score(d, "doc_id", "text")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                    "cross_entropy", "perplexity")
+            .orderBy("doc_id"))
+
+
 def _tx01_text_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = text_stats(d, "doc_id", "text")
@@ -3498,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx02_significant_terms": _tx02_significant_terms,
         "tx03_more_like_this": _tx03_mlt,
         "tx04_analyze_chain": _tx04_analyze_chain,
+        "tx05_lm_perplexity": _tx05_lm_perplexity,
         "dd01_exact_dedup": _dd01_exact,
         "dd02_minhash_lsh_pairs": _dd02_minhash_pairs,
         "dd03_minhash_verified": _dd03_minhash_verified,
@@ -4123,6 +4138,7 @@ SELECT term, fg, bg,
 FROM cnt, tot ORDER BY term
 """,
         "tx04_analyze_chain": _TX04_SQL,
+        "tx05_lm_perplexity": lm_score_sql("text", "documents", "doc_id"),
         "tx03_more_like_this": """
 WITH pairs AS (
   SELECT DISTINCT doc_id, tok AS term FROM (

@@ -818,3 +818,46 @@ def test_near_dup_cluster_survivors(spark):
     kept = sorted(r["doc_id"]
                   for r in drop_near_duplicates(docs, "doc_id", pairs).collect())
     assert kept == ["d0", "d3", "d4", "d6", "d7"]
+
+
+def test_bigram_lm_score(spark):
+    """Hand-computed interpolated bigram LM on a tiny corpus + edge cases."""
+    import math
+
+    from solr_spark.functions.lm import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           bigram_lm_score(docs, "doc_id", "text").collect()}
+
+    # corpus counts: unigrams a:3 b:3 c:1 (N=7, V=3); bigrams ab:3 ba:1
+    n, v = 7, 3
+
+    def p(c_vw, c_v, c_w):
+        return (c_vw + (c_w + 1) / (n + v)) / (c_v + 1.0)
+
+    # doc 1: bigrams ab, ba, ab -> tf: ab=2, ba=1; engine arithmetic is
+    # per-distinct-bigram quantize at 6dp then exact sum
+    qsum = round(2 * math.log(p(3, 3, 3)), 6) + round(math.log(p(1, 3, 3)), 6)
+    ce = -qsum / 3
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["cross_entropy"] - round(ce, 4)) < 1e-9
+    assert abs(out[1]["perplexity"] - round(math.exp(round(ce, 4)), 4)) < 1e-9
+    # doc 2 is a sub-sequence of doc 1 -> lower or equal entropy than doc 3
+    assert out[2]["n_bigrams"] == 1
+    # docs with < 2 tokens: present, NULL scores
+    for d in (3, 4):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["cross_entropy"] is None
+        assert out[d]["perplexity"] is None
+    # a rarer sequence scores strictly higher perplexity than a common one
+    docs2 = spark.createDataFrame(
+        [(10, "x y"), (11, "q z")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(0, "x y x y x y z q")], ["doc_id", "text"])
+    r = {row["doc_id"]: row for row in
+         bigram_lm_score(docs2, "doc_id", "text", corpus=corpus).collect()}
+    assert r[10]["perplexity"] < r[11]["perplexity"]
