@@ -1793,6 +1793,19 @@ def _vv03_cosine_near_dup(spark, sf_dir):
                                  method="exact")
 
 
+def _dd12_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-scoped embedding near-dup pairs,
+    functions/dedup.py::semantic_dedup_pairs): coarse-quantize to seed
+    centroids (vec_id < 8 — the SQL-twin-checkable quantizer; the trained
+    spherical-k-means mode is pytest-gated), then exact cosine only within
+    clusters. Survivor selection on top is dd11's CC kernel (pytest)."""
+    from solr_spark.functions.dedup import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, "vec_id", "embedding", 0.4,
+                                n_centroids=8, train=False)
+
+
 def _q58_terms_enum(spark, sf_dir):
     """TermsComponent enumeration: dictionary terms matching a regex inside a
     [lower, upper) range with a mincount floor, count-sorted
@@ -3478,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_sessionize": _q41_sessionize,
         "q42_relatedness": _q42_relatedness,
         "vv03_cosine_near_dup": _vv03_cosine_near_dup,
+        "dd12_semantic_dedup": _dd12_semantic_dedup,
         "q43_frange": _q43_frange,
         "q44_unique_block": _q44_unique_block,
         "q45_scored_join": _q45_scored_join,
@@ -4098,6 +4112,32 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY a_id, b_id
+""",
+        "dd12_semantic_dedup": """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cid AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec::DOUBLE[]), 9) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+av AS (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+)
+SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[]), 6) AS cosine
+FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[],
+                                   y.embedding::DOUBLE[]), 6) >= 0.4
 ORDER BY a_id, b_id
 """,
         "q42_relatedness": """

@@ -431,3 +431,58 @@ def drop_near_duplicates(df: DataFrame, id_col: str, pairs: DataFrame,
     losers = (comp.where(F.col("id") != F.col("component_id"))
                   .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                         threshold: float, centroids: DataFrame | None = None,
+                         n_centroids: int = 16, train: bool = True,
+                         iters: int = 5, seed: int = 7) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs from embeddings,
+    scoped to k-means clusters — the embedding analog of MinHash banding.
+
+    Pipeline: coarse-quantize every vector to its nearest centroid
+    (`vectors.ivf_assign` — broadcast join, narrow scan), then compare ONLY
+    within-cluster pairs with an exact codegen'd cosine and keep those at or
+    above `threshold`. The cluster equi-join bounds candidate generation to
+    per-cluster quadratic (SemDeDup's core trick; with k ~ sqrt(n) clusters
+    expected work is ~n^1.5 not n^2, and each cluster's pair block is an
+    independent task — no global shuffle beyond the assignment).
+
+    `train=True` fits the quantizer with spherical k-means (`vectors.ivf_train`,
+    seeded, deterministic); `train=False` uses the first `n_centroids` vectors
+    by id as centroids — the SQL-twin-checkable mode (an ANSI oracle cannot run
+    k-means; the pair semantics downstream of assignment are identical).
+    Returns (a_id, b_id, cosine) with a_id < b_id, cosine rounded at 6dp.
+    """
+    from solr_spark.functions.vectors import _dot, _norm, ivf_assign, ivf_train
+
+    if centroids is None:
+        if train:
+            centroids = ivf_train(df, vec_col, n_centroids, iters,
+                                  id_col=id_col, seed=seed)
+        else:
+            centroids = (df.where(F.col(id_col) < n_centroids)
+                         .select(F.col(id_col).alias("cid"),
+                                 F.col(vec_col).alias("cvec")))
+    assigned = ivf_assign(df, vec_col, centroids, id_col)
+    a = assigned.select(F.col("cluster"), F.col(id_col).alias("a_id"),
+                        F.col(vec_col).cast("array<double>").alias("a_vec"))
+    b = assigned.select(F.col("cluster"), F.col(id_col).alias("b_id"),
+                        F.col(vec_col).cast("array<double>").alias("b_vec"))
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec")))
+    return (a.join(b, "cluster").where(F.col("a_id") < F.col("b_id"))
+             .withColumn("cosine", F.round(sim, 6))
+             .where(F.col("cosine") >= threshold)
+             .select("a_id", "b_id", "cosine")
+             .orderBy("a_id", "b_id"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, threshold: float,
+                   **kw) -> DataFrame:
+    """SemDeDup survivor selection: connected components over the semantic
+    pair graph (alternating-star CC, O(log n) rounds), keep the min id per
+    duplicate group plus every unpaired row. kwargs pass through to
+    `semantic_dedup_pairs` (centroids / n_centroids / train / iters / seed)."""
+    pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, **kw)
+    return drop_near_duplicates(df, id_col, pairs, "a_id", "b_id")

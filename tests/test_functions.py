@@ -861,3 +861,48 @@ def test_bigram_lm_score(spark):
     r = {row["doc_id"]: row for row in
          bigram_lm_score(docs2, "doc_id", "text", corpus=corpus).collect()}
     assert r[10]["perplexity"] < r[11]["perplexity"]
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: trained-quantizer pairs match the exact all-pairs baseline
+    on a separable corpus; survivor selection keeps min id + singletons."""
+    import random
+
+    from solr_spark.functions.dedup import (semantic_dedup,
+                                            semantic_dedup_pairs)
+    from solr_spark.functions.vectors import cosine_near_dup_pairs
+
+    rng = random.Random(11)
+    dim = 8
+
+    def jitter(base, eps):
+        return [x + rng.uniform(-eps, eps) for x in base]
+
+    base_a = [1.0] + [0.0] * (dim - 1)
+    base_b = [0.0] * (dim - 1) + [1.0]
+    rows = []
+    # two tight duplicate groups (ids 0-3 near base_a, 10-13 near base_b)
+    for i in range(4):
+        rows.append((i, jitter(base_a, 0.01)))
+        rows.append((10 + i, jitter(base_b, 0.01)))
+    # isolated points far from both groups
+    rows.append((20, [0.7] * dim))
+    rows.append((21, [1.0, -1.0] * (dim // 2)))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r["a_id"], r["b_id"]) for r in
+             cosine_near_dup_pairs(df, "vec_id", "embedding", 0.999,
+                                   method="exact").collect()}
+    got = {(r["a_id"], r["b_id"]) for r in
+           semantic_dedup_pairs(df, "vec_id", "embedding", 0.999,
+                                n_centroids=3, train=True).collect()}
+    # the two dup groups are cluster-separable, so trained SemDeDup recovers
+    # every exact pair (blocking affects recall only; precision is exact)
+    assert got == exact
+    assert {(0, 1), (0, 2), (10, 11)} <= got
+    assert all(a < 10 and b < 10 or a >= 10 and b >= 10 for a, b in got)
+
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, "vec_id", "embedding", 0.999,
+                                 n_centroids=3, train=True).collect())
+    assert kept == [0, 10, 20, 21]
