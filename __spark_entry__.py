@@ -3082,6 +3082,68 @@ GROUP BY token ORDER BY n DESC, token LIMIT 40
 """
 
 
+def _ft27_explain(spark, sf_dir):
+    """[explain] transformer (ExplainAugmenterFactory role): per-(doc, term)
+    BM25 decomposition — tf, df, idf, length-normalized tf, contribution —
+    for the top-20 hits of the headline query; sum(contribution) per doc
+    equals the WAND retrieval score (operators/components.py::explain_scores)."""
+    from solr_spark.operators.components import explain_scores
+
+    reader = _ft_index(spark, sf_dir)
+    out = explain_scores(spark, reader, _FT_QUERY, k=20)
+    return out.select(_doc_id(), "term",
+                      F.col("tf").cast("long").alias("tf"),
+                      F.col("df").cast("long").alias("df"),
+                      _dround("idf", 4).alias("idf"),
+                      _dround("tf_norm", 4).alias("tf_norm"),
+                      _dround("contribution", 4).alias("contribution"),
+                      _dround("score", 4).alias("score"))
+
+
+def _ft27_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+clause AS (
+    SELECT tf.doc_id, tf.term, tf.tf, d.df,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf,
+           tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl
+                                    / (c.sum_dl / c.n_docs))) AS tf_norm
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT doc_id, sum(idf * tf_norm) AS score FROM clause GROUP BY doc_id
+),
+topk AS (
+    SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20
+)
+SELECT cl.doc_id, cl.term, cl.tf::BIGINT AS tf, cl.df::BIGINT AS df,
+       round(cl.idf, 4) AS idf, round(cl.tf_norm, 4) AS tf_norm,
+       round(cl.idf * cl.tf_norm, 4) AS contribution,
+       round(t.score, 4) AS score
+FROM clause cl JOIN topk t USING (doc_id)
+ORDER BY cl.doc_id, cl.term
+"""
+
+
 def _ft26_html_strip(spark, sf_dir):
     """Char-filter stage (TokenizerChain charFilters* slot) — HTMLStrip role:
     tags/comments/script bodies removed, entities single-pass decoded,
@@ -3543,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft24_phonetic": _ft24_phonetic,
         "ft25_word_delimiter": _ft25_word_delimiter,
         "ft26_html_strip": _ft26_html_strip,
+        "ft27_explain": _ft27_explain,
         "dd08_decontaminate": _dd08_decontaminate,
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
@@ -4276,6 +4339,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft24_phonetic": _ft24_sql(),
         "ft25_word_delimiter": _ft25_sql(),
         "ft26_html_strip": _ft26_sql(),
+        "ft27_explain": _ft27_sql(),
         "dd08_decontaminate": _DD08_SQL,
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,

@@ -221,3 +221,77 @@ def hash_partition_filter(col: Column | str, workers: int, worker: int) -> Colum
     hashes in range."""
     c = F.col(col) if isinstance(col, str) else col
     return F.pmod(F.hash(c), F.lit(workers)) == worker
+
+
+def explain_scores(spark: SparkSession, reader, query_text: str, k: int = 10,
+                   boosts: dict[str, float] | None = None) -> DataFrame:
+    """`[explain]` doc transformer: per-(doc, term) BM25 score decomposition
+    for the top-k hits (reference: Lucene Explanation surfaced through
+    response/transform/ExplainAugmenterFactory.java and debug=results).
+
+    For every matching (top-k doc, query term) clause, emits the quantities
+    Lucene's explain tree shows: tf, df, idf = ln(1 + (N - df + 0.5) /
+    (df + 0.5)) (boost folded in, as the kernel folds it into the weight),
+    the length-normalized tf part tf / (tf + k1*(1 - b + b*dl/avgdl)), and
+    contribution = idf * tf_norm; sum(contribution) over a doc's rows equals
+    its retrieval score exactly (same norms: when the index stores Lucene
+    SmallFloat norms the dl here is quantized through the identical 256-value
+    table, expressed as a codegen'd step function — no Python).
+
+    Plan shape: the clause set is (k x #terms)-bounded, so every join keeps
+    the corpus-sized side streaming — postings prune by term bucket, the
+    top-k and term-stats sides broadcast, and the doc-length lookup joins the
+    analyzed artifact against a broadcast of the bounded clause set.
+    """
+    from solr_spark.analysis.analyzer import analyze_text
+    from solr_spark.codec.smallfloat import norm_length_table
+    from solr_spark.query.bm25 import _idf, bm25_topk, terms_postings
+
+    cfg = reader.config
+    out_schema = ("conv_id string, turn_idx int, docid long, term string, "
+                  "tf long, df long, idf double, tf_norm double, "
+                  "contribution double, score double")
+    qterms = sorted(set(analyze_text(query_text, cfg)))
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    topk = bm25_topk(spark, reader, query_text, k=k, mode="wand",
+                     boosts=boosts)
+    dict_rows = (reader.dictionary(spark)
+                 .where(F.col("term").isin(qterms))
+                 .select("term", "df").collect())          # bounded: #terms
+    if not dict_rows:
+        return spark.createDataFrame([], out_schema)
+    bst = boosts or {}
+    stats = [(r["term"], int(r["df"]),
+              float(bst.get(r["term"], 1.0)) * _idf(reader.n_docs, r["df"]))
+             for r in dict_rows]
+    stats_df = spark.createDataFrame(stats, "term string, df long, idf double")
+
+    post = terms_postings(spark, reader, [t for t, _, _ in stats])
+    clauses = (post
+               .join(F.broadcast(topk.select("conv_id", "turn_idx", "docid",
+                                             "score")), "docid")
+               .join(F.broadcast(stats_df), "term"))
+
+    analyzed = spark.read.parquet(
+        os.path.join(reader.index_dir, "analyzed", "batch-*")
+    ).select("docid", F.col("dl").cast("long").alias("__dl"))
+    ex = analyzed.join(F.broadcast(clauses), "docid")
+
+    dl = F.col("__dl").cast("double")
+    if cfg.lucene_norms:
+        # encode+decode through Lucene's 4-bit table == round down to the
+        # nearest representable length, as a whole-stage-codegen step function
+        vals = sorted({int(v) for v in norm_length_table()})
+        dl = F.array_max(
+            F.filter(F.array(*[F.lit(v) for v in vals]),
+                     lambda v: v <= F.col("__dl"))).cast("double")
+    tfd = F.col("tf").cast("double")
+    tf_norm = tfd / (tfd + F.lit(cfg.k1)
+                     * (F.lit(1.0 - cfg.b) + F.lit(cfg.b) * dl / reader.avgdl))
+    return (ex.select(
+                "conv_id", "turn_idx", "docid", "term",
+                F.col("tf").cast("long").alias("tf"), "df", "idf",
+                tf_norm.alias("tf_norm"),
+                (F.col("idf") * tf_norm).alias("contribution"), "score")
+            .orderBy("docid", "term"))

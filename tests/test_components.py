@@ -600,3 +600,41 @@ def test_best_passage(spark):
     assert "<em>error</em>" in got[1][0] and "<em>timeout</em>" in got[1][0]
     assert got[2] == (None, None)          # no match -> NULL
     assert got[3] == ("<em>timeout</em> q", 3.0)  # short doc, whole-doc window
+
+
+def test_explain_scores_sums_to_score(spark, built_index):
+    """[explain] decomposition: per-doc sum(contribution) == retrieval score
+    on the DEFAULT config (lucene_norms=True — exercises the quantized-dl
+    step function), clause stats positive and df-consistent."""
+    from collections import defaultdict
+
+    from solr_spark.operators.components import explain_scores
+    from solr_spark.query import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    q = "error timeout retry"
+    rows = explain_scores(spark, reader, q, k=10).collect()
+    assert rows, "explain returned no clauses"
+    scores = {(r["conv_id"], r["turn_idx"]): r["score"]
+              for r in bm25_topk(spark, reader, q, k=10, mode="wand").collect()}
+    assert len(scores) == 10
+    per_doc = defaultdict(float)
+    for r in rows:
+        key = (r["conv_id"], r["turn_idx"])
+        assert key in scores
+        assert r["tf"] >= 1 and r["df"] >= 1
+        assert r["idf"] > 0 and 0 < r["tf_norm"] < 1
+        assert abs(r["contribution"] - r["idf"] * r["tf_norm"]) < 1e-12
+        per_doc[key] += r["contribution"]
+    for key, s in per_doc.items():
+        assert abs(s - scores[key]) < 1e-9, (key, s, scores[key])
+    # boost folds into idf: doubling a term's boost doubles its contribution
+    boosted = explain_scores(spark, reader, q, k=10,
+                             boosts={"error": 2.0}).collect()
+    base = {(r["conv_id"], r["turn_idx"]): r["contribution"]
+            for r in rows if r["term"] == "error"}
+    for r in boosted:
+        if r["term"] == "error" and (r["conv_id"], r["turn_idx"]) in base:
+            assert abs(r["contribution"]
+                       - 2.0 * base[(r["conv_id"], r["turn_idx"])]) < 1e-9
