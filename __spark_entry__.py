@@ -3082,6 +3082,43 @@ GROUP BY token ORDER BY n DESC, token LIMIT 40
 """
 
 
+def _ft28_collation(spark, sf_dir):
+    """Spellcheck collation (spellcheck.collate + maxCollationTries role):
+    'vectr spark' — the unknown term takes its top-3 dictionary corrections,
+    each candidate collation is hit-verified conjunctively in one batched
+    postings pass (operators/components.py::spellcheck_collate)."""
+    from solr_spark.operators.components import spellcheck_collate
+
+    reader = _ft_index(spark, sf_dir)
+    return spellcheck_collate(spark, reader, "vectr spark",
+                              k_corrections=3, max_collations=3)
+
+
+def _ft28_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+d AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY tok),
+cand AS (
+    SELECT term FROM d
+    WHERE term LIKE 'v%' AND term <> 'vectr'
+      AND levenshtein(term, 'vectr') <= 2
+    ORDER BY levenshtein(term, 'vectr'), df DESC, term LIMIT 3
+),
+hits AS (
+    SELECT c.term AS cterm, count(DISTINCT t1.doc_id)::BIGINT AS hits
+    FROM cand c
+    JOIN toks t1 ON t1.tok = c.term
+    JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.tok = 'spark'
+    GROUP BY c.term
+)
+SELECT c.term || ' spark' AS "collation", coalesce(h.hits, 0)::BIGINT AS hits
+FROM cand c LEFT JOIN hits h ON h.cterm = c.term
+WHERE coalesce(h.hits, 0) > 0
+ORDER BY hits DESC, "collation" LIMIT 3
+"""
+
+
 def _ft27_explain(spark, sf_dir):
     """[explain] transformer (ExplainAugmenterFactory role): per-(doc, term)
     BM25 decomposition — tf, df, idf, length-normalized tf, contribution —
@@ -3606,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft25_word_delimiter": _ft25_word_delimiter,
         "ft26_html_strip": _ft26_html_strip,
         "ft27_explain": _ft27_explain,
+        "ft28_collation": _ft28_collation,
         "dd08_decontaminate": _dd08_decontaminate,
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
@@ -4340,6 +4378,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft25_word_delimiter": _ft25_sql(),
         "ft26_html_strip": _ft26_sql(),
         "ft27_explain": _ft27_sql(),
+        "ft28_collation": _ft28_sql(),
         "dd08_decontaminate": _DD08_SQL,
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,

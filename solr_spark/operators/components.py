@@ -295,3 +295,72 @@ def explain_scores(spark: SparkSession, reader, query_text: str, k: int = 10,
                 tf_norm.alias("tf_norm"),
                 (F.col("idf") * tf_norm).alias("contribution"), "score")
             .orderBy("docid", "term"))
+
+
+def spellcheck_collate(spark: SparkSession, reader, query_text: str,
+                       k_corrections: int = 3, max_collations: int = 3,
+                       max_edits: int = 2, min_prefix: int = 1) -> DataFrame:
+    """SpellCheckComponent collation (spellcheck.collate=true, reference:
+    handler/component/SpellCheckComponent.java addCollationsToResponse +
+    spelling/SpellCheckCollator.java): rewrite the query with the top
+    corrections for every term missing from the dictionary, and VERIFY each
+    candidate collation by counting its conjunctive hits — Solr's
+    maxCollationTries re-query, done here as one batched postings pass.
+
+    Known terms stay verbatim; each unknown term takes its top
+    `k_corrections` DirectSolrSpellChecker suggestions (dist, df ranked);
+    candidate collations are the cross product (bounded:
+    k_corrections^misspelled, each list driver-side tiny). Hit verification
+    for ALL collations runs in ONE job: a broadcast (collation, term)
+    requirement table joined to de-duplicated postings, per-doc distinct-term
+    count against the collation's clause count, then a count per collation.
+    Output: (collation string, hits long) with hits > 0, best first.
+    """
+    from itertools import product
+
+    from solr_spark.analysis.analyzer import analyze_text
+    from solr_spark.query.bm25 import terms_postings
+
+    cfg = reader.config
+    qterms = list(dict.fromkeys(analyze_text(query_text, cfg)))
+    out_schema = "collation string, hits long"
+    if not qterms:
+        return spark.createDataFrame([], out_schema)
+    present = {r["term"] for r in
+               reader.dictionary(spark)
+                     .where(F.col("term").isin(qterms))
+                     .select("term").distinct().collect()}     # bounded: #terms
+    options: list[list[str]] = []
+    for t in qterms:
+        if t in present:
+            options.append([t])
+            continue
+        sugg = [r["term"] for r in
+                spellcheck(spark, reader.index_dir, t, k=k_corrections,
+                           max_edits=max_edits, min_prefix=min_prefix)
+                .collect()]                                    # bounded: k
+        if not sugg:
+            return spark.createDataFrame([], out_schema)       # uncollatable
+        options.append(sugg)
+    colls = [" ".join(terms) for terms in product(*options)]
+    reqs = [(i, t) for i, c in enumerate(colls) for t in set(c.split())]
+    req_df = spark.createDataFrame(reqs, "cid int, term string")
+    need_df = spark.createDataFrame(
+        [(i, len(set(c.split()))) for i, c in enumerate(colls)],
+        "cid int, need int")
+    names_df = spark.createDataFrame(
+        list(enumerate(colls)), "cid int, collation string")
+    post = (terms_postings(spark, reader,
+                           sorted({t for _, t in reqs}))
+            .select("term", "docid").distinct())
+    hits = (post.join(F.broadcast(req_df), "term")
+            .groupBy("cid", "docid")
+            .agg(F.count_distinct("term").alias("nt"))
+            .join(F.broadcast(need_df), "cid")
+            .where(F.col("nt") == F.col("need"))
+            .groupBy("cid").agg(F.count("*").cast("long").alias("hits")))
+    return (F.broadcast(names_df).join(hits, "cid")
+            .where(F.col("hits") > 0)
+            .select("collation", "hits")
+            .orderBy(F.desc("hits"), "collation")
+            .limit(max_collations))

@@ -638,3 +638,33 @@ def test_explain_scores_sums_to_score(spark, built_index):
         if r["term"] == "error" and (r["conv_id"], r["turn_idx"]) in base:
             assert abs(r["contribution"]
                        - 2.0 * base[(r["conv_id"], r["turn_idx"])]) < 1e-9
+
+
+def test_spellcheck_collate(spark, built_index):
+    from solr_spark.operators.components import spellcheck_collate
+    from solr_spark.query import IndexReader
+    from solr_spark.query.bm25 import terms_postings
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    # "erorr" is a 1-edit misspelling of "error"; "timeout" is in-dictionary
+    out = spellcheck_collate(spark, reader, "erorr timeout",
+                             k_corrections=3, max_collations=3).collect()
+    assert out, "no collation produced"
+    assert all(c["collation"].endswith(" timeout") for c in out)
+    assert all(c["hits"] > 0 for c in out)
+    best = out[0]
+    assert best["collation"].split()[0] != "erorr"
+    # verify the reported hit count against a direct conjunctive count
+    t1, t2 = best["collation"].split()
+    post = terms_postings(spark, reader, [t1, t2]).select("term", "docid").distinct()
+    n = (post.groupBy("docid").count().where("count = 2").count())
+    assert best["hits"] == n
+    # hits are sorted descending
+    assert [c["hits"] for c in out] == sorted((c["hits"] for c in out),
+                                              reverse=True)
+    # an all-known query collates to itself
+    self_c = spellcheck_collate(spark, reader, "error timeout").collect()
+    assert len(self_c) == 1 and self_c[0]["collation"] == "error timeout"
+    # a hopeless term (no dictionary neighbor) yields no collation
+    assert spellcheck_collate(spark, reader, "zzzzqqqq error").count() == 0
