@@ -2894,6 +2894,38 @@ ORDER BY doc_id
 """
 
 
+def _q73_range_include(spark, sf_dir):
+    """facet.range.include flags (FacetRange.java): include=lower,upper makes
+    boundary values count in BOTH adjacent buckets (so buckets are overlapping
+    conditional sums, not a groupBy partition) plus the before/after/between
+    boundary semantics (operators/facets.py::range_facet_include)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return facets.range_facet_include(li, "l_quantity", 1, 41, 10,
+                                      include=("lower", "upper"))
+
+
+_Q73_SQL = """
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN l_quantity >= 1  AND l_quantity <= 11 THEN 1 ELSE 0 END)::BIGINT AS b0,
+    sum(CASE WHEN l_quantity >= 11 AND l_quantity <= 21 THEN 1 ELSE 0 END)::BIGINT AS b1,
+    sum(CASE WHEN l_quantity >= 21 AND l_quantity <= 31 THEN 1 ELSE 0 END)::BIGINT AS b2,
+    sum(CASE WHEN l_quantity >= 31 AND l_quantity <= 41 THEN 1 ELSE 0 END)::BIGINT AS b3,
+    sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END)::BIGINT AS c_before,
+    sum(CASE WHEN l_quantity > 41 THEN 1 ELSE 0 END)::BIGINT AS c_after,
+    sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 41 THEN 1 ELSE 0 END)::BIGINT AS c_between
+  FROM lineitem
+)
+SELECT '1.0' AS bucket, b0 AS count FROM agg
+UNION ALL SELECT '11.0', b1 FROM agg
+UNION ALL SELECT '21.0', b2 FROM agg
+UNION ALL SELECT '31.0', b3 FROM agg
+UNION ALL SELECT 'before', c_before FROM agg
+UNION ALL SELECT 'after', c_after FROM agg
+UNION ALL SELECT 'between', c_between FROM agg
+"""
+
+
 def _q72_collapse_null_policy(spark, sf_dir):
     """{!collapse} nullPolicy parity (CollapsingQParserPlugin.java:121
     NULL_IGNORE/NULL_EXPAND/NULL_COLLAPSE; operators/windows.py::collapse):
@@ -3648,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
         "q72_collapse_null_policy": _q72_collapse_null_policy,
+        "q73_range_include": _q73_range_include,
     }
 
 
@@ -4383,4 +4416,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,
         "q72_collapse_null_policy": _Q72_SQL,
+        "q73_range_include": _Q73_SQL,
     }

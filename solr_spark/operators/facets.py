@@ -385,3 +385,73 @@ def to_parents(children: DataFrame, parents: DataFrame, on: str) -> DataFrame:
     """JSON Facet `domain:{blockParent:...}` — child domain to parent docs
     (search/join/BlockJoinParentQParserPlugin.java)."""
     return parents.join(children.select(on).distinct(), on, "left_semi")
+
+
+def range_facet_include(df: DataFrame, field: str, start: float, end: float,
+                        gap: float, include: Sequence[str] = ("lower",),
+                        hardend: bool = False) -> DataFrame:
+    """`range` facet with the full facet.range.include + facet.range.hardend
+    surface (reference: facet/FacetRange.java include flags, legacy
+    RangeFacetProcessor; params lower/upper/edge/outer/all).
+
+    Solr's boundary rules, reproduced exactly:
+      * each gap bucket [lo, hi] includes lo iff `lower` is set (or `edge`
+        and lo == start), includes hi iff `upper` is set (or `edge` and hi ==
+        the actual end);
+      * with BOTH lower and upper set, boundary values legitimately count in
+        two adjacent buckets — so buckets cannot be a partition/groupBy key;
+      * before counts v < start (<= iff `outer`, or neither lower nor edge);
+        after counts v > actual end (>= iff `outer`, or neither upper nor
+        edge); between spans [start, end] with each edge included iff
+        lower/upper (or edge) is set;
+      * hardend=True truncates the last bucket at `end`; otherwise it runs a
+        full gap past it (the actual end used by after/between follows suit).
+
+    Because buckets may overlap, this is ONE conditional aggregation — a
+    single scan producing one row of per-bucket sums (bucket list is
+    driver-side bounded, like the reference's), unpivoted to (bucket, count).
+    Map-side partial aggregation applies; no shuffle bigger than one row per
+    partition at any scale.
+    """
+    incl = set(include)
+    if "all" in incl:
+        incl = {"lower", "upper", "edge", "outer"}
+    bounds: list[tuple[float, float]] = []
+    lo = float(start)
+    while lo < end:
+        hi = lo + gap
+        if hardend:
+            hi = min(hi, float(end))
+        bounds.append((lo, hi))
+        lo += gap
+    if not bounds:
+        raise ValueError("empty range: end must exceed start")
+    end_actual = bounds[-1][1]
+    v = F.col(field)
+
+    aggs, labels = [], []
+    for i, (blo, bhi) in enumerate(bounds):
+        inc_lo = "lower" in incl or ("edge" in incl and blo == float(start))
+        inc_hi = "upper" in incl or ("edge" in incl and bhi == end_actual)
+        cond = (v >= blo) if inc_lo else (v > blo)
+        cond = cond & ((v <= bhi) if inc_hi else (v < bhi))
+        aggs.append(F.sum(cond.cast("long")).alias(f"_b{i}"))
+        labels.append(str(blo))
+    lower_in = bool({"lower", "edge"} & incl)
+    upper_in = bool({"upper", "edge"} & incl)
+    before = (v <= start) if ("outer" in incl or not lower_in) else (v < start)
+    after = ((v >= end_actual) if ("outer" in incl or not upper_in)
+             else (v > end_actual))
+    between = (((v >= start) if lower_in else (v > start))
+               & ((v <= end_actual) if upper_in else (v < end_actual)))
+    row = df.agg(*aggs,
+                 F.sum(before.cast("long")).alias("_before"),
+                 F.sum(after.cast("long")).alias("_after"),
+                 F.sum(between.cast("long")).alias("_between"))
+    pairs = [x for i, lab in enumerate(labels) for x in (f"'{lab}'", f"_b{i}")]
+    pairs += ["'before'", "_before", "'after'", "_after",
+              "'between'", "_between"]
+    n = len(labels) + 3
+    return row.selectExpr(
+        f"stack({n}, {', '.join(pairs)}) AS (bucket, count)"
+    ).select("bucket", F.coalesce("count", F.lit(0)).alias("count"))

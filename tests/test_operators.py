@@ -414,3 +414,42 @@ def test_ltr_log_features(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="format"):
         log_features(hits, feats, fmt="sparse")
+
+
+def test_range_facet_include_flags(spark):
+    """facet.range.include boundary semantics, hand-counted (FacetRange.java):
+    lower/upper double-count boundaries, edge opens only the outermost edges,
+    outer widens before/after, hardend truncates the last bucket."""
+    from solr_spark.operators.facets import range_facet_include
+
+    vals = [0, 1, 5, 10, 11, 15, 20, 21, 25, 30, 99]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+
+    def run(**kw):
+        return {r["bucket"]: r["count"]
+                for r in range_facet_include(df, "v", 1, 21, 10, **kw).collect()}
+
+    # default include=lower: [1,11) [11,21); after counts v >= 21 (upper edge
+    # goes to `after` because neither upper nor edge claims it)
+    got = run()
+    assert got == {"1.0": 3, "11.0": 3, "before": 1, "after": 4, "between": 6}
+    # lower+upper: 11 counts in BOTH buckets; 21 joins bucket 2 and between
+    got = run(include=("lower", "upper"))
+    assert got == {"1.0": 4, "11.0": 4, "before": 1, "after": 3, "between": 7}
+    # edge: only the outermost edges (1 and 21) are included; the interior
+    # boundary 11 falls out of BOTH in-range buckets (Solr's documented
+    # pathology) yet still counts in between
+    got = run(include=("edge",))
+    assert got == {"1.0": 3, "11.0": 3, "before": 1, "after": 3, "between": 7}
+    # outer: before/after also claim the boundary points
+    got = run(include=("lower", "upper", "outer"))
+    assert got == {"1.0": 4, "11.0": 4, "before": 2, "after": 4, "between": 7}
+    # all == lower+upper+edge+outer
+    assert run(include=("all",)) == run(include=("lower", "upper",
+                                                 "edge", "outer"))
+    # hardend truncates the last bucket at end (end=15 not gap-aligned)
+    got = {r["bucket"]: r["count"] for r in
+           range_facet_include(df, "v", 1, 15, 10,
+                               hardend=True).collect()}
+    # buckets [1,11) and [11,15); after = v >= 15
+    assert got == {"1.0": 3, "11.0": 1, "before": 1, "after": 6, "between": 4}
