@@ -2894,6 +2894,50 @@ ORDER BY doc_id
 """
 
 
+def _q74_child_transformer(spark, sf_dir):
+    """[child] doc transformer (ChildDocTransformerFactory): parents carry
+    their childFilter-matched children, ordered, capped at childLimit=3
+    (operators/streams.py::child_docs). Children projected to a portable
+    string so both engines hash the nested payload identically."""
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderkey") < 500)
+         .select("o_orderkey", "o_totalprice"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity")
+    out = streams.child_docs(o, li, "o_orderkey", ["l_linenumber"],
+                             child_filter=F.col("l_quantity") >= 45, limit=3)
+    kid_str = F.transform(
+        "children",
+        lambda c: F.concat_ws(":", c["l_linenumber"].cast("string"),
+                              c["l_quantity"].cast("long").cast("string")))
+    return (out.select("o_orderkey", "n_children",
+                       F.array_join(kid_str, ",").alias("child_list"))
+               .orderBy("o_orderkey"))
+
+
+_Q74_SQL = """
+WITH kids AS (
+  SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS rn
+  FROM lineitem WHERE l_quantity >= 45
+),
+agg AS (
+  SELECT o_orderkey,
+         count(*)::BIGINT AS n_children,
+         string_agg(CASE WHEN rn <= 3
+                         THEN l_linenumber || ':' || l_quantity::BIGINT END,
+                    ',' ORDER BY l_linenumber, l_quantity) AS child_list
+  FROM kids GROUP BY o_orderkey
+)
+SELECT o.o_orderkey, coalesce(a.n_children, 0) AS n_children,
+       coalesce(a.child_list, '') AS child_list
+FROM orders o LEFT JOIN agg a USING (o_orderkey)
+WHERE o.o_orderkey < 500
+ORDER BY o.o_orderkey
+"""
+
+
 def _q73_range_include(spark, sf_dir):
     """facet.range.include flags (FacetRange.java): include=lower,upper makes
     boundary values count in BOTH adjacent buckets (so buckets are overlapping
@@ -3681,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd10_token_packs": _dd10_token_packs,
         "q72_collapse_null_policy": _q72_collapse_null_policy,
         "q73_range_include": _q73_range_include,
+        "q74_child_transformer": _q74_child_transformer,
     }
 
 
@@ -4417,4 +4462,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd10_token_packs": _DD10_SQL,
         "q72_collapse_null_policy": _Q72_SQL,
         "q73_range_include": _Q73_SQL,
+        "q74_child_transformer": _Q74_SQL,
     }

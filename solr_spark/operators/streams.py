@@ -230,3 +230,40 @@ def more_like_this(docs_terms: DataFrame, doc_id, n_docs: int,
                       F.count(F.lit(1)).alias("n_shared"))
                  .orderBy(F.desc("mlt_score"), doc_col)
                  .limit(k))
+
+
+def child_docs(parents: DataFrame, children: DataFrame, key: str,
+               order_cols: Sequence[str], child_filter: Column | None = None,
+               limit: int | None = None) -> DataFrame:
+    """`[child]` doc transformer (reference: response/transform/
+    ChildDocTransformerFactory.java): attach each parent result's child
+    documents — optionally filtered (childFilter) and capped (limit, the
+    transformer's childLimit with its deterministic first-N contract).
+
+    Children come back as an array<struct> column `children`, ordered by
+    `order_cols` (struct sort is field-major, so put the ordering keys
+    first), plus `n_children` (the POST-filter, pre-limit count, what the
+    reference reports as numFound for the child query).
+
+    Scale shape: one shuffle groups children by parent key (map-side
+    combinable collect per key), then an equi-join to parents. Per-parent
+    child arrays are block-sized by construction (the reference stores
+    parent+children as one contiguous block), so the collected array is
+    bounded the same way the reference's child stack is.
+    """
+    if child_filter is not None:
+        children = children.where(child_filter)
+    rest = [c for c in children.columns if c not in order_cols and c != key]
+    kid = F.struct(*[F.col(c) for c in list(order_cols) + rest])
+    grouped = (children.groupBy(key)
+               .agg(F.sort_array(F.collect_list(kid)).alias("__ch"),
+                    F.count(F.lit(1)).alias("n_children")))
+    if limit is not None:
+        grouped = grouped.withColumn("__ch", F.slice("__ch", 1, limit))
+    return (parents.join(grouped, key, "left")
+            .withColumn("children",
+                        F.coalesce(F.col("__ch"), F.array()))
+            .withColumn("n_children",
+                        F.coalesce(F.col("n_children"), F.lit(0))
+                         .cast("long"))
+            .drop("__ch"))

@@ -453,3 +453,28 @@ def test_range_facet_include_flags(spark):
                                hardend=True).collect()}
     # buckets [1,11) and [11,15); after = v >= 15
     assert got == {"1.0": 3, "11.0": 1, "before": 1, "after": 6, "between": 4}
+
+
+def test_child_docs_transformer(spark):
+    """[child] transformer: filter, deterministic order, childLimit, and the
+    childless-parent contract (empty array, n_children 0)."""
+    from solr_spark.operators.streams import child_docs
+
+    parents = spark.createDataFrame(
+        [(1, "p1"), (2, "p2"), (3, "p3")], "pid int, name string")
+    kids = spark.createDataFrame(
+        [(1, 2, "b"), (1, 1, "a"), (1, 3, "c"), (2, 1, "x")],
+        "pid int, pos int, val string")
+    out = {r["pid"]: r for r in
+           child_docs(parents, kids, "pid", ["pos"], limit=2).collect()}
+    assert out[1]["n_children"] == 3                      # pre-limit count
+    assert [c["val"] for c in out[1]["children"]] == ["a", "b"]  # sorted, capped
+    assert out[2]["n_children"] == 1
+    assert [c["val"] for c in out[2]["children"]] == ["x"]
+    assert out[3]["n_children"] == 0 and out[3]["children"] == []
+    # childFilter applies before counting
+    out_f = {r["pid"]: r for r in
+             child_docs(parents, kids, "pid", ["pos"],
+                        child_filter=F.col("val") != "a").collect()}
+    assert out_f[1]["n_children"] == 2
+    assert [c["val"] for c in out_f[1]["children"]] == ["b", "c"]
