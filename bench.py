@@ -241,9 +241,12 @@ def main() -> None:
             [F.sum("o_totalprice").alias("revenue"),
              F.count(F.lit(1)).alias("n")]).collect())
 
-        t("rel_collapse", lambda: windows.collapse(
+        # aggregation-based collapse (min_by over an ordering struct): the
+        # window twin is parity-pinned in tests; this path map-side combines
+        # so the exchange is group-sized, not corpus-sized
+        t("rel_collapse", lambda: windows.collapse_agg(
             tbl("lineitem"), "l_orderkey",
-            [F.desc("l_extendedprice"), F.asc("l_linenumber")]).count())
+            [("l_extendedprice", True), ("l_linenumber", False)]).count())
 
         t("tx_text_stats", lambda: text_stats(
             tbl("documents"), "doc_id", "text").count())

@@ -478,3 +478,32 @@ def test_child_docs_transformer(spark):
                         child_filter=F.col("val") != "a").collect()}
     assert out_f[1]["n_children"] == 2
     assert [c["val"] for c in out_f[1]["children"]] == ["b", "c"]
+
+
+def test_collapse_agg_matches_window_path(spark):
+    """collapse_agg (min_by fast path) picks the identical survivor set as
+    the window-based collapse under every nullPolicy, on data with duplicate
+    sort keys and a unique tiebreak."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(20) if rng.random() > 0.1 else None,
+             float(rng.randrange(5)), i)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "grp int, score double, uid int")
+    for policy in ("ignore", "collapse"):
+        w = {(r["grp"], r["uid"]) for r in windows.collapse(
+            df, "grp", [F.desc("score"), F.asc("uid")],
+            null_policy=policy).collect()}
+        a = {(r["grp"], r["uid"]) for r in windows.collapse_agg(
+            df, "grp", [("score", True), ("uid", False)],
+            null_policy=policy).collect()}
+        assert a == w, policy
+    # expand keeps every null-group row in both paths
+    w = windows.collapse(df, "grp", [F.desc("score"), F.asc("uid")],
+                         null_policy="expand").count()
+    a = windows.collapse_agg(df, "grp", [("score", True), ("uid", False)],
+                             null_policy="expand").count()
+    assert a == w
+    with pytest.raises(ValueError):
+        windows.collapse_agg(df, "grp", [("score", True)], null_policy="bad")

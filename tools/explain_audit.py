@@ -292,6 +292,20 @@ def main() -> None:
         ["Exchange hashpartitioning", "SortMergeJoin", "BatchEvalPython",
          "ArrowEvalPython"]))
 
+    # 19. aggregation-based collapse: min_by partial-aggregates map-side so
+    # the exchange carries group-sized data — no Window, no per-group Sort
+    from solr_spark.operators.windows import collapse_agg
+    col19 = collapse_agg(t("lineitem"), "l_orderkey",
+                         [("l_extendedprice", True), ("l_linenumber", False)])
+    # (min_by over a struct buffer compiles to SortAggregate, not
+    # HashAggregate — what matters is the PARTIAL phase before the exchange:
+    # the shuffle carries one candidate per (group, map partition))
+    checks.append((
+        "collapse_agg: partial min_by aggregation, no window sort",
+        plan_of(col19),
+        ["SortAggregate", "Exchange"],
+        ["Window", "BatchEvalPython", "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
