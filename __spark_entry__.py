@@ -806,6 +806,61 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _ft29_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComplexPhraseQParser `"fast s* quer~1"~1` — a phrase whose middle word
+    is a wildcard (dictionary-expanded to a SpanOr) and whose last word is
+    fuzzy (ComplexPhraseQParserPlugin.java:43 -> Lucene
+    ComplexPhraseQueryParser -> SpanNear over expansion SpanOrs). tf =
+    |distinct span windows|, BM25 like the span/phrase path."""
+    from solr_spark.query.multiterm import complex_phrase_topk
+
+    reader = _ft_index(spark, sf_dir)
+    topk = complex_phrase_topk(spark, reader, "fast s* quer~1", k=20, slop=1)
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft29_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    # clause spans are unit-width: fast@p1, s*@p2, quer~1@p3 (expands to
+    # 'query' alone in this vocabulary). Ordered chain => p2>=p1+1, p3>=p2+1;
+    # width rule (p3+1-p1) - 3 <= slop(1) => p3-p1 <= 3; span = (p1, p3+1),
+    # deduped over the p2 choices like the set-valued kernel.
+    return f"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+),
+filtered AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS p
+  FROM raw WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM filtered GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+c1 AS (SELECT doc_id, p FROM filtered WHERE tok = 'fast'),
+c2 AS (SELECT doc_id, p FROM filtered WHERE tok LIKE 's%'),
+c3 AS (SELECT doc_id, p FROM filtered WHERE tok = 'query'),
+spans AS (
+  SELECT DISTINCT c1.doc_id, c1.p AS p1, c3.p AS p3
+  FROM c1 JOIN c2 ON c2.doc_id = c1.doc_id AND c2.p >= c1.p + 1
+          JOIN c3 ON c3.doc_id = c1.doc_id AND c3.p >= c2.p + 1
+  WHERE c3.p - c1.p <= 3
+),
+m AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM spans GROUP BY doc_id),
+dfp AS (SELECT count(*)::DOUBLE AS df FROM m)
+SELECT m.doc_id,
+       round( ln(1.0 + (c.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+              * m.tf / (m.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))), 4)
+         AS score
+FROM m JOIN dl USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfp
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 def _ft14_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-expanded scored fuzzy query `vectr~1` (QParserPlugin.java
     fuzzy entry; Lucene TopTermsBlendedFreqScoringRewrite shape): expansion
@@ -3619,6 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft21_sloppy_reversed": _ft21_sloppy_reversed,
         "ft22_suggest_infix": _ft22_suggest_infix,
         "ft23_span_near_or": _ft23_span_near_or,
+        "ft29_complex_phrase": _ft29_complex_phrase,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -3776,6 +3832,7 @@ cand AS (
         "ft21_sloppy_reversed": _ft21_sql(),
         "ft22_suggest_infix": _ft22_sql(),
         "ft23_span_near_or": _ft23_sql(),
+        "ft29_complex_phrase": _ft29_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -21,6 +21,7 @@ synonym path — partition-pruned posting reads + WAND.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,33 +53,84 @@ def expand_wildcard(spark: SparkSession, reader: IndexReader, pattern: str,
     return _top_expansions(d.where(F.col("term").like(like)), max_expansions)
 
 
-def fuzzy_candidates(d: DataFrame, term: str, max_edits: int) -> DataFrame:
-    """Dictionary rows within `max_edits` Levenshtein of `term`.
+def osa_distance(a: str, b: str, cap: int | None = None) -> int:
+    """Optimal-string-alignment edit distance: Levenshtein plus adjacent
+    transposition as ONE primitive edit — the metric Lucene's FuzzyQuery
+    automaton applies when `transpositions=true` (its default; Lucene
+    LevenshteinAutomata via the Schulz-Mihov parametric tables). Pure
+    function, unit-tested; `cap` early-exits once every cell of a DP row
+    exceeds it (Ukkonen band cut)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0
+    big = la + lb
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and ca == b[j - 2] and a[i - 2] == b[j - 1]:
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        if cap is not None and min(cur) > cap:
+            return big
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _osa_filter_udf(term: str, max_edits: int):
+    @F.pandas_udf("boolean")
+    def within(terms: pd.Series) -> pd.Series:
+        return terms.map(
+            lambda t: osa_distance(t, term, cap=max_edits) <= max_edits)
+
+    return within
+
+
+def fuzzy_candidates(d: DataFrame, term: str, max_edits: int,
+                     transpositions: bool = True) -> DataFrame:
+    """Dictionary rows within `max_edits` edits of `term`.
+
+    transpositions=True (Lucene FuzzyQuery's default) counts an adjacent
+    swap as ONE edit (OSA metric — `erorr~1` matches `error`); False is
+    plain Levenshtein (FuzzyQuery's transpositions=false mode).
 
     The length band |len(t) - len(term)| <= max_edits (a necessary condition
-    for the edit distance) filters on the dictionary's stored `tlen` column —
+    under BOTH metrics) filters on the dictionary's stored `tlen` column —
     a PLAIN column predicate that reaches the parquet scan as PushedFilters
     and prunes row groups (the dictionary is written length-clustered), so a
     fuzzy query reads a sliver of the vocabulary instead of scanning it
     (the automaton-intersection analog of Lucene's FuzzyQuery; plan-audited).
-    levenshtein's threshold form then short-circuits the DP on survivors."""
+    The distance itself then runs only on band survivors: levenshtein's
+    threshold form short-circuits JVM-side; the OSA kernel is an Arrow-batch
+    pandas UDF with a per-row Ukkonen cap (vocabulary-sliver cardinality —
+    the reference's automaton walk is equally per-term)."""
     n = len(term)
     band = ((F.col("tlen") >= n - max_edits) & (F.col("tlen") <= n + max_edits)
             if "tlen" in d.columns else  # pre-tlen index layout
             (F.length("term") >= n - max_edits)
             & (F.length("term") <= n + max_edits))
+    if transpositions:
+        return d.where(band).where(
+            _osa_filter_udf(term, max_edits)(F.col("term")))
     return d.where(
         band & (F.levenshtein(F.col("term"), F.lit(term), max_edits) >= 0))
 
 
 def expand_fuzzy(spark: SparkSession, reader: IndexReader, term: str,
-                 max_edits: int = 2, max_expansions: int = 50) -> list[str]:
-    """Analyzed terms within `max_edits` Levenshtein of `term` (FuzzyQuery).
+                 max_edits: int = 2, max_expansions: int = 50,
+                 transpositions: bool = True) -> list[str]:
+    """Analyzed terms within `max_edits` edits of `term` (FuzzyQuery;
+    transpositions=True is Lucene's default — adjacent swaps cost 1).
 
     The exact term itself is included when present (distance 0), as in
     Lucene. See fuzzy_candidates for the pushed-down pruning."""
     return _top_expansions(
-        fuzzy_candidates(reader.dictionary(spark), term, max_edits),
+        fuzzy_candidates(reader.dictionary(spark), term, max_edits,
+                         transpositions=transpositions),
         max_expansions)
 
 
@@ -114,8 +166,75 @@ def wildcard_topk(spark: SparkSession, reader: IndexReader, pattern: str,
 
 def fuzzy_topk(spark: SparkSession, reader: IndexReader, term: str,
                k: int = 10, max_edits: int = 2,
-               max_expansions: int = 50) -> DataFrame:
+               max_expansions: int = 50,
+               transpositions: bool = True) -> DataFrame:
     """Scored fuzzy query `term~N`: dictionary-expanded, blended-group scored."""
     return _blended_topk(
         spark, reader,
-        expand_fuzzy(spark, reader, term, max_edits, max_expansions), k)
+        expand_fuzzy(spark, reader, term, max_edits, max_expansions,
+                     transpositions=transpositions), k)
+
+
+def _normalize_pattern(pattern: str, config) -> str:
+    """Multi-term normalization: lowercase + ASCII fold, NO stemming/stop —
+    Lucene runs wildcard/fuzzy patterns through the analyzer's *normalization*
+    chain only (Analyzer.normalize), never the full token filters, so `Vec*`
+    matches the lowercased dictionary but `running*` is NOT stemmed."""
+    from solr_spark.analysis.analyzer import _fold_text
+
+    p = pattern.lower()
+    if getattr(config, "fold_ascii", False):
+        p = _fold_text(p)
+    return p
+
+
+def complex_phrase_topk(spark: SparkSession, reader: IndexReader,
+                        phrase: str, k: int = 10, slop: int = 0,
+                        ordered: bool = True,
+                        max_expansions: int = 50) -> DataFrame:
+    """ComplexPhraseQParser: a phrase whose words may be wildcards, prefixes,
+    or fuzzy terms — `"fast vec*"~2`, `"quik~1 scan"`.
+
+    Reference semantics: solr/core/src/java/org/apache/solr/search/
+    ComplexPhraseQParserPlugin.java:43 (Lucene ComplexPhraseQueryParser):
+    each phrase word lowers to a SpanTermQuery, or — when it carries `*`/`?`/
+    `~N` — to the dictionary expansion of that pattern wrapped in a SpanOr,
+    and the words combine under a SpanNearQuery with the phrase slop
+    (`inOrder=true` by default, the parser's `inOrder` local param maps to
+    `ordered=False`). Scoring follows the span path: tf = |distinct span
+    windows|, query-time df, BM25 — query/spans.py semantics.
+
+    Scale shape: expansions scan the (vocabulary-sized, length/prefix-pruned)
+    dictionary exactly like prefix/wildcard/fuzzy_topk; the span evaluation is
+    index-prefiltered per clause group, so only candidate docs reach the
+    forward-index kernel. A clause whose expansion is empty matches nothing
+    (Lucene's rewrite to an empty disjunction).
+    """
+    from solr_spark.query.spans import (SpanNear, SpanOr, SpanTerm, span_term,
+                                        span_topk)
+
+    out_schema = ("conv_id string, turn_idx int, docid long, "
+                  "score double, rank int")
+    clauses = []
+    for word in phrase.split():
+        if "*" in word or "?" in word:
+            members = expand_wildcard(
+                spark, reader, _normalize_pattern(word, reader.config),
+                max_expansions)
+        elif "~" in word:
+            base, _, edits = word.partition("~")
+            seed = span_term(base, reader.config).term
+            members = expand_fuzzy(spark, reader, seed,
+                                   int(edits) if edits else 2, max_expansions)
+        else:
+            clauses.append(span_term(word, reader.config))
+            continue
+        if not members:
+            return spark.createDataFrame([], out_schema)
+        clauses.append(SpanTerm(members[0]) if len(members) == 1
+                       else SpanOr(*[SpanTerm(m) for m in members]))
+    if not clauses:
+        return spark.createDataFrame([], out_schema)
+    node = clauses[0] if len(clauses) == 1 \
+        else SpanNear(clauses, slop=slop, ordered=ordered)
+    return span_topk(spark, reader, node, k=k)

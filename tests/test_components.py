@@ -491,6 +491,33 @@ def test_dictionary_expanded_fuzzy_prefix_wildcard(spark, built_index):
     # no expansion -> empty result, no error
     assert fuzzy_topk(spark, reader, "qqqqqqqqqq", k=5, max_edits=1).count() == 0
 
+    # Lucene default transpositions=true: an adjacent swap is ONE edit
+    # (FuzzyQuery OSA metric) — 'errro'~1 reaches 'error'; plain Levenshtein
+    # (transpositions=False mode) needs 2 edits and misses it
+    assert "error" in expand_fuzzy(spark, reader, "errro", max_edits=1)
+    assert "error" not in expand_fuzzy(spark, reader, "errro", max_edits=1,
+                                       transpositions=False)
+
+
+def test_osa_distance_vectors():
+    """OSA (optimal string alignment) edit distance — Lucene FuzzyQuery's
+    transpositions=true metric. Hand vectors incl. the OSA-vs-full-Damerau
+    divergence case."""
+    from solr_spark.query.multiterm import osa_distance
+
+    assert osa_distance("", "") == 0
+    assert osa_distance("abc", "abc") == 0
+    assert osa_distance("abc", "") == 3
+    assert osa_distance("erorr", "error") == 1      # adjacent swap = 1 edit
+    assert osa_distance("erorr", "error", cap=1) == 1
+    assert osa_distance("kitten", "sitting") == 3   # classic Levenshtein case
+    assert osa_distance("vectr", "vector") == 1     # insertion
+    # OSA forbids editing a substring after transposing it: "ca" -> "abc" is
+    # 2 under full Damerau-Levenshtein but 3 under OSA (and under Lucene)
+    assert osa_distance("ca", "abc") == 3
+    # cap early-exit returns a value strictly above the cap
+    assert osa_distance("aaaaaa", "zzzzzz", cap=2) > 2
+
 
 def test_ltr_tree_ensemble(spark):
     """MultipleAdditiveTreesModel: nested CASE WHEN trees, additive weights;

@@ -97,3 +97,55 @@ def test_span_fanout_guard():
         span_eval(SpanNear([a, b, c], 5, False), pos)
     # two-clause stays under the cap and works
     assert span_eval(SpanNear([a, b], 0, True), pos)
+
+
+def test_complex_phrase_topk(spark, tmp_path):
+    """ComplexPhraseQParser role (ComplexPhraseQParserPlugin.java:43):
+    wildcard + fuzzy words inside a phrase, dictionary-expanded to SpanOrs
+    under a SpanNear with the phrase slop."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.multiterm import complex_phrase_topk
+
+    docs = {
+        "d1": "fast scan query runs",    # fast s* quer~1: adjacent chain
+        "d2": "fast sort x query",       # one gap, within slop 1
+        "d3": "fast x x sort query",     # fast..s* gap 2 -> width over slop
+        "d4": "query sort fast",         # wrong order
+        "d5": "fast scan merge",         # no quer~1 clause match
+        "d6": "slow stream query",       # no 'fast'
+    }
+    rows = [(cid, 0, "u", t, None, None) for cid, t in sorted(docs.items())]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=4, stopwords="none",
+                      lucene_norms=False)
+    index_dir = str(tmp_path / "cpidx")
+    build_index(spark, src, index_dir, cfg, input_token="cp-fixture")
+    reader = IndexReader.open(index_dir)
+
+    got = {r.conv_id: r for r in complex_phrase_topk(
+        spark, reader, "fast s* quer~1", k=10, slop=1).collect()}
+    assert set(got) == {"d1", "d2"}
+    # scoring contract: BM25 with tf = |span set| = 1, query-time df = 2
+    n, df = reader.n_docs, 2
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    for cid in got:
+        dl = len(docs[cid].split())
+        want = idf * 1.0 / (1.0 + cfg.k1 * (1 - cfg.b + cfg.b * dl / reader.avgdl))
+        assert got[cid].score == pytest.approx(want, abs=1e-9)
+
+    # unordered admits the reversed doc (inOrder=false local param)
+    got_u = {r.conv_id for r in complex_phrase_topk(
+        spark, reader, "fast s* quer~1", k=10, slop=1,
+        ordered=False).collect()}
+    assert "d4" in got_u and got_u >= {"d1", "d2"}
+
+    # a clause with an empty expansion matches nothing
+    assert complex_phrase_topk(spark, reader, "fast zz* query", k=10).count() == 0
+
+    # single-word phrase degrades to the plain span-term path
+    one = complex_phrase_topk(spark, reader, "quer~1", k=10)
+    assert {r.conv_id for r in one.collect()} == {"d1", "d2", "d3", "d4", "d6"}
