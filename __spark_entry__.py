@@ -861,6 +861,59 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _ft30_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeText suggester `fast s<caret>` — next-word completion from a
+    corpus bigram LM with stupid-backoff scoring (Lucene
+    suggest/analyzing/FreeTextSuggester.java via FreeTextLookupFactory):
+    candidates seen after 'fast' score c(fast,w)/c(fast); prefix-matching
+    words unseen in that context back off to 0.4 * c(w)/N; a word reachable
+    both ways keeps the higher-order score."""
+    from solr_spark.operators.components import suggest_freetext
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return suggest_freetext(docs, "text", "fast s", k=10)
+
+
+def _ft30_sql() -> str:
+    return """
+WITH t AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c_w
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+),
+bi AS (
+  SELECT p.v AS v, p.w AS w, count(*)::BIGINT AS c_vw
+  FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> struct_pack(v := toks[i],
+                                                  w := toks[i + 1]))) AS p
+    FROM t
+  )
+  GROUP BY 1, 2
+),
+consts AS (SELECT sum(c_w)::BIGINT AS n FROM uni),
+cv AS (SELECT c_w FROM uni WHERE w = 'fast'),
+topo AS (
+  SELECT w AS word, c_vw::DOUBLE / (SELECT c_w FROM cv)::DOUBLE AS score
+  FROM bi WHERE v = 'fast' AND w LIKE 's%'
+),
+lowo AS (
+  SELECT w AS word,
+         0.4 * c_w::DOUBLE / (SELECT n FROM consts)::DOUBLE AS score
+  FROM uni WHERE w LIKE 's%'
+),
+m AS (
+  SELECT word, max(score) AS s
+  FROM (SELECT * FROM topo UNION ALL SELECT * FROM lowo) GROUP BY word
+)
+SELECT word, round(s, 6) AS score FROM m
+ORDER BY score DESC, word LIMIT 10
+"""
+
+
 def _ft14_fuzzy_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-expanded scored fuzzy query `vectr~1` (QParserPlugin.java
     fuzzy entry; Lucene TopTermsBlendedFreqScoringRewrite shape): expansion
@@ -3675,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft22_suggest_infix": _ft22_suggest_infix,
         "ft23_span_near_or": _ft23_span_near_or,
         "ft29_complex_phrase": _ft29_complex_phrase,
+        "ft30_freetext_suggest": _ft30_freetext_suggest,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -3833,6 +3887,7 @@ cand AS (
         "ft22_suggest_infix": _ft22_sql(),
         "ft23_span_near_or": _ft23_sql(),
         "ft29_complex_phrase": _ft29_sql(),
+        "ft30_freetext_suggest": _ft30_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -130,7 +130,10 @@ def suggest_fuzzy(spark: SparkSession, index_dir: str, word: str,
     from solr_spark.query.multiterm import fuzzy_candidates
 
     d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
-    cand = fuzzy_candidates(d, word, max_edits)
+    # plain Levenshtein here, matching the emitted `dist` column (the scored
+    # FuzzyQuery path defaults to Lucene's transpositions=true OSA metric;
+    # this lookup keeps the engine-portable metric its contract reports)
+    cand = fuzzy_candidates(d, word, max_edits, transpositions=False)
     return (cand.select("term", F.col("df").cast("long").alias("df"),
                         F.levenshtein(F.col("term"), F.lit(word))
                          .alias("dist"))
@@ -163,6 +166,72 @@ def enum_terms(spark: SparkSession, index_dir: str, regex: str | None = None,
     order = [F.desc("df"), F.asc("term")] if sort_by_df else [F.asc("term")]
     return (d.select("term", F.col("df").cast("long").alias("df"))
              .orderBy(*order).limit(k))
+
+
+def suggest_freetext(corpus: DataFrame, text_col: str, query: str,
+                     k: int = 10, backoff: float = 0.4,
+                     scale: int = 6) -> DataFrame:
+    """FreeText suggester: next-word completion from a corpus n-gram LM with
+    stupid-backoff scoring — "free text" search-as-you-type over whole
+    phrases rather than dictionary terms.
+
+    Reference: Lucene suggest/analyzing/FreeTextSuggester.java (exposed via
+    Solr's FreeTextLookupFactory, spelling/suggest/fst/FreeTextLookupFactory
+    .java) — builds an n-gram model (grams=2 here) and scores candidates with
+    Brants et al. 2007 stupid backoff: a candidate seen after the typed
+    context scores c(context, w) / c(context); otherwise it backs off to
+    ALPHA * c(w) / N. A candidate reachable at both orders keeps its
+    HIGHEST-order score (Lucene's lookup dedups exactly this way).
+
+    Lookup grammar (FreeTextSuggester.lookup): if `query` ends in whitespace
+    the last token is a completed CONTEXT word and any next word is
+    suggested; otherwise the last token is the typed PREFIX of the
+    suggestion and the token before it (when present) is the context.
+
+    Scale shape: the two count tables are vocabulary-bounded (one explode +
+    one map-side-combinable groupBy each — solr_spark/functions/lm.py); the
+    lookup filters them by context equality and prefix LIKE, so it reads a
+    sliver regardless of corpus size. Scores are rounded with the
+    engine-portable kernel so a SQL twin reproduces them bit-for-bit.
+    Output: (word, score), score desc, word asc.
+    """
+    from solr_spark.functions.lm import lm_counts
+    from solr_spark.functions.portable import round_half_away
+
+    uni, bi = lm_counts(corpus, text_col)
+    ends_open = query != query.rstrip()
+    toks = [t for t in query.lower().split() if t]
+    if not toks:
+        raise ValueError("suggest_freetext needs at least one typed token")
+    if ends_open:
+        context, prefix = toks[-1], ""
+    else:
+        prefix = toks[-1]
+        context = toks[-2] if len(toks) >= 2 else None
+
+    n_tokens = int(uni.agg(F.sum("c_w")).collect()[0][0] or 0)
+    cand = uni.where(F.col("w").startswith(prefix)) if prefix else uni
+    lower_order = cand.select(
+        F.col("w").alias("word"),
+        (F.lit(backoff) * F.col("c_w").cast("double")
+         / F.lit(float(n_tokens))).alias("score"))
+    if context is None:
+        scored = lower_order
+    else:
+        ctx_rows = uni.where(F.col("w") == context).collect()
+        c_v = int(ctx_rows[0]["c_w"]) if ctx_rows else 0
+        top = bi.where(F.col("v") == context)
+        if prefix:
+            top = top.where(F.col("w").startswith(prefix))
+        top_order = top.select(
+            F.col("w").alias("word"),
+            (F.col("c_vw").cast("double") / F.lit(float(c_v))).alias("score"))
+        scored = (top_order.unionByName(lower_order) if c_v
+                  else lower_order)
+    out = (scored.groupBy("word")
+           .agg(F.max("score").alias("_s"))
+           .select("word", round_half_away(F.col("_s"), scale).alias("score")))
+    return out.orderBy(F.desc("score"), F.asc("word")).limit(k)
 
 
 def spellcheck(spark: SparkSession, index_dir: str, word: str,

@@ -695,3 +695,49 @@ def test_spellcheck_collate(spark, built_index):
     assert len(self_c) == 1 and self_c[0]["collation"] == "error timeout"
     # a hopeless term (no dictionary neighbor) yields no collation
     assert spellcheck_collate(spark, reader, "zzzzqqqq error").count() == 0
+
+
+def test_suggest_freetext(spark):
+    """FreeText suggester (Lucene FreeTextSuggester): stupid-backoff next-word
+    completion. Hand-computed vectors on a tiny corpus."""
+    import pytest as _pytest
+
+    from solr_spark.operators.components import suggest_freetext
+
+    rows = [(1, "fast scan fast sort fast scan"),
+            (2, "slow scan fast scan"),
+            (3, "sort merge")]
+    df = spark.createDataFrame(rows, "id int, text string")
+    # counts: fast=4, scan=4, sort=2, slow=1, merge=1  -> N=12
+    # bigrams: (fast,scan)=3, (fast,sort)=1, (scan,fast)=2, (slow,scan)=1,
+    #          (sort,fast)=1, (sort,merge)=1
+
+    # context 'fast', prefix 's': bigram order (fast,scan)=3/4, (fast,sort)=1/4;
+    # backoff order 0.4*scan 4/12, 0.4*sort 2/12, 0.4*slow 1/12; max per word
+    got = {r.word: r.score for r in
+           suggest_freetext(df, "text", "fast s", k=10).collect()}
+    assert got["scan"] == _pytest.approx(0.75)
+    assert got["sort"] == _pytest.approx(0.25)
+    assert got["slow"] == _pytest.approx(round(0.4 * 1 / 12, 6))
+    assert list(got) == ["scan", "sort", "slow"]  # score-desc order
+
+    # trailing space: 'fast ' -> context=fast, any next word
+    got_open = {r.word: r.score for r in
+                suggest_freetext(df, "text", "fast ", k=10).collect()}
+    assert got_open["scan"] == _pytest.approx(0.75)
+    assert "merge" in got_open            # backoff admits unseen-after-fast
+    assert got_open["merge"] == _pytest.approx(round(0.4 * 1 / 12, 6))
+
+    # bare prefix, no context: pure backed-off unigram ranking
+    got_uni = {r.word: r.score for r in
+               suggest_freetext(df, "text", "s", k=10).collect()}
+    assert got_uni["scan"] == _pytest.approx(round(0.4 * 4 / 12, 6))
+    assert list(got_uni) == ["scan", "sort", "slow"]
+
+    # unseen context backs off instead of erroring / dividing by zero
+    got_miss = {r.word for r in
+                suggest_freetext(df, "text", "zzz s", k=10).collect()}
+    assert got_miss == {"scan", "sort", "slow"}
+
+    with _pytest.raises(ValueError):
+        suggest_freetext(df, "text", "   ")
