@@ -1901,6 +1901,65 @@ def _vv03_cosine_near_dup(spark, sf_dir):
                                  method="exact")
 
 
+def _dd13_sft_pairs(spark, sf_dir):
+    """SFT pair extraction (operators/windows.py::sft_pairs): events recast
+    as multi-turn transcripts (conv = user timeline, role from event_type),
+    each 'assistant' turn paired with its rendered previous-3-turns context —
+    ONE bounded row-frame window, no self-join (the training-pipeline
+    prompt/response prep operator)."""
+    from solr_spark.operators.windows import sft_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    tr = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("turn_idx"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "assistant")
+         .otherwise("user").alias("role"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props")).alias("text"),
+    )
+    out = sft_pairs(tr, F.col("role") == "assistant", context_turns=3)
+    return (out.select("event_id", "conv_id", "turn_idx", "context",
+                       "response", "n_context_turns", "context_tokens",
+                       "response_tokens")
+               .orderBy("event_id"))
+
+
+_DD13_SQL = r"""
+WITH tr AS (
+  SELECT event_id, user_id::VARCHAR AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT
+           AS turn_idx,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 'assistant'
+              ELSE 'user' END AS role,
+         event_type || ' ' || props AS text,
+         ts
+  FROM events
+),
+win AS (
+  SELECT event_id, conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS context,
+         count(*) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)::INT AS n_context_turns
+  FROM tr
+)
+SELECT event_id, conv_id, turn_idx, context, text AS response,
+       n_context_turns,
+       len(list_filter(regexp_split_to_array(context, '\s+'),
+                       t -> t <> ''))::BIGINT AS context_tokens,
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> t <> ''))::BIGINT AS response_tokens
+FROM win
+WHERE role = 'assistant' AND n_context_turns >= 1
+ORDER BY event_id
+"""
+
+
 def _dd12_semantic_dedup(spark, sf_dir):
     """SemDeDup (cluster-scoped embedding near-dup pairs,
     functions/dedup.py::semantic_dedup_pairs): coarse-quantize to seed
@@ -3777,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_relatedness": _q42_relatedness,
         "vv03_cosine_near_dup": _vv03_cosine_near_dup,
         "dd12_semantic_dedup": _dd12_semantic_dedup,
+        "dd13_sft_pairs": _dd13_sft_pairs,
         "q43_frange": _q43_frange,
         "q44_unique_block": _q44_unique_block,
         "q45_scored_join": _q45_scored_join,
@@ -4405,6 +4465,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
 ORDER BY a_id, b_id
 """,
+        "dd13_sft_pairs": _DD13_SQL,
         "dd12_semantic_dedup": """
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8

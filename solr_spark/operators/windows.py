@@ -177,3 +177,60 @@ def context_window(
     return (kept.where("_keep")
                 .withColumn("is_context", ~F.col("is_match"))
                 .drop("_keep"))
+
+
+def sft_pairs(
+    df: DataFrame,
+    response_filter: Column,
+    partition_by: Sequence[str] = ("conv_id",),
+    order_by: Sequence[Column | str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    context_turns: int = 8,
+    min_context_turns: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Supervised-finetuning pair extraction over multi-turn transcripts:
+    every row matching `response_filter` (typically role = 'assistant')
+    becomes a training pair — the turn's text as `response`, the previous
+    `context_turns` turns rendered "role: text" and joined by `sep` as
+    `context`.
+
+    This is the transcripts-payload training-pipeline operator the reference
+    has no analog for (its streaming `select`/window surface stops at field
+    projection); the shape follows the standard SFT data-prep recipe
+    (context window capped by turns, document never split).
+
+    Spark-first shape: ONE bounded row-frame window per pair — collect_list
+    over ROWS BETWEEN -context_turns AND -1 preserves frame order, and the
+    render is transform + array_join, all JVM codegen (no self-join, no
+    Python). One hash exchange on partition_by; frame width is constant, so
+    the plan survives 100 TB of transcripts unchanged. Token counts are
+    whitespace counts (textanalysis.token_count convention), computed on the
+    rendered strings.
+
+    Output: partition/order passthrough columns + context, response,
+    n_context_turns, context_tokens, response_tokens.
+    """
+    w = (Window.partitionBy(*partition_by).orderBy(*order_by)
+         .rowsBetween(-context_turns, -1))
+    turns = F.collect_list(
+        F.concat(F.col(role_col), F.lit(": "), F.col(text_col))).over(w)
+    out = (
+        df.withColumn("_ctx", turns)
+          .where(response_filter)
+          .where(F.size("_ctx") >= min_context_turns)
+          .withColumn("context", F.array_join(F.col("_ctx"), sep))
+          .withColumn("response", F.col(text_col))
+          .withColumn("n_context_turns", F.size("_ctx").cast("int"))
+          .withColumn(
+              "context_tokens",
+              F.size(F.filter(F.split(F.col("context"), r"\s+"),
+                              lambda t: t != "")).cast("long"))
+          .withColumn(
+              "response_tokens",
+              F.size(F.filter(F.split(F.col("response"), r"\s+"),
+                              lambda t: t != "")).cast("long"))
+          .drop("_ctx")
+    )
+    return out

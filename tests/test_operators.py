@@ -507,3 +507,47 @@ def test_collapse_agg_matches_window_path(spark):
     assert a == w
     with pytest.raises(ValueError):
         windows.collapse_agg(df, "grp", [("score", True)], null_policy="bad")
+
+
+def test_sft_pairs(spark):
+    """SFT pair extraction: assistant turns paired with the rendered previous
+    context window; bounded frame, no self-join (hand vectors)."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.windows import sft_pairs
+
+    rows = [
+        ("c1", 1, "user", "hi there"),
+        ("c1", 2, "assistant", "hello"),
+        ("c1", 3, "user", "do thing"),
+        ("c1", 4, "assistant", "done ok"),
+        ("c2", 1, "assistant", "orphan greeting"),   # no prior context
+        ("c2", 2, "user", "q"),
+        ("c2", 3, "assistant", "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r.conv_id, r.turn_idx): r for r in sft_pairs(
+        df, F.col("role") == "assistant", context_turns=2).collect()}
+
+    # c1 turn 2: context = the one prior turn
+    assert out[("c1", 2)].context == "user: hi there"
+    assert out[("c1", 2)].response == "hello"
+    assert out[("c1", 2)].n_context_turns == 1
+    assert out[("c1", 2)].context_tokens == 3  # 'user:' 'hi' 'there'
+    assert out[("c1", 2)].response_tokens == 1
+
+    # c1 turn 4: frame capped at 2 prior turns (turn 1 falls out)
+    assert out[("c1", 4)].context == "assistant: hello\nuser: do thing"
+    assert out[("c1", 4)].n_context_turns == 2
+
+    # c2 turn 1: zero context -> dropped by min_context_turns=1
+    assert ("c2", 1) not in out
+    assert out[("c2", 3)].context == "assistant: orphan greeting\nuser: q"
+
+    # min_context_turns=0 keeps the orphan with empty context
+    all_pairs = {(r.conv_id, r.turn_idx): r for r in sft_pairs(
+        df, F.col("role") == "assistant", context_turns=2,
+        min_context_turns=0).collect()}
+    assert all_pairs[("c2", 1)].context == ""
+    assert all_pairs[("c2", 1)].n_context_turns == 0
