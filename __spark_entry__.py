@@ -861,6 +861,58 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _ft31_boolean_occurs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-parser boolean occurs `spark merge +window -vector`
+    (QueryParser.jj `+`/`-`; BooleanClause MUST / MUST_NOT): hits must
+    contain 'window', must not contain 'vector'; MUST_NOT postings ride the
+    same scan and flip a kernel exclusion mask before heap collection —
+    Lucene's ReqExclScorer, fully distributed (query/bm25.py)."""
+    from solr_spark.query.scored import scored_topk
+
+    reader = _ft_index(spark, sf_dir)
+    # deep over-fetch so the rounded re-cut below never straddles a raw-score
+    # tie at the fetch boundary (ft12's engine-stability pattern)
+    topk = scored_topk(spark, reader, "spark merge +window -vector", k=200)
+    return (topk.select(_doc_id(), _dround("score", 4).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(20))
+
+
+def _ft31_sql() -> str:
+    in_list = "'spark', 'merge', 'window'"
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+must AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'window'),
+mustnot AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector'),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    WHERE tf.doc_id IN (SELECT doc_id FROM must)
+      AND tf.doc_id NOT IN (SELECT doc_id FROM mustnot)
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
 def _ft30_freetext_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FreeText suggester `fast s<caret>` — next-word completion from a
     corpus bigram LM with stupid-backoff scoring (Lucene
@@ -3788,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft23_span_near_or": _ft23_span_near_or,
         "ft29_complex_phrase": _ft29_complex_phrase,
         "ft30_freetext_suggest": _ft30_freetext_suggest,
+        "ft31_boolean_occurs": _ft31_boolean_occurs,
         "ft18_folded_query": _ft18_folded_query,
         "q01_search_filter_project": _q01_search,
         "q02_lucene_qparser": _q02_lucene_parser,
@@ -3948,6 +4001,7 @@ cand AS (
         "ft23_span_near_or": _ft23_sql(),
         "ft29_complex_phrase": _ft29_sql(),
         "ft30_freetext_suggest": _ft30_sql(),
+        "ft31_boolean_occurs": _ft31_sql(),
         "ft18_folded_query": _ft18_sql(),
         "q01_search_filter_project": """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -167,7 +167,8 @@ def _idf(n_docs: int, df: int) -> float:
 def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
                  length_table: np.ndarray, min_match: int,
                  groups: dict | None = None, gweights: dict | None = None,
-                 sim=None, params: dict | None = None):
+                 sim=None, params: dict | None = None,
+                 prohibited: set | None = None, required: set | None = None):
     """Score one range group; returns (docids, scores) numpy arrays.
 
     min_match is the edismax `mm` contract (ExtendedDismaxQParser.java:66):
@@ -182,6 +183,12 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     sim/params plug the per-field Similarity (query/similarity.py; default
     BM25): params maps term (or group id) -> the similarity's per-term scalar
     (e.g. the LM collection probability).
+
+    prohibited: terms whose postings ride the same range group but only mark
+    documents for exclusion (BooleanClause.MUST_NOT — Lucene's ReqExclScorer
+    skipping excluded docs before collection; they contribute no score and no
+    mm count). required: canonical terms/groups that must ALL be present in a
+    doc for it to match (BooleanClause.MUST over an otherwise-SHOULD query).
     """
     if sim is None:
         sim = _DEFAULT_SIM
@@ -196,24 +203,42 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     width = len(dls)
     acc = np.zeros(width, dtype=np.float64)
     present = np.zeros(width, dtype=np.int32) if min_match > 1 else None
+    excl = None
+    req_hit = np.zeros(width, dtype=np.int32) if required else None
+
+    def _finish():
+        if present is not None:
+            keep = present >= min_match
+        else:
+            keep = acc > 0.0
+        if req_hit is not None:
+            keep &= req_hit >= len(required)
+        if excl is not None:
+            keep &= ~excl
+        nz = np.flatnonzero(keep)
+        return nz + base, acc[nz]
+
     # fixed term order => deterministic float summation (matches the oracle)
     order = np.argsort(pdf["term"].to_numpy(), kind="stable")
     if groups is None:
         for i in order:
             row = pdf.iloc[i]
+            term = row["term"]
             d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
             off = d - base
+            if prohibited and term in prohibited:
+                if excl is None:
+                    excl = np.zeros(width, dtype=bool)
+                excl[off] = True
+                continue
             tf = t.astype(np.float64)
-            term = row["term"]
             acc[off] += sim.contrib(tf, dls[off], weights[term],
                                     params.get(term, 0.0), cfg, avgdl)
             if present is not None:
                 present[off] += 1
-        if present is not None:
-            nz = np.flatnonzero(present >= min_match)
-        else:
-            nz = np.flatnonzero(acc > 0.0)
-        return nz + base, acc[nz]
+            if req_hit is not None and term in required:
+                req_hit[off] += 1
+        return _finish()
 
     # synonym path: pool tf per group first, saturate once per group.
     # groups maps member term -> tuple of canonical group ids (a member may
@@ -223,8 +248,14 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     pooled: dict = {}
     for i in order:
         row = pdf.iloc[i]
+        term = row["term"]
         d, t = decode_postings(bytes(row["doc_gaps"]), bytes(row["tfs"]), base)
-        for gid in groups[row["term"]]:
+        if prohibited and term in prohibited:
+            if excl is None:
+                excl = np.zeros(width, dtype=bool)
+            excl[d - base] = True
+            continue
+        for gid in groups[term]:
             tfg = pooled.get(gid)
             if tfg is None:
                 tfg = pooled[gid] = np.zeros(width, dtype=np.float64)
@@ -237,11 +268,9 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
                                 params.get(gid, 0.0), cfg, avgdl)
         if present is not None:
             present[hit] += 1
-    if present is not None:
-        nz = np.flatnonzero(present >= min_match)
-    else:
-        nz = np.flatnonzero(acc > 0.0)
-    return nz + base, acc[nz]
+        if req_hit is not None and gid in required:
+            req_hit[hit] += 1
+    return _finish()
 
 
 def _local_topk(docids: np.ndarray, scores: np.ndarray, k: int):
@@ -347,6 +376,8 @@ def bm25_topk(
     synonyms: dict[str, list[str]] | None = None,
     boosts: dict[str, float] | None = None,
     similarity: str | object = "bm25",
+    prohibited: list[str] | None = None,
+    required: list[str] | None = None,
 ) -> DataFrame:
     """Top-k scored retrieval. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
@@ -380,6 +411,20 @@ def bm25_topk(
         return spark.createDataFrame([], out_schema)
 
     canon = sorted(qterms)
+    # boolean-operator clauses (grammar parser/QueryParser.jj `+`/`-`):
+    # prohibited = MUST_NOT (postings ride the scan, kernel excludes matching
+    # docs before collection — ReqExclScorer); required = MUST (each analyzed
+    # required term must also be a scoring clause and present in every hit)
+    prohib_terms: set[str] = set()
+    for p in prohibited or []:
+        prohib_terms.update(analyze_text(p, cfg))
+    req_terms: set[str] = set()
+    for r in required or []:
+        req_terms.update(analyze_text(r, cfg))
+    if req_terms - set(canon):
+        raise ValueError(
+            f"required terms must also appear in query_text: "
+            f"{sorted(req_terms - set(canon))}")
     group_of: dict[str, tuple[str, ...]] | None = None
     if synonyms:
         # member term -> tuple of canonical group ids. Every canonical query
@@ -453,10 +498,28 @@ def bm25_topk(
             # absent terms can never match; mm above the found count is unsatisfiable
             return spark.createDataFrame([], out_schema)
 
+    # MUST check: a required term absent from the index is unsatisfiable
+    if req_terms:
+        satisfiable = (set(gweights) if group_of is not None else set(found))
+        if req_terms - satisfiable:
+            return spark.createDataFrame([], out_schema)
+    # MUST_NOT terms that exist in the dictionary join the posting scan with
+    # weight 0 — their postings only flip the kernel's exclusion mask
+    prohib_found: list[str] = []
+    if prohib_terms:
+        pb = sorted(set(_term_buckets(sorted(prohib_terms),
+                                      cfg.num_term_buckets)))
+        prohib_found = [
+            r["term"] for r in reader.dictionary(spark)
+            .where(F.col("term_bucket").isin(pb)
+                   & F.col("term").isin(sorted(prohib_terms)))
+            .select("term").collect()]
+
     seg = reader.segments_df(spark)
+    scan_terms = found + [t for t in prohib_found if t not in found]
     postings = seg.where(
-        F.col("term_bucket").isin(sorted(set(_term_buckets(found, cfg.num_term_buckets))))
-        & F.col("term").isin(found)
+        F.col("term_bucket").isin(sorted(set(_term_buckets(scan_terms, cfg.num_term_buckets))))
+        & F.col("term").isin(scan_terms)
     ).select("term", "range_id", "doc_gaps", "tfs", "max_tf")
     norms = reader.norms(spark)
     joined = postings.join(norms.select("range_id", "norm_bytes"), "range_id")
@@ -478,22 +541,35 @@ def bm25_topk(
         keep = ~np.isin(d, dels)
         return d[keep], s[keep]
 
+    kernel_prohib = frozenset(prohib_found) or None
+    kernel_req = frozenset(req_terms) or None
+
     if mode == "exact":
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
                                 min_match, group_of, gweights,
-                                sim, score_params)
+                                sim, score_params,
+                                kernel_prohib, kernel_req)
             d, s = _live(d, s)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
 
         cand = joined.groupBy("range_id").applyInPandas(kernel, _TOPK_SCHEMA)
     elif mode == "wand":
+        # prohibited rows carry weight 0 (and a harmless bound param): they
+        # contribute nothing to the range bound, so WAND pruning is unchanged
+        # — a skipped range emits no docs, hence nothing to exclude from
+        wand_weights = dict(weights)
+        wand_bparams = dict(bound_params)
+        for t in prohib_found:
+            if t not in wand_weights:
+                wand_weights[t] = 0.0
+                wand_bparams[t] = 1.0
         w_map = F.create_map(
-            *[x for t in found for x in (F.lit(t), F.lit(weights[t]))]
+            *[x for t in scan_terms for x in (F.lit(t), F.lit(wand_weights[t]))]
         )
         bounded = joined.withColumn(
-            "term_bound", sim.bound_expr(w_map, bound_params, cfg))
+            "term_bound", sim.bound_expr(w_map, wand_bparams, cfg))
         w = Window.partitionBy("range_id")
         bounded = bounded.withColumn("bound", F.sum("term_bound").over(w))
         sorted_rows = bounded.sortWithinPartitions(
@@ -512,7 +588,8 @@ def bm25_topk(
                         return  # block-max skip: provably non-competitive
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
                                     min_match, group_of, gweights,
-                                    sim, score_params)
+                                    sim, score_params,
+                                    kernel_prohib, kernel_req)
                 d, s = _live(d, s)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)

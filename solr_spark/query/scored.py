@@ -9,6 +9,8 @@ string into scored clauses and dispatch to the scoring kernels —
     vectr~1                    fuzzy clause (dictionary)       -> fuzzy_topk
     vec*  t?rm                 wildcard/prefix (dictionary)    -> wildcard_topk
     error "merge join"^1.5     terms + additive phrase boost
+    error -timeout             MUST_NOT exclusion (ReqExclScorer shape)
+    +error timeout             MUST: error required, timeout optional
 
 Reference: grammar solr/core/src/java/org/apache/solr/parser/QueryParser.jj
 (term^boost, "..."~slop), dispatch QParser.getParser (search/QParser.java:364).
@@ -31,7 +33,7 @@ from solr_spark.analysis import analyze_text
 from solr_spark.query.bm25 import IndexReader, bm25_topk
 
 _CLAUSE_RE = re.compile(
-    r"""\s*(?:
+    r"""\s*(?P<occur>[+-])?(?:
       "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
     | (?P<term>[^\s"]+)
     )""",
@@ -47,6 +49,8 @@ class ScoredQuery:
     phrases: list[tuple[str, int, float]] = field(default_factory=list)
     fuzzies: list[tuple[str, int, float]] = field(default_factory=list)
     wildcards: list[tuple[str, float]] = field(default_factory=list)
+    required: list[str] = field(default_factory=list)    # `+term` MUST bodies
+    prohibited: list[str] = field(default_factory=list)  # `-term` MUST_NOT
 
 
 def parse_scored_query(q: str) -> ScoredQuery:
@@ -59,12 +63,23 @@ def parse_scored_query(q: str) -> ScoredQuery:
                 raise ValueError(f"cannot parse scored query at: {q[pos:]!r}")
             break
         pos = m.end()
+        occur = m["occur"]
         if m["phrase"] is not None:
+            if occur:
+                raise ValueError(
+                    f"{occur}\"...\" phrase occurrence clauses are not "
+                    f"supported by the scored parser (term +/- only)")
             out.phrases.append((m["phrase"], int(m["slop"] or 0),
                                 float(m["pboost"] or 1.0)))
             continue
         tm = _TERM_MODS.match(m["term"])
         body, boost = tm["body"], float(tm["boost"] or 1.0)
+        if occur == "-":
+            # MUST_NOT: pure exclusion, never a scoring clause
+            out.prohibited.append(body)
+            continue
+        if occur == "+":
+            out.required.append(body)
         if tm["fuzz"] is not None:
             out.fuzzies.append((body, int(tm["fuzz"] or 2), boost))
         elif "*" in body or "?" in body:
@@ -89,38 +104,58 @@ def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
     cfg = reader.config
     sq = parse_scored_query(q)
+    required_set = set(sq.required)
 
     # fold dictionary-expanded clauses into the term query as synonym groups
     synonyms: dict[str, list[str]] = {}
     boosts: dict[str, float] = {}
     terms_text: list[str] = []
+    required_canon: list[str] = []
     for body, boost in sq.terms:
         terms_text.append(body)
+        if body in required_set:
+            required_canon.append(body)
         if boost != 1.0:
             for t in analyze_text(body, cfg):
                 boosts[t] = boost
     for body, fuzz, boost in sq.fuzzies:
         members = expand_fuzzy(spark, reader, body.lower(), max_edits=fuzz)
-        if members:
-            canon = members[0]
-            synonyms.setdefault(canon, []).extend(members)
-            terms_text.append(canon)
-            if boost != 1.0:
-                boosts[canon] = boost
+        if not members:
+            if body in required_set:  # an unmatchable MUST clause
+                return spark.createDataFrame([], out_schema)
+            continue
+        canon = members[0]
+        synonyms.setdefault(canon, []).extend(members)
+        terms_text.append(canon)
+        if body in required_set:
+            required_canon.append(canon)
+        if boost != 1.0:
+            boosts[canon] = boost
     for body, boost in sq.wildcards:
         members = expand_wildcard(spark, reader, body.lower())
-        if members:
-            canon = members[0]
-            synonyms.setdefault(canon, []).extend(members)
-            terms_text.append(canon)
-            if boost != 1.0:
-                boosts[canon] = boost
+        if not members:
+            if body in required_set:
+                return spark.createDataFrame([], out_schema)
+            continue
+        canon = members[0]
+        synonyms.setdefault(canon, []).extend(members)
+        terms_text.append(canon)
+        if body in required_set:
+            required_canon.append(canon)
+        if boost != 1.0:
+            boosts[canon] = boost
+
+    if sq.prohibited and not terms_text:
+        raise ValueError("MUST_NOT clauses need at least one scoring term "
+                         "clause (phrase-only exclusion unsupported)")
 
     main: DataFrame | None = None
     if terms_text:
         main = bm25_topk(spark, reader, " ".join(terms_text),
                          k=max(k * 4, 100), mode="wand",
-                         synonyms=synonyms or None, boosts=boosts or None)
+                         synonyms=synonyms or None, boosts=boosts or None,
+                         prohibited=sq.prohibited or None,
+                         required=required_canon or None)
         main = main.select("docid", "score")
 
     if sq.phrases and main is None and len(sq.phrases) == 1:

@@ -175,3 +175,61 @@ def test_synonyms_none_path_unchanged(spark, built_index):
     a = bm25_topk(spark, reader, "error timeout", k=10).collect()
     b = bm25_topk(spark, reader, "error timeout", k=10, synonyms={}).collect()
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_boolean_occurs_prohibited_and_required(spark, built_index):
+    """`-term` (MUST_NOT) and `+term` (MUST) clause operators: exclusion is
+    applied inside the scoring kernel before heap collection (ReqExclScorer
+    shape), so WAND top-k equals exact top-k equals a semi/anti-join twin."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from solr_spark.query.bm25 import IndexReader, bm25_topk, term_docs
+    from solr_spark.query.scored import scored_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    q = "error timeout"
+
+    # k above the corpus size so the twin sees EVERY match (the
+    # exclusion removes ~94% of them; a truncated base would under-fill)
+    base = bm25_topk(spark, reader, q, k=5000, mode="exact")
+    excl_ids = {r.docid for r in
+                term_docs(spark, reader, "retry").collect()}
+
+    # twin: exclusion = anti-join of the unrestricted result
+    want = [(r.docid, round(r.score, 9)) for r in base.collect()
+            if r.docid not in excl_ids][:20]
+    got_w = bm25_topk(spark, reader, q, k=20, mode="wand",
+                      prohibited=["retry"])
+    got_e = bm25_topk(spark, reader, q, k=20, mode="exact",
+                      prohibited=["retry"])
+    assert [(r.docid, round(r.score, 9)) for r in got_w.collect()] == want
+    assert [(r.docid, round(r.score, 9)) for r in got_e.collect()] == want
+    assert excl_ids and len(want) == 20  # exclusion actually bites
+
+    # required: every hit contains the MUST term; scores unchanged vs base
+    req_ids = {r.docid for r in term_docs(spark, reader, "error").collect()}
+    want_r = [(r.docid, round(r.score, 9)) for r in base.collect()
+              if r.docid in req_ids][:20]
+    got_r = bm25_topk(spark, reader, q, k=20, mode="wand", required=["error"])
+    assert [(r.docid, round(r.score, 9)) for r in got_r.collect()] == want_r
+
+    # MUST + MUST_NOT together, via the scored parser
+    got_s = scored_topk(spark, reader, "+error timeout -retry", k=20)
+    want_s = [(r.docid, round(r.score, 9)) for r in base.collect()
+              if r.docid in req_ids and r.docid not in excl_ids][:20]
+    assert [(r.docid, round(r.score, 9)) for r in got_s.collect()] == want_s
+
+    # required term absent from the query text is a usage error
+    with _pytest.raises(ValueError, match="required"):
+        bm25_topk(spark, reader, q, k=5, required=["merge"])
+    # unsatisfiable MUST (term not in the index) -> empty
+    assert bm25_topk(spark, reader, "error qqqzz", k=5,
+                     required=["qqqzz"]).count() == 0
+    # self-contradiction: term both scored and prohibited -> empty
+    assert bm25_topk(spark, reader, "error", k=5,
+                     prohibited=["error"]).count() == 0
+    # prohibited term not in the index: no-op
+    assert bm25_topk(spark, reader, q, k=5,
+                     prohibited=["qqqzz"]).count() == 5
