@@ -38,6 +38,38 @@ FT_QUERIES = {
 }
 
 
+def epoch_probe() -> dict:
+    """Fingerprint the host epoch (~1s) so recorded numbers are interpretable.
+
+    This VM's co-tenant interference is memory-bandwidth-shaped and comes in
+    epochs (BENCH/BASELINE.md "Host-noise protocol"): cache-resident CPU work
+    stays constant while bandwidth swings >10x (measured 0.6 vs >8 GB/s within
+    one day, 2026-08-18). A build number without the concurrent bandwidth
+    reading is uninterpretable across epochs, so every bench JSON carries both:
+      cpu_md5_sec  — single-thread, cache-resident loop (should be ~0.12s
+                     in every epoch; if this moves, the CPU itself is shared)
+      membw_gbs    — 200 MB numpy memset+reduce streaming bandwidth (the
+                     epoch-sensitive axis; build throughput tracks this)
+    """
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.time()
+    h = b"x" * 1000
+    for _ in range(200000):
+        h = hashlib.md5(h).digest()
+    cpu_sec = time.time() - t0
+    a = np.zeros(200_000_000, dtype=np.uint8)
+    t0 = time.time()
+    a[:] = 1
+    s = int(a.sum())
+    bw_sec = time.time() - t0
+    assert s == 200_000_000
+    return {"cpu_md5_sec": round(cpu_sec, 3),
+            "membw_gbs": round(0.4 / bw_sec, 2)}
+
+
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -67,6 +99,7 @@ def main() -> None:
     n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
 
+    probe = epoch_probe()
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -146,7 +179,7 @@ def main() -> None:
             print(json.dumps({
                 "metric": "e2e_wall_sec", "value": round(total, 3),
                 "unit": "sec", "queries": timings, "latency": {}, "sf": sf,
-                "cpus": cpus,
+                "cpus": cpus, "epoch_probe": probe,
                 "index_build": {"turns": n_turns, "secs": round(t_build, 3),
                                 "turns_per_sec": round(n_turns / t_build, 1)},
             }))
@@ -274,6 +307,7 @@ def main() -> None:
             "latency_local_serving": local_latency,
             "sf": sf,
             "cpus": cpus,
+            "epoch_probe": probe,
             "index_build": {
                 "turns": n_turns,
                 "secs": round(t_build, 3),
