@@ -3804,6 +3804,55 @@ ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def _q75_atomic_update(spark, sf_dir):
+    """Atomic updates (AtomicUpdateDocumentMerger.java:163-180; set / inc /
+    add-distinct modifiers merged against the current table in one broadcast
+    outer join — indexing/atomic.py::atomic_update). Update batch: every
+    doc_id % 7 == 0 doc gets source set to 'curated', n_chars incremented by
+    100, and tag 'rev' added-distinct to tags=[lang, source] (lang is already
+    present, so only 'rev' appends). Tags serialize to a joined string so both
+    engines hash identically."""
+    from solr_spark.indexing.atomic import atomic_update
+
+    docs = _t(spark, sf_dir, "documents")
+    current = docs.select(
+        "doc_id", "source", "n_chars",
+        F.array("lang", "source").alias("tags"))
+    upd = (docs.where(F.col("doc_id") % 7 == 0)
+           .select("doc_id",
+                   F.lit("curated").alias("source"),
+                   F.lit(100).cast("long").alias("n_chars"),
+                   F.array(F.lit("rev"), F.col("lang")).alias("tags")))
+    out = atomic_update(current, upd, ["doc_id"],
+                        {"n_chars": "inc", "tags": "add-distinct"})
+    return (out.select("doc_id", "source", "n_chars",
+                       F.array_join("tags", ",").alias("tags"))
+            .orderBy("doc_id"))
+
+
+_Q75_SQL = """
+WITH cur AS (
+  SELECT doc_id, source, n_chars, [lang, source] AS tags FROM documents
+),
+upd AS (
+  SELECT doc_id, 'curated' AS u_source, 100 AS u_nc,
+         ['rev', lang] AS u_tags
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT cur.doc_id,
+  CASE WHEN upd.doc_id IS NOT NULL THEN u_source ELSE cur.source END AS source,
+  (cur.n_chars + CASE WHEN upd.doc_id IS NOT NULL THEN u_nc ELSE 0 END)::BIGINT
+    AS n_chars,
+  array_to_string(
+    CASE WHEN upd.doc_id IS NOT NULL THEN
+      list_concat(cur.tags,
+                  list_filter(u_tags, x -> NOT list_contains(cur.tags, x)))
+    ELSE cur.tags END, ',') AS tags
+FROM cur LEFT JOIN upd USING (doc_id)
+ORDER BY cur.doc_id
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -3949,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_collapse_null_policy": _q72_collapse_null_policy,
         "q73_range_include": _q73_range_include,
         "q74_child_transformer": _q74_child_transformer,
+        "q75_atomic_update": _q75_atomic_update,
     }
 
 
@@ -4690,4 +4740,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q72_collapse_null_policy": _Q72_SQL,
         "q73_range_include": _Q73_SQL,
         "q74_child_transformer": _Q74_SQL,
+        "q75_atomic_update": _Q75_SQL,
     }
