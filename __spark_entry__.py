@@ -3853,6 +3853,74 @@ ORDER BY cur.doc_id
 """
 
 
+def _dd14_url_curation(spark, sf_dir):
+    """URL curation spine (functions/urls.py): canonicalize -> eTLD+1 ->
+    per-domain quota. URLs synthesized deterministically from documents
+    (HTTPS://WWW.{SOURCE}.CO.UK:443/docs/{id}?utm_source=feed&id={id%10}
+    &fbclid=ZZ#frag); normalize_url lowercases scheme+host, strips the https
+    default port / fragment / tracking params; registered_domain applies the
+    multi-part-suffix rule (co.uk -> last three labels); quota keeps the top-3
+    per domain by (n_chars desc, doc_id)."""
+    from solr_spark.functions.urls import domain_quota_sample, normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(F.lit("HTTPS://WWW."), F.upper("source"),
+                 F.lit(".CO.UK:443/docs/"), F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=feed&id="),
+                 (F.col("doc_id") % 10).cast("string"),
+                 F.lit("&fbclid=ZZ#frag")))
+    kept = domain_quota_sample(
+        with_url.withColumn("norm_url", normalize_url("url")),
+        "url", quota=3,
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")])
+    return kept.select("doc_id", "norm_url", "domain").orderBy("doc_id")
+
+
+_DD14_SQL = """
+WITH u AS (
+  SELECT doc_id, n_chars, source,
+         'HTTPS://WWW.' || upper(source) || '.CO.UK:443/docs/' || doc_id ||
+         '?utm_source=feed&id=' || (doc_id % 10) || '&fbclid=ZZ#frag' AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, n_chars, source,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 1))
+      AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)),
+      '^[^@]*@', ''), ':443$', '') AS auth,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+),
+norm AS (
+  SELECT doc_id, n_chars,
+    scheme || '://' || auth ||
+    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS norm_url,
+    -- host www.{source}.co.uk: co.uk is a multi-part suffix -> last 3 labels
+    lower(source) || '.co.uk' AS domain
+  FROM (
+    SELECT *, array_to_string(
+      list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(
+                    p, '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid)=')),
+      '&') AS q
+    FROM parts
+  )
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+                               ORDER BY n_chars DESC, doc_id) AS rn
+  FROM norm
+)
+SELECT doc_id, norm_url, domain FROM ranked WHERE rn <= 3 ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -3999,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_range_include": _q73_range_include,
         "q74_child_transformer": _q74_child_transformer,
         "q75_atomic_update": _q75_atomic_update,
+        "dd14_url_curation": _dd14_url_curation,
     }
 
 
@@ -4741,4 +4810,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q73_range_include": _Q73_SQL,
         "q74_child_transformer": _Q74_SQL,
         "q75_atomic_update": _Q75_SQL,
+        "dd14_url_curation": _DD14_SQL,
     }
