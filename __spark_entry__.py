@@ -3921,6 +3921,59 @@ SELECT doc_id, norm_url, domain FROM ranked WHERE rn <= 3 ORDER BY doc_id
 """
 
 
+def _dd15_line_dedup(spark, sf_dir):
+    """Cross-document repeated-line removal (RefinedWeb/CCNet boilerplate
+    hygiene; functions/dedup.py::line_dedup): lines appearing in >= 2 distinct
+    docs are dropped from every doc, order preserved on survivors. The flat
+    token-soup corpus gets line structure synthesized identically in both
+    engines: each doc's tokens chunked into 3-token lines."""
+    from solr_spark.functions.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nlines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "))
+    docs2 = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = line_dedup(docs2, "doc_id", "text", min_doc_freq=2)
+    return (out.select("doc_id",
+                       F.col("n_lines_kept").cast("long").alias("kept"),
+                       F.col("n_lines_removed").cast("long").alias("removed"),
+                       F.md5("cleaned_text").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+_DD15_SQL = """
+WITH chunked AS (
+  SELECT doc_id,
+         [array_to_string(toks[i*3+1 : i*3+3], ' ')
+          for i in range(0, cast(ceil(len(toks)/3.0) as int))] AS lines
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+pos_lines AS (
+  SELECT doc_id, unnest(lines) AS line, unnest(range(1, len(lines)+1)) AS pos
+  FROM chunked
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS dfq FROM pos_lines GROUP BY line)
+  WHERE dfq >= 2
+),
+flagged AS (
+  SELECT p.doc_id, p.pos, p.line, (b.line IS NOT NULL) AS bp
+  FROM pos_lines p LEFT JOIN boiler b USING (line)
+)
+SELECT doc_id,
+       sum(CASE WHEN NOT bp THEN 1 ELSE 0 END)::BIGINT AS kept,
+       sum(CASE WHEN bp THEN 1 ELSE 0 END)::BIGINT AS removed,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos),
+         '')) AS clean_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4068,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_child_transformer": _q74_child_transformer,
         "q75_atomic_update": _q75_atomic_update,
         "dd14_url_curation": _dd14_url_curation,
+        "dd15_line_dedup": _dd15_line_dedup,
     }
 
 
@@ -4811,4 +4865,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q74_child_transformer": _Q74_SQL,
         "q75_atomic_update": _Q75_SQL,
         "dd14_url_curation": _DD14_SQL,
+        "dd15_line_dedup": _DD15_SQL,
     }

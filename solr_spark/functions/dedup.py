@@ -486,3 +486,65 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, threshold: float,
     `semantic_dedup_pairs` (centroids / n_centroids / train / iters / seed)."""
     pairs = semantic_dedup_pairs(df, id_col, vec_col, threshold, **kw)
     return drop_near_duplicates(df, id_col, pairs, "a_id", "b_id")
+
+
+# ------------------------------------------------------------- line-level dedup
+
+
+def boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                      min_doc_freq: int = 2, delim: str = "\n",
+                      min_chars: int = 1) -> DataFrame:
+    """Exact lines appearing in >= min_doc_freq DISTINCT documents.
+
+    The cross-document repeated-line census behind RefinedWeb/CCNet-style
+    boilerplate removal (nav bars, cookie banners, footers repeat verbatim
+    across a site's pages). Output: (line, doc_freq).
+
+    Scale shape: explode is narrow; the census is distinct-on-(line, doc)
+    then a map-side-combinable count — two hash shuffles keyed on the line,
+    never all-pairs. Hot lines (a banner in 10^9 docs) are one group each
+    with a single count out, so skew is benign.
+    """
+    lines = (df.select(F.col(id_col).alias("__doc"),
+                       F.explode(F.split(F.col(text_col), delim)).alias("line"))
+               .where(F.length("line") >= min_chars)
+               .distinct())
+    return (lines.groupBy("line")
+                 .agg(F.count(F.lit(1)).alias("doc_freq"))
+                 .where(F.col("doc_freq") >= min_doc_freq))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               min_doc_freq: int = 2, delim: str = "\n",
+               min_chars: int = 1, out_col: str = "cleaned_text") -> DataFrame:
+    """Remove lines that appear in >= min_doc_freq distinct docs; reassemble.
+
+    Every occurrence of a boilerplate line is dropped (including repeats
+    within one doc), remaining lines keep their original order. Output: all
+    input columns + `out_col` + n_lines_kept + n_lines_removed.
+
+    Plan: the boilerplate census (two line-keyed shuffles) feeds a left
+    anti-filter per line position, then one groupBy(doc) reassembly — the
+    census table is vocabulary-sized (distinct repeated lines), far smaller
+    than the corpus, so Spark/AQE broadcasts it in realistic shapes.
+    """
+    boiler = boilerplate_lines(df, id_col, text_col, min_doc_freq, delim,
+                               min_chars).withColumn("__bp", F.lit(True))
+    pos_lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"))
+    kept = (pos_lines.join(boiler, "line", "left")
+            .groupBy("__doc")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("__bp").isNull(),
+                                   F.struct("pos", "line")))),
+                        lambda s: s["line"]),
+                    delim).alias(out_col),
+                F.sum(F.when(F.col("__bp").isNull(), 1).otherwise(0))
+                 .alias("n_lines_kept"),
+                F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
+                 .alias("n_lines_removed")))
+    return df.join(kept, df[id_col] == kept["__doc"], "left").drop("__doc")
