@@ -3974,6 +3974,65 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _q76_conversation_stats(spark, sf_dir):
+    """Conversation-grain curation stats + loop detection
+    (functions/conversations.py): gaps-and-islands run lengths (three stacked
+    windows, ONE conv-keyed exchange) over the events stream read as
+    conversations — user_id = conv, (ts, event_id) = turn order, event_type =
+    role, props = text. is_looping = some verbatim props repeated >= 3
+    consecutive times (the stuck-agent smell)."""
+    from solr_spark.functions.conversations import conversation_stats
+
+    ev = _t(spark, sf_dir, "events")
+    st = conversation_stats(ev, "user_id", [F.col("ts"), F.col("event_id")],
+                            "event_type", "props", ts_col="ts")
+    return (st.select(
+        F.col("user_id").cast("long").alias("conv"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_roles").cast("long").alias("n_roles"),
+        F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
+        F.col("max_role_run").cast("long").alias("max_role_run"),
+        F.col("max_text_run").cast("long").alias("max_text_run"),
+        F.col("duration_sec").alias("duration_sec"),
+        (F.col("max_text_run") >= 3).alias("is_looping"))
+        .orderBy("conv"))
+
+
+_Q76_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, props,
+    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS chg_r,
+    CASE WHEN lag(props) OVER w IS DISTINCT FROM props
+         THEN 1 ELSE 0 END AS chg_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT *, sum(chg_r) OVER w2 AS isl_r, sum(chg_t) OVER w2 AS isl_t
+  FROM ordered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+),
+sized AS (
+  SELECT user_id, event_type, props, ts,
+    count(*) OVER (PARTITION BY user_id, isl_r) AS role_run,
+    count(*) OVER (PARTITION BY user_id, isl_t) AS text_run
+  FROM islands
+)
+SELECT user_id AS conv,
+  count(*)::BIGINT AS n_turns,
+  count(DISTINCT event_type)::BIGINT AS n_roles,
+  count(DISTINCT props)::BIGINT AS n_distinct_texts,
+  max(role_run)::BIGINT AS max_role_run,
+  max(text_run)::BIGINT AS max_text_run,
+  max(epoch_us(ts)) / 1000000.0 - min(epoch_us(ts)) / 1000000.0
+    AS duration_sec,
+  (max(text_run) >= 3) AS is_looping
+FROM sized GROUP BY user_id ORDER BY conv
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4122,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_atomic_update": _q75_atomic_update,
         "dd14_url_curation": _dd14_url_curation,
         "dd15_line_dedup": _dd15_line_dedup,
+        "q76_conversation_stats": _q76_conversation_stats,
     }
 
 
@@ -4866,4 +4926,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q75_atomic_update": _Q75_SQL,
         "dd14_url_curation": _DD14_SQL,
         "dd15_line_dedup": _DD15_SQL,
+        "q76_conversation_stats": _Q76_SQL,
     }
