@@ -73,7 +73,7 @@ def epoch_probe() -> dict:
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sparkgrep-bench")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
@@ -89,8 +89,14 @@ def make_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # ad-hoc conf overrides for A/B experiments, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd"
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
+    return builder.getOrCreate()
 
 
 def main() -> None:
