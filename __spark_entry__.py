@@ -4033,6 +4033,72 @@ FROM sized GROUP BY user_id ORDER BY conv
 """
 
 
+def _q77_stream_expr(spark, sf_dir):
+    """Streaming-expression STRING front-end (streaming/exprparser.py +
+    streaming/dispatch.py): the reference's prefix-notation DSL
+    (solrj-streaming expr/StreamExpressionParser.java:35, StreamFactory.java:219)
+    parsed and dispatched onto the DataFrame operators — rollup over a
+    filtered, projected search, exactly as a reference user would write it."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"lineitem": _t(spark, sf_dir, "lineitem")}
+    out = run_expression(
+        'rollup(search(lineitem, q="l_shipdate:[1998-01-01 TO *]", '
+        'fl="l_returnflag,l_quantity,l_extendedprice", sort="l_returnflag asc"), '
+        'over="l_returnflag", sum(l_quantity), avg(l_extendedprice), count(*))',
+        colls)
+    return out.select(
+        F.col("l_returnflag"),
+        F.col("`sum(l_quantity)`").alias("sum_qty"),
+        _dround(F.col("`avg(l_extendedprice)`"), 4).alias("avg_price"),
+        F.col("`count(*)`").alias("n"))
+
+
+_Q77_SQL = """
+SELECT l_returnflag,
+       sum(l_quantity) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*)::BIGINT AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q78_expr_join(spark, sf_dir):
+    """Composite streaming expression: select over top over having over
+    innerJoin of two searches — exercises nested expressions, l=r join-key
+    renames, the boolean-evaluator sub-language (HavingStream.java:42), the
+    bounded-heap rank (RankStream.java:47), and `as` projection renames
+    (SelectStream.java:46), all from one string."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"orders": _t(spark, sf_dir, "orders"),
+             "customer": _t(spark, sf_dir, "customer")}
+    return run_expression(
+        'select('
+        'top(n=10, '
+        'having('
+        'innerJoin('
+        'search(orders, q="*:*", fl="o_orderkey,o_custkey,o_totalprice", sort="o_custkey asc"), '
+        'search(customer, q="*:*", fl="c_custkey,c_name,c_acctbal", sort="c_custkey asc"), '
+        'on="o_custkey=c_custkey"), '
+        'gt(o_totalprice, 400000)), '
+        'sort="o_totalprice desc, o_orderkey asc"), '
+        'o_orderkey as okey, o_totalprice as price, c_name as cust, '
+        'c_acctbal as acctbal)',
+        colls)
+
+
+_Q78_SQL = """
+SELECT o_orderkey AS okey, o_totalprice AS price, c_name AS cust,
+       c_acctbal AS acctbal
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4182,6 +4248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd14_url_curation": _dd14_url_curation,
         "dd15_line_dedup": _dd15_line_dedup,
         "q76_conversation_stats": _q76_conversation_stats,
+        "q77_stream_expr": _q77_stream_expr,
+        "q78_expr_join": _q78_expr_join,
     }
 
 
@@ -4927,4 +4995,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd14_url_curation": _DD14_SQL,
         "dd15_line_dedup": _DD15_SQL,
         "q76_conversation_stats": _Q76_SQL,
+        "q77_stream_expr": _Q77_SQL,
+        "q78_expr_join": _Q78_SQL,
     }

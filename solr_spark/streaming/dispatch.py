@@ -1,0 +1,477 @@
+"""Streaming-expression dispatcher: parsed expression tree -> DataFrame program.
+
+The reference side of this file is StreamFactory
+(solr/solrj-streaming/src/java/org/apache/solr/client/solrj/io/stream/expr/
+StreamFactory.java:219 constructStream — a registry mapping function names to
+TupleStream classes). Here the same registry maps names to builders over the
+already-implemented DataFrame operators (solr_spark.operators.*), so a user's
+expression STRING runs unchanged:
+
+    run_expression('rollup(search(tbl, q="f:v", fl="a,b", sort="a asc"), '
+                   'over="a", sum(b))', {"tbl": df})
+
+Collections resolve against a {name: DataFrame} dict — the Spark analog of a
+collection is any DataFrame (parquet table, Iceberg table, or a sub-program).
+`q`/`fq` strings go through the classic lucene parser (filter semantics,
+solr_spark.query.parser) and therefore push down to the scan; everything else
+is declarative Column algebra, so Catalyst still sees one whole plan per
+expression — the string front-end adds zero execution overhead.
+
+Per-function reference citations live on each handler. Not registered (with
+reasons): `let`/`tuple`/`list`/`get` (driver-side variable plumbing —
+Python variables do this), `daemon`/`topic`/`update`/`commit` (live in
+solr_spark.streaming.topic / solr_spark.indexing with checkpoint state that
+doesn't fit a pure-function dispatch), `parallel` (Spark IS the parallel
+executor; the workers= parameter has no analog), `jdbc` (spark.read.jdbc).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.query.parser import parse_query
+from solr_spark.operators import streams, windows
+from solr_spark.operators.graph import gather_nodes, shortest_path
+from solr_spark.streaming.exprparser import (
+    NamedParam, StreamExpr, parse_expression,
+)
+
+
+@dataclass
+class _Ctx:
+    collections: dict
+    default_field: str
+    text_fields: set | None
+
+
+# ---------------------------------------------------------------- helpers
+
+_SORT_PART = re.compile(r"^\s*([\w.()*]+)(?:\s+(asc|desc))?\s*$", re.I)
+
+
+def _sort_cols(spec: str) -> list[Column]:
+    """'a asc, b desc' -> [asc(a), desc(b)] (SortStream/StreamComparator)."""
+    cols = []
+    for part in spec.split(","):
+        m = _SORT_PART.match(part)
+        if not m:
+            raise ValueError(f"bad sort spec part: {part!r}")
+        c = F.col(m.group(1))
+        cols.append(c.desc() if (m.group(2) or "asc").lower() == "desc"
+                    else c.asc())
+    return cols
+
+
+def _fields(spec: str) -> list[str]:
+    return [f.strip() for f in spec.split(",") if f.strip()]
+
+
+_METRIC_FNS = {
+    "sum": F.sum, "min": F.min, "max": F.max,
+    "avg": F.avg, "mean": F.avg, "std": F.stddev_samp,
+    "countDist": F.count_distinct,
+}
+
+
+def _metric(e: StreamExpr) -> Column:
+    """One metric sub-expression -> aliased aggregate Column.
+
+    Reference: io/stream/metrics/{Sum,Min,Max,Mean,Count,Std,Per,CountDist}
+    Metric.java — the output tuple key is the literal metric text, e.g.
+    `sum(a_i)`; we keep that convention so expression users see the same
+    column names.
+    """
+    args = e.positional_values()
+    label = f"{e.name}({','.join(args)})"
+    if e.name == "count":
+        inner = F.lit(1) if args == ["*"] else F.col(args[0])
+        return F.count(inner).alias(label)
+    if e.name == "per":  # per(field, pct) -> exact percentile at batch scale
+        fld, pct = args[0], float(args[1])
+        return F.percentile(F.col(fld), F.lit(pct / 100.0)).alias(label)
+    fn = _METRIC_FNS.get(e.name)
+    if fn is None:
+        raise ValueError(f"unknown metric function: {e.name!r}")
+    return fn(args[0]).alias(label)
+
+
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+
+_ARITH = {"add": lambda a, b: a + b, "sub": lambda a, b: a - b,
+          "mult": lambda a, b: a * b, "div": lambda a, b: a / b,
+          "pow": lambda a, b: a ** b, "mod": lambda a, b: a % b}
+_BOOL = {"eq": lambda a, b: a == b, "gt": lambda a, b: a > b,
+         "lt": lambda a, b: a < b, "gteq": lambda a, b: a >= b,
+         "lteq": lambda a, b: a <= b}
+
+
+def _evaluator(node) -> Column:
+    """Evaluator sub-language -> Column (io/eval/*Evaluator.java).
+
+    Covers the arithmetic/boolean/conditional core used by select() and
+    having(); the ~150-strong math long tail lives as named Python functions
+    in solr_spark.functions.evaluators (documented split: expressions embed
+    the scalar core, programs call the vector/matrix evaluators directly).
+    """
+    if isinstance(node, str):
+        v = node.strip()
+        if _NUM_RE.match(v):
+            return F.lit(float(v) if "." in v else int(v))
+        return F.col(v)
+    assert isinstance(node, StreamExpr), node
+    args = [_evaluator(p) for p in node.params if not isinstance(p, NamedParam)]
+    name = node.name
+    if name in _ARITH:
+        out = args[0]
+        for a in args[1:]:
+            out = _ARITH[name](out, a)
+        return out
+    if name in _BOOL:
+        return _BOOL[name](args[0], args[1])
+    if name == "and":
+        out = args[0]
+        for a in args[1:]:
+            out = out & a
+        return out
+    if name == "or":
+        out = args[0]
+        for a in args[1:]:
+            out = out | a
+        return out
+    if name == "not":
+        return ~args[0]
+    if name == "abs":
+        return F.abs(args[0])
+    if name == "if":  # if(bool, then, else)
+        return F.when(args[0], args[1]).otherwise(args[2])
+    if name == "val":
+        return F.lit(node.positional_values()[0])
+    raise ValueError(f"unknown evaluator: {name!r}")
+
+
+def _input_stream(ctx: _Ctx, e: StreamExpr) -> DataFrame:
+    subs = e.sub_expressions()
+    if not subs:
+        raise ValueError(f"{e.name}() needs an input stream sub-expression")
+    return _dispatch(ctx, subs[0])
+
+
+def _collection(ctx: _Ctx, e: StreamExpr) -> DataFrame:
+    names = e.positional_values()
+    if not names:
+        raise ValueError(f"{e.name}() needs a collection name")
+    # facet("c1, c2", ...) reads several collections as one domain
+    parts = _fields(names[0])
+    df = ctx.collections[parts[0]]
+    for p in parts[1:]:
+        df = df.unionByName(ctx.collections[p], allowMissingColumns=True)
+    return df
+
+
+def _apply_q_fq(ctx: _Ctx, df: DataFrame, e: StreamExpr) -> DataFrame:
+    for q in (e.named("q") or []) + (e.named("fq") or []):
+        if q.strip() in ("*:*", ""):
+            continue
+        df = df.where(parse_query(q, ctx.default_field, ctx.text_fields))
+    return df
+
+
+def _join_keys(on: str) -> tuple[list[str], list[tuple[str, str]]]:
+    """'a=b, c' -> (same-name keys, [(left,right) renames])."""
+    same, renames = [], []
+    for part in _fields(on):
+        if "=" in part:
+            l, r = (s.strip() for s in part.split("=", 1))
+            renames.append((l, r))
+        else:
+            same.append(part)
+    return same, renames
+
+
+def _equi_join(ctx: _Ctx, e: StreamExpr, how: str) -> DataFrame:
+    left, right = (_dispatch(ctx, s) for s in e.sub_expressions()[:2])
+    same, renames = _join_keys(e.named1("on", ""))
+    for l, r in renames:
+        right = right.withColumnRenamed(r, l)
+    keys = same + [l for l, _ in renames]
+    return left.join(right, keys, how)
+
+
+# ---------------------------------------------------------------- handlers
+# Each cites the TupleStream it re-expresses (all under
+# solr/solrj-streaming/src/java/org/apache/solr/client/solrj/io/stream/).
+
+
+def _h_search(ctx, e):
+    """CloudSolrStream.java:73 / /export. q+fq compile to pushed-down
+    predicates; fl prunes the scan; sort=... maps to orderBy (the /export
+    sorted-stream contract)."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    fl = e.named1("fl")
+    sort = e.named1("sort")
+    rows = e.named1("rows")
+    df = streams.search(df, fl=_fields(fl) if fl else None,
+                        sort=_sort_cols(sort) if sort else None)
+    return df.limit(int(rows)) if rows else df
+
+
+def _h_select(ctx, e):
+    """SelectStream.java:46 — projection with `as` renames and evaluator
+    columns ('add(a,b) as total')."""
+    df = _input_stream(ctx, e)
+    cols = []
+    for part in e.positional_values():
+        m = re.split(r"\s+as\s+", part, maxsplit=1)
+        src = m[0].strip()
+        node = parse_expression(src) if src.endswith(")") else src
+        col = _evaluator(node)
+        cols.append(col.alias(m[1].strip()) if len(m) == 2 else col)
+    return df.select(*cols)
+
+
+def _h_top(ctx, e):
+    """RankStream.java:47 — bounded priority queue == TakeOrdered."""
+    return streams.top(_input_stream(ctx, e), int(e.named1("n")),
+                       _sort_cols(e.named1("sort")))
+
+
+def _h_unique(ctx, e):
+    """UniqueStream.java:44 — first tuple per over-key in stream order."""
+    inner = e.sub_expressions()[0]
+    sort = inner.named1("sort") if inner.name == "search" else None
+    return streams.unique(_input_stream(ctx, e), _fields(e.named1("over")),
+                          sort=_sort_cols(sort) if sort else None)
+
+
+def _h_sort(ctx, e):
+    """SortStream.java:43 — full re-sort (unlike top's bounded heap)."""
+    return _input_stream(ctx, e).orderBy(*_sort_cols(e.named1("by")))
+
+
+def _h_rollup(ctx, e):
+    """RollupStream.java:48 — group-by-over with metric accumulators; Spark's
+    hash aggregate does the same with map-side partial aggregation."""
+    df = _input_stream(ctx, e)
+    over = _fields(e.named1("over"))
+    metrics = [_metric(m) for m in e.sub_expressions()[1:]]
+    return df.groupBy(*over).agg(*metrics).orderBy(*over)
+
+
+def _h_facet(ctx, e):
+    """FacetStream.java:77 — JSON-facet push-down as an expression. bucketSorts
+    may reference a metric ('sum(a_i) desc') or 'index'."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    buckets = _fields(e.named1("buckets"))
+    metrics = [_metric(m) for m in e.sub_expressions()]
+    out = df.groupBy(*buckets).agg(*metrics)
+    sort_spec = e.named1("bucketSorts", "count(*) desc")
+    sorts = []
+    for part in _split_top(sort_spec):
+        name, _, direction = part.strip().rpartition(" ")
+        if not name:
+            name, direction = direction, "asc"
+        col = (F.col(buckets[0]) if name == "index"
+               else F.col(f"`{name}`"))
+        sorts.append(col.desc() if direction.lower() == "desc" else col.asc())
+    out = out.orderBy(*sorts)
+    limit = e.named1("bucketSizeLimit") or e.named1("rows")
+    return out.limit(int(limit)) if limit else out
+
+
+def _split_top(spec: str) -> list[str]:
+    """Split 'sum(a_i) desc, count(*) asc' on commas outside parens."""
+    parts, depth, cur = [], 0, []
+    for c in spec:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur)); cur = []
+        else:
+            cur.append(c)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _h_stats(ctx, e):
+    """StatsStream.java:52 — one-row global aggregate."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    return df.agg(*[_metric(m) for m in e.sub_expressions()])
+
+
+_GAP_UNITS = {"YEAR": "year", "MONTH": "month", "DAY": "day",
+              "HOUR": "hour", "MINUTE": "minute", "SECOND": "second"}
+_GAP_RE = re.compile(r"^\+?(\d+)([A-Z]+?)S?$")
+
+
+def _h_timeseries(ctx, e):
+    """TimeSeriesStream.java:55 — date-range facet. gap='+1DAY' etc.; only
+    unit gaps (+1X) map to date_trunc buckets, matching the gate corpus."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    fld = e.named1("field")
+    m = _GAP_RE.match(e.named1("gap", "+1DAY"))
+    n, unit = int(m.group(1)), _GAP_UNITS[m.group(2)]
+    if n != 1:
+        raise ValueError("only unit gaps (+1YEAR/+1DAY/...) are supported")
+    start, end = e.named1("start"), e.named1("end")
+    if start:
+        df = df.where(F.col(fld) >= F.lit(start).cast("timestamp"))
+    if end:
+        df = df.where(F.col(fld) <= F.lit(end).cast("timestamp"))
+    metrics = [_metric(mm) for mm in e.sub_expressions()]
+    bucket = F.date_trunc(unit, F.col(fld)).alias(fld)
+    return df.groupBy(bucket).agg(*metrics).orderBy(fld)
+
+
+def _h_merge(ctx, e):
+    """MergeStream.java:46 — merge already-sorted streams on a comparator;
+    union + orderBy yields the identical sequence."""
+    subs = [_dispatch(ctx, s) for s in e.sub_expressions()]
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy(*_sort_cols(e.named1("on")))
+
+
+def _h_having(ctx, e):
+    """HavingStream.java:42 — boolean-evaluator filter over tuples."""
+    bool_expr = e.sub_expressions()[1]
+    return _input_stream(ctx, e).where(_evaluator(bool_expr))
+
+
+def _h_reduce(ctx, e):
+    """ReduceStream.java:39 with GroupOperation — top-n per by-key."""
+    group = next(s for s in e.sub_expressions() if s.name == "group")
+    df = _input_stream(ctx, e)
+    by = _fields(e.named1("by"))
+    return windows.group_top_n(df, by[0], _sort_cols(group.named1("sort")),
+                               int(group.named1("n"))).drop("group_rank")
+
+
+def _h_fetch(ctx, e):
+    """FetchStream.java:53 — batched lookup enrich; broadcast lookup join."""
+    dim = _collection(ctx, e)
+    stream = _input_stream(ctx, e)
+    same, renames = _join_keys(e.named1("on", ""))
+    for l, r in renames:
+        dim = dim.withColumnRenamed(r, l)
+    keys = same + [l for l, _ in renames]
+    return streams.fetch(stream, dim, keys, _fields(e.named1("fl")))
+
+
+def _h_cartesian(ctx, e):
+    """CartesianProductStream.java:47 — unnest a multivalued field."""
+    fld = e.positional_values()[0]
+    out = streams.cartesian_product(_input_stream(ctx, e), fld, fld)
+    sort = e.named1("productSort")
+    return out.orderBy(*_sort_cols(sort)) if sort else out
+
+
+def _h_gather_nodes(ctx, e):
+    """GatherNodesStream.java:63 — one breadth-first expansion per call.
+    Seed form: walk="rootValue->fromField"; stream form: walk="col->fromField"
+    with an inner stream providing the seed column."""
+    edges = _collection(ctx, e)
+    seed, from_col = (s.strip() for s in e.named1("walk").split("->"))
+    to_col = e.named1("gather")
+    subs = e.sub_expressions()
+    if subs:
+        roots = _dispatch(ctx, subs[0]).select(F.col(seed).alias("node"))
+    else:
+        roots = edges.sparkSession.createDataFrame([(seed,)], ["node"])
+        roots = roots.select(F.col("node").cast(edges.schema[from_col].dataType))
+    out = gather_nodes(edges, roots, from_col, to_col, levels=1)
+    return out.select(F.col("node").alias(to_col), "level").orderBy(to_col)
+
+
+def _h_shortest_path(ctx, e):
+    """ShortestPathStream.java:59 — level-synchronous BFS; returns one row per
+    path hop (path as ordered rows, the tuple-stream analog of its path lists)."""
+    edges = _collection(ctx, e)
+    from_col, to_col = (s.strip() for s in e.named1("edge").split("="))
+    src = e.named1("from")
+    dst = e.named1("to")
+    typ = edges.schema[from_col].dataType
+    import pyspark.sql.types as T
+    if not isinstance(typ, T.StringType):
+        src, dst = int(src), int(dst)
+    path = shortest_path(edges, src, dst, from_col, to_col,
+                         max_depth=int(e.named1("maxDepth", 10)))
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(path)],
+        f"hop INT, node {'STRING' if isinstance(typ, T.StringType) else 'BIGINT'}",
+    )
+
+
+def _h_echo(ctx, e):
+    """EchoStream.java:36."""
+    txt = e.positional_values()[0]
+    any_df = next(iter(ctx.collections.values()))
+    return any_df.sparkSession.createDataFrame([(txt,)], ["echo"])
+
+
+_HANDLERS = {
+    "search": _h_search,
+    "select": _h_select,
+    "top": _h_top,
+    "unique": _h_unique,
+    "sort": _h_sort,
+    "rollup": _h_rollup,
+    "hashRollup": _h_rollup,
+    "facet": _h_facet,
+    "stats": _h_stats,
+    "timeseries": _h_timeseries,
+    "merge": _h_merge,
+    "having": _h_having,
+    "reduce": _h_reduce,
+    "fetch": _h_fetch,
+    "cartesianProduct": _h_cartesian,
+    "innerJoin": lambda c, e: _equi_join(c, e, "inner"),
+    "leftOuterJoin": lambda c, e: _equi_join(c, e, "left"),
+    "fullOuterJoin": lambda c, e: _equi_join(c, e, "full"),
+    "intersect": lambda c, e: streams.intersect(
+        _dispatch(c, e.sub_expressions()[0]), _dispatch(c, e.sub_expressions()[1]),
+        _fields(e.named1("on"))),
+    "complement": lambda c, e: streams.complement(
+        _dispatch(c, e.sub_expressions()[0]), _dispatch(c, e.sub_expressions()[1]),
+        _fields(e.named1("on"))),
+    "hashJoin": lambda c, e: _h_hash_join(c, e),
+    "gatherNodes": _h_gather_nodes,
+    "nodes": _h_gather_nodes,
+    "shortestPath": _h_shortest_path,
+    "echo": _h_echo,
+}
+
+
+def _h_hash_join(ctx, e):
+    """HashJoinStream.java:46 — hashed= side read into memory == broadcast."""
+    full = _input_stream(ctx, e)
+    hashed = _dispatch(ctx, e.named1("hashed"))
+    same, renames = _join_keys(e.named1("on", ""))
+    for l, r in renames:
+        hashed = hashed.withColumnRenamed(r, l)
+    return streams.hash_join(full, hashed, same + [l for l, _ in renames])
+
+
+def _dispatch(ctx: _Ctx, e: StreamExpr) -> DataFrame:
+    h = _HANDLERS.get(e.name)
+    if h is None:
+        raise ValueError(f"unknown stream function: {e.name!r} "
+                         f"(registered: {sorted(_HANDLERS)})")
+    return h(ctx, e)
+
+
+def run_expression(expr: str | StreamExpr, collections: dict,
+                   default_field: str = "text",
+                   text_fields: set | None = None) -> DataFrame:
+    """Evaluate a streaming-expression string against named DataFrames."""
+    if isinstance(expr, str):
+        expr = parse_expression(expr)
+    return _dispatch(_Ctx(collections, default_field, text_fields), expr)

@@ -1,0 +1,266 @@
+"""Streaming-expression parser + dispatcher tests.
+
+Parser grammar cases mirror solr/solrj-streaming/src/test/org/apache/solr/
+client/solrj/io/stream/expr/StreamExpressionParserTest.java; dispatcher cases
+check string programs against the equivalent direct DataFrame programs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.streaming.exprparser import (
+    ExpressionSyntaxError, NamedParam, StreamExpr, parse_expression,
+)
+from solr_spark.streaming.dispatch import run_expression
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parse_simple_function():
+    e = parse_expression("unique(over=a)")
+    assert e.name == "unique"
+    assert e.named1("over") == "a"
+
+
+def test_parse_positional_and_named():
+    e = parse_expression('search(coll1, q="a:b", fl="x,y", sort="x asc")')
+    assert e.positional_values() == ["coll1"]
+    assert e.named1("q") == "a:b"
+    assert e.named1("fl") == "x,y"
+
+
+def test_parse_nested_expressions():
+    e = parse_expression("top(n=3, search(c, q=*:*, sort=\"f asc\"), sort=\"f desc\")")
+    assert e.name == "top"
+    assert e.named1("n") == "3"
+    subs = e.sub_expressions()
+    assert len(subs) == 1 and subs[0].name == "search"
+
+
+def test_parse_repeatable_named_params():
+    e = parse_expression('search(c, q=*:*, fq="a:1", fq="b:2", sort="a asc")')
+    assert e.named("fq") == ["a:1", "b:2"]
+
+
+def test_parse_escaped_quotes_inside_value():
+    e = parse_expression('search(c, q="t:\\"hello world\\"", sort="a asc")')
+    assert e.named1("q") == 't:"hello world"'
+
+
+def test_parse_commas_and_parens_inside_quotes():
+    e = parse_expression('search(c, q="a:(x OR y), b:z", sort="a asc")')
+    assert e.named1("q") == "a:(x OR y), b:z"
+    assert len(e.sub_expressions()) == 0
+
+
+def test_parse_backtick_as_quote():
+    # backticks become embedded double-quotes (used INSIDE an outer quoted
+    # value, e.g. a phrase query) — StreamExpressionParser.java:136-146
+    e = parse_expression('search(c, q="t:`hello world`", sort="a asc")')
+    assert e.named1("q") == 't:"hello world"'
+
+
+def test_parse_comment_lines_stripped():
+    e = parse_expression("# a comment\nrollup(\n# another\nsearch(c), over=a, sum(b))")
+    assert e.name == "rollup"
+    assert [s.name for s in e.sub_expressions()] == ["search", "sum"]
+
+
+def test_parse_metric_star():
+    e = parse_expression("rollup(search(c), over=a, count(*))")
+    m = e.sub_expressions()[1]
+    assert m.name == "count" and m.positional_values() == ["*"]
+
+
+def test_parse_named_nested_expression():
+    e = parse_expression("hashJoin(search(a), hashed=search(b), on=k)")
+    h = e.named1("hashed")
+    assert isinstance(h, StreamExpr) and h.name == "search"
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ExpressionSyntaxError):
+        parse_expression("not an expression")
+    with pytest.raises(ExpressionSyntaxError):
+        parse_expression("fn(unbalanced")
+
+
+# --------------------------------------------------------------- dispatcher
+
+@pytest.fixture(scope="module")
+def colls(spark):
+    return {n: spark.read.parquet(f"{SF_DIR}/{n}.parquet")
+            for n in ("orders", "customer", "lineitem", "events", "nation",
+                      "region")}
+
+
+def test_dispatch_search_filters_and_projects(colls):
+    out = run_expression(
+        'search(orders, q="o_orderstatus:F", fq="o_totalprice:[100000 TO *]", '
+        'fl="o_orderkey,o_totalprice", sort="o_orderkey asc")', colls)
+    assert out.columns == ["o_orderkey", "o_totalprice"]
+    rows = out.collect()
+    assert rows and all(r.o_totalprice >= 100000 for r in rows)
+    direct = colls["orders"].where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 100000))
+    assert len(rows) == direct.count()
+
+
+def test_dispatch_rollup_matches_groupby(colls):
+    out = run_expression(
+        'rollup(search(lineitem, q=*:*, fl="l_returnflag,l_quantity", '
+        'sort="l_returnflag asc"), over="l_returnflag", sum(l_quantity), count(*))',
+        colls).collect()
+    direct = {r["l_returnflag"]: (r["s"], r["n"]) for r in
+              colls["lineitem"].groupBy("l_returnflag")
+              .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert {r["l_returnflag"]: (r["sum(l_quantity)"], r["count(*)"])
+            for r in out} == direct
+
+
+def test_dispatch_top_and_having(colls):
+    out = run_expression(
+        'top(n=5, having(search(orders, q=*:*, fl="o_orderkey,o_totalprice", '
+        'sort="o_orderkey asc"), gt(o_totalprice, 400000)), '
+        'sort="o_totalprice desc")', colls).collect()
+    assert len(out) == 5
+    assert all(r.o_totalprice > 400000 for r in out)
+    prices = [r.o_totalprice for r in out]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_dispatch_inner_join_rename_keys(colls):
+    out = run_expression(
+        'innerJoin(search(orders, q=*:*, fl="o_orderkey,o_custkey", '
+        'sort="o_custkey asc"), search(customer, q=*:*, fl="c_custkey,c_name", '
+        'sort="c_custkey asc"), on="o_custkey=c_custkey")', colls)
+    assert "c_name" in out.columns and "c_custkey" not in out.columns
+    assert out.count() == colls["orders"].count()  # every order has a customer
+
+
+def test_dispatch_select_evaluator_and_rename(colls):
+    out = run_expression(
+        'select(search(orders, q=*:*, fl="o_orderkey,o_totalprice", '
+        'sort="o_orderkey asc"), o_orderkey as okey, '
+        'div(o_totalprice, 1000) as kprice)', colls)
+    assert out.columns == ["okey", "kprice"]
+    row = out.orderBy("okey").first()
+    base = colls["orders"].orderBy("o_orderkey").first()
+    assert row.kprice == pytest.approx(base.o_totalprice / 1000)
+
+
+def test_dispatch_unique_first_wins(colls):
+    out = run_expression(
+        'unique(search(orders, q=*:*, fl="o_custkey,o_orderkey", '
+        'sort="o_custkey asc, o_orderkey asc"), over="o_custkey")', colls)
+    rows = out.collect()
+    direct = (colls["orders"].groupBy("o_custkey")
+              .agg(F.min("o_orderkey").alias("o_orderkey")).collect())
+    assert {(r.o_custkey, r.o_orderkey) for r in rows} == \
+           {(r.o_custkey, r.o_orderkey) for r in direct}
+
+
+def test_dispatch_facet_bucket_sorts_by_metric(colls):
+    out = run_expression(
+        'facet(orders, q="*:*", buckets="o_orderpriority", '
+        'bucketSorts="sum(o_totalprice) desc", bucketSizeLimit=3, '
+        'sum(o_totalprice), count(*))', colls).collect()
+    assert len(out) == 3
+    sums = [r["sum(o_totalprice)"] for r in out]
+    assert sums == sorted(sums, reverse=True)
+
+
+def test_dispatch_stats_single_row(colls):
+    out = run_expression(
+        'stats(orders, q="*:*", sum(o_totalprice), min(o_totalprice), '
+        'max(o_totalprice), avg(o_totalprice), count(*))', colls).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["min(o_totalprice)"] <= r["avg(o_totalprice)"] <= r["max(o_totalprice)"]
+
+
+def test_dispatch_merge_union_sorted(colls):
+    out = run_expression(
+        'merge(search(orders, q="o_orderstatus:F", fl="o_orderkey", sort="o_orderkey asc"), '
+        'search(orders, q="o_orderstatus:O", fl="o_orderkey", sort="o_orderkey asc"), '
+        'on="o_orderkey asc")', colls)
+    keys = [r.o_orderkey for r in out.collect()]
+    assert keys == sorted(keys)
+
+
+def test_dispatch_intersect_complement(colls):
+    inter = run_expression(
+        'intersect(search(orders, q="o_orderstatus:F", fl="o_custkey", sort="o_custkey asc"), '
+        'search(orders, q="o_orderstatus:O", fl="o_custkey", sort="o_custkey asc"), '
+        'on="o_custkey")', colls)
+    comp = run_expression(
+        'complement(search(orders, q="o_orderstatus:F", fl="o_custkey", sort="o_custkey asc"), '
+        'search(orders, q="o_orderstatus:O", fl="o_custkey", sort="o_custkey asc"), '
+        'on="o_custkey")', colls)
+    f_keys = {r.o_custkey for r in colls["orders"]
+              .where(F.col("o_orderstatus") == "F").select("o_custkey").collect()}
+    o_keys = {r.o_custkey for r in colls["orders"]
+              .where(F.col("o_orderstatus") == "O").select("o_custkey").collect()}
+    assert {r.o_custkey for r in inter.collect()} == f_keys & o_keys
+    assert {r.o_custkey for r in comp.collect()} == f_keys - o_keys
+
+
+def test_dispatch_hash_join_broadcasts(colls):
+    out = run_expression(
+        'hashJoin(search(orders, q=*:*, fl="o_orderkey,o_custkey", sort="o_orderkey asc"), '
+        'hashed=search(customer, q=*:*, fl="c_custkey,c_nationkey", sort="c_custkey asc"), '
+        'on="o_custkey=c_custkey")', colls)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dispatch_timeseries(colls):
+    out = run_expression(
+        'timeseries(events, q="*:*", field="ts", start="2024-01-01", '
+        'end="2024-12-31", gap="+1MONTH", count(*))', colls).collect()
+    assert out and all(r["count(*)"] > 0 for r in out)
+
+
+def test_dispatch_reduce_group_topn(colls):
+    out = run_expression(
+        'reduce(search(orders, q=*:*, fl="o_custkey,o_orderkey,o_totalprice", '
+        'sort="o_custkey asc"), by="o_custkey", '
+        'group(sort="o_totalprice desc", n="2"))', colls)
+    counts = out.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert counts <= 2
+
+
+def test_dispatch_cartesian_product(spark, colls):
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])], ["id", "vals"])
+    out = run_expression(
+        'cartesianProduct(search(arr, q=*:*, sort="id asc"), vals)',
+        {**colls, "arr": df})
+    assert out.count() == 3
+
+
+def test_dispatch_shortest_path(spark, colls):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("c", "e")],
+        ["src", "dst"])
+    out = run_expression(
+        'shortestPath(g, from="a", to="e", edge="src=dst", maxDepth=5)',
+        {**colls, "g": edges}).collect()
+    assert [r.node for r in out][0] == "a"
+    assert [r.node for r in out][-1] == "e"
+    assert len(out) == 4
+
+
+def test_dispatch_gather_nodes_seed(spark, colls):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d")], ["from_id", "to_id"])
+    out = run_expression(
+        'gatherNodes(g, walk="a->from_id", gather="to_id")',
+        {**colls, "g": edges}).collect()
+    assert {r.to_id for r in out} == {"b", "c"}
+
+
+def test_dispatch_unknown_function_raises(colls):
+    with pytest.raises(ValueError, match="unknown stream function"):
+        run_expression("daemonize(search(orders, sort=\"o_orderkey asc\"))", colls)
