@@ -3340,6 +3340,83 @@ FROM run ORDER BY doc_id
 """
 
 
+def _dd16_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled domain mixing (multilingual rebalancing rule
+    p_d ~ n_d^alpha; solr_spark/functions/sampling.py::
+    temperature_mixture_sample): quota-sample ~120 docs across languages
+    with alpha=0.5 — the tail languages are up-sampled vs their natural
+    share; quotas are integer-portable (per-domain sqrt quantized to an
+    integer weight, then pure BIGINT arithmetic) so any engine agrees."""
+    from solr_spark.functions.sampling import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_mixture_sample(docs, "doc_id", "lang",
+                                       budget=120, alpha=0.5)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+_DD16_SQL = """
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n,
+         CAST(floor(sqrt(n::DOUBLE) * 10000 + 0.5) AS BIGINT) AS wi
+  FROM c
+),
+q AS (
+  SELECT lang, least(n, (120 * wi) // (SELECT sum(wi) FROM w)) AS quota
+  FROM w
+),
+u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 4294967296.0 AS u
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS r
+  FROM u
+)
+SELECT rk.doc_id, rk.lang FROM rk JOIN q USING (lang)
+WHERE rk.r <= q.quota ORDER BY doc_id
+"""
+
+
+def _dd17_chunk_windows(spark, sf_dir):
+    """Sliding token-window chunking (long-document -> training-sequence
+    splitter; solr_spark/functions/sampling.py::chunk_token_windows):
+    64-token windows advancing by 48 (16-token overlap), closed-form
+    integer chunk count, narrow explode plan — no shuffle, no Python."""
+    from solr_spark.functions.sampling import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return (chunk_token_windows(docs, "doc_id", "text",
+                                window=64, stride=48)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+_DD17_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+nc AS (
+  SELECT doc_id, toks, 1 + (greatest(n - 64, 0) + 47) // 48 AS n_chunks
+  FROM c
+),
+x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM nc)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+       len(list_slice(toks, i*48 + 1, i*48 + 64))::BIGINT AS chunk_tokens,
+       array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ')
+           AS chunk_text
+FROM x ORDER BY doc_id, chunk_idx
+"""
+
+
 def _ft25_word_delimiter(spark, sf_dir):
     """WordDelimiterGraphFilter role (text_en_splitting chain:
     WhitespaceTokenizer + WordDelimiterGraphFilter + LowerCase + Stop;
@@ -4250,6 +4327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_conversation_stats": _q76_conversation_stats,
         "q77_stream_expr": _q77_stream_expr,
         "q78_expr_join": _q78_expr_join,
+        "dd16_temperature_mixture": _dd16_temperature_mixture,
+        "dd17_chunk_windows": _dd17_chunk_windows,
     }
 
 
@@ -4997,4 +5076,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q76_conversation_stats": _Q76_SQL,
         "q77_stream_expr": _Q77_SQL,
         "q78_expr_join": _Q78_SQL,
+        "dd16_temperature_mixture": _DD16_SQL,
+        "dd17_chunk_windows": _DD17_SQL,
     }

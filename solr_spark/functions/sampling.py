@@ -144,3 +144,114 @@ def token_budget_packs(df: DataFrame, id_col: str, text_col: str,
                           F.floor(F.col("__before") / F.lit(budget))
                            .cast("long"))
               .select(*out_cols))
+
+
+def temperature_mixture_sample(df: DataFrame, key: Column | str,
+                               domain_col: str, budget: int,
+                               alpha: float = 0.5,
+                               weight_scale: int = 10_000) -> DataFrame:
+    """Temperature-scaled domain mixing: sample ~`budget` documents with
+    per-domain quotas proportional to n_d^alpha — the multilingual /
+    multi-source rebalancing rule (alpha=1 keeps natural proportions,
+    alpha=0 gives uniform domains, alpha~0.3-0.7 up-samples the tail)
+    used to set pretraining mixture weights from corpus counts.
+
+    Role beyond the reference (training-pipeline op): the reference's
+    `random` stream source (solrj-streaming RandomFacadeStream.java) is
+    session-random; this is its deterministic, mixture-weighted analog.
+
+    Engine-portable by construction: the only float step is n_d^alpha,
+    quantized PER DOMAIN to an integer weight w_d = floor(n_d^alpha *
+    weight_scale + 0.5) (per-value, order-free; alpha=0.5 uses sqrt, which
+    IEEE requires correctly rounded, so every engine agrees bit-for-bit).
+    Quotas are then pure integer arithmetic — quota_d = min(n_d,
+    (budget * w_d) div sum(w_d)) — and membership is the md5-fraction rank
+    used across this module, so the sample is stable under reruns,
+    repartitioning, and engines, and nests as budget grows only via quota
+    monotonicity per domain.
+
+    Plan shape: one groupBy(domain) count (tiny), a broadcast join of the
+    quota table back onto the md5-ranked corpus, one window exchange on
+    domain. floor-division under-allocates at most one doc per domain
+    (no largest-remainder pass — keeps the rule closed-form in SQL).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    kcol = key if isinstance(key, Column) else F.col(key)
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    nd = F.col("__n").cast("double")
+    scaled = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(float(alpha)))
+    weights = counts.withColumn(
+        "__w", F.floor(scaled * F.lit(float(weight_scale)) + F.lit(0.5))
+                .cast("long"))
+    # Global weight total via an empty-frame window — the quota table is one
+    # row per domain (tiny), so the single-partition window is free and keeps
+    # the plan fully declarative (no driver collect, no self-join lineage).
+    # NB: "__wtot", not "__W" — Spark resolution is case-insensitive, so a
+    # name differing from "__w" only in case would silently replace it.
+    quotas = (weights.withColumn("__wtot", F.sum("__w").over(
+                  Window.partitionBy()))
+              .withColumn("__quota",
+                          F.least(F.col("__n"),
+                                  F.expr(f"({budget} * __w) div __wtot")))
+              .select(domain_col, "__quota"))
+    u = split_fraction_col(key)
+    w = (Window.partitionBy(domain_col)
+               .orderBy(F.asc("__u"), kcol.asc()))
+    ranked = (df.withColumn("__u", u)
+                .withColumn("__rk", F.row_number().over(w)))
+    return (ranked.join(F.broadcast(quotas), domain_col)
+                  .where(F.col("__rk") <= F.col("__quota"))
+                  .drop("__u", "__rk", "__quota"))
+
+
+def chunk_token_windows(df: DataFrame, id_col: str, text_col: str,
+                        window: int, stride: int | None = None) -> DataFrame:
+    """Sliding token-window chunking: split each document's whitespace
+    token sequence into windows of `window` tokens advancing by `stride`
+    (stride < window overlaps; stride == window tiles) — the long-document
+    -> training-sequence splitter that feeds sequence packing.
+
+    Semantics (closed-form, integer-only, so any engine reproduces it):
+    a document with n > 0 tokens yields n_chunks = 1 + ceil(max(0, n -
+    window) / stride) chunks; chunk i covers tokens [i*stride, i*stride +
+    window) (the last window is short rather than re-aligned — no token is
+    dropped and none duplicated beyond the declared overlap). Empty
+    documents yield no chunks.
+
+    Plan shape: one projection + explode(sequence(...)) — narrow, no
+    shuffle, no Python; the token array is built once per row and sliced
+    per chunk JVM-side. At 100 TB this is the shape you want: chunking is
+    embarrassingly parallel and columnar end-to-end.
+
+    Output: id, chunk_idx (long), chunk_tokens (long), chunk_text.
+    """
+    from solr_spark.functions.textanalysis import whitespace_tokens
+
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    stride = window if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = whitespace_tokens(text_col)
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+              .withColumn("__n", F.size("__toks"))
+              .where(F.col("__n") > 0)
+              .withColumn(
+                  "__nc",
+                  F.expr(f"1 + (greatest(__n - {window}, 0) + {stride - 1}) "
+                         f"div {stride}")))
+    piece = F.slice(F.col("__toks"),
+                    F.col("chunk_idx").cast("int") * stride + 1, window)
+    return (base.select(
+                F.col(id_col),
+                F.explode(F.sequence(F.lit(0).cast("long"),
+                                     F.col("__nc") - 1)).alias("chunk_idx"),
+                F.col("__toks"))
+            .select(F.col(id_col), "chunk_idx",
+                    F.size(piece).cast("long").alias("chunk_tokens"),
+                    F.array_join(piece, " ").alias("chunk_text")))

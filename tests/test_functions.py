@@ -906,3 +906,89 @@ def test_semantic_dedup(spark):
                   semantic_dedup(df, "vec_id", "embedding", 0.999,
                                  n_centroids=3, train=True).collect())
     assert kept == [0, 10, 20, 21]
+
+
+def test_temperature_mixture_sample(spark):
+    """alpha=0.5 up-samples tail domains vs natural share; alpha=1 keeps
+    them; quotas never exceed domain size; sample is md5-stable."""
+    from solr_spark.functions.sampling import temperature_mixture_sample
+
+    rows = ([(f"a{i}", "big") for i in range(90)]
+            + [(f"b{i}", "small") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id string, dom string")
+
+    got = temperature_mixture_sample(df, "doc_id", "dom", budget=20,
+                                     alpha=0.5).collect()
+    by = {}
+    for r in got:
+        by[r["dom"]] = by.get(r["dom"], 0) + 1
+    # sqrt weights: 90->94868, 10->31623; quotas floor(20*w/126491) = 14, 5
+    assert by == {"big": 14, "small": 5}
+
+    nat = temperature_mixture_sample(df, "doc_id", "dom", budget=20,
+                                     alpha=1.0).collect()
+    byn = {}
+    for r in nat:
+        byn[r["dom"]] = byn.get(r["dom"], 0) + 1
+    assert byn == {"big": 18, "small": 2}  # natural proportions
+
+    # budget larger than the corpus: quotas cap at domain size
+    allq = temperature_mixture_sample(df, "doc_id", "dom", budget=1000,
+                                      alpha=0.5).count()
+    assert allq == 100
+
+    # deterministic: same members on rerun
+    again = {r["doc_id"] for r in
+             temperature_mixture_sample(df, "doc_id", "dom", budget=20,
+                                        alpha=0.5).collect()}
+    assert again == {r["doc_id"] for r in got}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        temperature_mixture_sample(df, "doc_id", "dom", budget=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_sample(df, "doc_id", "dom", budget=5, alpha=-1)
+
+
+def test_chunk_token_windows(spark):
+    """Window/stride chunk math: counts, boundaries, overlap, tail, and
+    the no-token-dropped invariant; empty docs vanish."""
+    from solr_spark.functions.sampling import chunk_token_windows
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "one two"), (3, ""), (4, "   "), (5, "solo")],
+        "doc_id int, text string")
+
+    got = (chunk_token_windows(df, "doc_id", "text", window=4, stride=3)
+           .orderBy("doc_id", "chunk_idx").collect())
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: n=10, n_chunks = 1 + ceil(6/3) = 3 -> starts 0,3,6 (covers all)
+    c1 = by_doc[1]
+    assert [r["chunk_text"] for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r["chunk_tokens"] for r in c1] == [4, 4, 4]
+    # every token appears in some chunk
+    seen = set()
+    for r in c1:
+        seen.update(r["chunk_text"].split(" "))
+    assert seen == {f"t{i}" for i in range(10)}
+
+    assert [r["chunk_text"] for r in by_doc[2]] == ["one two"]  # short doc
+    assert 3 not in by_doc and 4 not in by_doc  # empty docs yield nothing
+    assert [r["chunk_tokens"] for r in by_doc[5]] == [1]
+
+    # tiling (stride == window): disjoint cover with a short tail
+    tiled = (chunk_token_windows(df.where("doc_id = 1"), "doc_id", "text",
+                                 window=4).orderBy("chunk_idx").collect())
+    assert [r["chunk_text"] for r in tiled] == [
+        "t0 t1 t2 t3", "t4 t5 t6 t7", "t8 t9"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        chunk_token_windows(df, "doc_id", "text", window=0)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_token_windows(df, "doc_id", "text", window=4, stride=0)
