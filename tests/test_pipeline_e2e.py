@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from solr_spark.config import IndexConfig
 from solr_spark.functions.dedup import decontaminate, drop_signature_duplicates
 from solr_spark.functions.sampling import (
+    chunk_token_windows,
     deterministic_split,
     stratified_quota_sample,
+    temperature_mixture_sample,
     token_budget_packs,
 )
 from solr_spark.functions.textanalysis import repetition_stats, token_count
@@ -62,6 +64,18 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
                 mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert per_lang and all(n <= 40 for n in per_lang.values())
 
+    # 4b. temperature mixture (alpha<1): tail languages gain share vs their
+    # natural proportion — the rebalancing knob next to hard quotas
+    nat = {r["lang"]: r["n"] for r in
+           clean.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    t_mix = temperature_mixture_sample(clean, "doc_id", "lang",
+                                       budget=150, alpha=0.5)
+    t_by = {r["lang"]: r["n"] for r in
+            t_mix.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_mix = sum(t_by.values())
+    tail = min(nat, key=nat.get)
+    assert t_by[tail] / n_mix > nat[tail] / sum(nat.values())
+
     # 5. stable split + 6. token-budget packing of the train split
     split = deterministic_split(mixed, "doc_id",
                                 {"train": 0.8, "val": 0.2})
@@ -71,6 +85,21 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     tot = packs.groupBy("lang", "pack_id") \
                .agg(F.sum("n_tokens").alias("t")).collect()
     assert all(r["t"] > 0 for r in tot)
+
+    # 6b. long docs chunk into bounded training sequences; chunks then pack
+    # like documents (chunk id = (doc, idx)) with no window ever overflowing
+    chunks = chunk_token_windows(train, "doc_id", "text",
+                                 window=128, stride=96)
+    assert chunks.where(F.col("chunk_tokens") > 128).count() == 0
+    assert chunks.select("doc_id").distinct().count() == train.count()
+    chunk_docs = chunks.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_idx").cast("string")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+        F.lit("all").alias("shard"))
+    cpacks = token_budget_packs(chunk_docs, "doc_id", "text", budget=400,
+                                shard_col="shard")
+    assert cpacks.count() == chunks.count()  # every chunk lands in a pack
 
     # 7. index the surviving train docs as transcript turns; query round-trip
     corpus = train.select(

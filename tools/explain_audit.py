@@ -306,6 +306,17 @@ def main() -> None:
         ["SortAggregate", "Exchange"],
         ["Window", "BatchEvalPython", "ArrowEvalPython"]))
 
+    # 20. token-window chunking: narrow explode plan — pruned 2-column scan,
+    # zero exchanges, no Python (the 100-TB splitter must stay map-only)
+    from solr_spark.functions.sampling import chunk_token_windows
+    ch20 = chunk_token_windows(t("documents"), "doc_id", "text",
+                               window=64, stride=48)
+    checks.append((
+        "chunk_token_windows: map-only explode, pruned scan, no shuffle",
+        plan_of(ch20),
+        ["Generate", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython", "Window"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
