@@ -4176,6 +4176,54 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+def _q79_json_request(spark, sf_dir):
+    """JSON Request API docs query (request/json/RequestUtil.java param
+    mapping; solr_spark/query/jsonapi.py::json_request): JSON body with
+    query + filter + fields + sort + offset/limit compiles to a pushed-
+    filter pruned scan + TakeOrderedAndProject."""
+    from solr_spark.query.jsonapi import json_request
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "text:join",
+           "filter": ["n_chars:[200 TO *]"],
+           "fields": ["doc_id", "lang", "n_chars"],
+           "sort": "n_chars desc, doc_id asc",
+           "offset": 2, "limit": 5}
+    return json_request(docs, req)
+
+
+_Q79_SQL = r"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE regexp_matches(text, '(^|\W)join(\W|$)') AND n_chars >= 200
+ORDER BY n_chars DESC, doc_id ASC LIMIT 5 OFFSET 2
+"""
+
+
+def _q80_json_facets(spark, sf_dir):
+    """JSON facet tree (search/facet/FacetParser.java; jsonapi.py::
+    json_facets): terms facet over the request's query+filter domain with
+    a nested string-shorthand stat and sort-by-nested-stat, top-3 cut."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "text:join",
+           "filter": "n_chars:[200 TO *]",
+           "facet": {"langs": {"type": "terms", "field": "lang", "limit": 3,
+                               "sort": "avg_chars desc",
+                               "facet": {"avg_chars": "avg(n_chars)"}}}}
+    return json_facets(docs, req)["langs"].select(
+        "bucket", F.col("count").cast("long").alias("count"), "avg_chars")
+
+
+_Q80_SQL = r"""
+SELECT lang AS bucket, count(*)::BIGINT AS count,
+       sum(n_chars)::DOUBLE / count(*) AS avg_chars
+FROM documents
+WHERE regexp_matches(text, '(^|\W)join(\W|$)') AND n_chars >= 200
+GROUP BY lang ORDER BY avg_chars DESC, bucket ASC LIMIT 3
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4329,6 +4377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_expr_join": _q78_expr_join,
         "dd16_temperature_mixture": _dd16_temperature_mixture,
         "dd17_chunk_windows": _dd17_chunk_windows,
+        "q79_json_request": _q79_json_request,
+        "q80_json_facets": _q80_json_facets,
     }
 
 
@@ -5078,4 +5128,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q78_expr_join": _Q78_SQL,
         "dd16_temperature_mixture": _DD16_SQL,
         "dd17_chunk_windows": _DD17_SQL,
+        "q79_json_request": _Q79_SQL,
+        "q80_json_facets": _Q80_SQL,
     }

@@ -1,0 +1,148 @@
+"""Solr JSON Request API over DataFrames.
+
+The reference's second query surface (next to URL params and streaming
+expressions): a JSON body ``{"query": ..., "filter": [...], "fields": [...],
+"sort": ..., "offset"/"limit": ..., "facet": {...}}`` parsed by
+solr/core/src/java/org/apache/solr/request/json/RequestUtil.java (param
+mapping json.query -> q, json.filter -> fq at :266-296) with the facet tree
+interpreted by search/facet/FacetParser.java (``type: terms|range|query``
+objects, string-shorthand aggregations like ``"avg(price)"`` at
+parseStringFacetOrStat).
+
+This module maps the same JSON shape onto the engine's existing pieces:
+query/filter strings go through the classic `lucene`-syntax parser to
+Catalyst predicates (pushed to the scan), facets dispatch to the
+operators.facets family (single-shuffle partial-agg plans), and the docs
+query is projection + TakeOrdered. Nothing here adds a new execution path —
+it is a request-shape adapter, so every request inherits the audited plans.
+
+Scored retrieval inside JSON requests (``{"query": {"bm25": ...}}``) is out
+of scope here: ranked search funnels through query.bm25 / query.edismax,
+which need an IndexReader, not a raw DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solr_spark.operators import facets as FC
+from solr_spark.query.parser import LuceneQueryParser
+
+_METRIC_RE = re.compile(r"(\w+)\(\s*(\w+)\s*\)")
+
+
+def _parse_metric(alias: str, spec: str) -> Column:
+    """``"avg(n_chars)"`` -> aliased aggregate Column (FacetParser's
+    string-shorthand stat)."""
+    m = _METRIC_RE.fullmatch(spec.strip())
+    if not m or m.group(1) not in FC._METRICS:
+        raise ValueError(f"unsupported facet stat {spec!r}")
+    name, col = m.groups()
+    return FC._METRICS[name](col).alias(alias)
+
+
+def _sort_cols(spec: str) -> list[Column]:
+    out = []
+    for part in spec.split(","):
+        name, _, direction = part.strip().partition(" ")
+        col = F.col(name)
+        out.append(col.desc() if direction.lower() == "desc" else col.asc())
+    return out
+
+
+def _domain(df: DataFrame, req: dict, parser: LuceneQueryParser) -> DataFrame:
+    """Apply query + filter strings as predicates (the fq/DocSet role)."""
+    out = df
+    q = req.get("query", "*:*")
+    if q and q != "*:*":
+        out = out.where(parser.parse(q))
+    filters = req.get("filter", [])
+    if isinstance(filters, str):
+        filters = [filters]
+    for f in filters:
+        out = out.where(parser.parse(f))
+    return out
+
+
+def json_request(df: DataFrame, request: dict | str,
+                 default_field: str = "text",
+                 text_fields: set[str] | None = None) -> DataFrame:
+    """Run the docs part of a JSON request: query/filter/fields/sort/
+    offset/limit. Filters compile to pushed-down Catalyst predicates;
+    sort+limit is TakeOrdered (no global sort materialization)."""
+    req = json.loads(request) if isinstance(request, str) else dict(request)
+    parser = LuceneQueryParser(default_field, text_fields or {default_field})
+    out = _domain(df, req, parser)
+    if "sort" in req:
+        out = out.orderBy(*_sort_cols(req["sort"]))
+    if "fields" in req:
+        out = out.select(*req["fields"])
+    offset = int(req.get("offset", 0))
+    if offset:
+        out = out.offset(offset)
+    if "limit" in req:
+        out = out.limit(int(req["limit"]))
+    return out
+
+
+def json_facets(df: DataFrame, request: dict | str,
+                default_field: str = "text",
+                text_fields: set[str] | None = None
+                ) -> dict[str, DataFrame]:
+    """Interpret the ``facet`` tree of a JSON request over the request's
+    query+filter domain. Returns {facet name: DataFrame} — one DataFrame
+    per top-level facet, matching the response sections the reference
+    emits (each is an independent single-pass aggregation plan).
+
+    Supported facet values (FacetParser.java surface):
+      * string shorthand ``"avg(col)"`` — one scalar stat row
+      * ``{"type": "terms", "field": ..., "limit", "sort", "mincount",
+        "allBuckets", "numBuckets", "missing", "prefix", "contains",
+        "facet": {alias: "stat(col)", ...}}``
+      * ``{"type": "range", "field", "start", "end", "gap"}``
+      * ``{"type": "query", "q": "..."}`` — any number of these fold into
+        query_facet's single conditional-aggregation pass per facet name
+    """
+    req = json.loads(request) if isinstance(request, str) else dict(request)
+    parser = LuceneQueryParser(default_field, text_fields or {default_field})
+    dom = _domain(df, req, parser)
+    out: dict[str, DataFrame] = {}
+    for name, spec in req.get("facet", {}).items():
+        if isinstance(spec, str):
+            out[name] = dom.agg(_parse_metric(name, spec))
+            continue
+        ftype = spec.get("type")
+        if ftype == "terms":
+            metrics = [_parse_metric(a, s)
+                       for a, s in spec.get("facet", {}).items()]
+            out[name] = FC.terms_facet(
+                dom, spec["field"], limit=int(spec.get("limit", 10)),
+                metrics=metrics, min_count=int(spec.get("mincount", 1)),
+                sort=spec.get("sort"),
+                all_buckets=bool(spec.get("allBuckets", False)),
+                num_buckets=bool(spec.get("numBuckets", False)),
+                missing=bool(spec.get("missing", False)),
+                prefix=spec.get("prefix"), contains=spec.get("contains"))
+        elif ftype == "range":
+            metrics = [_parse_metric(a, s)
+                       for a, s in spec.get("facet", {}).items()]
+            ranged = FC.range_facet(dom, spec["field"],
+                                    float(spec["start"]),
+                                    float(spec["gap"]), metrics=metrics)
+            if "end" in spec:
+                ranged = ranged.where(
+                    F.col("bucket_start") < float(spec["end"]))
+            out[name] = ranged
+        elif ftype == "query":
+            out[name] = FC.query_facet(dom, {name: parser.parse(spec["q"])})
+        else:
+            raise ValueError(f"unsupported facet type {ftype!r} for {name!r}")
+    return out
+
+
+__all__ = ["json_request", "json_facets"]

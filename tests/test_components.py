@@ -741,3 +741,49 @@ def test_suggest_freetext(spark):
 
     with _pytest.raises(ValueError):
         suggest_freetext(df, "text", "   ")
+
+
+def test_json_request_api(spark):
+    """JSON Request API adapter: query/filter/fields/sort/offset/limit plus
+    the facet tree (terms with nested stat, range with end cut, query,
+    string-shorthand scalar), and unsupported-spec errors."""
+    from solr_spark.query.jsonapi import json_facets, json_request
+
+    df = spark.createDataFrame(
+        [(1, "alpha join beta", "en", 10), (2, "join gamma", "fr", 30),
+         (3, "no match here", "en", 50), (4, "join join", "fr", 20),
+         (5, "outer join inner", "en", 40)],
+        "doc_id int, text string, lang string, n int")
+
+    got = json_request(df, {"query": "text:join", "filter": "n:[15 TO *]",
+                            "fields": ["doc_id", "n"],
+                            "sort": "n desc", "offset": 1, "limit": 2})
+    assert [(r["doc_id"], r["n"]) for r in got.collect()] == [(2, 30), (4, 20)]
+
+    # a JSON *string* body parses too; *:* matches everything
+    assert json_request(df, '{"query": "*:*", "limit": 100}').count() == 5
+
+    fs = json_facets(df, {
+        "query": "text:join",
+        "facet": {
+            "langs": {"type": "terms", "field": "lang", "limit": 5,
+                      "sort": "sum_n desc",
+                      "facet": {"sum_n": "sum(n)"}},
+            "sizes": {"type": "range", "field": "n", "start": 0, "gap": 25,
+                      "end": 50},
+            "big": {"type": "query", "q": "n:[25 TO *]"},
+            "total_n": "sum(n)",
+        }})
+    langs = [(r["bucket"], r["count"], r["sum_n"]) for r in
+             fs["langs"].collect()]
+    assert langs == [("en", 2, 50), ("fr", 2, 50)]  # tie -> bucket asc
+    sizes = {r["bucket_start"]: r["count"] for r in fs["sizes"].collect()}
+    assert sizes == {0.0: 2, 25.0: 2}  # n=10,20 | n=30,40
+    assert fs["big"].collect()[0]["count"] == 2
+    assert fs["total_n"].collect()[0]["total_n"] == 100
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported facet stat"):
+        json_facets(df, {"facet": {"bad": "median(n)"}})
+    with _pytest.raises(ValueError, match="unsupported facet type"):
+        json_facets(df, {"facet": {"bad": {"type": "heatmap"}}})
