@@ -4224,6 +4224,47 @@ GROUP BY lang ORDER BY avg_chars DESC, bucket ASC LIMIT 3
 """
 
 
+def _q81_json_subfacet(spark, sf_dir):
+    """Terms-in-terms sub-facet recursion through the JSON facet tree
+    (FacetRequest.java processSubs; jsonapi.py::json_facets): top-3 langs
+    x top-2 sources per lang over the filtered domain, as one two-exchange
+    facet_2d plan — no per-bucket re-query."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "text:join",
+           "facet": {"langs": {
+               "type": "terms", "field": "lang", "limit": 3,
+               "facet": {"srcs": {"type": "terms", "field": "source",
+                                  "limit": 2}}}}}
+    return json_facets(docs, req)["langs"].select(
+        "bucket", "srcs", F.col("count").cast("long").alias("count"))
+
+
+_Q81_SQL = r"""
+WITH dom AS (
+  SELECT lang, source FROM documents
+  WHERE regexp_matches(text, '(^|\W)join(\W|$)')
+),
+cell AS (
+  SELECT lang, source, count(*)::BIGINT AS count
+  FROM dom GROUP BY lang, source
+),
+topx AS (
+  SELECT lang, sum(count) AS xtot FROM cell GROUP BY lang
+  ORDER BY xtot DESC, lang ASC LIMIT 3
+),
+ranked AS (
+  SELECT c.lang, c.source, c.count,
+         row_number() OVER (PARTITION BY c.lang
+                            ORDER BY c.count DESC, c.source ASC) AS rn
+  FROM cell c JOIN topx USING (lang)
+)
+SELECT lang AS bucket, source AS srcs, count
+FROM ranked WHERE rn <= 2 ORDER BY bucket, srcs
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4379,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd17_chunk_windows": _dd17_chunk_windows,
         "q79_json_request": _q79_json_request,
         "q80_json_facets": _q80_json_facets,
+        "q81_json_subfacet": _q81_json_subfacet,
     }
 
 
@@ -5130,4 +5172,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd17_chunk_windows": _DD17_SQL,
         "q79_json_request": _Q79_SQL,
         "q80_json_facets": _Q80_SQL,
+        "q81_json_subfacet": _Q81_SQL,
     }

@@ -103,7 +103,10 @@ def json_facets(df: DataFrame, request: dict | str,
       * string shorthand ``"avg(col)"`` — one scalar stat row
       * ``{"type": "terms", "field": ..., "limit", "sort", "mincount",
         "allBuckets", "numBuckets", "missing", "prefix", "contains",
-        "facet": {alias: "stat(col)", ...}}``
+        "facet": {alias: "stat(col)", ...}}`` — the nested ``facet`` dict
+        may also hold ONE ``{"type": "terms"}`` sub-facet (terms-in-terms
+        recursion, FacetRequest.processSubs), which compiles to the
+        two-exchange facet_2d plan (columns: bucket, <subname>, count)
       * ``{"type": "range", "field", "start", "end", "gap"}``
       * ``{"type": "query", "q": "..."}`` — any number of these fold into
         query_facet's single conditional-aggregation pass per facet name
@@ -118,8 +121,30 @@ def json_facets(df: DataFrame, request: dict | str,
             continue
         ftype = spec.get("type")
         if ftype == "terms":
-            metrics = [_parse_metric(a, s)
-                       for a, s in spec.get("facet", {}).items()]
+            stats = {a: s for a, s in spec.get("facet", {}).items()
+                     if isinstance(s, str)}
+            subs = {a: s for a, s in spec.get("facet", {}).items()
+                    if isinstance(s, dict)}
+            metrics = [_parse_metric(a, s) for a, s in stats.items()]
+            if subs:
+                # one level of terms-in-terms recursion (FacetRequest.java
+                # processSubs): top-X outer x top-Y inner cells via the
+                # two-exchange facet_2d plan. Columns: bucket, <subname>,
+                # count, *stats.
+                if len(subs) > 1:
+                    raise ValueError("one nested sub-facet per terms facet")
+                sub_name, sub = next(iter(subs.items()))
+                if sub.get("type") != "terms":
+                    raise ValueError(
+                        f"nested sub-facet {sub_name!r} must be terms")
+                cells = FC.facet_2d(
+                    dom, spec["field"], sub["field"],
+                    limit_x=int(spec.get("limit", 10)),
+                    limit_y=int(sub.get("limit", 10)), metrics=metrics)
+                out[name] = (cells
+                             .withColumnRenamed("x", "bucket")
+                             .withColumnRenamed("y", sub_name))
+                continue
             out[name] = FC.terms_facet(
                 dom, spec["field"], limit=int(spec.get("limit", 10)),
                 metrics=metrics, min_count=int(spec.get("mincount", 1)),

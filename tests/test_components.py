@@ -787,3 +787,34 @@ def test_json_request_api(spark):
         json_facets(df, {"facet": {"bad": "median(n)"}})
     with _pytest.raises(ValueError, match="unsupported facet type"):
         json_facets(df, {"facet": {"bad": {"type": "heatmap"}}})
+
+
+def test_json_subfacet_recursion(spark):
+    """Terms-in-terms nested sub-facet: top-X outer x top-Y inner cells;
+    >1 sub-facet and non-terms sub-facets are rejected."""
+    from solr_spark.query.jsonapi import json_facets
+
+    df = spark.createDataFrame(
+        [("en", "web"), ("en", "web"), ("en", "book"), ("en", "chat"),
+         ("fr", "web"), ("fr", "book"), ("de", "chat")],
+        "lang string, source string")
+    fs = json_facets(df, {"facet": {"langs": {
+        "type": "terms", "field": "lang", "limit": 2,
+        "facet": {"srcs": {"type": "terms", "field": "source",
+                           "limit": 1}}}}},
+        default_field="lang")
+    got = [(r["bucket"], r["srcs"], r["count"]) for r in
+           fs["langs"].collect()]
+    # top-2 langs by total (en=4, fr=2), top-1 source per lang by cell count
+    assert got == [("en", "web", 2), ("fr", "book", 1)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="one nested sub-facet"):
+        json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
+            "facet": {"a": {"type": "terms", "field": "source"},
+                      "b": {"type": "terms", "field": "source"}}}}},
+            default_field="lang")
+    with _pytest.raises(ValueError, match="must be terms"):
+        json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
+            "facet": {"a": {"type": "range", "field": "source"}}}}},
+            default_field="lang")
