@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import re
-from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -110,6 +109,11 @@ def json_facets(df: DataFrame, request: dict | str,
       * ``{"type": "range", "field", "start", "end", "gap"}``
       * ``{"type": "query", "q": "..."}`` — any number of these fold into
         query_facet's single conditional-aggregation pass per facet name
+
+    Any facet object may carry ``{"domain": {"filter": "..."}}`` to narrow
+    that facet's domain without touching the docs query (json-facet-api.adoc
+    "Changing the Domain"); excludeTags / blockChildren domain changes are
+    served by operators.facets.facet_domain / to_children directly.
     """
     req = json.loads(request) if isinstance(request, str) else dict(request)
     parser = LuceneQueryParser(default_field, text_fields or {default_field})
@@ -119,6 +123,12 @@ def json_facets(df: DataFrame, request: dict | str,
         if isinstance(spec, str):
             out[name] = dom.agg(_parse_metric(name, spec))
             continue
+        # per-facet domain change: {"domain": {"filter": "..."}} narrows this
+        # facet's domain without touching the docs query (FacetRequest.java
+        # Domain / json-facet-api.adoc "Changing the Domain"); excludeTags /
+        # block joins are served by operators.facets.facet_domain directly.
+        dom_f = spec.get("domain", {}).get("filter")
+        fdom = dom.where(parser.parse(dom_f)) if dom_f else dom
         ftype = spec.get("type")
         if ftype == "terms":
             stats = {a: s for a, s in spec.get("facet", {}).items()
@@ -138,7 +148,7 @@ def json_facets(df: DataFrame, request: dict | str,
                     raise ValueError(
                         f"nested sub-facet {sub_name!r} must be terms")
                 cells = FC.facet_2d(
-                    dom, spec["field"], sub["field"],
+                    fdom, spec["field"], sub["field"],
                     limit_x=int(spec.get("limit", 10)),
                     limit_y=int(sub.get("limit", 10)), metrics=metrics)
                 out[name] = (cells
@@ -146,7 +156,7 @@ def json_facets(df: DataFrame, request: dict | str,
                              .withColumnRenamed("y", sub_name))
                 continue
             out[name] = FC.terms_facet(
-                dom, spec["field"], limit=int(spec.get("limit", 10)),
+                fdom, spec["field"], limit=int(spec.get("limit", 10)),
                 metrics=metrics, min_count=int(spec.get("mincount", 1)),
                 sort=spec.get("sort"),
                 all_buckets=bool(spec.get("allBuckets", False)),
@@ -154,9 +164,13 @@ def json_facets(df: DataFrame, request: dict | str,
                 missing=bool(spec.get("missing", False)),
                 prefix=spec.get("prefix"), contains=spec.get("contains"))
         elif ftype == "range":
+            for a, s in spec.get("facet", {}).items():
+                if not isinstance(s, str):
+                    raise ValueError(
+                        f"range facet {name!r} supports stat strings only")
             metrics = [_parse_metric(a, s)
                        for a, s in spec.get("facet", {}).items()]
-            ranged = FC.range_facet(dom, spec["field"],
+            ranged = FC.range_facet(fdom, spec["field"],
                                     float(spec["start"]),
                                     float(spec["gap"]), metrics=metrics)
             if "end" in spec:
@@ -164,7 +178,7 @@ def json_facets(df: DataFrame, request: dict | str,
                     F.col("bucket_start") < float(spec["end"]))
             out[name] = ranged
         elif ftype == "query":
-            out[name] = FC.query_facet(dom, {name: parser.parse(spec["q"])})
+            out[name] = FC.query_facet(fdom, {name: parser.parse(spec["q"])})
         else:
             raise ValueError(f"unsupported facet type {ftype!r} for {name!r}")
     return out

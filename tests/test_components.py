@@ -818,3 +818,29 @@ def test_json_subfacet_recursion(spark):
         json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
             "facet": {"a": {"type": "range", "field": "source"}}}}},
             default_field="lang")
+
+
+def test_json_facet_domain_filter(spark):
+    """Per-facet domain.filter narrows one facet without touching the docs
+    query; range facets reject non-string nested stats."""
+    from solr_spark.query.jsonapi import json_facets
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 30), ("fr", 30), ("fr", 50)],
+        "lang string, n int")
+    fs = json_facets(df, {"facet": {
+        "all_langs": {"type": "terms", "field": "lang"},
+        "big_langs": {"type": "terms", "field": "lang",
+                      "domain": {"filter": "n:[30 TO *]"}},
+    }}, default_field="lang")
+    assert {r["bucket"]: r["count"] for r in fs["all_langs"].collect()} == \
+        {"en": 2, "fr": 2}
+    assert {r["bucket"]: r["count"] for r in fs["big_langs"].collect()} == \
+        {"en": 1, "fr": 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stat strings only"):
+        json_facets(df, {"facet": {"r": {"type": "range", "field": "n",
+            "start": 0, "gap": 10,
+            "facet": {"x": {"type": "terms", "field": "lang"}}}}},
+            default_field="lang")
