@@ -148,6 +148,19 @@ def _ft01_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _ft32_json_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval through the JSON Request API body (jsonapi.py::
+    json_search — json.query -> q mapping of RequestUtil.java): the same
+    query as ft01 submitted as a JSON body must produce the identical WAND
+    top-k (same oracle)."""
+    from solr_spark.query.jsonapi import json_search
+
+    reader = _ft_index(spark, sf_dir)
+    topk = json_search(spark, reader,
+                       {"query": _FT_QUERY, "limit": 20})
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
 def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pluggable Similarity: Lucene ClassicSimilarity (TF-IDF) top-k via the
     same WAND kernel (solr_spark/query/similarity.py; ref
@@ -4421,6 +4434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_json_request": _q79_json_request,
         "q80_json_facets": _q80_json_facets,
         "q81_json_subfacet": _q81_json_subfacet,
+        "ft32_json_search": _ft32_json_search,
     }
 
 
@@ -5173,4 +5187,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q79_json_request": _Q79_SQL,
         "q80_json_facets": _Q80_SQL,
         "q81_json_subfacet": _Q81_SQL,
+        "ft32_json_search": _ft01_sql(),
     }

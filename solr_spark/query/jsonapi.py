@@ -16,9 +16,11 @@ operators.facets family (single-shuffle partial-agg plans), and the docs
 query is projection + TakeOrdered. Nothing here adds a new execution path —
 it is a request-shape adapter, so every request inherits the audited plans.
 
-Scored retrieval inside JSON requests (``{"query": {"bm25": ...}}``) is out
-of scope here: ranked search funnels through query.bm25 / query.edismax,
-which need an IndexReader, not a raw DataFrame.
+Three entry points: ``json_request`` (unranked docs over a DataFrame),
+``json_search`` (RANKED top-k — the body's query string funnels into the
+scored BM25/WAND surface against an IndexReader), and ``json_facets`` (the
+facet tree). Ranked + filter in one body is rejected with a pointer, not
+silently post-filtered (fq on a ranked query needs forward-table DocSets).
 """
 
 from __future__ import annotations
@@ -87,6 +89,37 @@ def json_request(df: DataFrame, request: dict | str,
     if "limit" in req:
         out = out.limit(int(req["limit"]))
     return out
+
+
+def json_search(spark, reader, request: dict | str) -> DataFrame:
+    """Ranked retrieval through a JSON request body: ``{"query": "<classic
+    q string>", "limit": k, "params": {"similarity": ...}}`` funnels into
+    the scored-query surface (query/scored.py — terms, ^boosts, "phrase"
+    clauses, fuzzy~N, wildcards, +MUST/-MUST_NOT), returning the bm25_topk
+    shape (conv_id, turn_idx, docid, score, rank).
+
+    This is the json.query -> q param mapping of RequestUtil.java for the
+    SCORED path; the unranked docs path (filter/fields/sort over a raw
+    DataFrame) is `json_request`. ``filter`` is rejected here: ranked fq
+    needs doc-attribute DocSets intersected before ranking, which the
+    inverted index doesn't carry — run json_request on the forward table or
+    post-join the top-k instead.
+    """
+    from solr_spark.query.scored import scored_topk
+
+    req = json.loads(request) if isinstance(request, str) else dict(request)
+    if req.get("filter"):
+        raise ValueError("json_search does not support 'filter' — ranked fq "
+                         "needs forward-table DocSets; use json_request or "
+                         "post-join the top-k")
+    params = req.get("params", {})
+    if "similarity" in params:
+        from solr_spark.query.bm25 import bm25_topk
+        return bm25_topk(spark, reader, req["query"],
+                         k=int(req.get("limit", 10)),
+                         similarity=params["similarity"])
+    return scored_topk(spark, reader, req["query"],
+                       k=int(req.get("limit", 10)))
 
 
 def json_facets(df: DataFrame, request: dict | str,
@@ -184,4 +217,4 @@ def json_facets(df: DataFrame, request: dict | str,
     return out
 
 
-__all__ = ["json_request", "json_facets"]
+__all__ = ["json_request", "json_search", "json_facets"]

@@ -844,3 +844,33 @@ def test_json_facet_domain_filter(spark):
             "start": 0, "gap": 10,
             "facet": {"x": {"type": "terms", "field": "lang"}}}}},
             default_field="lang")
+
+
+def test_json_search_ranked(spark, built_index):
+    """json_search: JSON body -> scored-query surface; rank-identical to
+    calling the kernel directly; similarity param honored; ranked+filter
+    rejected."""
+    from solr_spark.query import IndexReader, bm25_topk
+    from solr_spark.query.jsonapi import json_search
+    from solr_spark.query.scored import scored_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+
+    got = json_search(spark, reader,
+                      '{"query": "error timeout^2 -vector", "limit": 10}')
+    want = scored_topk(spark, reader, "error timeout^2 -vector", k=10)
+    assert [(r["docid"], round(r["score"], 9)) for r in got.collect()] == \
+           [(r["docid"], round(r["score"], 9)) for r in want.collect()]
+
+    sim = json_search(spark, reader, {"query": "error timeout", "limit": 5,
+                                      "params": {"similarity": "classic"}})
+    ref = bm25_topk(spark, reader, "error timeout", k=5,
+                    similarity="classic")
+    assert [r["docid"] for r in sim.collect()] == \
+           [r["docid"] for r in ref.collect()]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="does not support 'filter'"):
+        json_search(spark, reader, {"query": "error",
+                                    "filter": ["role:user"]})
