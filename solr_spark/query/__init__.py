@@ -9,6 +9,7 @@ from solr_spark.query.multiterm import (
     wildcard_topk,
 )
 from solr_spark.query.hybrid import rrf_fuse
+from solr_spark.query.jsonapi import json_facets, json_request, json_search
 from solr_spark.query.local import LocalSearcher
 from solr_spark.query.parser import LuceneQueryParser, parse_query
 from solr_spark.query.scored import parse_scored_query, scored_topk
@@ -17,4 +18,5 @@ __all__ = ["IndexReader", "bm25_topk", "term_docs", "terms_postings",
            "edismax_topk", "LuceneQueryParser", "parse_query",
            "expand_prefix", "expand_wildcard", "expand_fuzzy",
            "prefix_topk", "wildcard_topk", "fuzzy_topk",
-           "parse_scored_query", "scored_topk", "rrf_fuse", "LocalSearcher"]
+           "parse_scored_query", "scored_topk", "rrf_fuse", "LocalSearcher",
+           "json_request", "json_search", "json_facets"]
