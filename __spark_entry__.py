@@ -100,7 +100,7 @@ def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
-        F.col("text"),
+        F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars"),
     )
 
 
@@ -112,7 +112,8 @@ def _ft_index(spark: SparkSession, sf_dir: str) -> IndexReader:
     index_dir = os.path.join(_SCRATCH, f"ftidx-{tag}-{_FT_CONFIG.config_hash()}")
     os.makedirs(index_dir, exist_ok=True)
     build_index(spark, _docs_as_transcripts(spark, sf_dir), index_dir,
-                _FT_CONFIG, input_token=f"documents-{tag}-w12l")
+                _FT_CONFIG, input_token=f"documents-{tag}-w12l",
+                stored_cols=("lang", "source", "n_chars"))
     return IndexReader.open(index_dir, _FT_CONFIG)
 
 
@@ -159,6 +160,60 @@ def _ft32_json_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = json_search(spark, reader,
                        {"query": _FT_QUERY, "limit": 20})
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft33_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ranked search — q + fq together, the most common reference
+    request shape (SolrIndexSearcher.java:1254 getProcessedFilter;
+    query/docsets.py): the fq strings compile to a docid DocSet over the
+    index's STORED columns, intersect the WAND scan per-range (empty ranges
+    skipped without decoding), and the query still returns k hits where
+    post-joining the unfiltered top-k would return fewer. Scoring stats stay
+    global (fq never changes the scoring model)."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     filters=["lang:en", "n_chars:[200 TO *]"])
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft33_sql() -> str:
+    # identical BM25 derivation as ft01 — global df/avgdl over the FULL
+    # corpus — with the fq DocSet applied to the scored set only
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+allowed AS (
+    SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    JOIN allowed USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
 
 
 def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4278,6 +4333,78 @@ FROM ranked WHERE rn <= 2 ORDER BY bucket, srcs
 """
 
 
+def _q82_facet_tree(spark, sf_dir):
+    """Arbitrary-depth JSON facet tree (FacetRequest.java:353 processSubs;
+    operators/facets.py::facet_tree via jsonapi): a 3-level
+    terms(lang, sort by sibling avg-stat) -> terms(source) -> range(n_chars)
+    chain compiled to ONE corpus scan + windows-per-level over the cells
+    table. Sibling stats belong to THEIR node's buckets (avg_chars is
+    per-lang, not per leaf cell)."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "text:join",
+           "facet": {"langs": {
+               "type": "terms", "field": "lang", "limit": 3,
+               "sort": "avg_chars desc",
+               "facet": {
+                   "avg_chars": "avg(n_chars)",
+                   "srcs": {"type": "terms", "field": "source", "limit": 2,
+                            "facet": {"sizes": {
+                                "type": "range", "field": "n_chars",
+                                "start": 0, "gap": 300, "end": 600}}}}}}}
+    tree = json_facets(docs, req)["langs"]
+    return tree.select(
+        "bucket", F.col("langs_count").cast("long").alias("langs_count"),
+        _dround("avg_chars", 6).alias("avg_chars"),
+        "srcs", F.col("srcs_count").cast("long").alias("srcs_count"),
+        F.col("sizes").cast("double").alias("sizes"),
+        F.col("count").cast("long").alias("count"))
+
+
+_Q82_SQL = r"""
+WITH dom AS (
+  SELECT lang, source, n_chars FROM documents
+  WHERE regexp_matches(text, '(^|\W)join(\W|$)')
+),
+cell AS (
+  SELECT lang, source,
+         CASE WHEN n_chars >= 0 AND n_chars < 600
+              THEN floor(n_chars / 300.0) * 300.0 END AS sizes,
+         count(*)::BIGINT AS count
+  FROM dom GROUP BY lang, source, sizes
+),
+lv0 AS (
+  SELECT lang, count(*) AS langs_count,
+         sum(n_chars)::DOUBLE / count(n_chars) AS avg_chars
+  FROM dom GROUP BY lang
+),
+top0 AS (
+  SELECT lang, langs_count, avg_chars,
+         dense_rank() OVER (ORDER BY avg_chars DESC, lang ASC) AS rk
+  FROM lv0
+),
+lv1 AS (
+  SELECT lang, source, sum(count) AS srcs_count FROM cell GROUP BY lang, source
+),
+top1 AS (
+  SELECT lang, source, srcs_count,
+         dense_rank() OVER (PARTITION BY lang
+                            ORDER BY srcs_count DESC, source ASC) AS rk
+  FROM lv1
+)
+SELECT t0.lang AS bucket, t0.langs_count::BIGINT AS langs_count,
+       round(t0.avg_chars, 6) AS avg_chars,
+       t1.source AS srcs, t1.srcs_count::BIGINT AS srcs_count,
+       c.sizes::DOUBLE AS sizes, c.count::BIGINT AS count
+FROM cell c
+JOIN top0 t0 ON c.lang = t0.lang AND t0.rk <= 3
+JOIN top1 t1 ON c.lang = t1.lang AND c.source = t1.source AND t1.rk <= 2
+WHERE c.sizes IS NOT NULL
+ORDER BY t0.rk, bucket, t1.rk, srcs, sizes
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4435,6 +4562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_json_facets": _q80_json_facets,
         "q81_json_subfacet": _q81_json_subfacet,
         "ft32_json_search": _ft32_json_search,
+        "ft33_filtered_topk": _ft33_filtered_topk,
+        "q82_facet_tree": _q82_facet_tree,
     }
 
 
@@ -5188,4 +5317,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q80_json_facets": _Q80_SQL,
         "q81_json_subfacet": _Q81_SQL,
         "ft32_json_search": _ft01_sql(),
+        "ft33_filtered_topk": _ft33_sql(),
+        "q82_facet_tree": _Q82_SQL,
     }

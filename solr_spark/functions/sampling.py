@@ -237,6 +237,13 @@ def chunk_token_windows(df: DataFrame, id_col: str, text_col: str,
     stride = window if stride is None else stride
     if stride <= 0:
         raise ValueError(f"stride must be positive, got {stride}")
+    if stride > window:
+        # the closed-form chunk count assumes overlap (stride < window) or
+        # tiling (stride == window); a gapped stride would emit empty
+        # past-the-end chunks AND silently drop tokens between windows
+        raise ValueError(
+            f"stride ({stride}) must not exceed window ({window}): "
+            f"chunking is overlap/tiling only, gaps would drop tokens")
     toks = whitespace_tokens(text_col)
     base = (df.select(F.col(id_col), toks.alias("__toks"))
               .withColumn("__n", F.size("__toks"))

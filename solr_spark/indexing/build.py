@@ -303,7 +303,14 @@ def _norm_kernel(config: IndexConfig):
 def write_analyzed(
     source: DataFrame, path: str, config: IndexConfig,
     num_partitions: int, docid_base: int = 0,
+    stored_cols: tuple = (),
 ) -> None:
+    # stored_cols: attribute columns of `source` (role, ts, lang, ...) carried
+    # into the forward table — the reference's stored-field/docValues role
+    # (schema/FieldProperties.java stored/docValues). They ride the ONE
+    # shuffle the corpus already crosses, cost nothing in the posting build
+    # (column pruning keeps them out of it), and give the scored-path filter
+    # compiler (query/docsets.py) pushed-predicate access at query time.
     # Forward index is ONE space-joined string per doc, produced directly by the
     # Arrow UDF: both the Arrow transfer and the parquet encoding handle a single
     # string far faster than an array<string> (no per-token offsets) — this was
@@ -321,6 +328,8 @@ def write_analyzed(
     # workers are forked (bench warms the pool before timing, mirroring a real
     # cluster's long-lived executors).
     tokenize = make_tokenize_joined_udf(config)
+    extra = [c for c in stored_cols if c not in
+             ("conv_id", "turn_idx", "dl", "toks", "docid")]
     toked = (
         source
         .withColumn("toks", tokenize(F.col("text")))
@@ -329,13 +338,13 @@ def write_analyzed(
             F.when(F.col("toks") == "", F.lit(0))
              .otherwise(F.size(F.split("toks", " "))).cast("long"),
         )
-        .select("conv_id", "turn_idx", "dl", "toks")
+        .select("conv_id", "turn_idx", "dl", "toks", *extra)
     )
     with_ids, docid_cleanup = assign_doc_ids_deferred(toked, num_partitions)
     analyzed = (
         with_ids
         .withColumn("docid", F.col("docid") + F.lit(docid_base))
-        .select("docid", "conv_id", "turn_idx", "dl", "toks")
+        .select("docid", "conv_id", "turn_idx", "dl", "toks", *extra)
     )
     # Deliberately NO repartitionByRange here: range sampling evaluates the child
     # plan twice, which would run the (expensive) tokenize UDF over the whole
@@ -556,6 +565,7 @@ def build_index(
     config: IndexConfig = DEFAULT_CONFIG,
     input_token: str = "",
     num_partitions: int | None = None,
+    stored_cols: tuple = (),
 ) -> dict:
     """Build (or resume building) a full-text index from a transcript DataFrame.
 
@@ -563,15 +573,22 @@ def build_index(
     of the source files, or a synthetic-corpus seed tag). Stages whose manifest matches
     (stage, config_hash, input_token) are skipped — checkpoint-resume semantics
     (reference analog: update/UpdateLog.java:105-108 tlog replay).
+
+    stored_cols: extra source columns kept in the forward table (stored
+    fields / docValues — see write_analyzed); folded into the manifest token
+    so changing them rebuilds the analyzed stage.
     """
     cfg_hash = config.config_hash()
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    if stored_cols:
+        input_token = f"{input_token}+stored:{','.join(stored_cols)}"
 
     analyzed_path = os.path.join(index_dir, "analyzed", "batch-000")
     analyzed_fresh = not stage_complete(index_dir, "analyzed", cfg_hash, input_token)
     if analyzed_fresh:
-        write_analyzed(source, analyzed_path, config, num_partitions)
+        write_analyzed(source, analyzed_path, config, num_partitions,
+                       stored_cols=stored_cols)
     analyzed = spark.read.parquet(analyzed_path)
 
     # Independent stages run CONCURRENTLY on the Spark scheduler (thread-safe):

@@ -114,7 +114,19 @@ def add_documents(
     seg_name = f"seg-{batch_no:03d}"
 
     analyzed_path = os.path.join(index_dir, "analyzed", batch_name)
-    B.write_analyzed(new_source, analyzed_path, config, num_partitions, docid_base)
+    # new batches must carry the SAME stored attribute columns as the base
+    # index (batch-* schemas must agree for forward-table reads); infer them
+    # from the existing layout so callers can't silently fork the schema
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    first = sorted(_glob.glob(os.path.join(
+        index_dir, "analyzed", "batch-*", "*.parquet")))[0]
+    stored = tuple(c for c in _pq.read_schema(first).names
+                   if c not in ("docid", "conv_id", "turn_idx", "dl", "toks"))
+    B.write_analyzed(new_source, analyzed_path, config, num_partitions,
+                     docid_base, stored_cols=stored)
     analyzed_new = spark.read.parquet(analyzed_path)
 
     seg_path = os.path.join(index_dir, "segments", seg_name)

@@ -256,6 +256,188 @@ def nested_facet(df: DataFrame, outer: str, inner: str,
     return agg.orderBy("outer_bucket", "inner_bucket") if limit_outer is None else agg
 
 
+class FacetLevel:
+    """One level of a nested facet tree (see facet_tree).
+
+    kind: "terms" or "range". stats: {alias: (metric_name, column)} computed
+    over THIS level's buckets (the FacetRequest.processSubs rule: a stat in a
+    node's `facet` dict belongs to that node's buckets, not to leaf cells).
+    sort: "count desc|asc", "index asc|desc", or "<stat alias> desc|asc".
+    """
+
+    def __init__(self, name: str, field: str, kind: str = "terms",
+                 limit: int = 10, mincount: int = 1, sort: str | None = None,
+                 stats: dict[str, tuple[str, str]] | None = None,
+                 prefix: str | None = None, contains: str | None = None,
+                 start: float | None = None, end: float | None = None,
+                 gap: float | None = None):
+        self.name, self.field, self.kind = name, field, kind
+        self.limit, self.mincount, self.sort = limit, mincount, sort
+        self.stats = stats or {}
+        self.prefix, self.contains = prefix, contains
+        self.start, self.end, self.gap = start, end, gap
+        if kind == "range" and (start is None or gap is None):
+            raise ValueError(f"range level {name!r} needs start and gap")
+        if kind not in ("terms", "range"):
+            raise ValueError(f"unsupported facet level kind {kind!r}")
+
+    def key_expr(self) -> Column:
+        """Bucket key, NULL for docs outside this level's domain — outer
+        levels keep counting such docs (a doc below a range sub-facet's start
+        still counts in its parent terms bucket, as in the reference)."""
+        v = F.col(self.field)
+        if self.kind == "terms":
+            pred = v.isNotNull()
+            if self.prefix is not None:
+                pred = pred & v.startswith(self.prefix)
+            if self.contains is not None:
+                pred = pred & v.contains(self.contains)
+            return F.when(pred, v)
+        pred = v >= float(self.start)
+        if self.end is not None:
+            pred = pred & (v < float(self.end))
+        bucket = (F.floor((v - F.lit(float(self.start))) / F.lit(float(self.gap)))
+                  * F.lit(float(self.gap)) + F.lit(float(self.start)))
+        return F.when(pred, bucket)
+
+
+# Metrics whose bucket value is re-aggregable from per-cell moment partials
+# (sum of sums, min of mins, ...). `unique`/`hll`/`missing` are not — they are
+# leaf-level only in facet_tree (raise otherwise).
+_MOMENT_METRICS = {"sum", "avg", "min", "max", "count", "countvals",
+                   "sumsq", "stddev", "variance"}
+
+
+def facet_tree(df: DataFrame, levels: Sequence[FacetLevel]) -> DataFrame:
+    """Arbitrary-depth nested facet tree in ONE corpus scan.
+
+    The reference's FacetParser/FacetRequest tree (search/facet/
+    FacetRequest.java:353 processSubs) nests terms/range facets to any depth
+    with per-node sort/limit/mincount and per-node stats. The exact,
+    Spark-shaped equivalent generalizes the facet_2d plan:
+
+      1. ONE groupBy over every level's bucket key produces the leaf CELLS
+         (with per-cell count, leaf stats, and moment partials for non-leaf
+         stats). Docs outside an inner level's domain get a NULL key there but
+         still flow into their outer buckets' aggregates.
+      2. Per level, window sums over the (tiny) cells table reconstitute the
+         level's bucket count + stats — no second corpus scan.
+      3. Per level, a dense_rank window applies that node's sort + limit +
+         mincount; surviving cells keep descending.
+
+    All post-scan work happens on the cells table (bounded by the product of
+    bucket cardinalities), so the plan is one wide exchange + small-window
+    exchanges — the facet_2d shape at depth n. Non-leaf stats must be
+    moment re-aggregable (sum/avg/min/max/count/countvals/sumsq/stddev/
+    variance); unique/hll are leaf-only by construction (exact distinct does
+    not decompose over cells).
+
+    Output: one row per surviving leaf cell — per level ℓ: `<name>` (bucket)
+    and `<name>_count`, stat columns under their aliases; ordered by each
+    level's rank then bucket.
+    """
+    if not levels:
+        raise ValueError("facet_tree needs at least one level")
+    names = [lv.name for lv in levels]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate level names: {names}")
+    aliases = [a for lv in levels for a in lv.stats]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError(f"duplicate stat aliases across levels: {aliases}")
+    n = len(levels)
+    leaf = n - 1
+
+    # ---- pass 1: one scan -> leaf cells with count + partials
+    keys = [lv.key_expr().alias(lv.name) for lv in levels]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__cells")]
+    # moment partials per (level, alias): which partials a metric needs
+    for i, lv in enumerate(levels):
+        for alias, (m, col) in lv.stats.items():
+            if i == leaf:
+                if m not in _METRICS:
+                    raise ValueError(f"unknown facet metric {m!r}")
+                aggs.append(_METRICS[m](col).alias(alias))
+                continue
+            if m not in _MOMENT_METRICS:
+                raise ValueError(
+                    f"stat {m!r} ({alias}) is not re-aggregable across "
+                    f"sub-facet cells — leaf-level only")
+            c = F.col(col)
+            if m in ("sum", "avg", "sumsq", "stddev", "variance", "countvals",
+                     "count"):
+                aggs.append(F.count(c).alias(f"__{alias}_n"))
+            if m in ("sum", "avg", "stddev", "variance"):
+                aggs.append(F.sum(c).alias(f"__{alias}_s"))
+            if m in ("sumsq", "stddev", "variance"):
+                aggs.append(F.sum(c * c).alias(f"__{alias}_q"))
+            if m == "min":
+                aggs.append(F.min(c).alias(f"__{alias}_mn"))
+            if m == "max":
+                aggs.append(F.max(c).alias(f"__{alias}_mx"))
+    cells = df.groupBy(*keys).agg(*aggs)
+
+    # ---- pass 2: per-level bucket aggregates via windows over cells
+    out = cells
+    for i, lv in enumerate(levels):
+        w = Window.partitionBy(*[F.col(x.name) for x in levels[: i + 1]])
+        out = out.withColumn(f"{lv.name}_count", F.sum("__cells").over(w))
+        for alias, (m, col) in lv.stats.items():
+            if i == leaf:
+                continue  # computed directly in the cell agg
+            if m in ("count", "countvals"):
+                expr = F.sum(f"__{alias}_n").over(w)
+            elif m in ("sum", "sumsq"):
+                src = f"__{alias}_s" if m == "sum" else f"__{alias}_q"
+                expr = F.sum(src).over(w)
+            elif m == "avg":
+                expr = (F.sum(f"__{alias}_s").over(w)
+                        / F.sum(f"__{alias}_n").over(w))
+            elif m == "min":
+                expr = F.min(f"__{alias}_mn").over(w)
+            elif m == "max":
+                expr = F.max(f"__{alias}_mx").over(w)
+            else:  # stddev / variance (sample, matching F.stddev/F.variance)
+                cnt = F.sum(f"__{alias}_n").over(w)
+                s = F.sum(f"__{alias}_s").over(w)
+                q = F.sum(f"__{alias}_q").over(w)
+                var = F.when(cnt > 1, (q - s * s / cnt) / (cnt - F.lit(1)))
+                expr = F.sqrt(var) if m == "stddev" else var
+            out = out.withColumn(alias, expr)
+
+    # ---- pass 3: per-level sort + mincount + limit via dense_rank
+    for i, lv in enumerate(levels):
+        bucket = F.col(lv.name)
+        cnt = F.col(f"{lv.name}_count")
+        out = out.where(bucket.isNull() | (cnt >= lv.mincount))
+        if lv.sort:
+            sname, _, sdir = lv.sort.strip().partition(" ")
+            sdir = (sdir or "desc").strip().lower()
+            if sdir not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction {sdir!r} in {lv.sort!r}")
+            skey = (bucket if sname == "index"
+                    else cnt if sname == "count" else F.col(sname))
+            order = [skey.asc_nulls_last() if sdir == "asc"
+                     else skey.desc_nulls_last()]
+        elif lv.kind == "range":
+            order = [bucket.asc_nulls_last()]   # range buckets: index order
+        else:
+            order = [cnt.desc_nulls_last()]     # terms default: count desc
+        order.append(bucket.asc_nulls_last())
+        wr = Window.partitionBy(
+            *[F.col(x.name) for x in levels[:i]]).orderBy(*order)
+        out = (out.withColumn(f"__rk_{i}", F.dense_rank().over(wr))
+                  .where(bucket.isNull() | (F.col(f"__rk_{i}") <= lv.limit)))
+
+    # leaf rows: every level's bucket resolved
+    for lv in levels:
+        out = out.where(F.col(lv.name).isNotNull())
+    keep = ([x for lv in levels
+             for x in (lv.name, f"{lv.name}_count")] + aliases)
+    return (out.orderBy(*[c for i in range(n)
+                          for c in (f"__rk_{i}", levels[i].name)])
+               .select(*keep))
+
+
 def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """Legacy pivot facet: counts along a field path (decision-tree counts).
 

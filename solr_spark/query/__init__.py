@@ -11,12 +11,16 @@ from solr_spark.query.multiterm import (
 from solr_spark.query.hybrid import rrf_fuse
 from solr_spark.query.jsonapi import json_facets, json_request, json_search
 from solr_spark.query.local import LocalSearcher
+from solr_spark.query.docsets import docid_range_bitmaps, filter_docids
 from solr_spark.query.parser import LuceneQueryParser, parse_query
 from solr_spark.query.scored import parse_scored_query, scored_topk
+from solr_spark.query.shards import ShardedSearcher, shard_index
 
 __all__ = ["IndexReader", "bm25_topk", "term_docs", "terms_postings",
            "edismax_topk", "LuceneQueryParser", "parse_query",
            "expand_prefix", "expand_wildcard", "expand_fuzzy",
            "prefix_topk", "wildcard_topk", "fuzzy_topk",
            "parse_scored_query", "scored_topk", "rrf_fuse", "LocalSearcher",
-           "json_request", "json_search", "json_facets"]
+           "json_request", "json_search", "json_facets",
+           "filter_docids", "docid_range_bitmaps",
+           "shard_index", "ShardedSearcher"]

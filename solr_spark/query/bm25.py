@@ -99,6 +99,14 @@ class IndexReader:
             os.path.join(self.index_dir, "analyzed", "batch-*")
         ).select("docid", "conv_id", "turn_idx")
 
+    def forward(self, spark: SparkSession) -> DataFrame:
+        """The FULL forward table: docid, conv_id, turn_idx, dl, toks, plus
+        any stored attribute columns (build_index stored_cols — the
+        stored-field/docValues role). Filter predicates over it push down to
+        the parquet scan; column pruning drops toks when unused."""
+        return spark.read.parquet(
+            os.path.join(self.index_dir, "analyzed", "batch-*"))
+
     def norms(self, spark: SparkSession) -> DataFrame:
         if self._cached and "norms" in self._cached:
             return self._cached["norms"]
@@ -168,7 +176,8 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
                  length_table: np.ndarray, min_match: int,
                  groups: dict | None = None, gweights: dict | None = None,
                  sim=None, params: dict | None = None,
-                 prohibited: set | None = None, required: set | None = None):
+                 prohibited: set | None = None, required: set | None = None,
+                 filtered: bool = False):
     """Score one range group; returns (docids, scores) numpy arrays.
 
     min_match is the edismax `mm` contract (ExtendedDismaxQParser.java:66):
@@ -205,6 +214,14 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     present = np.zeros(width, dtype=np.int32) if min_match > 1 else None
     excl = None
     req_hit = np.zeros(width, dtype=np.int32) if required else None
+    # fq DocSet mask (query/docsets.py): the range's filter bitmap rides the
+    # posting rows via the range_id join; ANDed after scoring, before
+    # collection — the getProcessedFilter intersection
+    allow = None
+    if filtered:
+        from solr_spark.query.docsets import unpack_bits
+
+        allow = unpack_bits(bytes(pdf["filter_bits"].iloc[0]), width)
 
     def _finish():
         if present is not None:
@@ -215,6 +232,8 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
             keep &= req_hit >= len(required)
         if excl is not None:
             keep &= ~excl
+        if allow is not None:
+            keep &= allow
         nz = np.flatnonzero(keep)
         return nz + base, acc[nz]
 
@@ -378,8 +397,22 @@ def bm25_topk(
     similarity: str | object = "bm25",
     prohibited: list[str] | None = None,
     required: list[str] | None = None,
+    filters: list[str] | str | None = None,
+    filter_docids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k scored retrieval. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
+
+    filters / filter_docids: the q+fq flow (SolrIndexSearcher.java:1254
+    getProcessedFilter). `filters` are classic-parser strings compiled
+    against the forward table (query/docsets.py::filter_docids — stored
+    attribute columns, conv_id/turn_idx, and `text` = analyzed tokens);
+    `filter_docids` is a precomputed DataFrame(docid) — the filterCache
+    handle, reusable across queries. Either becomes per-range bitmaps
+    inner-joined to the posting scan: ranges with no allowed doc are skipped
+    WITHOUT decoding (composing with WAND's bound skipping), surviving docs
+    are masked before heap collection, and a selective filter still returns
+    k hits (post-joining the top-k would not). Scoring stats stay GLOBAL —
+    fq narrows the result set, never the scoring model.
 
     similarity: scoring model — "bm25" (default), "classic" (TF-IDF),
     "boolean", "lmdirichlet", "lmjelinekmercer", or a Similarity instance
@@ -524,6 +557,19 @@ def bm25_topk(
     norms = reader.norms(spark)
     joined = postings.join(norms.select("range_id", "norm_bytes"), "range_id")
 
+    use_filter = filters is not None or filter_docids is not None
+    if use_filter:
+        from solr_spark.query.docsets import docid_range_bitmaps
+        from solr_spark.query.docsets import filter_docids as _compile_fq
+
+        if filters is not None and filter_docids is not None:
+            raise ValueError("pass filters OR filter_docids, not both")
+        if filters is not None:
+            filter_docids = _compile_fq(spark, reader, filters)
+        bitmaps = docid_range_bitmaps(filter_docids, cfg.range_shift)
+        # inner join: a range with no allowed doc never reaches the kernel
+        joined = joined.join(bitmaps, "range_id")
+
     length_table = norm_length_table()
     avgdl = reader.avgdl
     # liveDocs mask (indexing/deletes.py): tombstoned docids are dropped
@@ -549,7 +595,7 @@ def bm25_topk(
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
                                 min_match, group_of, gweights,
                                 sim, score_params,
-                                kernel_prohib, kernel_req)
+                                kernel_prohib, kernel_req, use_filter)
             d, s = _live(d, s)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
@@ -589,7 +635,7 @@ def bm25_topk(
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
                                     min_match, group_of, gweights,
                                     sim, score_params,
-                                    kernel_prohib, kernel_req)
+                                    kernel_prohib, kernel_req, use_filter)
                 d, s = _live(d, s)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)

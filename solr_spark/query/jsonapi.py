@@ -18,9 +18,11 @@ it is a request-shape adapter, so every request inherits the audited plans.
 
 Three entry points: ``json_request`` (unranked docs over a DataFrame),
 ``json_search`` (RANKED top-k — the body's query string funnels into the
-scored BM25/WAND surface against an IndexReader), and ``json_facets`` (the
-facet tree). Ranked + filter in one body is rejected with a pointer, not
-silently post-filtered (fq on a ranked query needs forward-table DocSets).
+scored BM25/WAND surface against an IndexReader; ``filter`` strings become
+forward-table DocSets intersected BEFORE scoring, the q+fq flow of
+SolrIndexSearcher.getProcessedFilter), and ``json_facets`` (the facet tree,
+nested to any depth through operators.facets.facet_tree). Unknown top-level
+keys raise, as in RequestUtil.java:263.
 """
 
 from __future__ import annotations
@@ -50,10 +52,77 @@ def _parse_metric(alias: str, spec: str) -> Column:
 def _sort_cols(spec: str) -> list[Column]:
     out = []
     for part in spec.split(","):
-        name, _, direction = part.strip().partition(" ")
+        words = part.split()
+        if not words or len(words) > 2:
+            raise ValueError(f"bad sort clause {part!r} in {spec!r}")
+        name = words[0]
+        direction = words[1].lower() if len(words) == 2 else "asc"
+        if direction not in ("asc", "desc"):
+            # the reference rejects unknown sort orders (SortSpecParsing);
+            # silently treating them as asc would return wrongly-ordered pages
+            raise ValueError(f"unknown sort direction {direction!r} in {spec!r}")
         col = F.col(name)
-        out.append(col.desc() if direction.lower() == "desc" else col.asc())
+        out.append(col.desc() if direction == "desc" else col.asc())
     return out
+
+
+# RequestUtil.java:263 throws 'Unknown top-level key in JSON request' — a typo
+# like {"fliter": ...} must not silently return unfiltered results.
+_TOP_KEYS = {"query", "filter", "fields", "sort", "offset", "limit", "facet",
+             "params"}
+
+
+def _check_keys(req: dict, allowed: set[str], ctx: str) -> None:
+    unknown = set(req) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown top-level key(s) in JSON {ctx}: {sorted(unknown)} "
+            f"(allowed: {sorted(allowed)})")
+
+
+def _tree_levels(name: str, spec: dict) -> "list[FC.FacetLevel]":
+    """Compile a nested facet-node chain into facet_tree levels.
+
+    Each node may carry sibling stat STRINGS (computed over that node's
+    buckets — FacetRequest.processSubs) and at most one nested sub-facet
+    dict (a chain; sibling sub-TREES would need independent scans and are
+    rejected loudly).
+    """
+    levels: list[FC.FacetLevel] = []
+    node, node_name = spec, name
+    while True:
+        ftype = node.get("type")
+        if ftype not in ("terms", "range"):
+            raise ValueError(
+                f"nested facet {node_name!r} must be terms or range, "
+                f"got {ftype!r}")
+        stats: dict[str, tuple[str, str]] = {}
+        subs: dict[str, dict] = {}
+        for a, s in node.get("facet", {}).items():
+            if isinstance(s, dict):
+                subs[a] = s
+            else:
+                m = _METRIC_RE.fullmatch(s.strip())
+                if not m or m.group(1) not in FC._METRICS:
+                    raise ValueError(f"unsupported facet stat {s!r}")
+                stats[a] = (m.group(1), m.group(2))
+        if len(subs) > 1:
+            raise ValueError(
+                f"facet node {node_name!r} has {len(subs)} sub-facets; "
+                f"one chain per tree (run sibling trees as separate facets)")
+        kw: dict = {}
+        if ftype == "range":
+            kw = {"start": float(node["start"]), "gap": float(node["gap"]),
+                  "end": float(node["end"]) if "end" in node else None}
+        levels.append(FC.FacetLevel(
+            node_name, node["field"], kind=ftype,
+            limit=int(node.get("limit", 10)),
+            mincount=int(node.get("mincount", 1)),
+            sort=node.get("sort"), stats=stats,
+            prefix=node.get("prefix"), contains=node.get("contains"), **kw))
+        if not subs:
+            return levels
+        node_name, node = next(iter(subs.items()))
 
 
 def _domain(df: DataFrame, req: dict, parser: LuceneQueryParser) -> DataFrame:
@@ -77,6 +146,7 @@ def json_request(df: DataFrame, request: dict | str,
     offset/limit. Filters compile to pushed-down Catalyst predicates;
     sort+limit is TakeOrdered (no global sort materialization)."""
     req = json.loads(request) if isinstance(request, str) else dict(request)
+    _check_keys(req, _TOP_KEYS - {"facet"}, "request")
     parser = LuceneQueryParser(default_field, text_fields or {default_field})
     out = _domain(df, req, parser)
     if "sort" in req:
@@ -100,26 +170,40 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
 
     This is the json.query -> q param mapping of RequestUtil.java for the
     SCORED path; the unranked docs path (filter/fields/sort over a raw
-    DataFrame) is `json_request`. ``filter`` is rejected here: ranked fq
-    needs doc-attribute DocSets intersected before ranking, which the
-    inverted index doesn't carry — run json_request on the forward table or
-    post-join the top-k instead.
+    DataFrame) is `json_request`. ``filter`` strings compile to DocSets over
+    the index's stored/forward fields and intersect the scored query BEFORE
+    ranking (q+fq: SolrIndexSearcher.java:1254 getProcessedFilter), so a
+    selective filter still returns k hits. ``offset`` pages by rank
+    (start/rows); ``sort``/``fields`` are rejected loudly — re-sorting a
+    ranked result is a separate operator here, never a silent change of
+    what "top k" means.
     """
     from solr_spark.query.scored import scored_topk
 
     req = json.loads(request) if isinstance(request, str) else dict(request)
-    if req.get("filter"):
-        raise ValueError("json_search does not support 'filter' — ranked fq "
-                         "needs forward-table DocSets; use json_request or "
-                         "post-join the top-k")
+    # sort/fields on the RANKED path would silently change what "top k" means
+    # (the reference re-sorts inside the scored collector, which this engine
+    # expresses as separate operators) — reject rather than silently ignore
+    _check_keys(req, {"query", "filter", "limit", "offset", "params"},
+                "search request")
+    offset = int(req.get("offset", 0))
+    limit = int(req.get("limit", 10))
+    k = offset + limit
     params = req.get("params", {})
+    filters = req.get("filter", [])
+    if isinstance(filters, str):
+        filters = [filters]
     if "similarity" in params:
         from solr_spark.query.bm25 import bm25_topk
-        return bm25_topk(spark, reader, req["query"],
-                         k=int(req.get("limit", 10)),
-                         similarity=params["similarity"])
-    return scored_topk(spark, reader, req["query"],
-                       k=int(req.get("limit", 10)))
+        topk = bm25_topk(spark, reader, req["query"], k=k,
+                         similarity=params["similarity"], filters=filters)
+    else:
+        topk = scored_topk(spark, reader, req["query"], k=k, filters=filters)
+    if offset:
+        # deep paging: ranks (offset, offset+limit] of the top-(offset+limit)
+        # result — the start/rows contract of the reference's paging
+        topk = topk.where(F.col("rank") > offset)
+    return topk
 
 
 def json_facets(df: DataFrame, request: dict | str,
@@ -149,6 +233,7 @@ def json_facets(df: DataFrame, request: dict | str,
     served by operators.facets.facet_domain / to_children directly.
     """
     req = json.loads(request) if isinstance(request, str) else dict(request)
+    _check_keys(req, _TOP_KEYS, "facet request")
     parser = LuceneQueryParser(default_field, text_fields or {default_field})
     dom = _domain(df, req, parser)
     out: dict[str, DataFrame] = {}
@@ -164,30 +249,26 @@ def json_facets(df: DataFrame, request: dict | str,
         fdom = dom.where(parser.parse(dom_f)) if dom_f else dom
         ftype = spec.get("type")
         if ftype == "terms":
-            stats = {a: s for a, s in spec.get("facet", {}).items()
-                     if isinstance(s, str)}
             subs = {a: s for a, s in spec.get("facet", {}).items()
                     if isinstance(s, dict)}
-            metrics = [_parse_metric(a, s) for a, s in stats.items()]
             if subs:
-                # one level of terms-in-terms recursion (FacetRequest.java
-                # processSubs): top-X outer x top-Y inner cells via the
-                # two-exchange facet_2d plan. Columns: bucket, <subname>,
-                # count, *stats.
-                if len(subs) > 1:
-                    raise ValueError("one nested sub-facet per terms facet")
-                sub_name, sub = next(iter(subs.items()))
-                if sub.get("type") != "terms":
-                    raise ValueError(
-                        f"nested sub-facet {sub_name!r} must be terms")
-                cells = FC.facet_2d(
-                    fdom, spec["field"], sub["field"],
-                    limit_x=int(spec.get("limit", 10)),
-                    limit_y=int(sub.get("limit", 10)), metrics=metrics)
-                out[name] = (cells
-                             .withColumnRenamed("x", "bucket")
-                             .withColumnRenamed("y", sub_name))
+                # arbitrary-depth sub-facet recursion (FacetRequest.java:353
+                # processSubs): the whole chain compiles to ONE facet_tree
+                # plan (single corpus scan, windows per level over the cells
+                # table). Sibling stat strings at any node are computed over
+                # THAT node's buckets — the reference's rule — not per leaf
+                # cell. Columns: bucket (outer), <name> per deeper level,
+                # count (leaf count), <name>_count per level, *stat aliases.
+                levels = _tree_levels(name, spec)
+                tree = FC.facet_tree(fdom, levels)
+                leaf_name = levels[-1].name
+                out[name] = (tree
+                             .withColumnRenamed(name, "bucket")
+                             .withColumnRenamed(f"{leaf_name}_count", "count"))
                 continue
+            stats = {a: s for a, s in spec.get("facet", {}).items()
+                     if isinstance(s, str)}
+            metrics = [_parse_metric(a, s) for a, s in stats.items()]
             out[name] = FC.terms_facet(
                 fdom, spec["field"], limit=int(spec.get("limit", 10)),
                 metrics=metrics, min_count=int(spec.get("mincount", 1)),

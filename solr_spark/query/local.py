@@ -35,13 +35,97 @@ from solr_spark.codec.varint import decode_postings
 from solr_spark.indexing.build import live_segments
 from solr_spark.indexing.deletes import deleted_array
 from solr_spark.query.bm25 import IndexReader, _term_buckets
+from solr_spark.query.parser import LuceneQueryParser
 from solr_spark.query.similarity import resolve as _resolve_sim
 
 
-class LocalSearcher:
-    """In-process top-k searcher over one index (or one shard of one)."""
+class _PandasFilterEvaluator(LuceneQueryParser):
+    """Serving-tier twin of the classic filter parser: same lexer + grammar
+    (inherited — `&`/`|`/`~` compose numpy bool arrays exactly like Catalyst
+    Columns), leaves evaluated against the resident forward table. This keeps
+    LocalSearcher.search(filters=...) DocSet-identical to the distributed
+    filter compiler (query/docsets.py::filter_docids) without a Spark job.
+    """
 
-    def __init__(self, reader: IndexReader):
+    def __init__(self, table, default_field: str = "text"):
+        super().__init__(default_field, {default_field})
+        self._tbl = table  # pandas DataFrame, one row per docid (dense order)
+
+    def _series(self, fld: str):
+        if fld not in self._tbl.columns:
+            raise ValueError(f"unknown filter field {fld!r} "
+                             f"(stored columns: {list(self._tbl.columns)})")
+        return self._tbl[fld]
+
+    def _pyval(self, s: str):
+        import re as _re
+
+        if _re.match(r"^-?\d+(\.\d+)?$", s):
+            return float(s) if "." in s else int(s)
+        return s
+
+    def _leaf(self, t):
+        import re as _re
+
+        m = t.m
+        if t.kind == "range":
+            s = self._series(m["fld_r"])
+            mask = np.ones(len(s), dtype=bool)
+            if m["lo"] != "*":
+                lo = self._pyval(m["lo"])
+                mask &= (s >= lo).to_numpy() if m["lb"] == "[" \
+                    else (s > lo).to_numpy()
+            if m["hi"] != "*":
+                hi = self._pyval(m["hi"])
+                mask &= (s <= hi).to_numpy() if m["rb"] == "]" \
+                    else (s < hi).to_numpy()
+            return mask
+        if t.kind == "regexq":
+            return self._series(m["fld_re"]).astype(str) \
+                .str.contains(m["rx"], regex=True, na=False).to_numpy()
+        if t.kind == "phrase":
+            fld = m["fld_p"] or self.default_field
+            s = self._series(fld)
+            if fld in self.text_fields:
+                return s.astype(str).str.contains(
+                    m["ph"], regex=False, na=False).to_numpy()
+            return (s == m["ph"]).to_numpy()
+        fld = m["fld_t"] or self.default_field
+        val = m["val"]
+        boosted = _re.match(r"^(.+)\^\d+(?:\.\d+)?$", val)
+        if boosted:
+            val = boosted.group(1)
+        fuzzy = _re.match(r"^(.*?)~(\d*)$", val)
+        s = self._series(fld)
+        if fuzzy and fuzzy.group(1):
+            dist = int(fuzzy.group(2) or 2)
+            word = fuzzy.group(1)
+            uniq = {u: _levenshtein_capped(str(u), word, dist) <= dist
+                    for u in s.unique()}
+            return s.map(uniq).to_numpy().astype(bool)
+        if "*" in val or "?" in val:
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in val) + "$"
+            return s.astype(str).str.contains(rx, regex=True,
+                                              na=False).to_numpy()
+        if fld in self.text_fields:
+            rx = rf"(^|\W){_re.escape(val)}(\W|$)"
+            return s.astype(str).str.contains(rx, regex=True,
+                                              na=False).to_numpy()
+        return (s == self._pyval(val)).to_numpy()
+
+
+class LocalSearcher:
+    """In-process top-k searcher over one index (or one shard of one).
+
+    cache_bytes bounds the decoded-postings LRU (default 256 MiB): a
+    hot-vocabulary serving workload can no longer grow the cache toward the
+    full decoded index — entries evict least-recently-used once the DECODED
+    byte size (numpy array bytes, the real resident cost) exceeds the budget.
+    """
+
+    def __init__(self, reader: IndexReader, cache_bytes: int = 256 << 20):
         import pyarrow.parquet as pq
 
         self.reader = reader
@@ -60,12 +144,17 @@ class LocalSearcher:
                 self._dls[int(rid)] = np.frombuffer(blob, np.uint32) \
                                         .astype(np.float64)
 
-        # doc map: docids are dense 0..N-1 by construction -> direct indexing
+        # doc map sorted by docid. A full index has dense docids 0..N-1; a
+        # SHARD of one (query/shards.py) holds an interleaved subset, so
+        # docid -> row resolves via searchsorted over the sorted id array
+        # (dense indices degrade to the identity lookup).
         dm = pq.ParquetDataset(os.path.join(idx, "analyzed")).read(
             columns=["docid", "conv_id", "turn_idx"])
         order = np.argsort(dm["docid"].to_numpy())
+        self._docids = dm["docid"].to_numpy()[order]
         self._conv = dm["conv_id"].to_numpy(zero_copy_only=False)[order]
         self._turn = dm["turn_idx"].to_numpy()[order]
+        self._fwd = None  # full forward table, loaded on first filtered query
 
         # term dictionary, fully resident (bytes per unique term). A sharded
         # deployment with a huge dictionary would keep this pruned-on-read
@@ -85,12 +174,13 @@ class LocalSearcher:
                                    for p in self._seg_paths])
         self._deleted = deleted_array(None, idx)
         # per-term postings cache (the SolrIndexSearcher filter/queryResult
-        # cache role): term -> [(range_id, doc_gaps, tfs)]. LRU, bounded by
-        # term count; hot query terms skip the parquet scan entirely.
+        # cache role): term -> [(range_id, offsets, tfs)]. LRU, bounded by
+        # DECODED bytes; hot query terms skip the parquet scan entirely.
         from collections import OrderedDict
 
         self._postings_cache: OrderedDict[str, list] = OrderedDict()
-        self._cache_cap = 4096
+        self._cache_bytes_cap = int(cache_bytes)
+        self._cache_bytes = 0
 
     def _postings(self, terms: list[str]) -> dict[str, list]:
         """term -> [(range_id, doc_gaps, tfs)] for the query's terms. Cache
@@ -122,21 +212,65 @@ class LocalSearcher:
                 got[term].append((rid, d - base, t.astype(np.float64)))
             for t, rows in got.items():
                 cache[t] = rows
-                while len(cache) > self._cache_cap:
-                    cache.popitem(last=False)
+                self._cache_bytes += sum(
+                    d.nbytes + tf.nbytes for _, d, tf in rows)
         out = {}
         for t in terms:
             out[t] = cache[t]
             cache.move_to_end(t)
+        # evict LRU-first down to the byte budget — current query's terms
+        # were just moved to the end, so they only evict when a single query
+        # alone overshoots the budget (len guard keeps them resident then)
+        while (self._cache_bytes > self._cache_bytes_cap
+               and len(cache) > len(terms)):
+            _, old = cache.popitem(last=False)
+            self._cache_bytes -= sum(
+                d.nbytes + tf.nbytes for _, d, tf in old)
         return out
+
+    def filter_mask(self, filters) -> np.ndarray:
+        """fq DocSet as a dense bool array indexed by docid (the BitDocSet
+        role) — classic filter strings evaluated over the resident forward
+        table by the pandas twin of the distributed filter compiler. Cheap to
+        reuse across queries: compute once, pass to search(filter_mask=...)."""
+        if isinstance(filters, str):
+            filters = [filters]
+        if self._fwd is None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.ParquetDataset(
+                os.path.join(self.reader.index_dir, "analyzed")).read()
+            pdf = tbl.to_pandas().sort_values("docid").reset_index(drop=True)
+            self._fwd = pdf.rename(columns={"toks": "text"})
+        ev = _PandasFilterEvaluator(self._fwd)
+        rows = np.ones(len(self._fwd), dtype=bool)
+        for f in filters:
+            rows &= ev.parse(f)
+        # docid-indexed dense mask (the BitDocSet): works for full indexes
+        # (docids dense) and shards (interleaved subset) alike
+        docids = self._fwd["docid"].to_numpy()
+        mask = np.zeros(int(docids.max()) + 1 if len(docids) else 0,
+                        dtype=bool)
+        mask[docids[rows]] = True
+        return mask
 
     def search(self, query_text: str, k: int = 10,
                similarity: str | object = "bm25",
-               require_all: bool = False, min_match: int | None = None):
+               require_all: bool = False, min_match: int | None = None,
+               filters=None, filter_mask: np.ndarray | None = None):
         """Top-k as a list of dicts (conv_id, turn_idx, docid, score, rank) —
-        same contract and same scores as bm25_topk, no Spark session."""
+        same contract and same scores as bm25_topk, no Spark session.
+
+        filters / filter_mask: q+fq — classic filter strings (compiled via
+        filter_mask()) or a precomputed dense bool DocSet; masked after
+        scoring, before heap collection, exactly like the distributed kernel.
+        """
         cfg = self.cfg
         sim = _resolve_sim(similarity)
+        if filters is not None:
+            if filter_mask is not None:
+                raise ValueError("pass filters OR filter_mask, not both")
+            filter_mask = self.filter_mask(filters)
         qterms = Counter(analyze_text(query_text, cfg))
         if not qterms:
             return []
@@ -180,8 +314,14 @@ class LocalSearcher:
                 i += 1
             # same keep rule as the distributed kernel (_score_group):
             # min_match>1 keeps by match count alone, else by positive score
-            hit = np.flatnonzero(acc > 0.0 if present is None
-                                 else present >= min_match)
+            keep = (acc > 0.0) if present is None else (present >= min_match)
+            if filter_mask is not None:
+                n_dl = len(dls)
+                seg = filter_mask[base:base + n_dl]
+                if len(seg) < n_dl:  # filter table shorter than docid space
+                    seg = np.pad(seg, (0, n_dl - len(seg)))
+                keep &= seg
+            hit = np.flatnonzero(keep)
             docids = hit + base
             if len(self._deleted):
                 live = ~np.isin(docids, self._deleted)
@@ -193,10 +333,11 @@ class LocalSearcher:
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        rows = np.searchsorted(self._docids, [-neg for _, neg in out])
         return [
-            {"conv_id": str(self._conv[-neg]), "turn_idx": int(self._turn[-neg]),
+            {"conv_id": str(self._conv[i]), "turn_idx": int(self._turn[i]),
              "docid": -neg, "score": s, "rank": r + 1}
-            for r, (s, neg) in enumerate(out)
+            for r, ((s, neg), i) in enumerate(zip(out, rows))
         ]
 
     # ------------------------------------------------------- serving suggest

@@ -90,19 +90,32 @@ def parse_scored_query(q: str) -> ScoredQuery:
 
 
 def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
-                k: int = 10) -> DataFrame:
+                k: int = 10,
+                filters: list[str] | str | None = None,
+                filter_docids: DataFrame | None = None) -> DataFrame:
     """Parse + score a classic `q` string; returns the bm25_topk shape
     (conv_id, turn_idx, docid, score, rank).
 
     Phrase boosts rescore the term query's top max(4k, 100) candidates (the
     ReRank-window approximation — a doc outside that window cannot be promoted
     by a phrase clause alone; Lucene's exhaustive BooleanQuery has no window,
-    deviation documented)."""
+    deviation documented).
+
+    filters / filter_docids: q+fq (see bm25_topk) — compiled ONCE here and
+    shared by every clause kernel; phrase-only queries score their FULL match
+    set (k=None) and intersect before ranking, so a selective filter still
+    returns k hits."""
     from solr_spark.query.multiterm import expand_fuzzy, expand_wildcard
     from solr_spark.query.phrase import phrase_topk
 
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
     cfg = reader.config
+    if filters is not None and filter_docids is not None:
+        raise ValueError("pass filters OR filter_docids, not both")
+    if filters is not None:
+        from solr_spark.query.docsets import filter_docids as _compile_fq
+
+        filter_docids = _compile_fq(spark, reader, filters)
     sq = parse_scored_query(q)
     required_set = set(sq.required)
 
@@ -155,10 +168,12 @@ def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
                          k=max(k * 4, 100), mode="wand",
                          synonyms=synonyms or None, boosts=boosts or None,
                          prohibited=sq.prohibited or None,
-                         required=required_canon or None)
+                         required=required_canon or None,
+                         filter_docids=filter_docids)
         main = main.select("docid", "score")
 
-    if sq.phrases and main is None and len(sq.phrases) == 1:
+    if (sq.phrases and main is None and len(sq.phrases) == 1
+            and filter_docids is None):
         text, slop, boost = sq.phrases[0]
         ph = phrase_topk(spark, reader, text, k=k, slop=slop)
         return ph if boost == 1.0 else ph.withColumn(
@@ -166,7 +181,16 @@ def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
 
     for text, slop, boost in sq.phrases:
         if main is None:
-            # several phrase-only clauses: first builds the base set
+            # phrase-only base set. Filtered: score the FULL match set
+            # (k=None) and semi-join the DocSet BEFORE ranking — top-k of
+            # the filtered matches, not a filtered top-k.
+            if filter_docids is not None:
+                main = (phrase_topk(spark, reader, text, k=None, slop=slop)
+                        .join(filter_docids.select("docid").distinct(),
+                              "docid", "left_semi")
+                        .select("docid",
+                                (F.col("score") * F.lit(boost)).alias("score")))
+                continue
             main = phrase_topk(spark, reader, text, k=max(k * 4, 100),
                                slop=slop).select(
                 "docid", (F.col("score") * F.lit(boost)).alias("score"))

@@ -1,0 +1,128 @@
+"""facet_tree (operators/facets.py): arbitrary-depth nested facets — level
+stats on the right domain, per-node sort/limit/mincount, range levels, and
+the moment re-aggregation rules."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.operators.facets import FacetLevel, facet_tree
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(400):
+        lang = ["en", "fr", "de", "zh"][i % 4]
+        src = f"s{i % 5}"
+        rows.append((i, lang, src, float(100 + (i * 37) % 500)))
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars double")
+
+
+def test_two_level_matches_manual(spark, docs):
+    tree = facet_tree(docs, [
+        FacetLevel("langs", "lang", limit=2),
+        FacetLevel("srcs", "source", limit=3),
+    ]).collect()
+    # manual: top-2 langs by count, top-3 sources within each
+    cnt = {(r.lang, r.source): r.n for r in
+           docs.groupBy("lang", "source").agg(
+               F.count("*").alias("n")).collect()}
+    lang_tot = {}
+    for (lg, _), n in cnt.items():
+        lang_tot[lg] = lang_tot.get(lg, 0) + n
+    top_langs = sorted(lang_tot, key=lambda x: (-lang_tot[x], x))[:2]
+    want = set()
+    for lg in top_langs:
+        srcs = sorted((s for (l2, s) in cnt if l2 == lg),
+                      key=lambda s: (-cnt[(lg, s)], s))[:3]
+        want |= {(lg, s) for s in srcs}
+    assert {(r.langs, r.srcs) for r in tree} == want
+    for r in tree:
+        assert r.langs_count == lang_tot[r.langs]
+        assert r.srcs_count == cnt[(r.langs, r.srcs)]
+
+
+def test_outer_stats_ignore_inner_domain(spark, docs):
+    # the range sub-facet covers only [100, 300) — outer avg/count must still
+    # be over ALL docs of the lang bucket (the FacetRequest.processSubs rule)
+    tree = facet_tree(docs, [
+        FacetLevel("langs", "lang", limit=4,
+                   stats={"avg_chars": ("avg", "n_chars")}),
+        FacetLevel("sizes", "n_chars", kind="range",
+                   start=100.0, gap=100.0, end=300.0),
+    ])
+    rows = tree.collect()
+    truth = {r.lang: (r.n, r.a) for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n"), F.avg("n_chars").alias("a")).collect()}
+    assert rows
+    for r in rows:
+        n, a = truth[r.langs]
+        assert r.langs_count == n
+        assert abs(r.avg_chars - a) < 1e-9
+        assert r.sizes in (100.0, 200.0)
+
+
+def test_sort_by_stat_and_mincount(spark, docs):
+    skewed = docs.where((F.col("lang") != "zh") | (F.col("doc_id") < 8))
+    tree = facet_tree(skewed, [
+        FacetLevel("langs", "lang", limit=2, mincount=50,
+                   sort="mx desc", stats={"mx": ("max", "n_chars")}),
+        FacetLevel("srcs", "source", limit=1),
+    ]).collect()
+    # zh has 2 docs < mincount 50 -> excluded even if its max is high
+    assert all(r.langs != "zh" for r in tree)
+    mx = {r.lang: r.m for r in skewed.groupBy("lang").agg(
+        F.max("n_chars").alias("m")).collect()}
+    langs_out = [r.langs for r in tree]
+    ordered = sorted({lg for lg in mx if lg != "zh"},
+                     key=lambda x: (-mx[x], x))[:2]
+    assert sorted(set(langs_out)) == sorted(ordered)
+
+
+def test_nonleaf_stddev_moments(spark, docs):
+    tree = facet_tree(docs, [
+        FacetLevel("langs", "lang", limit=4,
+                   stats={"sd": ("stddev", "n_chars")}),
+        FacetLevel("srcs", "source", limit=5),
+    ]).collect()
+    truth = {r.lang: r.s for r in docs.groupBy("lang").agg(
+        F.stddev("n_chars").alias("s")).collect()}
+    for r in tree:
+        assert abs(r.sd - truth[r.langs]) < 1e-9
+
+
+def test_unique_leaf_only(spark, docs):
+    with pytest.raises(ValueError, match="leaf-level only"):
+        facet_tree(docs, [
+            FacetLevel("langs", "lang",
+                       stats={"u": ("unique", "source")}),
+            FacetLevel("srcs", "source"),
+        ])
+    # at the leaf it's allowed
+    tree = facet_tree(docs, [
+        FacetLevel("langs", "lang", limit=1),
+        FacetLevel("srcs", "source", limit=2,
+                   stats={"u": ("unique", "doc_id")}),
+    ]).collect()
+    assert all(r.u == r.srcs_count for r in tree)  # doc_id unique per row
+
+
+def test_bucket_with_empty_subdomain_still_ranks(spark):
+    # lang 'xx' has many docs but NONE inside the range sub-facet's domain;
+    # it must still occupy a top-limit slot (Solr shows it with an empty
+    # sub-facet), so the next lang must NOT be promoted into the cut.
+    rows = [(i, "xx", 50.0) for i in range(30)] + \
+           [(100 + i, "en", 150.0) for i in range(20)] + \
+           [(200 + i, "fr", 150.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars double")
+    tree = facet_tree(df, [
+        FacetLevel("langs", "lang", limit=2),
+        FacetLevel("sizes", "n_chars", kind="range",
+                   start=100.0, gap=100.0, end=300.0),
+    ]).collect()
+    # top-2 langs by count are xx (30) and en (20); xx has no leaf rows, so
+    # the output contains ONLY en leaves — never fr
+    assert {r.langs for r in tree} == {"en"}

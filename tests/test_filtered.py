@@ -1,0 +1,185 @@
+"""Filtered ranked search (q + fq): kernel DocSet intersection, LocalSearcher
+parity, JSON Request API wiring, facet_tree depth, and the round-4 ADVICE
+guards (unknown JSON keys, sort strictness, chunk stride)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.config import IndexConfig
+from solr_spark.data import synth_transcripts_spark
+from solr_spark.indexing import build_index
+from solr_spark.query import IndexReader, LocalSearcher, bm25_topk
+
+CFG = IndexConfig(range_shift=9, num_term_buckets=16)
+Q = "error timeout retry"
+FQ = ["role:assistant"]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("filt_idx"))
+    corpus = synth_transcripts_spark(spark, 1500, seed=13)
+    build_index(spark, corpus, idx, CFG, input_token="filt-1500",
+                stored_cols=("role", "tool", "ts"))
+    return idx
+
+
+def _rows(df):
+    return [(r.docid, round(r.score, 10)) for r in df.collect()]
+
+
+def test_stored_cols_in_forward(spark, built):
+    reader = IndexReader.open(built, CFG)
+    cols = reader.forward(spark).columns
+    assert {"role", "tool", "ts", "docid", "toks"} <= set(cols)
+
+
+def test_filtered_returns_k_where_postjoin_cannot(spark, built):
+    reader = IndexReader.open(built, CFG)
+    k = 10
+    filt = bm25_topk(spark, reader, Q, k=k, mode="wand", filters=FQ)
+    got = filt.collect()
+    # every hit satisfies the filter
+    roles = {r["role"] for r in
+             filt.join(reader.forward(spark).select("docid", "role"),
+                       "docid").collect()}
+    assert roles == {"assistant"}
+    # post-joining the unfiltered top-k returns FEWER hits (the bug the
+    # kernel intersection exists to avoid)
+    unfilt = bm25_topk(spark, reader, Q, k=k, mode="wand")
+    postjoin = unfilt.join(
+        reader.forward(spark).where(F.col("role") == "assistant")
+        .select("docid"), "docid")
+    assert postjoin.count() < len(got) == k
+
+
+def test_filtered_matches_bruteforce_and_exact_mode(spark, built):
+    reader = IndexReader.open(built, CFG)
+    wand = _rows(bm25_topk(spark, reader, Q, k=10, mode="wand", filters=FQ))
+    exact = _rows(bm25_topk(spark, reader, Q, k=10, mode="exact", filters=FQ))
+    assert wand == exact
+    # brute force: score everything, intersect, top-10
+    allk = bm25_topk(spark, reader, Q, k=10**6, mode="exact")
+    fwd = reader.forward(spark).where(F.col("role") == "assistant") \
+        .select("docid")
+    brute = _rows(allk.join(fwd, "docid")
+                  .orderBy(F.desc("score"), F.asc("docid")).limit(10))
+    assert wand == brute
+
+
+def test_filter_docids_precomputed_handle(spark, built):
+    from solr_spark.query.docsets import filter_docids
+
+    reader = IndexReader.open(built, CFG)
+    ds = filter_docids(spark, reader, FQ)
+    via_handle = _rows(bm25_topk(spark, reader, Q, k=10, filter_docids=ds))
+    via_strings = _rows(bm25_topk(spark, reader, Q, k=10, filters=FQ))
+    assert via_handle == via_strings
+    with pytest.raises(ValueError, match="not both"):
+        bm25_topk(spark, reader, Q, k=10, filters=FQ, filter_docids=ds)
+
+
+def test_filter_on_timestamp_range(spark, built):
+    reader = IndexReader.open(built, CFG)
+    fq = ["ts:[2023-11-20 TO *]", "role:assistant"]
+    got = bm25_topk(spark, reader, Q, k=10, filters=fq)
+    joined = got.join(reader.forward(spark).select("docid", "ts", "role"),
+                      "docid").collect()
+    assert joined and all(str(r["ts"]) >= "2023-11-20" for r in joined)
+
+
+def test_empty_filter_result_is_empty(spark, built):
+    reader = IndexReader.open(built, CFG)
+    assert bm25_topk(spark, reader, Q, k=10,
+                     filters=["role:nosuchrole"]).count() == 0
+
+
+def test_local_searcher_filter_parity(spark, built):
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    for fq in (FQ, ["role:assistant OR role:user"],
+               ["ts:[2023-11-20 TO *]"], ["text:error"]):
+        want = _rows(bm25_topk(spark, reader, Q, k=10, filters=fq))
+        got = [(r["docid"], round(r["score"], 10))
+               for r in ls.search(Q, k=10, filters=fq)]
+        assert got == want, fq
+    # precomputed mask reuse (the filterCache role)
+    mask = ls.filter_mask(FQ)
+    assert isinstance(mask, np.ndarray) and mask.dtype == bool
+    assert ([(r["docid"], round(r["score"], 10))
+             for r in ls.search(Q, k=10, filter_mask=mask)]
+            == _rows(bm25_topk(spark, reader, Q, k=10, filters=FQ)))
+    with pytest.raises(ValueError, match="not both"):
+        ls.search(Q, filters=FQ, filter_mask=mask)
+    with pytest.raises(ValueError, match="unknown filter field"):
+        ls.search(Q, filters=["nosuchfield:x"])
+
+
+def test_scored_topk_filtered_phrase_only(spark, built):
+    from solr_spark.query.scored import scored_topk
+
+    reader = IndexReader.open(built, CFG)
+    res = scored_topk(spark, reader, '"error timeout"~2', k=5, filters=FQ)
+    rows = res.join(reader.forward(spark).select("docid", "role"),
+                    "docid").collect()
+    assert all(r["role"] == "assistant" for r in rows)
+
+
+def test_json_search_filter_offset_and_guards(spark, built):
+    from solr_spark.query.jsonapi import json_search
+
+    reader = IndexReader.open(built, CFG)
+    full = json_search(spark, reader,
+                       {"query": Q, "limit": 10, "filter": FQ}).collect()
+    page2 = json_search(spark, reader,
+                        {"query": Q, "limit": 4, "offset": 3,
+                         "filter": FQ}).collect()
+    assert [(r.docid, r.rank) for r in page2] == \
+        [(r.docid, r.rank) for r in full[3:7]]
+    with pytest.raises(ValueError, match="unknown top-level key"):
+        json_search(spark, reader, {"query": Q, "sort": "score desc"})
+
+
+def test_json_request_key_and_sort_guards(spark, built):
+    from solr_spark.query.jsonapi import json_request
+
+    reader = IndexReader.open(built, CFG)
+    fwd = reader.forward(spark)
+    with pytest.raises(ValueError, match="fliter"):
+        json_request(fwd, {"fliter": ["role:user"]})
+    with pytest.raises(ValueError, match="unknown sort direction"):
+        json_request(fwd, {"sort": "dl descending"})
+    # extra internal whitespace must still parse as desc
+    top = json_request(fwd, {"sort": "dl  desc", "limit": 3,
+                             "fields": ["docid", "dl"]}).collect()
+    dls = [r.dl for r in top]
+    assert dls == sorted(dls, reverse=True)
+
+
+def test_chunk_stride_guard(spark):
+    from solr_spark.functions.sampling import chunk_token_windows
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "id long, text string")
+    with pytest.raises(ValueError, match="must not exceed window"):
+        chunk_token_windows(df, "id", "text", window=2, stride=5)
+
+
+def test_postings_lru_byte_bound(spark, built):
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader, cache_bytes=1)  # absurdly small budget
+    vocab = sorted(ls._df)  # terms guaranteed present in this corpus
+    ls.search(" ".join(vocab[:2]), k=5)
+    first_terms = set(ls._postings_cache)
+    assert first_terms == set(vocab[:2])
+    ls.search(" ".join(vocab[2:4]), k=5)
+    # earlier terms evicted under the byte budget; current query resident
+    assert not (first_terms & set(ls._postings_cache))
+    assert ls._cache_bytes <= sum(
+        d.nbytes + t.nbytes for rows in ls._postings_cache.values()
+        for _, d, t in rows) + 1
+    # results identical to an unbounded searcher despite eviction
+    big = LocalSearcher(reader)
+    assert ls.search(Q, k=10) == big.search(Q, k=10)
