@@ -216,6 +216,58 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def _ft_mv_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Index over documents with each text split into TWO values of a
+    multivalued (array<string>) field — the FieldProperties.java:66
+    multiValued surface with positionIncrementGap encoding."""
+    from solr_spark.indexing import build_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        _SCRATCH, f"ftidx-mv-{tag}-{_FT_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    toks = F.split(F.col("text"), " ")
+    half = F.ceil(F.size(toks) / 2).cast("int")
+    src = _docs_as_transcripts(spark, sf_dir).withColumn(
+        "text",
+        F.array(F.array_join(F.slice(toks, F.lit(1), half), " "),
+                F.array_join(F.slice(toks, half + 1,
+                                     F.size(toks) - half), " ")))
+    build_index(spark, src, index_dir, _FT_CONFIG,
+                input_token=f"documents-mv-{tag}")
+    return IndexReader.open(index_dir, _FT_CONFIG)
+
+
+def _ft35_multivalued_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a MULTIVALUED text field: per-value analysis + position
+    gaps must leave tf/df/dl (and therefore every score) identical to the
+    flat single-value index — the gap occupies positions, never postings or
+    norms. Same oracle as ft01 proves it end-to-end."""
+    reader = _ft_mv_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand")
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _q84_array_terms_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms facet over an ArrayType column (UnInvertedField role for
+    multivalued fields): each array VALUE is a bucket occurrence, one
+    explode ahead of the same single-shuffle partial aggregation."""
+    from solr_spark.operators.facets import terms_facet
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "words", F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    return (terms_facet(docs, "words", limit=10)
+            .select(F.col("bucket"), F.col("count").cast("long").alias("count")))
+
+
+_Q84_SQL = r"""
+SELECT tok AS bucket, count(*)::BIGINT AS count
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok ORDER BY count DESC, bucket ASC LIMIT 10
+"""
+
+
 def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pluggable Similarity: Lucene ClassicSimilarity (TF-IDF) top-k via the
     same WAND kernel (solr_spark/query/similarity.py; ref
@@ -4405,6 +4457,136 @@ ORDER BY t0.rk, bucket, t1.rk, srcs, sizes
 """
 
 
+def _ft34_multi_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-snippet highlighting (hl.snippets / hl.fragsize —
+    UnifiedSolrHighlighter; operators/components.py::best_passages): the
+    ft01 top-5 docs each return their top-2 NON-OVERLAPPING 10-token
+    fragments ranked by distinct-term idf sum, matched terms tagged."""
+    from solr_spark.operators.components import best_passages
+    from solr_spark.query.bm25 import _idf
+
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=5, mode="wand")
+    d = (spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+         .where(F.col("term").isin(_FT_TERMS))
+         .select("term", "df").collect())
+    idfs = {r["term"]: _idf(reader.n_docs, r["df"]) for r in d}
+    fwd = reader.forward(spark).select("docid", "toks")
+    snips = best_passages(F.col("toks"), idfs, fragsize=10, snippets=2)
+    ex = topk.join(fwd, "docid").select(
+        _doc_id(), F.posexplode(snips).alias("snippet0", "s"))
+    return ex.select(
+        "doc_id", (F.col("snippet0") + 1).cast("int").alias("snippet"),
+        F.col("s.start").alias("start"),
+        _dround(F.col("s.score"), 4).alias("score"),
+        F.col("s.passage").alias("passage"))
+
+
+def _ft34_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+top5 AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id LIMIT 5
+),
+idf AS (
+    SELECT term, ln(1.0 + ((SELECT n_docs FROM corpus) - df + 0.5) / (df + 0.5)) AS idf
+    FROM dfreq
+),
+pos AS (  -- analyzed token positions (post stop-filter), 1-based
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ) WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+tiles AS (
+    SELECT p.doc_id, ((p.pos - 1) // 10) * 10 + 1 AS start, p.tok, p.pos
+    FROM pos p JOIN top5 USING (doc_id)
+),
+tile_scores AS (
+    SELECT doc_id, start, sum(idf) AS score
+    FROM (SELECT DISTINCT t.doc_id, t.start, t.tok
+          FROM tiles t WHERE t.tok IN ({in_list}))
+    JOIN idf ON tok = term
+    GROUP BY doc_id, start
+),
+ranked AS (
+    SELECT doc_id, start, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, start ASC) AS snippet
+    FROM tile_scores
+),
+passages AS (
+    SELECT t.doc_id, t.start,
+           string_agg(CASE WHEN t.tok IN ({in_list})
+                           THEN '<em>' || t.tok || '</em>' ELSE t.tok END,
+                      ' ' ORDER BY t.pos) AS passage
+    FROM tiles t JOIN ranked r ON t.doc_id = r.doc_id AND t.start = r.start
+    WHERE r.snippet <= 2
+    GROUP BY t.doc_id, t.start
+)
+SELECT r.doc_id, r.snippet::INT AS snippet, r.start::INT AS start,
+       round(r.score, 4) AS score, p.passage
+FROM ranked r JOIN passages p ON r.doc_id = p.doc_id AND r.start = p.start
+WHERE r.snippet <= 2
+ORDER BY r.doc_id, r.snippet
+"""
+
+
+def _q83_date_range_facet(spark, sf_dir):
+    """Date-math range facet (RangeFacetRequest date handling +
+    DateMathParser.java:91; operators/facets.py::date_range_facet): monthly
+    buckets with NOW-anchored DateMath endpoints and a calendar +1MONTH gap,
+    NOW pinned for determinism (Solr's request-scoped NOW param)."""
+    from solr_spark.operators.facets import date_range_facet
+
+    ev = _t(spark, sf_dir, "events")
+    out = date_range_facet(ev, "ts", start="NOW/MONTH",
+                           end="NOW/DAY", gap="+7DAYS",
+                           now="2024-01-30T12:00:00Z")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket"),
+        F.col("count").cast("long").alias("count"))
+
+
+# weekly buckets from NOW/MONTH (2024-01-01) to NOW/DAY (2024-01-30); the
+# last bucket [2024-01-29, 2024-02-05) runs a FULL gap past `end` (Solr's
+# hardend=false default), so docs on Jan 29-30 land in it.
+_Q83_SQL = r"""
+SELECT strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_days((7 * floor(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) / 7.0))::INT),
+                '%Y-%m-%d') AS bucket,
+       count(*)::BIGINT AS count
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+  AND ts < TIMESTAMP '2024-02-05 00:00:00'
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -4564,6 +4746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft32_json_search": _ft32_json_search,
         "ft33_filtered_topk": _ft33_filtered_topk,
         "q82_facet_tree": _q82_facet_tree,
+        "ft35_multivalued_bm25": _ft35_multivalued_bm25,
+        "q84_array_terms_facet": _q84_array_terms_facet,
+        "q83_date_range_facet": _q83_date_range_facet,
+        "ft34_multi_snippets": _ft34_multi_snippets,
     }
 
 
@@ -5319,4 +5505,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft32_json_search": _ft01_sql(),
         "ft33_filtered_topk": _ft33_sql(),
         "q82_facet_tree": _Q82_SQL,
+        "ft35_multivalued_bm25": _ft01_sql(),
+        "q84_array_terms_facet": _Q84_SQL,
+        "q83_date_range_facet": _Q83_SQL,
+        "ft34_multi_snippets": _ft34_sql(),
     }

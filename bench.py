@@ -168,11 +168,16 @@ def main() -> None:
               .mapInArrow(_warm_arrow, "n long").count())
 
         # ---- index build (the north-rule headline)
+        # stored_cols carries `role` into the forward table (round 4: the
+        # q+fq filtered-search surface needs a stored attribute; one extra
+        # string column rides the one shuffle the corpus already crosses —
+        # noted in BENCH/BASELINE.md for cross-round build comparability)
         cfg = IndexConfig()
         index_dir = os.path.join(scratch, "index")
         t0 = time.time()
         build_index(spark, corpus, index_dir, cfg,
-                    input_token=f"bench-{n_turns}", num_partitions=2 * cpus)
+                    input_token=f"bench-{n_turns}", num_partitions=2 * cpus,
+                    stored_cols=("role",))
         t_build = time.time() - t0
         timings["index_build"] = round(t_build, 3)
 
@@ -200,11 +205,13 @@ def main() -> None:
         # excluded from the e2e headline so `value` stays comparable
         # across rounds regardless of the reps setting
         reader = IndexReader.open(index_dir, cfg).warm(spark, segments=True)
-        for name, q in FT_QUERIES.items():
+
+        def run_query(name, fn):
+            nonlocal extra_rep_secs
             series = []
             for _ in range(reps):
                 t0 = time.time()
-                bm25_topk(spark, reader, q, k=10, mode="wand").collect()
+                fn()
                 series.append(round(time.time() - t0, 3))
             s = sorted(series)
             p50 = s[len(s) // 2]
@@ -215,6 +222,15 @@ def main() -> None:
             # comparable across rounds regardless of the reps setting
             extra_rep_secs += sum(series) - p50
             latency[name] = {"p50": p50, "p95": p95, "reps": series}
+
+        for name, q in FT_QUERIES.items():
+            run_query(name, lambda q=q: bm25_topk(
+                spark, reader, q, k=10, mode="wand").collect())
+        # q+fq: the round-4 filtered scored path — fq DocSet compiled from
+        # the stored `role` column, intersected per-range before scoring
+        run_query("ft_filtered", lambda: bm25_topk(
+            spark, reader, "error timeout", k=10, mode="wand",
+            filters=["role:assistant"]).collect())
 
         # ---- serving-path latency: the in-process LocalSearcher
         # (query/local.py — the reference's per-shard searcher role) over the
@@ -253,6 +269,34 @@ def main() -> None:
                 series.append(round(time.time() - t0, 4))
             s = sorted(series)
             local_latency[sname] = {
+                "p50": s[len(s) // 2],
+                "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+            }
+
+        # ---- sharded serving: split the index 4 ways (layout-only), merge
+        # per-shard top-k (query/shards.py — the distributed-search
+        # topology); rank-identity vs the single searcher is pytest-asserted
+        # (tests/test_shards.py), here we record the merged warm p50.
+        from solr_spark.query.shards import ShardedSearcher, shard_index
+
+        # shards own docid RANGES (range_id % N): at 10^12 turns that is
+        # ~15M ranges across N serving nodes; the bench corpus at
+        # range_shift=16 has only ceil(turns/65536) ranges, so shard count
+        # is capped to keep every shard non-degenerate
+        n_ranges = reader.norms(spark).count()
+        n_shards = max(1, min(4, n_ranges))
+        shard_dirs = shard_index(spark, reader,
+                                 os.path.join(scratch, "shards"), n_shards)
+        merged = ShardedSearcher(shard_dirs)
+        for name, q in FT_QUERIES.items():
+            merged.search(q, k=10)  # warm
+            series = []
+            for _ in range(max(reps, 5)):
+                t0 = time.time()
+                merged.search(q, k=10)
+                series.append(round(time.time() - t0, 4))
+            s = sorted(series)
+            local_latency[f"sharded{n_shards}_{name}"] = {
                 "p50": s[len(s) // 2],
                 "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
             }

@@ -359,6 +359,40 @@ def make_tokenize_joined_udf(config: IndexConfig = DEFAULT_CONFIG):
     return tokenize_joined
 
 
+def make_tokenize_joined_multi_udf(config: IndexConfig = DEFAULT_CONFIG):
+    """Multivalued (array<string>) analyzer UDF: each value analyzed
+    independently, values joined with a POSITION GAP of
+    config.position_increment_gap (reference: multiValued=true fields,
+    schema/FieldProperties.java:66, with the fieldType's
+    positionIncrementGap — 100 in the stock text types).
+
+    Gap encoding: the forward index stores positions implicitly as token
+    indices in the space-joined string, so a gap of G between values is G
+    EMPTY tokens = G+1 consecutive spaces. Empty tokens never become
+    postings (the encoder drops them), never count toward dl (write_analyzed
+    counts non-empty tokens), and can never equal a query term — so phrase /
+    span / sloppy positions shift past the boundary exactly like Lucene's
+    position increments, and a phrase cannot match across values.
+    """
+    from pyspark.sql import functions as F
+
+    sep = " " * (config.position_increment_gap + 1)
+
+    @F.pandas_udf("string")
+    def tokenize_joined_multi(vals: pd.Series) -> pd.Series:
+        counts = [0 if a is None else len(a) for a in vals]
+        flat = pd.Series([v if v is not None else ""
+                          for a in vals if a is not None for v in a])
+        toks = analyze_series_joined(flat, config) if len(flat) else flat
+        out, i = [], 0
+        for c in counts:
+            out.append(sep.join(toks.iloc[i:i + c]) if c else "")
+            i += c
+        return pd.Series(out, index=vals.index)
+
+    return tokenize_joined_multi
+
+
 from functools import lru_cache as _lru_cache  # noqa: E402
 
 

@@ -37,6 +37,11 @@ class IndexConfig:
     num_term_buckets: int = 64
     max_token_length: int = 255
     stopwords: str = "en"           # "en" | "none"
+    # positionIncrementGap between the values of a multivalued (array<string>)
+    # text field (reference: managed-schema.xml text types set 100;
+    # FieldProperties.java:66 multiValued). Encoded as gap empty tokens in the
+    # forward index, so phrases cannot match across value boundaries.
+    position_increment_gap: int = 100
     lucene_norms: bool = True       # SmallFloat-quantized doc lengths (parity mode)
     # Analyzer filters (both default off = the text_general chain; both on
     # approximates the reference's text_en chain, managed-schema.xml:320-340):

@@ -681,21 +681,20 @@ def dataset_corr(df: DataFrame, x: str, y: str, method: str = "pearson") -> Data
         return df.agg(F.corr(F.col(x).cast("double"),
                              F.col(y).cast("double")).alias("corr"))
     if method == "spearman":
-        # Fractional (average) ranks WITHOUT a global per-row sort: rank depends
-        # only on the value, so build a per-distinct-value rank table
-        # (rank(v) = #rows below v + (ties+1)/2, via a window over the distinct
-        # values — bounded cardinality, not the row count) and join it back
-        # (broadcast-able when the value domain is small).
-        from pyspark.sql import Window
+        # Fractional (average) ranks WITHOUT a global per-row sort: rank
+        # depends only on the value, so build a per-distinct-value rank table
+        # (rank(v) = #rows below v + (ties+1)/2). The running count uses the
+        # DISTRIBUTED prefix sum (distributed_cumsum) — continuous data makes
+        # distinct ≈ rows, and a plain Window.orderBy over the distinct table
+        # would funnel it through one task.
 
         def _rank_table(col: str, out: str) -> DataFrame:
             per = df.groupBy(F.col(col).cast("double").alias("v")) \
-                    .agg(F.count("*").alias("c"))
-            w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-            return per.select(
+                    .agg(F.count("*").cast("double").alias("c"))
+            cum = distributed_cumsum(per, "v", ["c"], inclusive=False)
+            return cum.select(
                 F.col("v").alias(f"_{out}_v"),
-                (F.coalesce(F.sum("c").over(w), F.lit(0))
-                 + (F.col("c") + 1) / 2.0).alias(out))
+                (F.col("cum_c") + (F.col("c") + 1) / 2.0).alias(out))
 
         ranked = (df.select(F.col(x).cast("double").alias("_rx_v"),
                             F.col(y).cast("double").alias("_ry_v"))
@@ -872,25 +871,76 @@ def anova(df: DataFrame, value: str, group: str) -> dict:
     return {"f_ratio": f, "p_value": f_sf(f, d1, d2)}
 
 
+def distributed_cumsum(per: DataFrame, order_col: str, cols: list[str],
+                       inclusive: bool = True) -> DataFrame:
+    """Prefix sums over a value-keyed table WITHOUT a global unpartitioned
+    window (Spark warns on `Window.orderBy` with no partitionBy: every row
+    funnels through ONE task). Same shape as the docid prefix sum
+    (indexing/docids.py): range-partition by the order column, per-partition
+    totals to the driver (one row per partition), exclusive offsets broadcast
+    back, running sum within each partition. Exact for integer-valued counts
+    (the rank-statistics inputs here). Adds `cum_<col>` per requested column.
+    """
+    spark = per.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    parted = (per.repartitionByRange(n_parts, order_col)
+                 .withColumn("__pid", F.spark_partition_id())
+                 .cache())  # pins boundaries: totals + downstream agree
+    totals = parted.groupBy("__pid").agg(
+        *[F.sum(c).alias(c) for c in cols]).collect()
+    acc = {c: 0.0 for c in cols}
+    rows = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], *[float(acc[c]) for c in cols]))
+        for c in cols:
+            acc[c] += float(r[c] or 0)
+    off_df = spark.createDataFrame(
+        rows, "__pid int, " + ", ".join(f"__off_{c} double" for c in cols))
+    bound = 0 if inclusive else -1
+    from pyspark.sql import Window
+    w = Window.partitionBy("__pid").orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, bound)
+    out = parted.join(F.broadcast(off_df), "__pid")
+    for c in cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            F.coalesce(F.sum(F.col(c).cast("double")).over(w), F.lit(0.0))
+            + F.col(f"__off_{c}"))
+    return out.drop("__pid", *[f"__off_{c}" for c in cols])
+
+
 def mann_whitney(df: DataFrame, value: str, group: str) -> dict:
     """Mann-Whitney U with tie correction, normal approximation
-    (eval/MannWhitneyUEvaluator.java). Ranks via a window — distributed."""
-    from pyspark.sql import Window
+    (eval/MannWhitneyUEvaluator.java).
+
+    Tie-averaged ranks are a function of the VALUE alone: rank(v) = #rows
+    below v + (ties_v + 1)/2. So the whole statistic reduces over the
+    per-distinct-value count table — one groupBy + the distributed prefix
+    sum — with no per-row rank window and no single-task global sort (the
+    round-3 scale flag). Counts are integers, so every sum is double-exact
+    and the p-value is bit-identical to the per-row ranking."""
     v = F.col(value).cast("double")
-    rk = F.rank().over(Window.orderBy(v))
-    tie = F.count("*").over(Window.partitionBy(v))
-    ranked = df.select(F.col(group).alias("g"),
-                       (rk + (tie - 1) / 2.0).alias("r"), tie.alias("t"))
-    rows = ranked.groupBy("g").agg(F.count("r").alias("n"),
-                                   F.sum("r").alias("rsum")).orderBy("g").collect()
-    if len(rows) != 2:
+    groups = [r[0] for r in df.select(group).distinct().orderBy(group).collect()]
+    if len(groups) != 2:
         raise ValueError("mannWhitney needs exactly 2 groups")
-    (n1, r1), (n2, _r2) = [(r["n"], r["rsum"]) for r in rows]
+    g1 = groups[0]
+    per = df.groupBy(v.alias("v")).agg(
+        F.sum(F.when(F.col(group) == g1, 1.0).otherwise(0.0)).alias("c1"),
+        F.count("*").cast("double").alias("ct"))
+    cum = distributed_cumsum(per, "v", ["ct"], inclusive=False)
+    stats = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * (F.col("cum_ct") + (F.col("ct") + 1) / 2.0)
+              ).alias("r1"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+              ).alias("tie_term"),
+    ).collect()[0]
+    n1, n2, r1 = float(stats["n1"]), float(stats["n2"]), float(stats["r1"])
+    tie_term = float(stats["tie_term"])
     u1 = r1 - n1 * (n1 + 1) / 2.0
     u = min(u1, n1 * n2 - u1)
     n = n1 + n2
-    ties = ranked.select("t").groupBy("t").agg(F.count("*").alias("c")).collect()
-    tie_term = sum((r["t"] ** 3 - r["t"]) * (r["c"] / r["t"]) for r in ties)
     mu = n1 * n2 / 2.0
     sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1))))
     z = (u - mu + 0.5) / sigma  # continuity-corrected
@@ -911,10 +961,10 @@ def erf_poly(x: float) -> float:
 def kolmogorov_smirnov(df: DataFrame, value: str, group: str) -> dict:
     """Two-sample KS (eval/KolmogorovSmirnovEvaluator.java is one-sample vs a
     distribution; the two-sample variant is what a pipeline wants). Both ECDFs
-    are evaluated at DISTINCT-value boundaries (per-value group counts, then a
-    cumulative window over the distinct values — bounded cardinality, not row
-    count), so cross-group ties are handled exactly; asymptotic p-value."""
-    from pyspark.sql import Window
+    are evaluated at DISTINCT-value boundaries (per-value group counts, then
+    the DISTRIBUTED prefix sum over the distinct values — no single-task
+    global window even when every value is distinct), so cross-group ties are
+    handled exactly; asymptotic p-value."""
     groups = [r[0] for r in df.select(group).distinct().orderBy(group).collect()]
     if len(groups) != 2:
         raise ValueError("ks needs exactly 2 groups")
@@ -924,9 +974,9 @@ def kolmogorov_smirnov(df: DataFrame, value: str, group: str) -> dict:
                   F.sum(F.when(F.col(group) != g1, 1.0).otherwise(0.0)).alias("c2")))
     tot = per.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2")).collect()[0]
     n1, n2 = float(tot["n1"]), float(tot["n2"])
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    d = (per.select(
-            F.abs(F.sum("c1").over(w) / n1 - F.sum("c2").over(w) / n2).alias("d"))
+    cum = distributed_cumsum(per, "v", ["c1", "c2"], inclusive=True)
+    d = (cum.select(
+            F.abs(F.col("cum_c1") / n1 - F.col("cum_c2") / n2).alias("d"))
            .agg(F.max("d").alias("d")).collect()[0]["d"])
     ne = n1 * n2 / (n1 + n2)
     lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
@@ -961,14 +1011,15 @@ def freq_table(df: DataFrame, col: str) -> DataFrame:
 
 
 def empirical_distribution(df: DataFrame, col: str) -> DataFrame:
-    """Empirical CDF per distinct value (cumulative fraction <= x)."""
-    from pyspark.sql import Window
+    """Empirical CDF per distinct value (cumulative fraction <= x) — the
+    running count uses the distributed prefix sum, so continuous (all-
+    distinct) inputs never funnel through a single window task."""
     total = df.count()
     c = F.col(col).cast("double")
-    per = df.groupBy(c.alias("value")).agg(F.count("*").alias("n"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    return per.select("value",
-                      (F.sum("n").over(w) / float(total)).alias("cdf"))
+    per = df.groupBy(c.alias("value")).agg(
+        F.count("*").cast("double").alias("n"))
+    cum = distributed_cumsum(per, "value", ["n"], inclusive=True)
+    return cum.select("value", (F.col("cum_n") / float(total)).alias("cdf"))
 
 
 def kmeans(df: DataFrame, vec_col: str, k: int, iters: int = 5,

@@ -105,14 +105,15 @@ def domain_quota_sample(df: DataFrame, url_col: str, quota: int,
                         order_by: Sequence[Column | str] = (),
                         out_col: str = "domain") -> DataFrame:
     """Keep at most `quota` rows per registered domain, best-first by
-    `order_by` (ties MUST be broken by a unique column for determinism)."""
-    from pyspark.sql import Window
+    `order_by` (ties MUST be broken by a unique column for determinism).
 
-    with_dom = df.withColumn(out_col, registered_domain(url_col))
-    w = Window.partitionBy(out_col).orderBy(*order_by) if order_by else None
-    if w is None:
+    Uses the salted two-stage top-N (operators/windows.py::salted_top_n): a
+    degenerate domain — 10^8 crawl pages of one host — ranks across 16 salt
+    reducers first, so no task's shuffle INPUT ever holds a whole domain."""
+    from solr_spark.operators.windows import salted_top_n
+
+    if not order_by:
         raise ValueError("order_by required for deterministic quota sampling")
-    return (with_dom
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= quota)
-            .drop("__rn"))
+    with_dom = df.withColumn(out_col, registered_domain(url_col))
+    return salted_top_n(with_dom, out_col, order_by, quota,
+                        rank_col="__rn").drop("__rn")

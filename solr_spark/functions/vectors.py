@@ -212,22 +212,31 @@ def ivf_train(df: DataFrame, vec_col: str, n_centroids: int = 16,
 
 def ivf_ann_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
                  id_col: str = "vec_id", n_centroids: int = 16,
-                 n_probe: int = 4, centroids: DataFrame | None = None
-                 ) -> DataFrame:
+                 n_probe: int = 4, centroids: DataFrame | None = None,
+                 train: bool = False) -> DataFrame:
     """IVF approximate NN: coarse-quantize to `n_centroids` clusters, probe the
     `n_probe` clusters nearest the query, exact cosine top-k on candidates.
 
-    Pass `centroids` (from ivf_train) for a TRAINED quantizer — the
-    production path; recall@10 >= 0.9 vs exact cosine is pytest-gated on a
-    corpus where the untrained default demonstrably fails. Without it, a
-    deterministic seed set (the first n_centroids vectors by id) keeps the
-    operator SQL-twin-checkable (the oracle can't run k-means). Either way
-    the PLUMBING is the IVF scale path: broadcast assignment, probe-pruned
-    candidate scan, exact verify. Complements lsh_ann_topk as the second ANN
-    family (reference context: DenseVectorField's HNSW is pointer-chasing and
-    wrong-shaped for Spark).
+    Pass `centroids` (from ivf_train) or `train=True` for a TRAINED
+    quantizer — the production path; recall@10 >= 0.9 vs exact cosine is
+    pytest-gated on a corpus where the untrained default demonstrably fails.
+    Without either, a deterministic seed set (the first n_centroids vectors
+    by id) keeps the operator SQL-twin-checkable (the oracle can't run
+    k-means) — and warns, so nobody serves off the weak quantizer by
+    accident. Either way the PLUMBING is the IVF scale path: broadcast
+    assignment, probe-pruned candidate scan, exact verify. Complements
+    lsh_ann_topk as the second ANN family (reference context:
+    DenseVectorField's HNSW is pointer-chasing and wrong-shaped for Spark).
     """
-    if centroids is None:
+    if centroids is None and train:
+        centroids = ivf_train(df, vec_col, n_centroids, id_col=id_col)
+    elif centroids is None:
+        import warnings
+
+        warnings.warn(
+            "ivf_ann_topk: untrained seed quantizer (first n_centroids ids) "
+            "— recall is corpus-dependent; pass train=True or "
+            "centroids=ivf_train(...) for serving", stacklevel=2)
         centroids = (df.where(F.col(id_col) < n_centroids)
                      .select(F.col(id_col).alias("cid"),
                              F.col(vec_col).alias("cvec")))
@@ -275,13 +284,24 @@ def knn_prefiltered(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
         # The coarse quantizer must come from the WHOLE corpus, not the
         # filtered view: a prefilter excluding the low ids would otherwise
         # leave the default seed-centroid set empty (0 neighbors returned)
-        # or degraded. Only the candidate set is filtered.
+        # or degraded. Only the candidate set is filtered. train=True trains
+        # on the whole corpus for the same reason.
         if kw.get("centroids") is None:
-            n_centroids = kw.get("n_centroids", 16)
-            kw = {**kw,
-                  "centroids": (df.where(F.col(id_col) < n_centroids)
-                                  .select(F.col(id_col).alias("cid"),
-                                          F.col(vec_col).alias("cvec")))}
+            if kw.pop("train", False):
+                kw = {**kw, "centroids": ivf_train(
+                    df, vec_col, kw.get("n_centroids", 16), id_col=id_col)}
+            else:
+                import warnings
+
+                warnings.warn(
+                    "knn_prefiltered(method='ivf'): untrained seed quantizer "
+                    "— pass train=True or centroids=ivf_train(...) for "
+                    "serving", stacklevel=2)
+                n_centroids = kw.get("n_centroids", 16)
+                kw = {**kw,
+                      "centroids": (df.where(F.col(id_col) < n_centroids)
+                                      .select(F.col(id_col).alias("cid"),
+                                              F.col(vec_col).alias("cvec")))}
         return ivf_ann_topk(filtered, vec_col, query, k, id_col, **kw)
     raise ValueError(f"unknown knn method {method!r}")
 

@@ -327,7 +327,17 @@ def write_analyzed(
     # outruns java.util.regex on this pattern — and scales with cores once
     # workers are forked (bench warms the pool before timing, mirroring a real
     # cluster's long-lived executors).
-    tokenize = make_tokenize_joined_udf(config)
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(source.schema["text"].dataType, ArrayType):
+        # multivalued text field: per-value analysis + positionIncrementGap
+        # encoded as gap empty tokens (make_tokenize_joined_multi_udf); dl
+        # counts NON-EMPTY tokens so gaps never inflate norms
+        from solr_spark.analysis import make_tokenize_joined_multi_udf
+
+        tokenize = make_tokenize_joined_multi_udf(config)
+    else:
+        tokenize = make_tokenize_joined_udf(config)
     extra = [c for c in stored_cols if c not in
              ("conv_id", "turn_idx", "dl", "toks", "docid")]
     toked = (
@@ -335,8 +345,8 @@ def write_analyzed(
         .withColumn("toks", tokenize(F.col("text")))
         .withColumn(
             "dl",
-            F.when(F.col("toks") == "", F.lit(0))
-             .otherwise(F.size(F.split("toks", " "))).cast("long"),
+            F.size(F.filter(F.split("toks", " "),
+                            lambda x: x != "")).cast("long"),
         )
         .select("conv_id", "turn_idx", "dl", "toks", *extra)
     )

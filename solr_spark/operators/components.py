@@ -81,6 +81,59 @@ def best_passage(toks_col: Column | str, term_idfs: dict[str, float],
     return passage, score
 
 
+def best_passages(toks_col: Column | str, term_idfs: dict[str, float],
+                  fragsize: int = 8, snippets: int = 3,
+                  tag: str = "em") -> Column:
+    """Multi-snippet highlighting: the hl.snippets / hl.fragsize surface of
+    the UnifiedHighlighter (reference: highlight/UnifiedSolrHighlighter.java;
+    Lucene's fragmenter breaks text into consecutive fragments and the
+    PassageScorer ranks them).
+
+    The token string tiles into consecutive NON-OVERLAPPING `fragsize`-token
+    fragments; each scores by the summed idf of the DISTINCT query terms it
+    contains; the top `snippets` fragments win, ordered (score desc, start
+    asc). Returns an array<struct<start,score,passage>> Column — matched
+    terms wrapped in <tag>..</tag>, empty array when nothing matches.
+
+    Pure Column algebra (sequence/transform/slice/sort_array) — whole-stage
+    codegen, applied to an already-top-k page: no Python, no shuffle, and a
+    deterministic selection rule any SQL engine reproduces (full-hash
+    gate ft34).
+    """
+    arr = F.split(toks_col if isinstance(toks_col, Column) else F.col(toks_col),
+                  " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(arr), F.lit(1)),
+                        F.lit(fragsize))
+    terms_arr = F.array(*[F.lit(t) for t in sorted(term_idfs)])
+
+    def mk(i: Column) -> Column:
+        sl = F.slice(arr, i, fragsize)
+        parts = [F.when(F.array_contains(sl, t), F.lit(idf)).otherwise(F.lit(0.0))
+                 for t, idf in sorted(term_idfs.items())]
+        score = parts[0]
+        for p in parts[1:]:
+            score = score + p
+        tagged = F.transform(
+            sl, lambda t: F.when(
+                F.array_contains(terms_arr, t),
+                F.concat(F.lit(f"<{tag}>"), t, F.lit(f"</{tag}>")))
+            .otherwise(t))
+        # neg-score first so sort_array's ascending struct order is
+        # (score desc, start asc); start is unique per doc, so the passage
+        # text never participates in the comparison
+        # score stays un-rounded: callers round ONCE for display/oracles
+        # (stacked roundings are engine-divergent near half boundaries)
+        return F.struct((-score).alias("neg"), i.cast("int").alias("start"),
+                        score.alias("score"),
+                        F.array_join(tagged, " ").alias("passage"))
+
+    cands = F.filter(F.transform(starts, mk), lambda s: s["neg"] < 0.0)
+    top = F.slice(F.sort_array(cands), 1, snippets)
+    return F.transform(top, lambda s: F.struct(
+        s["start"].alias("start"), s["score"].alias("score"),
+        s["passage"].alias("passage")))
+
+
 def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
                   k: int = 10, num_term_buckets: int | None = None) -> DataFrame:
     """Terms-component enumeration: dictionary terms starting with `prefix`,

@@ -67,7 +67,35 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
     (facet.prefix / facet.contains — SimpleFacets request params); allBuckets,
     numBuckets, and missing are computed over the same restricted domain,
     matching the reference's per-request filtering.
+
+    Multivalued (ArrayType) fields facet like the reference's UnInvertedField:
+    each VALUE of a doc's array is a bucket occurrence (one explode ahead of
+    the same single-shuffle partial aggregation — map-side combine intact);
+    `missing` counts docs with a NULL or EMPTY array (no values at all).
     """
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(df.schema[field].dataType, ArrayType):
+        no_values = F.col(field).isNull() | (F.size(field) == 0)
+        exploded = df.withColumn(field, F.explode(field))
+        if missing:
+            # explode drops value-less docs; count them from the ORIGINAL df
+            # and splice the row in after the single-valued computation
+            out = terms_facet(exploded, field, limit=limit, metrics=metrics,
+                              min_count=min_count,
+                              sort_by_count=sort_by_count, sort=sort,
+                              all_buckets=all_buckets,
+                              num_buckets=num_buckets, missing=False,
+                              prefix=prefix, contains=contains)
+            out = out.withColumn("bucket", F.col("bucket").cast("string"))
+            metric_cols = [c for c in out.columns
+                           if c not in ("bucket", "count")]
+            miss = (df.where(no_values)
+                      .agg(F.count(F.lit(1)).alias("count"), *metrics)
+                      .select(F.lit("__missing__").alias("bucket"), "count",
+                              *metric_cols))
+            return out.unionByName(miss)
+        df = exploded
     present = df.where(F.col(field).isNotNull())
     if prefix is not None:
         present = present.where(F.col(field).startswith(prefix))
@@ -157,6 +185,55 @@ def range_facet_other(df: DataFrame, field: str, start: float, end: float,
     return (out.orderBy(is_summary.cast("int"),
                         F.col("_start"), F.col("bucket"))
                .select("bucket", "count"))
+
+
+def date_range_facet(df: DataFrame, field: str, start: str, end: str,
+                     gap: str, now=None,
+                     metrics: Sequence[Column] = ()) -> DataFrame:
+    """`facet.range` over a DATE field with DateMath endpoints and gap
+    (reference: handler/component/RangeFacetRequest.java date handling +
+    util/DateMathParser.java:91 — `start=NOW/MONTH-2MONTHS`, `gap=+1MONTH`).
+
+    Bucket boundaries are enumerated DRIVER-side exactly like the reference
+    (lo += gap until end — calendar arithmetic, so month/year buckets have
+    their true variable widths), then counting is ONE conditional-CASE
+    groupBy: the bucket key is a literal boundary chain evaluated in codegen,
+    one shuffle with map-side combine, no per-bucket scan. `now` anchors NOW
+    (pass a fixed instant for deterministic results — Solr's request-scoped
+    NOW parameter). Output: (bucket_start timestamp, count, *metrics) in
+    bucket order; docs outside [start, last bucket end) fall in no bucket.
+    """
+    from solr_spark.functions.datemath import (
+        apply_gap,
+        date_math_py,
+        parse_gap,
+    )
+
+    lo = date_math_py(start, now=now)
+    hi = date_math_py(end, now=now)
+    gap_ops = parse_gap(gap)
+    bounds = []
+    b = lo
+    while b < hi:
+        nxt = apply_gap(b, gap_ops)
+        if nxt <= b:
+            raise ValueError(f"gap {gap!r} does not advance from {b}")
+        # the last bucket runs a full gap past `end` (Solr's default,
+        # hardend=false), so its width is never truncated
+        bounds.append((b, nxt))
+        b = nxt
+    if not bounds:
+        raise ValueError("empty date range: end must exceed start")
+    v = F.col(field)
+    label = None
+    for blo, bhi in bounds:
+        cond = (v >= F.lit(blo)) & (v < F.lit(bhi))
+        label = F.when(cond, F.lit(blo)) if label is None \
+            else label.when(cond, F.lit(blo))
+    return (df.groupBy(label.cast("timestamp").alias("bucket_start"))
+              .agg(F.count(F.lit(1)).alias("count"), *metrics)
+              .where(F.col("bucket_start").isNotNull())
+              .orderBy("bucket_start"))
 
 
 def facet_2d(df: DataFrame, x: str, y: str, limit_x: int = 5,

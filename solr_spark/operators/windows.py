@@ -78,18 +78,51 @@ def collapse_agg(df: DataFrame, field: str,
     return out
 
 
+def salted_top_n(df: DataFrame, key: str | Sequence[str],
+                 order: Sequence[Column | str], n: int,
+                 salts: int = 16, rank_col: str = "__rank") -> DataFrame:
+    """Skew-safe top-N rows per key: two-stage salted window.
+
+    A single `row_number().over(partitionBy(key))` must co-locate EVERY row
+    of a key before filtering to N — a degenerate key (10^8 crawl pages of
+    one host) lands on one reducer, and AQE does not split window skew the
+    way it splits join skew. The salted shape bounds any task's input:
+
+      stage 1: rank within (key, salt) — salt = xxhash64(all columns) % S,
+               deterministic and partitioning-independent — keep local top-N.
+               The heaviest key now spreads over S reducers.
+      stage 2: rank within key over the ≤ S*N survivors — exact, because the
+               global per-key top-N is a subset of the union of per-salt
+               top-N's.
+
+    `order` must total-order rows within a key (unique tiebreak) — the same
+    determinism contract the single-window version had. `rank_col` carries
+    the final 1-based within-key position.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order)
+    pre = (df.withColumn("__salt", salt)
+             .withColumn("__lrn", F.row_number().over(w1))
+             .where(F.col("__lrn") <= n)
+             .drop("__salt", "__lrn"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (pre.withColumn(rank_col, F.row_number().over(w2))
+               .where(F.col(rank_col) <= n))
+
+
 def group_top_n(df: DataFrame, field: str, sort: Sequence[Column | str],
                 n: int) -> DataFrame:
     """Result grouping (group.field, group.limit=n) — top-N rows per group value.
 
     Reference: search/Grouping.java:73; distributed via two-phase
-    PURPOSE_GET_TOP_GROUPS (handler/component/ShardRequest.java:39). Spark does it in
-    one windowed pass — rank within group, filter. The `group_rank` column is the
+    PURPOSE_GET_TOP_GROUPS (handler/component/ShardRequest.java:39). Spark:
+    the salted two-stage top-N (salted_top_n) — rank within (group, salt),
+    then within group over the bounded survivors — so one hot group value
+    never funnels through a single task. The `group_rank` column is the
     within-group position (1-based), matching the reference's within-group sort.
     """
-    w = Window.partitionBy(field).orderBy(*sort)
-    return (df.withColumn("group_rank", F.row_number().over(w))
-              .where(F.col("group_rank") <= n))
+    return salted_top_n(df, field, sort, n, rank_col="group_rank")
 
 
 def expand(df: DataFrame, field: str, sort: Sequence[Column | str],

@@ -399,13 +399,15 @@ def bm25_topk(
     required: list[str] | None = None,
     filters: list[str] | str | None = None,
     filter_docids: DataFrame | None = None,
+    now: str | None = None,
 ) -> DataFrame:
     """Top-k scored retrieval. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
     filters / filter_docids: the q+fq flow (SolrIndexSearcher.java:1254
     getProcessedFilter). `filters` are classic-parser strings compiled
     against the forward table (query/docsets.py::filter_docids — stored
-    attribute columns, conv_id/turn_idx, and `text` = analyzed tokens);
+    attribute columns, conv_id/turn_idx, and `text` = analyzed tokens;
+    `now` anchors date-math endpoints like `ts:[NOW-7DAYS TO *]`);
     `filter_docids` is a precomputed DataFrame(docid) — the filterCache
     handle, reusable across queries. Either becomes per-range bitmaps
     inner-joined to the posting scan: ranges with no allowed doc are skipped
@@ -442,6 +444,9 @@ def bm25_topk(
     qterms = Counter(analyze_text(query_text, cfg))
     if not qterms:
         return spark.createDataFrame([], out_schema)
+    # a result can never exceed the doc count; un-capped k would make Spark's
+    # TakeOrdered allocate an O(k) buffer (k=10^9 OOMs a 1 GiB driver)
+    k = min(k, reader.n_docs)
 
     canon = sorted(qterms)
     # boolean-operator clauses (grammar parser/QueryParser.jj `+`/`-`):
@@ -557,6 +562,8 @@ def bm25_topk(
     norms = reader.norms(spark)
     joined = postings.join(norms.select("range_id", "norm_bytes"), "range_id")
 
+    if isinstance(filters, (list, tuple)) and not filters:
+        filters = None  # empty fq list = no filter, skip the bitmap machinery
     use_filter = filters is not None or filter_docids is not None
     if use_filter:
         from solr_spark.query.docsets import docid_range_bitmaps
@@ -565,7 +572,7 @@ def bm25_topk(
         if filters is not None and filter_docids is not None:
             raise ValueError("pass filters OR filter_docids, not both")
         if filters is not None:
-            filter_docids = _compile_fq(spark, reader, filters)
+            filter_docids = _compile_fq(spark, reader, filters, now=now)
         bitmaps = docid_range_bitmaps(filter_docids, cfg.range_shift)
         # inner join: a range with no allowed doc never reaches the kernel
         joined = joined.join(bitmaps, "range_id")

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 _BITMAP_SCHEMA = "range_id long, filter_bits binary"
 
 
-def filter_docids(spark: SparkSession, reader, filters) -> DataFrame:
+def filter_docids(spark: SparkSession, reader, filters, now=None) -> DataFrame:
     """Compile classic-syntax filter strings (fq) to a DataFrame(docid).
 
     Filters evaluate against the index's forward table: `text` addresses the
@@ -45,15 +45,28 @@ def filter_docids(spark: SparkSession, reader, filters) -> DataFrame:
     matched at build time), every stored attribute column (build_index
     stored_cols) by name, plus conv_id / turn_idx. Multiple filters AND, as
     fq's do. Predicates are plain Catalyst columns — pushed to the scan.
+    `now` anchors date-math range endpoints (`ts:[NOW-7DAYS TO *]`) — pass a
+    fixed ISO instant for deterministic results (Solr's request NOW param).
     """
+    from pyspark.errors import AnalysisException
+
     from solr_spark.query.parser import LuceneQueryParser
 
     if isinstance(filters, str):
         filters = [filters]
     fwd = reader.forward(spark).withColumnRenamed("toks", "text")
-    parser = LuceneQueryParser("text", {"text"})
+    parser = LuceneQueryParser("text", {"text"}, now=now)
     for f in filters:
-        fwd = fwd.where(parser.parse(f))
+        try:
+            fwd = fwd.where(parser.parse(f))
+        except AnalysisException as e:
+            # a filter on a field the index never stored must fail with the
+            # fix in the message, not a raw Catalyst resolution error
+            raise ValueError(
+                f"fq {f!r} references a field not stored in this index "
+                f"(forward columns: {sorted(fwd.columns)}); rebuild with "
+                f"build_index(..., stored_cols=(<field>,)) to filter on it"
+            ) from e
     return fwd.select("docid")
 
 

@@ -206,6 +206,7 @@ def edismax_topk(
     prune to their two columns at the scan.
     """
     primary = readers[next(iter(sorted(qf)))]
+    k = min(k, max(r.n_docs for r in readers.values()))  # O(k) TakeOrdered
     # One clause per whitespace-separated query word, each analyzed with the
     # OWN analyzer config of every qf field (the reference analyzes per field:
     # ExtendedDismaxQParser builds one DisjunctionMaxQuery per word whose arms

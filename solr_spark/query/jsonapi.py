@@ -147,7 +147,8 @@ def json_request(df: DataFrame, request: dict | str,
     sort+limit is TakeOrdered (no global sort materialization)."""
     req = json.loads(request) if isinstance(request, str) else dict(request)
     _check_keys(req, _TOP_KEYS - {"facet"}, "request")
-    parser = LuceneQueryParser(default_field, text_fields or {default_field})
+    parser = LuceneQueryParser(default_field, text_fields or {default_field},
+                               now=req.get("params", {}).get("NOW"))
     out = _domain(df, req, parser)
     if "sort" in req:
         out = out.orderBy(*_sort_cols(req["sort"]))
@@ -193,12 +194,15 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
     filters = req.get("filter", [])
     if isinstance(filters, str):
         filters = [filters]
+    now = params.get("NOW")
     if "similarity" in params:
         from solr_spark.query.bm25 import bm25_topk
         topk = bm25_topk(spark, reader, req["query"], k=k,
-                         similarity=params["similarity"], filters=filters)
+                         similarity=params["similarity"], filters=filters,
+                         now=now)
     else:
-        topk = scored_topk(spark, reader, req["query"], k=k, filters=filters)
+        topk = scored_topk(spark, reader, req["query"], k=k, filters=filters,
+                           now=now)
     if offset:
         # deep paging: ranks (offset, offset+limit] of the top-(offset+limit)
         # result — the start/rows contract of the reference's paging
@@ -234,7 +238,8 @@ def json_facets(df: DataFrame, request: dict | str,
     """
     req = json.loads(request) if isinstance(request, str) else dict(request)
     _check_keys(req, _TOP_KEYS, "facet request")
-    parser = LuceneQueryParser(default_field, text_fields or {default_field})
+    parser = LuceneQueryParser(default_field, text_fields or {default_field},
+                               now=req.get("params", {}).get("NOW"))
     dom = _domain(df, req, parser)
     out: dict[str, DataFrame] = {}
     for name, spec in req.get("facet", {}).items():

@@ -47,8 +47,8 @@ class _PandasFilterEvaluator(LuceneQueryParser):
     filter compiler (query/docsets.py::filter_docids) without a Spark job.
     """
 
-    def __init__(self, table, default_field: str = "text"):
-        super().__init__(default_field, {default_field})
+    def __init__(self, table, default_field: str = "text", now=None):
+        super().__init__(default_field, {default_field}, now=now)
         self._tbl = table  # pandas DataFrame, one row per docid (dense order)
 
     def _series(self, fld: str):
@@ -69,14 +69,30 @@ class _PandasFilterEvaluator(LuceneQueryParser):
 
         m = t.m
         if t.kind == "range":
+            from solr_spark.query.parser import _DATEMATH_RE
+
+            def endpoint(v: str):
+                if _DATEMATH_RE.match(v):
+                    # same evaluation as the distributed parser's date_math
+                    # Column (both walk DateMathParser.java semantics)
+                    from solr_spark.functions.datemath import date_math_py
+
+                    if self.now is None and v.startswith("NOW"):
+                        import datetime as _dt
+
+                        return date_math_py(v, now=_dt.datetime.now(
+                            _dt.timezone.utc).replace(tzinfo=None))
+                    return date_math_py(v, now=self.now)
+                return self._pyval(v)
+
             s = self._series(m["fld_r"])
             mask = np.ones(len(s), dtype=bool)
             if m["lo"] != "*":
-                lo = self._pyval(m["lo"])
+                lo = endpoint(m["lo"])
                 mask &= (s >= lo).to_numpy() if m["lb"] == "[" \
                     else (s > lo).to_numpy()
             if m["hi"] != "*":
-                hi = self._pyval(m["hi"])
+                hi = endpoint(m["hi"])
                 mask &= (s <= hi).to_numpy() if m["rb"] == "]" \
                     else (s < hi).to_numpy()
             return mask
@@ -172,6 +188,10 @@ class LocalSearcher:
         # (file listing + schema unification is the constant cost here)
         self._seg_ds = ds.dataset([ds.dataset(p, partitioning="hive")
                                    for p in self._seg_paths])
+        # a shard that owns no docid range has an EMPTY segment dir (only
+        # _SUCCESS): its dataset lacks the hive partition field entirely —
+        # every query over it legitimately matches nothing
+        self._has_postings = "term_bucket" in self._seg_ds.schema.names
         self._deleted = deleted_array(None, idx)
         # per-term postings cache (the SolrIndexSearcher filter/queryResult
         # cache role): term -> [(range_id, offsets, tfs)]. LRU, bounded by
@@ -191,6 +211,10 @@ class LocalSearcher:
 
         cache = self._postings_cache
         missing = [t for t in terms if t not in cache]
+        if missing and not self._has_postings:
+            for t in missing:
+                cache[t] = []
+            missing = []
         if missing:
             buckets = sorted(set(_term_buckets(missing,
                                                self.cfg.num_term_buckets)))
@@ -228,11 +252,12 @@ class LocalSearcher:
                 d.nbytes + tf.nbytes for _, d, tf in old)
         return out
 
-    def filter_mask(self, filters) -> np.ndarray:
+    def filter_mask(self, filters, now=None) -> np.ndarray:
         """fq DocSet as a dense bool array indexed by docid (the BitDocSet
         role) — classic filter strings evaluated over the resident forward
         table by the pandas twin of the distributed filter compiler. Cheap to
-        reuse across queries: compute once, pass to search(filter_mask=...)."""
+        reuse across queries: compute once, pass to search(filter_mask=...).
+        `now` anchors date-math endpoints (`ts:[NOW-7DAYS TO *]`)."""
         if isinstance(filters, str):
             filters = [filters]
         if self._fwd is None:
@@ -242,7 +267,7 @@ class LocalSearcher:
                 os.path.join(self.reader.index_dir, "analyzed")).read()
             pdf = tbl.to_pandas().sort_values("docid").reset_index(drop=True)
             self._fwd = pdf.rename(columns={"toks": "text"})
-        ev = _PandasFilterEvaluator(self._fwd)
+        ev = _PandasFilterEvaluator(self._fwd, now=now)
         rows = np.ones(len(self._fwd), dtype=bool)
         for f in filters:
             rows &= ev.parse(f)
@@ -257,20 +282,22 @@ class LocalSearcher:
     def search(self, query_text: str, k: int = 10,
                similarity: str | object = "bm25",
                require_all: bool = False, min_match: int | None = None,
-               filters=None, filter_mask: np.ndarray | None = None):
+               filters=None, filter_mask: np.ndarray | None = None,
+               now=None):
         """Top-k as a list of dicts (conv_id, turn_idx, docid, score, rank) —
         same contract and same scores as bm25_topk, no Spark session.
 
         filters / filter_mask: q+fq — classic filter strings (compiled via
         filter_mask()) or a precomputed dense bool DocSet; masked after
         scoring, before heap collection, exactly like the distributed kernel.
+        `now` anchors date-math filter endpoints (`ts:[NOW-7DAYS TO *]`).
         """
         cfg = self.cfg
         sim = _resolve_sim(similarity)
         if filters is not None:
             if filter_mask is not None:
                 raise ValueError("pass filters OR filter_mask, not both")
-            filter_mask = self.filter_mask(filters)
+            filter_mask = self.filter_mask(filters, now=now)
         qterms = Counter(analyze_text(query_text, cfg))
         if not qterms:
             return []

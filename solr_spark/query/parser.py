@@ -44,6 +44,11 @@ _TOKEN_RE = re.compile(
 )
 
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+# a range endpoint that is Solr date math: NOW[...ops] or an ISO-8601 Z
+# instant optionally followed by /ROUND and +/-N UNIT ops
+# (util/DateMathParser.java:91 — `ts:[NOW-7DAYS TO *]`, `ts:[NOW/DAY TO NOW]`)
+_DATEMATH_RE = re.compile(
+    r"^(NOW|\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z)([/+-].*)?$")
 
 
 @dataclass
@@ -70,11 +75,17 @@ class LuceneQueryParser:
 
     default_field: field for bare terms; text_fields: fields whose term/phrase
     predicates use substring (contains) semantics instead of equality.
+    `now` anchors the NOW token of date-math range endpoints
+    (`ts:[NOW-7DAYS TO *]`) — an ISO string or timestamp Column; None binds
+    NOW to query-compilation current_timestamp(), mirroring Solr's
+    request-scoped NOW param (pass a fixed instant for determinism).
     """
 
-    def __init__(self, default_field: str, text_fields: set[str] | None = None):
+    def __init__(self, default_field: str, text_fields: set[str] | None = None,
+                 now=None):
         self.default_field = default_field
         self.text_fields = text_fields or set()
+        self.now = now
 
     def parse(self, query: str) -> Column:
         self._toks = _lex(query)
@@ -131,16 +142,23 @@ class LuceneQueryParser:
             return F.lit(float(s) if "." in s else int(s))
         return F.lit(s)
 
+    def _range_endpoint(self, s: str):
+        if _DATEMATH_RE.match(s):
+            from solr_spark.functions.datemath import date_math
+
+            return date_math(s, now=self.now)
+        return self._lit(s)
+
     def _leaf(self, t: _Tok) -> Column:
         m = t.m
         if t.kind == "range":
             fld = F.col(m["fld_r"])
             col = None
             if m["lo"] != "*":
-                lo = self._lit(m["lo"])
+                lo = self._range_endpoint(m["lo"])
                 col = (fld >= lo) if m["lb"] == "[" else (fld > lo)
             if m["hi"] != "*":
-                hi = self._lit(m["hi"])
+                hi = self._range_endpoint(m["hi"])
                 c2 = (fld <= hi) if m["rb"] == "]" else (fld < hi)
                 col = c2 if col is None else (col & c2)
             return col if col is not None else fld.isNotNull()

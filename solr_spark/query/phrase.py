@@ -201,9 +201,16 @@ def _lucene_sloppy_kernel(terms: list[str], slop: int):
     import numpy as np
 
     if len(set(terms)) != len(terms):
-        raise ValueError(
-            "lucene_parity sloppy phrases require distinct terms "
-            "(Lucene's repeats handling is out of scope — documented)")
+        # Repeated-term phrases ("a b a"~2): Lucene's repeating-
+        # PhrasePositions machinery (SloppyPhraseMatcher rptGroups /
+        # advanceRpts collision resolution) is NOT reproduced here — a wrong
+        # "parity" kernel would be worse than a documented deviation. Such
+        # queries route to the ordered kernel (each repeated occurrence
+        # chains strictly forward), which is exact for slop 0-1 and diverges
+        # from Lucene only where reversed alignments involving the repeated
+        # term would match at slop >= 2. Pinned by
+        # tests/test_bm25.py-adjacent test_phrase repeated-term vectors.
+        return _sloppy_phrase_kernel(terms, slop)
 
     def sloppy_iter(batches):
         import pyarrow as pa
@@ -261,7 +268,8 @@ def phrase_topk(
     ordered sloppy matches weighted 1/(1+matchLength), see
     _sloppy_phrase_kernel; slop>0 with lucene_parity=True: the exact Lucene
     SloppyPhraseMatcher semantics including reversed alignments at slop>=2,
-    see lucene_sloppy_freq — distinct-term phrases only).
+    see lucene_sloppy_freq; repeated-term phrases route to the ordered
+    kernel with a documented deviation, see _lucene_sloppy_kernel).
 
     Returns DataFrame(conv_id, turn_idx, docid, score, rank) like bm25_topk.
     k=None returns the FULL unranked match set as (docid, score) — for boost
@@ -273,6 +281,8 @@ def phrase_topk(
     terms = analyze_text(phrase_text, cfg)
     if not terms:
         return spark.createDataFrame([], out_schema)
+    if k is not None:
+        k = min(k, reader.n_docs)  # uncapped k OOMs Spark's TakeOrdered
 
     analyzed = spark.read.parquet(
         os.path.join(reader.index_dir, "analyzed", "batch-*")

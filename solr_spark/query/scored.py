@@ -92,7 +92,8 @@ def parse_scored_query(q: str) -> ScoredQuery:
 def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
                 k: int = 10,
                 filters: list[str] | str | None = None,
-                filter_docids: DataFrame | None = None) -> DataFrame:
+                filter_docids: DataFrame | None = None,
+                now: str | None = None) -> DataFrame:
     """Parse + score a classic `q` string; returns the bm25_topk shape
     (conv_id, turn_idx, docid, score, rank).
 
@@ -110,12 +111,15 @@ def scored_topk(spark: SparkSession, reader: IndexReader, q: str,
 
     out_schema = "conv_id string, turn_idx int, docid long, score double, rank int"
     cfg = reader.config
+    if isinstance(filters, (list, tuple)) and not filters:
+        filters = None  # empty fq list = no filter, skip the bitmap machinery
     if filters is not None and filter_docids is not None:
         raise ValueError("pass filters OR filter_docids, not both")
     if filters is not None:
         from solr_spark.query.docsets import filter_docids as _compile_fq
 
-        filter_docids = _compile_fq(spark, reader, filters)
+        filter_docids = _compile_fq(spark, reader, filters, now=now)
+    k = min(k, reader.n_docs)  # uncapped k OOMs Spark's TakeOrdered
     sq = parse_scored_query(q)
     required_set = set(sq.required)
 

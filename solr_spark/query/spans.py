@@ -244,6 +244,7 @@ def span_topk(spark: SparkSession, reader: IndexReader, node,
     cfg = reader.config
     out_schema = ("conv_id string, turn_idx int, docid long, "
                   "score double, rank int")
+    k = min(k, reader.n_docs)  # uncapped k OOMs Spark's TakeOrdered
     terms = sorted(_all_terms(node))
     analyzed = spark.read.parquet(
         os.path.join(reader.index_dir, "analyzed", "batch-*")

@@ -418,12 +418,19 @@ def test_sloppy_phrase_lucene_parity_end_to_end(spark, tmp_path):
         want = idf * tf / (tf + cfg.k1 * (1 - cfg.b + cfg.b * dls[cid] / avgdl))
         assert got[cid].score == _pytest.approx(want, abs=1e-9), cid
 
-    # repeated terms are out of scope for parity mode, loudly
-    import pytest
-
-    with pytest.raises(Exception, match="distinct"):
-        phrase_topk(spark, reader, "merge merge", k=10, slop=2,
-                    lucene_parity=True).collect()
+    # repeated-term phrases RETURN (routed to the ordered kernel, documented
+    # deviation in _lucene_sloppy_kernel) instead of raising: ordered-kernel
+    # results pinned — "merge join merge"~2 ordered chains exist in doc e
+    # ("merge x join merge join": merge0->join2->merge3 ml=1 -> 0.5;
+    # merge3->join4->none)
+    rep = {r.conv_id: r for r in
+           phrase_topk(spark, reader, "merge join merge", k=10, slop=2,
+                       lucene_parity=True).collect()}
+    assert set(rep) == {"e"}
+    ordered = {r.conv_id: r for r in
+               phrase_topk(spark, reader, "merge join merge", k=10,
+                           slop=2).collect()}
+    assert rep["e"].score == _pytest.approx(ordered["e"].score, abs=1e-12)
 
 
 def test_sloppy_phrase_repeated_terms(spark, tmp_path):
@@ -809,14 +816,14 @@ def test_json_subfacet_recursion(spark):
     assert got == [("en", "web", 2), ("fr", "book", 1)]
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="one nested sub-facet"):
+    with _pytest.raises(ValueError, match="one chain per tree"):
         json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
             "facet": {"a": {"type": "terms", "field": "source"},
                       "b": {"type": "terms", "field": "source"}}}}},
             default_field="lang")
-    with _pytest.raises(ValueError, match="must be terms"):
+    with _pytest.raises(ValueError, match="must be terms or range"):
         json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
-            "facet": {"a": {"type": "range", "field": "source"}}}}},
+            "facet": {"a": {"type": "heatmap", "field": "source"}}}}},
             default_field="lang")
 
 
@@ -848,8 +855,8 @@ def test_json_facet_domain_filter(spark):
 
 def test_json_search_ranked(spark, built_index):
     """json_search: JSON body -> scored-query surface; rank-identical to
-    calling the kernel directly; similarity param honored; ranked+filter
-    rejected."""
+    calling the kernel directly; similarity param honored; filtering on a
+    non-stored field fails loudly."""
     from solr_spark.query import IndexReader, bm25_topk
     from solr_spark.query.jsonapi import json_search
     from solr_spark.query.scored import scored_topk
@@ -870,7 +877,10 @@ def test_json_search_ranked(spark, built_index):
     assert [r["docid"] for r in sim.collect()] == \
            [r["docid"] for r in ref.collect()]
 
+    # this fixture's index stores no `role` column: the q+fq path must fail
+    # with the stored_cols fix in the message, not a raw Catalyst error
+    # (the positive filter path is covered in tests/test_filtered.py)
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="does not support 'filter'"):
+    with _pytest.raises(ValueError, match="stored_cols"):
         json_search(spark, reader, {"query": "error",
                                     "filter": ["role:user"]})

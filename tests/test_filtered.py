@@ -97,6 +97,52 @@ def test_empty_filter_result_is_empty(spark, built):
                      filters=["role:nosuchrole"]).count() == 0
 
 
+def test_empty_filter_list_is_no_filter(spark, built):
+    """filters=[] (e.g. a JSON body with no `filter` key) must behave —
+    and PLAN — like no filter at all: no bitmap machinery."""
+    reader = IndexReader.open(built, CFG)
+    plain = bm25_topk(spark, reader, Q, k=10)
+    empty = bm25_topk(spark, reader, Q, k=10, filters=[])
+    assert _rows(plain) == _rows(empty)
+    assert "filter_bits" not in empty._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_datemath_range(spark, built):
+    """`ts:[NOW-7DAYS TO *]`-style fq (util/DateMathParser.java:91): DateMath
+    endpoints compile to timestamp literals via the request-scoped NOW;
+    kernel, brute-force predicate, and LocalSearcher all agree."""
+    import datetime as dt
+
+    reader = IndexReader.open(built, CFG)
+    now = "2023-11-26T12:00:00Z"
+    fq = ["ts:[NOW/DAY-7DAYS TO NOW]"]
+    lo = dt.datetime(2023, 11, 19)
+    hi = dt.datetime(2023, 11, 26, 12, 0, 0)
+
+    got = bm25_topk(spark, reader, Q, k=10, filters=fq, now=now)
+    joined = got.join(reader.forward(spark).select("docid", "ts"),
+                      "docid").collect()
+    assert joined and all(lo <= r["ts"] <= hi for r in joined)
+
+    # brute-force: same predicate applied as a plain Column filter
+    from solr_spark.query.docsets import filter_docids
+    ds = filter_docids(spark, reader, fq, now=now)
+    want = reader.forward(spark).where(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert (sorted(r.docid for r in ds.collect())
+            == sorted(r.docid for r in want.select("docid").collect()))
+
+    # serving-tier parity: LocalSearcher's pandas twin, same NOW
+    ls = LocalSearcher(reader)
+    served = [(r["docid"], round(r["score"], 10))
+              for r in ls.search(Q, k=10, filters=fq, now=now)]
+    assert served == _rows(got)
+
+    # a NOW bound makes the filter selective vs the unfiltered query
+    assert bm25_topk(spark, reader, Q, k=10**6, filters=fq, now=now).count() \
+        < bm25_topk(spark, reader, Q, k=10**6).count()
+
+
 def test_local_searcher_filter_parity(spark, built):
     reader = IndexReader.open(built, CFG)
     ls = LocalSearcher(reader)

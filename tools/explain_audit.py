@@ -93,7 +93,8 @@ def main() -> None:
     try:
         cfg = IndexConfig(range_shift=10, num_term_buckets=16)
         corpus = synth_transcripts_spark(spark, 3000, seed=11)
-        build_index(spark, corpus, idx, cfg, input_token="plan-audit")
+        build_index(spark, corpus, idx, cfg, input_token="plan-audit",
+                    stored_cols=("role",))
         reader = IndexReader.open(idx, cfg)
         topk = bm25_topk(spark, reader, "error timeout", k=5)
         p4 = plan_of(topk)
@@ -148,6 +149,18 @@ def main() -> None:
             plan_of(fc),
             ["IsNotNull(tlen)", "GreaterThanOrEqual(tlen",
              "LessThanOrEqual(tlen"], []))
+
+        # 6c. filtered ranked search (q+fq): the fq predicate pushes into
+        # the FORWARD-table scan (stored column `role`), and the DocSet
+        # reaches the posting scan as a per-range bitmap join — never a
+        # post-join of the top-k
+        ftk = bm25_topk(spark, reader, "error timeout", k=5,
+                        filters=["role:assistant"])
+        checks.append((
+            "filtered topk: fq pushed to forward scan, bitmap range join",
+            plan_of(ftk),
+            ["PushedFilters: [IsNotNull(role), EqualTo(role,assistant)]",
+             "filter_bits"], []))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
@@ -316,6 +329,63 @@ def main() -> None:
         plan_of(ch20),
         ["Generate", "ReadSchema: struct<doc_id:bigint,text:string>"],
         ["Exchange", "BatchEvalPython", "ArrowEvalPython", "Window"]))
+
+    # 21. salted two-stage top-N-per-key: the plan must carry the salt column
+    # through the FIRST window exchange (hashpartitioning on key+salt bounds
+    # any task's input even for a degenerate key) before the per-key rank —
+    # never one unsalted window over the raw rows
+    from solr_spark.functions.urls import domain_quota_sample
+    dq21 = domain_quota_sample(
+        t("documents").withColumn(
+            "url", F.concat(F.lit("https://example.com/"),
+                            F.col("doc_id").cast("string"))),
+        "url", quota=3, order_by=[F.desc("n_chars"), F.asc("doc_id")])
+    p21 = plan_of(dq21)
+    checks.append((
+        "domain quota: salted two-stage top-N (no unsalted single window)",
+        p21,
+        ["__salt", "Window"], []))
+    assert p21.count("Window") >= 2, \
+        f"expected 2 window stages (salted + final), found {p21.count('Window')}"
+    salt_exchange = [ln for ln in p21.splitlines()
+                     if "hashpartitioning" in ln and "__salt" in ln]
+    assert salt_exchange, "first window exchange must partition by (key, salt)"
+
+    # 22. facet_tree: ONE corpus scan feeds the cells aggregation (partial
+    # before the exchange), per-level work is windows over the cells table,
+    # and no Python runs anywhere
+    from solr_spark.operators.facets import FacetLevel, facet_tree
+    ft22 = facet_tree(t("documents"), [
+        FacetLevel("langs", "lang", limit=3,
+                   stats={"avg_chars": ("avg", "n_chars")}),
+        FacetLevel("srcs", "source", limit=2),
+        FacetLevel("sizes", "n_chars", kind="range", start=0.0, gap=200.0,
+                   end=600.0),
+    ])
+    p22 = plan_of(ft22)
+    checks.append((
+        "facet_tree: one scan, cells agg + windows, no Python",
+        p22,
+        ["HashAggregate", "Window"],
+        ["BatchEvalPython", "ArrowEvalPython"]))
+    import re as _re
+    n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", p22, _re.M))
+    assert n_scans == 1, f"facet_tree must scan the corpus once, found {n_scans}"
+
+    # 23. date_range_facet: the DateMath bucket CASE is a codegen'd literal
+    # chain feeding ONE aggregation — no per-bucket scan, no Python
+    from solr_spark.operators.facets import date_range_facet
+    dr23 = date_range_facet(t("events"), "ts", start="NOW/MONTH",
+                            end="NOW/DAY", gap="+7DAYS",
+                            now="2024-01-30T12:00:00Z")
+    p23 = plan_of(dr23)
+    checks.append((
+        "date_range_facet: single conditional aggregation",
+        p23,
+        ["HashAggregate", "CASE WHEN"],
+        ["BatchEvalPython", "ArrowEvalPython"]))
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", p23, _re.M)) == 1, \
+        "date facet must scan once"
 
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
