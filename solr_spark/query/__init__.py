@@ -13,6 +13,7 @@ from solr_spark.query.jsonapi import json_facets, json_request, json_search
 from solr_spark.query.local import LocalSearcher
 from solr_spark.query.docsets import docid_range_bitmaps, filter_docids
 from solr_spark.query.parser import LuceneQueryParser, parse_query
+from solr_spark.query.rtg import realtime_get
 from solr_spark.query.scored import parse_scored_query, scored_topk
 from solr_spark.query.shards import ShardedSearcher, shard_index
 
@@ -23,4 +24,4 @@ __all__ = ["IndexReader", "bm25_topk", "term_docs", "terms_postings",
            "parse_scored_query", "scored_topk", "rrf_fuse", "LocalSearcher",
            "json_request", "json_search", "json_facets",
            "filter_docids", "docid_range_bitmaps",
-           "shard_index", "ShardedSearcher"]
+           "shard_index", "ShardedSearcher", "realtime_get"]

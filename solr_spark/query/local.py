@@ -139,9 +139,36 @@ class LocalSearcher:
     hot-vocabulary serving workload can no longer grow the cache toward the
     full decoded index — entries evict least-recently-used once the DECODED
     byte size (numpy array bytes, the real resident cost) exceeds the budget.
+
+    Serving caches (the SolrIndexSearcher cache trio, reference:
+    solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:164
+    filterCache / :166 queryResultCache; solrconfig.xml <filterCache>,
+    <queryResultCache>, <queryResultWindowSize>):
+
+      * filterCache — compiled fq DocSets (dense bool masks) keyed by the
+        filter-string tuple (+ the date-math NOW anchor), entry-count LRU.
+        Reusing a hot filter across scored queries skips the forward-table
+        evaluation entirely, exactly the reference's
+        SolrIndexSearcher.getProcessedFilter flow (:1254).
+      * queryResultCache — ranked result windows keyed by (analyzed query,
+        filters, similarity, min-match). A request for k rows fetches and
+        caches ceil(k / query_result_window) * query_result_window ranks so
+        the NEXT page of the same query is a cache hit (queryResultWindowSize
+        rounding). Only string-keyed requests cache (a caller-supplied
+        filter_mask array or similarity OBJECT is uncacheable, like Solr's
+        cache=false queries).
+      * documentCache role — subsumed by the resident forward table:
+        ``doc(docid)`` serves stored fields from memory after the first
+        filtered/doc fetch loads it.
+
+    `cache_info()` reports hits/misses/evictions per cache (the admin
+    cache-stats surface).
     """
 
-    def __init__(self, reader: IndexReader, cache_bytes: int = 256 << 20):
+    def __init__(self, reader: IndexReader, cache_bytes: int = 256 << 20,
+                 filter_cache_size: int = 512,
+                 query_result_cache_size: int = 512,
+                 query_result_window: int = 20):
         import pyarrow.parquet as pq
 
         self.reader = reader
@@ -201,6 +228,63 @@ class LocalSearcher:
         self._postings_cache: OrderedDict[str, list] = OrderedDict()
         self._cache_bytes_cap = int(cache_bytes)
         self._cache_bytes = 0
+        # filterCache / queryResultCache (entry-count LRU, Solr default-ish
+        # sizes). Values: filter -> dense bool mask; query-result ->
+        # (ranked rows, exhausted flag).
+        self._filter_cache: OrderedDict[tuple, np.ndarray] = OrderedDict()
+        self._filter_cache_size = int(filter_cache_size)
+        self._qr_cache: OrderedDict[tuple, tuple] = OrderedDict()
+        self._qr_cache_size = int(query_result_cache_size)
+        self._qr_window = max(1, int(query_result_window))
+        self._cache_stats = {
+            name: {"hits": 0, "misses": 0, "evictions": 0}
+            for name in ("filter", "query_result")}
+
+    def cache_info(self) -> dict:
+        """Per-cache hits/misses/evictions + current sizes (the admin
+        cache-stats surface; reference: SolrCache getStatistics)."""
+        out = {k: dict(v) for k, v in self._cache_stats.items()}
+        out["filter"]["size"] = len(self._filter_cache)
+        out["query_result"]["size"] = len(self._qr_cache)
+        out["postings"] = {"size": len(self._postings_cache),
+                           "bytes": self._cache_bytes}
+        return out
+
+    def _cache_get(self, name: str, cache: "OrderedDict", key: tuple):
+        if key in cache:
+            self._cache_stats[name]["hits"] += 1
+            cache.move_to_end(key)
+            return cache[key]
+        self._cache_stats[name]["misses"] += 1
+        return None
+
+    def _cache_put(self, name: str, cache: "OrderedDict", key: tuple, val,
+                   cap: int) -> None:
+        cache[key] = val
+        cache.move_to_end(key)
+        while len(cache) > cap:
+            cache.popitem(last=False)
+            self._cache_stats[name]["evictions"] += 1
+
+    def doc(self, docid: int) -> dict | None:
+        """Stored fields for one docid (the documentCache role: served from
+        the resident forward table; None for unknown/never-assigned ids)."""
+        self._load_forward()
+        tbl = self._fwd
+        idx = tbl.index[tbl["docid"] == docid]
+        if len(idx) == 0:
+            return None
+        return {k: (v.item() if hasattr(v, "item") else v)
+                for k, v in tbl.loc[idx[0]].items()}
+
+    def _load_forward(self) -> None:
+        if self._fwd is None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.ParquetDataset(
+                os.path.join(self.reader.index_dir, "analyzed")).read()
+            pdf = tbl.to_pandas().sort_values("docid").reset_index(drop=True)
+            self._fwd = pdf.rename(columns={"toks": "text"})
 
     def _postings(self, terms: list[str]) -> dict[str, list]:
         """term -> [(range_id, doc_gaps, tfs)] for the query's terms. Cache
@@ -257,16 +341,21 @@ class LocalSearcher:
         role) — classic filter strings evaluated over the resident forward
         table by the pandas twin of the distributed filter compiler. Cheap to
         reuse across queries: compute once, pass to search(filter_mask=...).
-        `now` anchors date-math endpoints (`ts:[NOW-7DAYS TO *]`)."""
+        `now` anchors date-math endpoints (`ts:[NOW-7DAYS TO *]`).
+
+        Masks cache in the filterCache (keyed by the sorted filter tuple +
+        `now`); a NOW-relative filter with now=None is uncacheable — it
+        re-anchors to wall clock every call, so it recomputes every call."""
         if isinstance(filters, str):
             filters = [filters]
-        if self._fwd is None:
-            import pyarrow.parquet as pq
-
-            tbl = pq.ParquetDataset(
-                os.path.join(self.reader.index_dir, "analyzed")).read()
-            pdf = tbl.to_pandas().sort_values("docid").reset_index(drop=True)
-            self._fwd = pdf.rename(columns={"toks": "text"})
+        filters = list(filters)
+        cacheable = now is not None or not any("NOW" in f for f in filters)
+        key = (tuple(sorted(filters)), now) if cacheable else None
+        if key is not None:
+            hit = self._cache_get("filter", self._filter_cache, key)
+            if hit is not None:
+                return hit
+        self._load_forward()
         ev = _PandasFilterEvaluator(self._fwd, now=now)
         rows = np.ones(len(self._fwd), dtype=bool)
         for f in filters:
@@ -277,13 +366,16 @@ class LocalSearcher:
         mask = np.zeros(int(docids.max()) + 1 if len(docids) else 0,
                         dtype=bool)
         mask[docids[rows]] = True
+        if key is not None:
+            self._cache_put("filter", self._filter_cache, key, mask,
+                            self._filter_cache_size)
         return mask
 
     def search(self, query_text: str, k: int = 10,
                similarity: str | object = "bm25",
                require_all: bool = False, min_match: int | None = None,
                filters=None, filter_mask: np.ndarray | None = None,
-               now=None):
+               now=None, offset: int = 0):
         """Top-k as a list of dicts (conv_id, turn_idx, docid, score, rank) —
         same contract and same scores as bm25_topk, no Spark session.
 
@@ -291,13 +383,53 @@ class LocalSearcher:
         filter_mask()) or a precomputed dense bool DocSet; masked after
         scoring, before heap collection, exactly like the distributed kernel.
         `now` anchors date-math filter endpoints (`ts:[NOW-7DAYS TO *]`).
+        offset pages by rank (ranks offset+1 .. offset+k are returned).
+
+        Results cache in the queryResultCache: the fetch depth rounds up to
+        the next multiple of query_result_window (queryResultWindowSize), so
+        the next page of the same request is a cache hit. A caller-supplied
+        filter_mask array or similarity object bypasses the cache.
         """
+        if filters is not None and filter_mask is not None:
+            raise ValueError("pass filters OR filter_mask, not both")
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
+        flist = [filters] if isinstance(filters, str) else \
+            list(filters) if filters is not None else []
+        need = offset + k
+        cacheable = (filter_mask is None and isinstance(similarity, str)
+                     and (now is not None
+                          or not any("NOW" in f for f in flist)))
+        key = None
+        if cacheable:
+            key = (query_text, tuple(sorted(flist)), similarity,
+                   bool(require_all), min_match, now)
+            hit = self._qr_cache.get(key)
+            if hit is not None and (len(hit[0]) >= need or hit[1]):
+                self._cache_stats["query_result"]["hits"] += 1
+                self._qr_cache.move_to_end(key)
+                return [dict(r, rank=offset + i + 1)
+                        for i, r in enumerate(hit[0][offset:need])]
+            # absent, or cached window too shallow for this page: refetch
+            self._cache_stats["query_result"]["misses"] += 1
+        if flist:
+            filter_mask = self.filter_mask(flist, now=now)
+        k_fetch = -(-need // self._qr_window) * self._qr_window \
+            if key is not None else need
+        rows = self._scored_topk(query_text, k_fetch, similarity,
+                                 require_all, min_match, filter_mask)
+        if key is not None:
+            self._cache_put("query_result", self._qr_cache, key,
+                            (rows, len(rows) < k_fetch), self._qr_cache_size)
+        return [dict(r, rank=offset + i + 1)
+                for i, r in enumerate(rows[offset:need])]
+
+    def _scored_topk(self, query_text: str, k: int,
+                     similarity: str | object = "bm25",
+                     require_all: bool = False, min_match: int | None = None,
+                     filter_mask: np.ndarray | None = None):
         cfg = self.cfg
         sim = _resolve_sim(similarity)
-        if filters is not None:
-            if filter_mask is not None:
-                raise ValueError("pass filters OR filter_mask, not both")
-            filter_mask = self.filter_mask(filters, now=now)
         qterms = Counter(analyze_text(query_text, cfg))
         if not qterms:
             return []

@@ -22,7 +22,8 @@ QUERIES = ["error timeout", "deploy failed retry", "database", "zzz_nope",
 def built(spark, tmp_path_factory):
     idx = str(tmp_path_factory.mktemp("local_idx"))
     corpus = synth_transcripts_spark(spark, 1500, seed=11)
-    build_index(spark, corpus, idx, CFG, input_token="local-1500")
+    build_index(spark, corpus, idx, CFG, input_token="local-1500",
+                stored_cols=("role", "ts"))
     return idx
 
 
@@ -118,3 +119,94 @@ def test_local_suggesters_match_spark_path(spark, built):
         ls.suggest("re", k=8)
         ls.suggest_infix("im", k=8)
     assert (time.time() - t0) / 40 < 0.05
+
+
+def test_filter_cache_and_query_result_cache(spark, built):
+    """SolrIndexSearcher cache trio: repeated fq strings hit the filterCache,
+    repeated/paged queries hit the queryResultCache (with
+    queryResultWindowSize rounding), and results are identical hot vs cold."""
+    ls = LocalSearcher(IndexReader.open(built, CFG))
+
+    cold = ls.search("error timeout", k=5, filters=["role:assistant"])
+    info = ls.cache_info()
+    assert info["filter"] == {"hits": 0, "misses": 1, "evictions": 0,
+                              "size": 1}
+    assert info["query_result"]["misses"] == 1
+
+    hot = ls.search("error timeout", k=5, filters=["role:assistant"])
+    assert hot == cold
+    info = ls.cache_info()
+    assert info["query_result"]["hits"] == 1
+    # the query-result hit short-circuits before filter compilation
+    assert info["filter"]["hits"] == 0 and info["filter"]["misses"] == 1
+
+    # a DIFFERENT query with the same fq string reuses the compiled DocSet
+    ls.search("database", k=5, filters=["role:assistant"])
+    assert ls.cache_info()["filter"]["hits"] == 1
+
+    # page 2 of a window-sized result set is a queryResultCache hit: k=5
+    # fetched ceil(5/20)*20 = 20 ranks, so offset 5..10 is already cached
+    page2 = ls.search("error timeout", k=5, filters=["role:assistant"],
+                      offset=5)
+    assert ls.cache_info()["query_result"]["hits"] == 2
+    assert [r["rank"] for r in page2] == [6, 7, 8, 9, 10]
+    deep = ls.search("error timeout", k=10, filters=["role:assistant"])
+    assert deep[5:] == page2
+
+
+def test_query_result_cache_paging_matches_uncached(spark, built):
+    """offset slicing equals the head of a deeper uncached search, and an
+    exhausted result set (fewer hits than the window) still serves deeper
+    pages from cache instead of refetching."""
+    ls = LocalSearcher(IndexReader.open(built, CFG))
+    full = ls.search("error timeout retry", k=30)
+    for off, k in [(0, 10), (10, 10), (25, 5), (3, 7)]:
+        page = ls.search("error timeout retry", k=k, offset=off)
+        assert page == full[off:off + k], (off, k)
+    # exhausted result set: fetching past every hit marks the entry complete,
+    # so ANY deeper request afterwards is a cache hit, not a refetch
+    ls2 = LocalSearcher(IndexReader.open(built, CFG))
+    rare = ls2.search("database", k=5000)  # > corpus size, exhausts hits
+    misses0 = ls2.cache_info()["query_result"]["misses"]
+    again = ls2.search("database", k=6000)
+    assert ls2.cache_info()["query_result"]["misses"] == misses0
+    assert again == rare
+    # a too-shallow cached window refetches (counted as a miss, then cached)
+    shallow = LocalSearcher(IndexReader.open(built, CFG))
+    shallow.search("error timeout", k=5)
+    shallow.search("error timeout", k=200)
+    assert shallow.cache_info()["query_result"]["misses"] == 2
+    assert shallow.cache_info()["query_result"]["hits"] == 0
+
+
+def test_query_result_cache_eviction_and_uncacheable(spark, built):
+    import numpy as np
+
+    ls = LocalSearcher(IndexReader.open(built, CFG),
+                       query_result_cache_size=2)
+    ls.search("error", k=3)
+    ls.search("timeout", k=3)
+    ls.search("database", k=3)  # evicts "error"
+    assert ls.cache_info()["query_result"]["evictions"] == 1
+    ls.search("error", k=3)
+    assert ls.cache_info()["query_result"]["hits"] == 0
+
+    # NOW-relative filter with now=None never caches (re-anchors every call)
+    ls.search("error", k=3, filters=["ts:[NOW-365DAYS TO *]"])
+    assert ls.cache_info()["filter"]["size"] == 0
+    # caller-supplied mask arrays are uncacheable (Solr cache=false role)
+    mask = np.ones(2048, dtype=bool)
+    before = ls.cache_info()["query_result"]["misses"]
+    ls.search("error", k=3, filter_mask=mask)
+    ls.search("error", k=3, filter_mask=mask)
+    assert ls.cache_info()["query_result"]["misses"] == before
+
+
+def test_document_cache_role(spark, built):
+    ls = LocalSearcher(IndexReader.open(built, CFG))
+    hit = ls.search("error timeout", k=1)[0]
+    doc = ls.doc(hit["docid"])
+    assert doc["conv_id"] == hit["conv_id"]
+    assert doc["turn_idx"] == hit["turn_idx"]
+    assert isinstance(doc["text"], str) and doc["text"]
+    assert ls.doc(10**9) is None
