@@ -4556,6 +4556,58 @@ ORDER BY r.doc_id, r.snippet
 """
 
 
+def _ft36_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermsComponent enumeration: bounded range + regex + mincount over the
+    term dictionary, index order (TermsComponent.java:139-210 — terms.lower/
+    terms.upper.incl/terms.regex/terms.mincount/terms.sort=index)."""
+    from solr_spark.operators.components import terms_enum
+
+    reader = _ft_index(spark, sf_dir)
+    return terms_enum(spark, reader.index_dir,
+                      lower="s", upper="t", upper_incl=False,
+                      regex="s[a-z]*a[a-z]*", mincount=3,
+                      limit=25, sort="index")
+
+
+def _ft36_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+dict AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM toks GROUP BY tok
+)
+SELECT term, df FROM dict
+WHERE term >= 's' AND term < 't'
+  AND regexp_full_match(term, 's[a-z]*a[a-z]*')
+  AND df >= 3
+ORDER BY term LIMIT 25
+"""
+
+
+def _ft37_luke_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luke-handler vocabulary shape: log2(df) histogram with per-bucket
+    term/df/cf mass (LukeRequestHandler.java:420 histogram semantics)."""
+    from solr_spark.operators.components import luke_df_histogram
+
+    reader = _ft_index(spark, sf_dir)
+    return luke_df_histogram(spark, reader.index_dir)
+
+
+def _ft37_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+dict AS (
+    SELECT tok AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
+    FROM toks GROUP BY tok
+)
+SELECT floor(log2(df))::INT AS bucket,
+       count(*)::BIGINT AS n_terms,
+       sum(df)::BIGINT AS sum_df,
+       sum(cf)::BIGINT AS sum_cf
+FROM dict GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _q83_date_range_facet(spark, sf_dir):
     """Date-math range facet (RangeFacetRequest date handling +
     DateMathParser.java:91; operators/facets.py::date_range_facet): monthly
@@ -4750,6 +4802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_array_terms_facet": _q84_array_terms_facet,
         "q83_date_range_facet": _q83_date_range_facet,
         "ft34_multi_snippets": _ft34_multi_snippets,
+        "ft36_terms_enum": _ft36_terms_enum,
+        "ft37_luke_histogram": _ft37_luke_histogram,
     }
 
 
@@ -5509,4 +5563,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q84_array_terms_facet": _Q84_SQL,
         "q83_date_range_facet": _Q83_SQL,
         "ft34_multi_snippets": _ft34_sql(),
+        "ft36_terms_enum": _ft36_sql(),
+        "ft37_luke_histogram": _ft37_sql(),
     }

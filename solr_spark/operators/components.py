@@ -150,6 +150,71 @@ def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
              .orderBy(F.desc("df"), F.asc("term")).limit(k))
 
 
+def terms_enum(spark: SparkSession, index_dir: str,
+               lower: str | None = None, lower_incl: bool = True,
+               upper: str | None = None, upper_incl: bool = False,
+               prefix: str | None = None, regex: str | None = None,
+               mincount: int = 1, maxcount: int | None = None,
+               limit: int = 10, sort: str = "count") -> DataFrame:
+    """TermsComponent enumeration with the full bounds surface.
+
+    Reference: handler/component/TermsComponent.java:139-210 — terms.lower /
+    terms.lower.incl, terms.upper / terms.upper.incl, terms.prefix,
+    terms.regex, terms.mincount, terms.maxcount, terms.limit and
+    terms.sort=count|index (TermsParams.java). Runs against the global term
+    dictionary only (vocabulary-sized — postings are never touched); the
+    bound predicates push into the parquet scan, so a dictionary laid out
+    sorted-by-term prunes row groups via min/max statistics.
+
+    Output: term, df (long); sort=count orders df desc, term asc (the
+    reference's count order with its index-order tiebreak), sort=index
+    orders term asc.
+    """
+    if sort not in ("count", "index"):
+        raise ValueError(f"terms.sort must be count|index, got {sort!r}")
+    d = (spark.read.parquet(os.path.join(index_dir, "dictionary"))
+              .select("term", F.col("df").cast("long").alias("df")))
+    if prefix is not None:
+        d = d.where(F.col("term").startswith(prefix))
+    if lower is not None:
+        d = d.where(F.col("term") >= lower if lower_incl
+                    else F.col("term") > lower)
+    if upper is not None:
+        d = d.where(F.col("term") <= upper if upper_incl
+                    else F.col("term") < upper)
+    if regex is not None:
+        # terms.regex matches the WHOLE term (Pattern.matcher().matches())
+        d = d.where(F.col("term").rlike(f"^(?:{regex})$"))
+    d = d.where(F.col("df") >= int(mincount))
+    if maxcount is not None:
+        d = d.where(F.col("df") <= int(maxcount))
+    order = [F.desc("df"), F.asc("term")] if sort == "count" \
+        else [F.asc("term")]
+    return d.orderBy(*order).limit(limit)
+
+
+def luke_df_histogram(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Luke-handler field summary: the distribution of terms by document
+    frequency as a log2 histogram, plus distinct/total term counts per bucket.
+
+    Reference: handler/admin/LukeRequestHandler.java:420 (getIndexedFieldsInfo
+    builds per-field `distinct` + a `histogram` of term counts bucketed by
+    power-of-two docFreq). One vocabulary-sized aggregation over the
+    dictionary — the index-introspection surface operators and dashboards use
+    to judge vocabulary shape (hapax mass, head weight) without scanning
+    postings.
+
+    Output: bucket (int, floor(log2(df))), n_terms, sum_df, sum_cf; ordered
+    bucket asc.
+    """
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    return (d.groupBy(F.floor(F.log2("df")).cast("int").alias("bucket"))
+             .agg(F.count("*").cast("long").alias("n_terms"),
+                  F.sum("df").cast("long").alias("sum_df"),
+                  F.sum("cf").cast("long").alias("sum_cf"))
+             .orderBy("bucket"))
+
+
 def suggest_infix(spark: SparkSession, index_dir: str, query: str,
                   k: int = 10, highlight: bool = True) -> DataFrame:
     """Analyzing-infix suggester: contains-match anywhere in the term

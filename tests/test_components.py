@@ -884,3 +884,67 @@ def test_json_search_ranked(spark, built_index):
     with _pytest.raises(ValueError, match="stored_cols"):
         json_search(spark, reader, {"query": "error",
                                     "filter": ["role:user"]})
+
+
+def test_terms_enum_bounds_regex_sorts(spark, built_index):
+    """TermsComponent surface: lower/upper bounds with inclusivity, prefix,
+    whole-term regex, mincount/maxcount, and both terms.sort orders."""
+    from solr_spark.operators.components import terms_enum
+
+    idx = built_index[0]
+    all_terms = {r["term"]: r["df"]
+                 for r in terms_enum(spark, idx, limit=10**6,
+                                     sort="index").collect()}
+    assert len(all_terms) > 20
+
+    got = terms_enum(spark, idx, lower="r", upper="t", upper_incl=False,
+                     limit=10**6, sort="index").collect()
+    want = sorted(t for t in all_terms if "r" <= t < "t")
+    assert [r["term"] for r in got] == want and want
+
+    # exclusive lower bound drops the bound term itself
+    first = want[0]
+    got = terms_enum(spark, idx, lower=first, lower_incl=False, upper="t",
+                     limit=10**6, sort="index").collect()
+    assert [r["term"] for r in got] == want[1:]
+
+    # regex is anchored whole-term (Pattern.matches), not a substring search
+    got = {r["term"] for r in
+           terms_enum(spark, idx, regex="err", limit=10**6).collect()}
+    assert got == ({"err"} & set(all_terms))
+    got = {r["term"] for r in
+           terms_enum(spark, idx, regex="err.*", limit=10**6).collect()}
+    assert got == {t for t in all_terms if t.startswith("err")} and got
+
+    # mincount/maxcount band + count order (df desc, term asc tiebreak)
+    lo, hi = 3, 50
+    got = terms_enum(spark, idx, mincount=lo, maxcount=hi, limit=10**6,
+                     sort="count").collect()
+    want = sorted(((t, df) for t, df in all_terms.items()
+                   if lo <= df <= hi), key=lambda x: (-x[1], x[0]))
+    assert [(r["term"], r["df"]) for r in got] == want and want
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        terms_enum(spark, idx, sort="alpha")
+
+
+def test_luke_df_histogram(spark, built_index):
+    """log2(df) bucket histogram totals reconcile with the dictionary."""
+    import math
+
+    from solr_spark.operators.components import luke_df_histogram, terms_enum
+
+    rows = luke_df_histogram(spark, built_index[0]).collect()
+    terms = terms_enum(spark, built_index[0], limit=10**6,
+                       sort="index").collect()
+    want: dict[int, list[int]] = {}
+    for r in terms:
+        b = int(math.floor(math.log2(r["df"])))
+        acc = want.setdefault(b, [0, 0])
+        acc[0] += 1
+        acc[1] += r["df"]
+    got = {r["bucket"]: [r["n_terms"], r["sum_df"]] for r in rows}
+    assert got == want
+    assert [r["bucket"] for r in rows] == sorted(got)
+    assert sum(r["sum_cf"] for r in rows) >= sum(r["sum_df"] for r in rows)
