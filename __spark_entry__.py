@@ -4556,6 +4556,71 @@ ORDER BY r.doc_id, r.snippet
 """
 
 
+def _ft38_copyfield_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copyField catch-all search: text+lang+source copied into one
+    multivalued field (schema.py::IndexSchema.apply_copies — the reference's
+    `copyField source=* dest=_text_` pattern, IndexSchema.java:1211 +
+    CopyField.java), indexed with positionIncrementGap, BM25 over a query
+    that only matches via the COPIED values ('en' lives in lang, 'src7' in
+    source — neither is in text)."""
+    from solr_spark.indexing import build_index
+    from solr_spark.schema import IndexSchema
+
+    schema = IndexSchema(
+        fields={"text": "text_general", "lang": "string",
+                "source": "string", "catchall": "text_general"},
+        copy_fields=[("text", "catchall"), ("lang", "catchall"),
+                     ("source", "catchall")])
+    docs = (schema.apply_copies(_docs_as_transcripts(spark, sf_dir))
+            .drop("text").withColumnRenamed("catchall", "text"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(
+        _SCRATCH, f"ftidx-copy-{tag}-{_FT_CONFIG.config_hash()}")
+    os.makedirs(index_dir, exist_ok=True)
+    build_index(spark, docs, index_dir, _FT_CONFIG,
+                input_token=f"documents-copyfield-{tag}")
+    reader = IndexReader.open(index_dir, _FT_CONFIG)
+    topk = bm25_topk(spark, reader, "en spark src7", k=20, mode="wand")
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft38_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+alltoks AS (  -- catch-all copyField: text tokens + lang + source values
+    SELECT doc_id, tok FROM toks
+    UNION ALL SELECT doc_id, lang FROM documents
+    UNION ALL SELECT doc_id, source FROM documents
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM alltoks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES ('en'), ('spark'), ('src7')),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM alltoks WHERE tok IN ('en', 'spark', 'src7') GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM alltoks WHERE tok IN ('en', 'spark', 'src7') GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 def _ft36_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermsComponent enumeration: bounded range + regex + mincount over the
     term dictionary, index order (TermsComponent.java:139-210 — terms.lower/
@@ -4803,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_date_range_facet": _q83_date_range_facet,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
+        "ft38_copyfield_bm25": _ft38_copyfield_bm25,
         "ft37_luke_histogram": _ft37_luke_histogram,
     }
 
@@ -5564,5 +5630,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q83_date_range_facet": _Q83_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
+        "ft38_copyfield_bm25": _ft38_sql(),
         "ft37_luke_histogram": _ft37_sql(),
     }
