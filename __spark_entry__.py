@@ -268,6 +268,67 @@ GROUP BY tok ORDER BY count DESC, bucket ASC LIMIT 10
 """
 
 
+def _q85_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.pivot with attached stats: counts + stats at EVERY tree level
+    from ONE rollup pass (PivotFacetProcessor.java:258 tagged stats)."""
+    from solr_spark.operators.facets import pivot_facet_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pivot_facet_stats(docs, ["lang", "source"],
+                            metrics={"sum_chars": "sum(n_chars)",
+                                     "max_chars": "max(n_chars)"})
+    return out.select("lang", "source", F.col("level").cast("int"),
+                      F.col("count").cast("long").alias("count"),
+                      F.col("sum_chars").cast("long").alias("sum_chars"),
+                      F.col("max_chars").cast("long").alias("max_chars"))
+
+
+_Q85_SQL = r"""
+SELECT lang, source,
+       (2 - grouping(lang) - grouping(source))::INT AS level,
+       count(*)::BIGINT AS count,
+       sum(n_chars)::BIGINT AS sum_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+HAVING grouping(lang) + grouping(source) < 2
+ORDER BY lang NULLS LAST, source NULLS LAST, level
+"""
+
+
+def _q86_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.ngroups=true: matched docs + distinct matched groups in one
+    map-side-combinable pass (Grouping.java getNGroups)."""
+    from solr_spark.operators.windows import group_ngroups
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 50)
+    return group_ngroups(ev, "user_id")
+
+
+_Q86_SQL = r"""
+SELECT count(*)::BIGINT AS matches,
+       count(DISTINCT user_id)::BIGINT AS ngroups
+FROM events WHERE value > 50
+"""
+
+
+def _q87_grouped_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group.facet=true: facet counts by GROUP (each user_id counts once per
+    event_type it contains — TermGroupFacetCollector semantics)."""
+    from solr_spark.operators.windows import grouped_facet
+
+    return grouped_facet(_t(spark, sf_dir, "events"), "user_id",
+                         "event_type", limit=10)
+
+
+_Q87_SQL = r"""
+SELECT event_type AS bucket, count(*)::BIGINT AS count
+FROM (SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type IS NOT NULL)
+GROUP BY event_type ORDER BY count DESC, bucket LIMIT 10
+"""
+
+
 def _ft15_classic_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pluggable Similarity: Lucene ClassicSimilarity (TF-IDF) top-k via the
     same WAND kernel (solr_spark/query/similarity.py; ref
@@ -4865,6 +4926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_facet_tree": _q82_facet_tree,
         "ft35_multivalued_bm25": _ft35_multivalued_bm25,
         "q84_array_terms_facet": _q84_array_terms_facet,
+        "q85_pivot_stats": _q85_pivot_stats,
+        "q86_group_ngroups": _q86_group_ngroups,
+        "q87_grouped_facet": _q87_grouped_facet,
         "q83_date_range_facet": _q83_date_range_facet,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
@@ -5627,6 +5691,9 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q82_facet_tree": _Q82_SQL,
         "ft35_multivalued_bm25": _ft01_sql(),
         "q84_array_terms_facet": _Q84_SQL,
+        "q85_pivot_stats": _Q85_SQL,
+        "q86_group_ngroups": _Q86_SQL,
+        "q87_grouped_facet": _Q87_SQL,
         "q83_date_range_facet": _Q83_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),

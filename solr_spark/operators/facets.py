@@ -525,6 +525,43 @@ def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
               .orderBy(*fields))
 
 
+def pivot_facet_stats(df: DataFrame, fields: Sequence[str],
+                      metrics: dict[str, str] | None = None,
+                      mincount: int = 1) -> DataFrame:
+    """Pivot facet with per-bucket counts at EVERY level plus attached stats
+    (the `facet.pivot={!stats=piv}f1,f2` + `stats.field={!tag=piv}x` combo).
+
+    Reference: handler/component/PivotFacetProcessor.java (the pivot tree
+    carries a count per node at every depth, not just the leaves; :258
+    addPivotQueriesAndRanges attaches tagged stats to each node). The
+    reference materializes the tree by recursive per-bucket DocSet
+    intersections; the Spark shape is ONE `rollup` aggregation — Catalyst
+    expands it to a single pass with partial (map-side) aggregation, so every
+    tree level comes out of one shuffle, and stats ride the same pass.
+
+    Output: one row per tree node — the pivot fields (rolled-up suffix
+    levels are NULL), `level` (1-based depth), `count`, plus one column per
+    metrics entry (name -> "stat(col)" strings as in terms_facet). The
+    grand-total row is excluded (the reference's pivot has no root node).
+    Caveat: a genuine NULL data value in a pivot field is distinguishable
+    from a rolled-up level only via `level`, as with SQL ROLLUP.
+    """
+    cols = [F.col(f) for f in fields]
+    aggs = [F.count(F.lit(1)).alias("count")]
+    for name, spec in (metrics or {}).items():
+        aggs.append(metric(spec[:spec.index("(")],
+                           spec[spec.index("(") + 1:-1]).alias(name))
+    # grouping() is only valid inside the aggregate list, so `level` is
+    # computed as one of the aggs rather than a post-hoc withColumn
+    level = sum((F.lit(1) - F.grouping(c)).cast("int") for c in cols)
+    aggs.append(level.alias("level"))
+    out = (df.rollup(*cols).agg(*aggs)
+             .where(F.col("level") >= 1)
+             .where(F.col("count") >= int(mincount)))
+    order = [F.asc_nulls_last(f) for f in fields] + [F.asc("level")]
+    return out.orderBy(*order)
+
+
 def stats_component(df: DataFrame, field: str) -> DataFrame:
     """StatsComponent: min/max/sum/count/missing/mean/stddev/sumOfSquares for a field.
 

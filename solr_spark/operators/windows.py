@@ -125,6 +125,47 @@ def group_top_n(df: DataFrame, field: str, sort: Sequence[Column | str],
     return salted_top_n(df, field, sort, n, rank_col="group_rank")
 
 
+def group_ngroups(df: DataFrame, field: str) -> DataFrame:
+    """group.ngroups=true: the total number of matched groups alongside the
+    total matched document count.
+
+    Reference: Grouping.java getNGroups / TopGroupsFieldCommand — Solr counts
+    distinct group values over the full match set (and documents the
+    all-of-a-group-on-one-shard requirement distributed; Spark's
+    count_distinct is exact without that constraint). One map-side-combinable
+    aggregation pass.
+
+    Output: one row (matches, ngroups).
+    """
+    return df.agg(F.count(F.lit(1)).cast("long").alias("matches"),
+                  F.count_distinct(F.col(field)).cast("long").alias("ngroups"))
+
+
+def grouped_facet(df: DataFrame, group_field: str, facet_field: str,
+                  limit: int = 10, mincount: int = 1) -> DataFrame:
+    """group.facet=true: facet counts by GROUP, not by document — each group
+    contributes 1 to a bucket if ANY of its documents carries the value.
+
+    Reference: search/grouping/GroupedFacetCollector (TermGroupFacetCollector
+    via SimpleFacets.getGroupedCounts, handler/component/FacetComponent
+    group.facet) — the collector dedups (group, facetValue) pairs before
+    counting. Spark shape: distinct over the two columns, then the same
+    single-shuffle count aggregation as terms_facet; the distinct is
+    map-side partial so a hot (group, value) pair collapses early.
+
+    Output: bucket, count (groups containing the value), count desc /
+    bucket asc, top `limit`.
+    """
+    pairs = df.select(F.col(group_field).alias("__g"),
+                      F.col(facet_field).alias("bucket")).distinct()
+    return (pairs.where(F.col("bucket").isNotNull())
+                 .groupBy("bucket")
+                 .agg(F.count(F.lit(1)).cast("long").alias("count"))
+                 .where(F.col("count") >= int(mincount))
+                 .orderBy(F.desc("count"), F.asc("bucket"))
+                 .limit(limit))
+
+
 def expand(df: DataFrame, field: str, sort: Sequence[Column | str],
            n: int) -> DataFrame:
     """Expand component — for each collapsed head, the group's next-best rows.

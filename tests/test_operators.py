@@ -551,3 +551,47 @@ def test_sft_pairs(spark):
         min_context_turns=0).collect()}
     assert all_pairs[("c2", 1)].context == ""
     assert all_pairs[("c2", 1)].n_context_turns == 0
+
+
+def test_pivot_facet_stats_levels_and_metrics(spark):
+    from solr_spark.operators.facets import pivot_facet_stats
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("a", "y", 4), ("b", "x", 8)],
+        "f1 string, f2 string, v int")
+    rows = pivot_facet_stats(df, ["f1", "f2"],
+                             metrics={"sv": "sum(v)", "mx": "max(v)"}
+                             ).collect()
+    got = {(r["f1"], r["f2"], r["level"]): (r["count"], r["sv"], r["mx"])
+           for r in rows}
+    assert got == {
+        ("a", None, 1): (3, 7, 4), ("b", None, 1): (1, 8, 8),
+        ("a", "x", 2): (2, 3, 2), ("a", "y", 2): (1, 4, 4),
+        ("b", "x", 2): (1, 8, 8)}
+    # no grand-total row; parents follow their children (NULLS LAST order)
+    assert len(rows) == 5
+    names = [(r["f1"], r["f2"]) for r in rows]
+    assert names.index(("a", "x")) < names.index(("a", None))
+
+    # mincount prunes tree nodes at every level
+    rows = pivot_facet_stats(df, ["f1", "f2"], mincount=2).collect()
+    assert {(r["f1"], r["f2"]) for r in rows} == {("a", None), ("a", "x")}
+
+
+def test_group_ngroups_and_grouped_facet(spark):
+    from solr_spark.operators.windows import group_ngroups, grouped_facet
+
+    df = spark.createDataFrame(
+        [("u1", "click"), ("u1", "click"), ("u1", "view"),
+         ("u2", "click"), ("u3", "view"), ("u3", None)],
+        "user string, et string")
+    row = group_ngroups(df, "user").first()
+    assert (row["matches"], row["ngroups"]) == (6, 3)
+
+    # group.facet: u1 counts ONCE for click despite two click docs
+    got = [(r["bucket"], r["count"])
+           for r in grouped_facet(df, "user", "et").collect()]
+    assert got == [("click", 2), ("view", 2)]
+    got = [(r["bucket"], r["count"])
+           for r in grouped_facet(df, "user", "et", mincount=3).collect()]
+    assert got == []
