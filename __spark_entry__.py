@@ -3458,6 +3458,129 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def _dd18_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169;
+    solr_spark/functions/sampling.py::dsir_select): hashed unigram+bigram
+    bucket models (m=10000, Laplace alpha=1) fit on the French documents as
+    the TARGET and the whole corpus as RAW; the 25 documents with the
+    largest importance log-weights are selected (temperature-0 top-k).
+    Model fits are bucket-bounded aggs; scoring is one broadcast join +
+    an order-independent exact_sum."""
+    from solr_spark.functions.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "fr")
+    out = dsir_select(docs, target, "doc_id", "text", k=25)
+    # the DECIMAL(38,6) exact-sum -> DOUBLE cast is unambiguous in any
+    # engine (6-decimal values of magnitude ~10^1)
+    return out.select("doc_id", F.col("log_weight").cast("double")
+                      .alias("log_weight"))
+
+
+_DD18_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(list_concat(
+           t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         )) AS g
+  FROM toks
+),
+db AS (  -- per-doc hashed bucket counts
+  SELECT doc_id,
+         (('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT % 10000)::INT
+           AS bucket,
+         count(*) AS cnt
+  FROM grams WHERE g <> '' GROUP BY doc_id, bucket
+),
+tb AS (  -- target-model bucket counts (French docs)
+  SELECT (('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT % 10000)::INT
+           AS bucket,
+         count(*) AS c
+  FROM grams WHERE g <> '' AND lang = 'fr' GROUP BY bucket
+),
+rb AS (SELECT bucket, sum(cnt) AS c FROM db GROUP BY bucket),
+totals AS (
+  SELECT (SELECT sum(c) FROM rb) + 10000.0 AS raw_total,
+         (SELECT coalesce(sum(c), 0) FROM tb) + 10000.0 AS tgt_total
+),
+ratio AS (
+  SELECT rb.bucket,
+         coalesce(ln((tb.c + 1.0) / t.tgt_total), ln(1.0 / t.tgt_total))
+           - ln((rb.c + 1.0) / t.raw_total) AS log_ratio
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN totals t
+),
+w AS (
+  SELECT db.doc_id,
+         sum(round(db.cnt * r.log_ratio, 6)::DECIMAL(38,6)) AS log_weight
+  FROM db JOIN ratio r USING (bucket)
+  GROUP BY db.doc_id
+)
+SELECT doc_id, log_weight::DOUBLE AS log_weight FROM w
+ORDER BY w.log_weight DESC, doc_id LIMIT 25
+"""
+
+
+def _dd19_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (dedup.py::bloom_decontaminate): the
+    13-gram rule probed through an m=2^20-bit, k=4 md5-position Bloom set —
+    the broadcast is bounded by m_bits regardless of benchmark size (the
+    scale path next to dd08's exact string broadcast). Same bench split as
+    dd08 (doc_id % 50 == 0)."""
+    from solr_spark.functions.dedup import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return (bloom_decontaminate(docs, bench, "doc_id", "text", n=13,
+                                m_bits=1 << 20, k_hashes=4)
+            .orderBy("doc_id"))
+
+
+_DD19_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 13
+              THEN list_transform(range(1, len(t) - 11),
+                                  i -> array_to_string(t[i:i+12], ' '))
+              ELSE [array_to_string(t, ' ')] END AS gs
+  FROM toks
+),
+bits AS (  -- Bloom bitset: 4 md5 positions per distinct bench gram
+  SELECT DISTINCT
+         ('0x' || substr(md5(seed::VARCHAR || ':' || g), 1, 15))
+           ::UBIGINT::BIGINT % 1048576 AS bit
+  FROM (SELECT DISTINCT g FROM (
+          SELECT unnest(gs) AS g FROM grams WHERE doc_id % 50 = 0
+        ) WHERE g <> '')
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+),
+probes AS (
+  SELECT doc_id, g, seed,
+         ('0x' || substr(md5(seed::VARCHAR || ':' || g), 1, 15))
+           ::UBIGINT::BIGINT % 1048576 AS bit
+  FROM (SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest(gs) AS g FROM grams
+        ) WHERE g <> '')
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS seed)
+),
+gram_hits AS (
+  SELECT p.doc_id, p.g
+  FROM probes p JOIN bits b USING (bit)
+  GROUP BY p.doc_id, p.g
+  HAVING count(*) = 4
+)
+SELECT doc_id, count(*)::BIGINT AS n_hits
+FROM gram_hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _dd09_stratified_quota(spark, sf_dir):
     """Exact-count stratified sampling (data-mixing quotas;
     solr_spark/functions/sampling.py::stratified_quota_sample): the 5
@@ -4905,6 +5028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft27_explain": _ft27_explain,
         "ft28_collation": _ft28_collation,
         "dd08_decontaminate": _dd08_decontaminate,
+        "dd18_dsir_select": _dd18_dsir_select,
+        "dd19_bloom_decontaminate": _dd19_bloom_decontaminate,
         "dd09_stratified_quota": _dd09_stratified_quota,
         "dd10_token_packs": _dd10_token_packs,
         "q72_collapse_null_policy": _q72_collapse_null_policy,
@@ -5670,6 +5795,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft27_explain": _ft27_sql(),
         "ft28_collation": _ft28_sql(),
         "dd08_decontaminate": _DD08_SQL,
+        "dd18_dsir_select": _DD18_SQL,
+        "dd19_bloom_decontaminate": _DD19_SQL,
         "dd09_stratified_quota": _DD09_SQL,
         "dd10_token_packs": _DD10_SQL,
         "q72_collapse_null_policy": _Q72_SQL,

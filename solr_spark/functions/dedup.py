@@ -180,6 +180,58 @@ def decontaminate(train_df: DataFrame, bench_df: DataFrame, id_col: str,
                   .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
 
 
+def bloom_decontaminate(train_df: DataFrame, bench_df: DataFrame,
+                        id_col: str, text_col: str,
+                        bench_text_col: str | None = None, n: int = 13,
+                        m_bits: int = 1 << 20, k_hashes: int = 4) -> DataFrame:
+    """Bloom-filter variant of the 13-gram decontamination rule: the
+    benchmark's n-grams are folded into an m_bits Bloom bitset (k_hashes
+    md5-derived positions per gram) and the training corpus probes POSITIONS
+    instead of strings.
+
+    Why it exists next to `decontaminate`: the exact rule broadcasts the
+    benchmark's DISTINCT GRAM STRINGS — unbounded in benchmark size (a
+    100M-gram eval suite is gigabytes of broadcast). The Bloom side is
+    bounded by construction: the broadcast is at most m_bits distinct
+    positions (ints) no matter how large the benchmark grows, the standard
+    space/precision trade (false-positive rate ≈ (1 - e^{-k·g/m})^k — one-
+    sided: a Bloom hit may be spurious, a miss never is, so the flagged set
+    is a SUPERSET of the exact rule's). md5-position hashing keeps the
+    filter engine-portable (a SQL oracle reproduces it exactly).
+
+    A gram is contaminated iff ALL k of its positions are set; a doc
+    surfaces with n_hits = number of its distinct grams that probe positive.
+
+    Output: id, n_hits — only flagged docs surface.
+    """
+    from solr_spark.functions.textanalysis import ngram_shingles
+
+    bcol = bench_text_col or text_col
+    seeds = F.sequence(F.lit(0), F.lit(k_hashes - 1))
+    pos = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("__seed"), F.col("gram"))), 1, 15),
+        16, 10).cast("long") % m_bits)
+    bits = (bench_df
+            .select(F.explode(ngram_shingles(bcol, n)).alias("gram"))
+            .where(F.col("gram") != "")
+            .select("gram", F.explode(seeds).alias("__seed"))
+            .select(pos.alias("bit")).distinct())
+    probes = (train_df
+              .select(F.col(id_col),
+                      F.explode(F.array_distinct(
+                          ngram_shingles(text_col, n))).alias("gram"))
+              .where(F.col("gram") != "")
+              .select(id_col, "gram", F.explode(seeds).alias("__seed"))
+              .select(id_col, "gram", pos.alias("bit")))
+    # gram probes positive iff all k positions are set: count joined bits
+    hits = (probes.join(F.broadcast(bits), "bit")
+                  .groupBy(id_col, "gram")
+                  .agg(F.count(F.lit(1)).alias("__set")))
+    return (hits.where(F.col("__set") == k_hashes)
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+
+
 # ------------------------------------------------- signature URP (index-time)
 
 def text_profile_signature(text_col: Column | str, quant_rate: float = 0.01,

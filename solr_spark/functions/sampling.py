@@ -262,3 +262,112 @@ def chunk_token_windows(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col), "chunk_idx",
                     F.size(piece).cast("long").alias("chunk_tokens"),
                     F.array_join(piece, " ").alias("chunk_text")))
+
+
+def hashed_ngram_buckets(df: DataFrame, id_col: str, text_col: str,
+                         n_buckets: int = 10000) -> DataFrame:
+    """Hashed n-gram features (DSIR, Xie et al. 2023 arXiv:2302.03169 §3):
+    unigrams + bigrams of the whitespace tokens, hashed into `n_buckets`
+    (bucket = md5-derived uint % n_buckets — the engine-portable hash this
+    module already uses), counted per document.
+
+    Output: id, bucket (int), cnt (long). One explode + one
+    map-side-combinable count; hot buckets pre-combine before the exchange.
+    """
+    from solr_spark.functions.textanalysis import whitespace_tokens
+
+    toks = whitespace_tokens(text_col)
+    bigrams = F.filter(
+        F.transform(toks, lambda x, i: F.concat_ws(
+            " ", x, F.get(toks, i + 1))),
+        lambda g: g.contains(" "))
+    grams = F.concat(toks, bigrams)
+    bucket = (F.conv(F.substring(F.md5(F.col("__gram")), 1, 15), 16, 10)
+               .cast("long") % n_buckets).cast("int")
+    return (df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+              .where(F.col("__gram") != "")
+              .select(id_col, bucket.alias("bucket"))
+              .groupBy(id_col, "bucket")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def dsir_log_weights(raw_df: DataFrame, target_df: DataFrame, id_col: str,
+                     text_col: str, n_buckets: int = 10000,
+                     alpha: float = 1.0) -> DataFrame:
+    """DSIR importance log-weights: log p_target(x) - log p_raw(x) under
+    bag-of-hashed-ngrams unigram models (Xie et al. 2023 §3.1-3.2).
+
+    Both models are Laplace-smoothed bucket multinomials:
+    p_b = (count_b + alpha) / (total + alpha * n_buckets). A document's
+    log-weight is sum over its grams of log(p_target_b / p_raw_b).
+
+    Scale shape: the two model fits are n_buckets-bounded aggregations; the
+    per-document weight is one broadcast join of the doc-bucket counts
+    against the (≤ n_buckets)-row log-ratio table plus one
+    map-side-combinable sum. The sum is order-independent (exact_sum at 1e-6)
+    so weights are deterministic under any partitioning — and SQL-twinnable.
+
+    Output: id, log_weight (DECIMAL sum of 6-decimal quantized terms).
+    """
+    import math
+
+    from solr_spark.functions.portable import exact_sum
+
+    raw_b = hashed_ngram_buckets(raw_df, id_col, text_col, n_buckets)
+    tgt_b = hashed_ngram_buckets(target_df, id_col, text_col, n_buckets)
+
+    def model(b: DataFrame, denom: float) -> DataFrame:
+        return (b.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+                 .select("bucket",
+                         F.log((F.col("c") + F.lit(float(alpha)))
+                               / F.lit(denom)).alias("logp")))
+
+    # log p for a bucket ABSENT from a model's fit is log(alpha / denom);
+    # materialize ratios only for buckets either model saw (a gram in a
+    # scored doc always exists in the raw fit when raw_df is the scored
+    # corpus — the DSIR setting; scoring a foreign doc coalesces to the
+    # smoothed floor below). The totals are scalar aggregates (bounded
+    # driver reads), one per model.
+    tgt_total = (tgt_b.agg(F.sum("cnt")).first()[0] or 0) \
+        + alpha * n_buckets
+    raw_total = (raw_b.agg(F.sum("cnt")).first()[0] or 0) \
+        + alpha * n_buckets
+    tgt_floor = math.log(alpha / tgt_total)
+    raw_floor = math.log(alpha / raw_total)
+    ratio = (model(raw_b, raw_total).withColumnRenamed("logp", "logq")
+             .join(model(tgt_b, tgt_total), "bucket", "full_outer")
+             .select("bucket",
+                     (F.coalesce(F.col("logp"), F.lit(tgt_floor))
+                      - F.coalesce(F.col("logq"), F.lit(raw_floor)))
+                     .alias("log_ratio")))
+    scored = (raw_b.join(F.broadcast(ratio), "bucket", "left")
+              .select(id_col,
+                      (F.col("cnt") * F.coalesce(
+                          F.col("log_ratio"),
+                          F.lit(tgt_floor - raw_floor))).alias("__t")))
+    return (scored.groupBy(id_col)
+                  .agg(exact_sum(F.col("__t"), 6).alias("log_weight")))
+
+
+def dsir_select(raw_df: DataFrame, target_df: DataFrame, id_col: str,
+                text_col: str, k: int, n_buckets: int = 10000,
+                alpha: float = 1.0, gumbel: bool = False) -> DataFrame:
+    """DSIR data selection: keep the k raw documents whose hashed-ngram
+    importance weights are largest (Xie et al. 2023 §3.3).
+
+    gumbel=False is the temperature-0 variant: top-k by log_weight with id
+    tiebreak. gumbel=True implements the paper's Gumbel top-k resampling
+    (equivalent to sampling without replacement proportionally to the
+    weights) with DETERMINISTIC noise g = -ln(-ln(u)), u the md5 uniform of
+    the id — stable under reruns/repartitioning like every sampler here.
+
+    Output: id, log_weight, ordered by the selection key descending.
+    """
+    w = dsir_log_weights(raw_df, target_df, id_col, text_col, n_buckets,
+                         alpha)
+    key = F.col("log_weight").cast("double")
+    if gumbel:
+        key = key + -F.log(-F.log(split_fraction_col(F.col(id_col))))
+    return (w.select(id_col, "log_weight", key.alias("__key"))
+             .orderBy(F.desc("__key"), F.asc(id_col)).limit(k)
+             .drop("__key"))

@@ -992,3 +992,78 @@ def test_chunk_token_windows(spark):
         chunk_token_windows(df, "doc_id", "text", window=0)
     with _pytest.raises(ValueError, match="stride"):
         chunk_token_windows(df, "doc_id", "text", window=4, stride=0)
+
+
+def test_hashed_ngram_buckets_counts(spark):
+    from solr_spark.functions.sampling import hashed_ngram_buckets
+
+    df = spark.createDataFrame([(1, "a b a"), (2, ""), (3, "solo")],
+                               "id long, text string")
+    rows = hashed_ngram_buckets(df, "id", "text", n_buckets=1000).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc[r["id"]] = per_doc.get(r["id"], 0) + r["cnt"]
+    # doc 1: unigrams a,b,a + bigrams 'a b','b a' = 5; doc 2: none;
+    # doc 3: one unigram, no bigram
+    assert per_doc == {1: 5, 3: 1}
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from solr_spark.functions.sampling import dsir_log_weights, dsir_select
+
+    raw = spark.createDataFrame(
+        [(i, "le chat noir dort") for i in range(5)]
+        + [(i, "the quick brown fox") for i in range(5, 10)],
+        "id long, text string")
+    target = spark.createDataFrame(
+        [(100, "le chat blanc"), (101, "le chien noir")],
+        "id long, text string")
+    top = dsir_select(raw, target, "id", "text", k=5,
+                      n_buckets=2048).collect()
+    assert {r["id"] for r in top} == set(range(5))
+
+    # weights are identical for identical texts, deterministic across runs
+    w = {r["id"]: float(r["log_weight"])
+         for r in dsir_log_weights(raw, target, "id", "text",
+                                   n_buckets=2048).collect()}
+    assert len({round(w[i], 9) for i in range(5)}) == 1
+    assert len({round(w[i], 9) for i in range(5, 10)}) == 1
+    assert w[0] > w[5]
+
+    # gumbel top-k is deterministic (md5 noise) and still weight-biased
+    g1 = [r["id"] for r in dsir_select(raw, target, "id", "text", k=5,
+                                       n_buckets=2048,
+                                       gumbel=True).collect()]
+    g2 = [r["id"] for r in dsir_select(raw, target, "id", "text", k=5,
+                                       n_buckets=2048,
+                                       gumbel=True).collect()]
+    assert g1 == g2
+    assert len(set(g1) & set(range(5))) >= 3
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    from solr_spark.functions.dedup import bloom_decontaminate, decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"w{i} " * 3 + "shared benchmark phrase here") for i in range(6)]
+        + [(i, f"unique text {i} nothing else") for i in range(6, 12)],
+        "id long, text string")
+    bench = spark.createDataFrame(
+        [(0, "shared benchmark phrase here")], "id long, text string")
+    exact = {r["id"]: r["n_hits"]
+             for r in decontaminate(train, bench, "id", "text", n=4).collect()}
+    bloom = {r["id"]: r["n_hits"]
+             for r in bloom_decontaminate(train, bench, "id", "text", n=4,
+                                          m_bits=1 << 16,
+                                          k_hashes=3).collect()}
+    # one-sided error: every exact flag survives with at least as many hits
+    assert set(exact) <= set(bloom)
+    for i, h in exact.items():
+        assert bloom[i] >= h
+    assert set(exact) == set(range(6))
+
+    # a tiny, saturated filter still never MISSES a true overlap
+    tiny = {r["id"] for r in
+            bloom_decontaminate(train, bench, "id", "text", n=4,
+                                m_bits=64, k_hashes=2).collect()}
+    assert set(exact) <= tiny
