@@ -387,6 +387,33 @@ def main() -> None:
     assert len(_re.findall(r"^\(\d+\) Scan parquet", p23, _re.M)) == 1, \
         "date facet must scan once"
 
+    # 24. DSIR scoring: the bucket log-ratio table joins BROADCAST (never a
+    # corpus-wide shuffle on bucket), the weight sum is a partial-agg
+    # DECIMAL sum, and everything is JVM Column algebra
+    from solr_spark.functions.sampling import dsir_log_weights
+    docs24 = t("documents")
+    p24 = plan_of(dsir_log_weights(
+        docs24, docs24.where(F.col("lang") == "fr"), "doc_id", "text"))
+    # (the raw/target MODEL full-outer join may sort-merge — both sides are
+    # <= n_buckets rows and Spark cannot broadcast a full outer join; the
+    # corpus-side ratio join is the one that must be broadcast)
+    checks.append((
+        "dsir_log_weights: broadcast ratio join, no Python",
+        p24,
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["BatchEvalPython", "ArrowEvalPython"]))
+
+    # 25. Bloom decontamination: the bitset side is a BROADCAST build (the
+    # corpus streams map-side); only probe HITS reach the exchange
+    from solr_spark.functions.dedup import bloom_decontaminate
+    p25 = plan_of(bloom_decontaminate(
+        docs24, docs24.where(F.col("doc_id") % 50 == 0), "doc_id", "text"))
+    checks.append((
+        "bloom_decontaminate: broadcast bitset probe, no Python",
+        p25,
+        ["BroadcastHashJoin"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
