@@ -162,6 +162,31 @@ def _ft32_json_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _ft39_json_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fl on the ranked JSON path (jsonapi.py::json_search fields): the
+    ft01 top-k projected to (conv_id, score, lang) — `lang` is a STORED
+    field joined onto the k hits by docid (broadcast of k rows against the
+    column-pruned forward table)."""
+    from solr_spark.query.jsonapi import json_search
+
+    reader = _ft_index(spark, sf_dir)
+    topk = json_search(spark, reader,
+                       {"query": _FT_QUERY, "limit": 20,
+                        "fields": ["conv_id", "score", "lang"]})
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"),
+                       "lang")
+
+
+def _ft39_sql() -> str:
+    base = _ft01_sql().rstrip()
+    return f"""
+WITH base AS ({base})
+SELECT base.doc_id, base.score, d.lang
+FROM base JOIN documents d ON base.doc_id = d.doc_id
+ORDER BY base.score DESC, base.doc_id
+"""
+
+
 def _ft33_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ranked search — q + fq together, the most common reference
     request shape (SolrIndexSearcher.java:1254 getProcessedFilter;
@@ -5058,6 +5083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
+        "ft39_json_fields": _ft39_json_fields,
         "ft37_luke_histogram": _ft37_luke_histogram,
     }
 
@@ -5825,5 +5851,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),
+        "ft39_json_fields": _ft39_sql(),
         "ft37_luke_histogram": _ft37_sql(),
     }

@@ -175,18 +175,20 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
     the index's stored/forward fields and intersect the scored query BEFORE
     ranking (q+fq: SolrIndexSearcher.java:1254 getProcessedFilter), so a
     selective filter still returns k hits. ``offset`` pages by rank
-    (start/rows); ``sort``/``fields`` are rejected loudly — re-sorting a
-    ranked result is a separate operator here, never a silent change of
-    what "top k" means.
+    (start/rows). ``fields`` is the fl on the ranked path: result columns
+    plus any STORED field of the index (stored attributes join the top-k by
+    docid — a broadcast of k rows against the column-pruned forward table).
+    ``sort`` is rejected loudly — re-sorting a ranked result is a separate
+    operator here, never a silent change of what "top k" means.
     """
     from solr_spark.query.scored import scored_topk
 
     req = json.loads(request) if isinstance(request, str) else dict(request)
-    # sort/fields on the RANKED path would silently change what "top k" means
+    # sort on the RANKED path would silently change what "top k" means
     # (the reference re-sorts inside the scored collector, which this engine
     # expresses as separate operators) — reject rather than silently ignore
-    _check_keys(req, {"query", "filter", "limit", "offset", "params"},
-                "search request")
+    _check_keys(req, {"query", "filter", "fields", "limit", "offset",
+                      "params"}, "search request")
     offset = int(req.get("offset", 0))
     limit = int(req.get("limit", 10))
     k = offset + limit
@@ -207,6 +209,26 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
         # deep paging: ranks (offset, offset+limit] of the top-(offset+limit)
         # result — the start/rows contract of the reference's paging
         topk = topk.where(F.col("rank") > offset)
+    if "fields" in req:
+        import os
+
+        want = list(req["fields"])
+        extra = [f for f in want if f not in topk.columns]
+        if extra:
+            fwd = spark.read.parquet(
+                os.path.join(reader.index_dir, "analyzed", "batch-*"))
+            unknown = [f for f in extra if f not in fwd.columns]
+            if unknown:
+                raise ValueError(
+                    f"fields {unknown} are neither result columns "
+                    f"({topk.columns}) nor stored fields "
+                    f"({[c for c in fwd.columns if c != 'toks']})")
+            # k rows broadcast against the column-pruned forward table;
+            # rank order re-asserted after the join
+            topk = (F.broadcast(topk)
+                    .join(fwd.select("docid", *extra), "docid", "left")
+                    .orderBy("rank"))
+        topk = topk.select(*want)
     return topk
 
 

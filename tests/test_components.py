@@ -948,3 +948,28 @@ def test_luke_df_histogram(spark, built_index):
     assert got == want
     assert [r["bucket"] for r in rows] == sorted(got)
     assert sum(r["sum_cf"] for r in rows) >= sum(r["sum_df"] for r in rows)
+
+
+def test_json_search_fields_projection(spark, built_index):
+    """fl on the ranked JSON path: result columns project directly; stored
+    fields join by docid; unknown fields raise with the stored list."""
+    import pytest as _pt
+
+    from solr_spark.query import IndexReader, bm25_topk
+    from solr_spark.query.jsonapi import json_search
+
+    idx, cfg, _ = built_index
+    reader = IndexReader.open(idx, cfg)
+    body = {"query": "error timeout", "limit": 5,
+            "fields": ["conv_id", "score"]}
+    got = json_search(spark, reader, body).collect()
+    assert got and got[0].asDict().keys() == {"conv_id", "score"}
+    want = bm25_topk(spark, reader, "error timeout", k=5).collect()
+    assert [(r["conv_id"], round(r["score"], 10)) for r in got] == \
+        [(r["conv_id"], round(r["score"], 10)) for r in want]
+
+    with _pt.raises(ValueError, match="neither result columns"):
+        json_search(spark, reader, {"query": "error", "limit": 3,
+                                    "fields": ["no_such_field"]})
+    with _pt.raises(ValueError, match="sort"):
+        json_search(spark, reader, {"query": "error", "sort": "score desc"})
