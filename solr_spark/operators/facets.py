@@ -44,7 +44,7 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
                 sort_by_count: bool = True, sort: str | None = None,
                 all_buckets: bool = False, num_buckets: bool = False,
                 missing: bool = False, prefix: str | None = None,
-                contains: str | None = None) -> DataFrame:
+                contains: str | None = None, offset: int = 0) -> DataFrame:
     """`terms` facet: top buckets of a field with per-bucket metrics, with the
     JSON-facet bucket options surface.
 
@@ -63,6 +63,8 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
     buckets prior to limit/min_count, metric columns NULL.
     missing: append a `__missing__` row — counts/metrics over NULL-field docs.
     With any option on, `bucket` is cast to string to carry the labels.
+    offset: skip the first `offset` buckets of the sorted order before
+    taking `limit` (facet.offset / JSON facet `offset` — bucket paging).
     prefix / contains: restrict the bucket DOMAIN before counting
     (facet.prefix / facet.contains — SimpleFacets request params); allBuckets,
     numBuckets, and missing are computed over the same restricted domain,
@@ -86,7 +88,8 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
                               sort_by_count=sort_by_count, sort=sort,
                               all_buckets=all_buckets,
                               num_buckets=num_buckets, missing=False,
-                              prefix=prefix, contains=contains)
+                              prefix=prefix, contains=contains,
+                              offset=offset)
             out = out.withColumn("bucket", F.col("bucket").cast("string"))
             metric_cols = [c for c in out.columns
                            if c not in ("bucket", "count")]
@@ -112,7 +115,10 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
     else:
         order = ([F.desc("count"), F.asc("bucket")] if sort_by_count
                  else [F.asc("bucket")])
-    out = filtered.orderBy(*order).limit(limit)
+    out = filtered.orderBy(*order)
+    if offset:
+        out = out.offset(int(offset))
+    out = out.limit(limit)
     if not (all_buckets or num_buckets or missing):
         return out
 
@@ -562,11 +568,17 @@ def pivot_facet_stats(df: DataFrame, fields: Sequence[str],
     return out.orderBy(*order)
 
 
-def stats_component(df: DataFrame, field: str) -> DataFrame:
+def stats_component(df: DataFrame, field: str,
+                    calcdistinct: bool = False) -> DataFrame:
     """StatsComponent: min/max/sum/count/missing/mean/stddev/sumOfSquares for a field.
 
     Reference: handler/component/StatsComponent.java:34, StatsValuesFactory.java.
     Single map-side-combinable aggregation.
+
+    calcdistinct=True appends `count_distinct` (stats.calcdistinct /
+    countDistinct — StatsValuesFactory's DISTINCT_VALUES stat; the
+    reference's unbounded distinctValues LIST is deliberately not returned:
+    it is a documented OOM hazard there and an anti-pattern at scale).
     """
     from solr_spark.functions.portable import exact_sum
 
@@ -578,6 +590,8 @@ def stats_component(df: DataFrame, field: str) -> DataFrame:
     # engine-specific once the ulp reaches 0.25), while the quantize-then-
     # DECIMAL sum is deterministic at every scale and every partitioning, and
     # still map-side combinable.
+    extra = [F.count_distinct(c).alias("count_distinct")] \
+        if calcdistinct else []
     return df.agg(
         F.min(c).alias("min"),
         F.max(c).alias("max"),
@@ -587,6 +601,7 @@ def stats_component(df: DataFrame, field: str) -> DataFrame:
         F.round(F.avg(c), 6).alias("mean"),
         exact_sum(c * c, 4).alias("sum_of_squares"),
         F.round(F.stddev(c), 6).alias("stddev"),
+        *extra,
     )
 
 

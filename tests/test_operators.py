@@ -595,3 +595,32 @@ def test_group_ngroups_and_grouped_facet(spark):
     got = [(r["bucket"], r["count"])
            for r in grouped_facet(df, "user", "et", mincount=3).collect()]
     assert got == []
+
+
+def test_terms_facet_offset_paging(spark):
+    from solr_spark.operators.facets import terms_facet
+
+    df = spark.createDataFrame(
+        [(c,) for c, n in [("a", 5), ("b", 4), ("c", 3), ("d", 2), ("e", 1)]
+         for _ in range(n)], "f string")
+    full = [(r["bucket"], r["count"])
+            for r in terms_facet(df, "f", limit=5).collect()]
+    page2 = [(r["bucket"], r["count"])
+             for r in terms_facet(df, "f", limit=2, offset=2).collect()]
+    assert page2 == full[2:4]
+    # offset composes with index order and past-the-end returns empty
+    idx = [(r["bucket"],) for r in
+           terms_facet(df, "f", limit=2, offset=1, sort="index asc",
+                       sort_by_count=False).collect()]
+    assert idx == [("b",), ("c",)]
+    assert terms_facet(df, "f", limit=3, offset=10).count() == 0
+
+
+def test_stats_component_calcdistinct(spark):
+    from solr_spark.operators.facets import stats_component
+
+    df = spark.createDataFrame([(1.0,), (1.0,), (2.0,), (None,)],
+                               "v double")
+    row = stats_component(df, "v", calcdistinct=True).first()
+    assert row["count_distinct"] == 2 and row["count"] == 3
+    assert "count_distinct" not in stats_component(df, "v").columns
