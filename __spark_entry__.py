@@ -4913,6 +4913,100 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+def _sq01_sql_select(spark, sf_dir):
+    """Parallel SQL handler, limited SELECT (modules/sql SQLHandler.java:71,
+    SolrFilter pushdown SolrRules.java:141-202; query/sqlhandler.py): the
+    Solr-SQL dialect with search syntax injected through text-field string
+    equality — `text = '(join OR merge)'` is a scoped OR of term queries —
+    compiled to Catalyst predicates pushed to the scan, TakeOrdered paging."""
+    from solr_spark.query import solr_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return solr_sql(
+        docs,
+        "SELECT doc_id AS id, lang, n_chars FROM documents "
+        "WHERE text = '(join OR merge)' AND n_chars >= 200 "
+        "ORDER BY n_chars DESC, id ASC LIMIT 25",
+        table="documents", text_fields={"text"})
+
+
+_SQ01_SQL = r"""
+SELECT doc_id AS id, lang, n_chars FROM documents
+WHERE (regexp_matches(text, '(^|\W)join(\W|$)')
+       OR regexp_matches(text, '(^|\W)merge(\W|$)'))
+  AND n_chars >= 200
+ORDER BY n_chars DESC, id ASC LIMIT 25
+"""
+
+
+def _sq02_sql_group_by(spark, sf_dir):
+    """Parallel SQL GROUP BY aggregates + HAVING (SolrAggregate ->
+    facet/rollup streams; sql-query.adoc 'GROUP BY Aggregations'): one
+    partial-aggregated groupBy, HAVING as a post-aggregation filter."""
+    from solr_spark.query import solr_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return solr_sql(
+        docs,
+        "SELECT lang, source, COUNT(*) AS cnt, SUM(n_chars) AS total, "
+        "MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents "
+        "GROUP BY lang, source HAVING COUNT(*) > 10 "
+        "ORDER BY cnt DESC, lang ASC, source ASC LIMIT 20",
+        table="documents")
+
+
+_SQ02_SQL = r"""
+SELECT lang, source, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS total,
+       min(n_chars) AS lo, max(n_chars) AS hi
+FROM documents GROUP BY lang, source HAVING count(*) > 10
+ORDER BY cnt DESC, lang ASC, source ASC LIMIT 20
+"""
+
+
+def _sq03_sql_distinct(spark, sf_dir):
+    """SELECT DISTINCT (sql-query.adoc: MapReduce shuffled-unique mode —
+    Spark's dropDuplicates is exactly that shape, map-side combined)."""
+    from solr_spark.query import solr_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return solr_sql(
+        docs,
+        "SELECT DISTINCT lang, source FROM documents "
+        "ORDER BY lang ASC, source ASC",
+        table="documents")
+
+
+_SQ03_SQL = """
+SELECT DISTINCT lang, source FROM documents ORDER BY lang ASC, source ASC
+"""
+
+
+def _sq04_sql_operators(spark, sf_dir):
+    """The documented WHERE operator table (sql-query.adoc 'Supported WHERE
+    Operators'): IN, BETWEEN, NOT(...), IS NOT NULL, plus OFFSET/FETCH
+    paging (OFFSET without FETCH raises, as in the reference)."""
+    from solr_spark.query import solr_sql
+
+    orders = _t(spark, sf_dir, "orders")
+    return solr_sql(
+        orders,
+        "SELECT o_orderkey AS k, o_totalprice AS price FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "AND o_totalprice BETWEEN 1000 AND 50000 "
+        "AND NOT (o_orderstatus = 'F') AND o_orderdate IS NOT NULL "
+        "ORDER BY price DESC, k ASC OFFSET 10 FETCH NEXT 25 ROWS ONLY",
+        table="orders")
+
+
+_SQ04_SQL = """
+SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 1000 AND 50000
+  AND NOT (o_orderstatus = 'F') AND o_orderdate IS NOT NULL
+ORDER BY price DESC, k ASC OFFSET 10 LIMIT 25
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5080,6 +5174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_group_ngroups": _q86_group_ngroups,
         "q87_grouped_facet": _q87_grouped_facet,
         "q83_date_range_facet": _q83_date_range_facet,
+        "sq01_sql_select": _sq01_sql_select,
+        "sq02_sql_group_by": _sq02_sql_group_by,
+        "sq03_sql_distinct": _sq03_sql_distinct,
+        "sq04_sql_operators": _sq04_sql_operators,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -5848,6 +5946,10 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q86_group_ngroups": _Q86_SQL,
         "q87_grouped_facet": _Q87_SQL,
         "q83_date_range_facet": _Q83_SQL,
+        "sq01_sql_select": _SQ01_SQL,
+        "sq02_sql_group_by": _SQ02_SQL,
+        "sq03_sql_distinct": _SQ03_SQL,
+        "sq04_sql_operators": _SQ04_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),
