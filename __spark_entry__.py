@@ -5007,6 +5007,56 @@ ORDER BY price DESC, k ASC OFFSET 10 LIMIT 25
 """
 
 
+def _tv01_term_vectors(spark, sf_dir):
+    """TermVectorComponent (tv=true — handler/component/TermVectorComponent
+    .java:150-195,383,392; operators/components.py::term_vectors_component):
+    per-doc term/tf/positions/df/tf-idf for a bounded result page, df
+    resolved against the GLOBAL dictionary, tf-idf = tf/df (the reference's
+    formula, comment and all)."""
+    from solr_spark.operators.components import term_vectors_component
+
+    reader = _ft_index(spark, sf_dir)
+    want = [1, 5, 9, 12, 15]
+    dm = reader.doc_map(spark).where(
+        F.col("conv_id").cast("long").isin(want))
+    ids = [r["docid"] for r in dm.collect()]
+    tv = term_vectors_component(spark, reader, ids)
+    out = tv.join(dm, "docid").select(
+        _doc_id(), "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.array_join(F.col("positions").cast("array<string>"), ",")
+         .alias("positions"),
+        F.col("df").cast("long").alias("df"),
+        _dround("tf_idf", 6).alias("tf_idf"))
+    return out.orderBy("doc_id", "term")
+
+
+def _tv01_sql() -> str:
+    return f"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     t -> t <> '' AND lower(t) NOT IN ({_STOP_SQL})) AS arr
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS pos
+  FROM lists WHERE doc_id IN (1, 5, 9, 12, 15)
+),
+alltoks AS (SELECT doc_id, unnest(arr) AS term FROM lists),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM alltoks GROUP BY term
+)
+SELECT p.doc_id, p.term, count(*)::BIGINT AS tf,
+       string_agg(p.pos::VARCHAR, ',' ORDER BY p.pos) AS positions,
+       any_value(d.df) AS df,
+       round(count(*)::DOUBLE / any_value(d.df), 6) AS tf_idf
+FROM pos p JOIN dfreq d USING (term)
+GROUP BY p.doc_id, p.term
+ORDER BY doc_id, term
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5178,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq02_sql_group_by": _sq02_sql_group_by,
         "sq03_sql_distinct": _sq03_sql_distinct,
         "sq04_sql_operators": _sq04_sql_operators,
+        "tv01_term_vectors": _tv01_term_vectors,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -5950,6 +6001,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "sq02_sql_group_by": _SQ02_SQL,
         "sq03_sql_distinct": _SQ03_SQL,
         "sq04_sql_operators": _SQ04_SQL,
+        "tv01_term_vectors": _tv01_sql(),
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

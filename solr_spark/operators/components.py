@@ -551,3 +551,61 @@ def spellcheck_collate(spark: SparkSession, reader, query_text: str,
             .select("collation", "hits")
             .orderBy(F.desc("hits"), "collation")
             .limit(max_collations))
+
+
+def term_vectors_component(spark: SparkSession, reader, docids,
+                           positions: bool = True, doc_freq: bool = True,
+                           tf_idf: bool = True) -> DataFrame:
+    """TermVectorComponent (tv=true): per-document term vectors for a bounded
+    set of docs — term, tf, token positions, corpus df, and the reference's
+    tf-idf.
+
+    Reference: handler/component/TermVectorComponent.java — tv.tf/tv.df/
+    tv.positions/tv.tf_idf options (:150-195); df resolved against the whole
+    index (:383 reader.docFreq) and tf-idf computed as tf/df at :392 (the
+    reference's own comment: "this is not TF/IDF by anyone's definition!" —
+    reproduced verbatim for parity, not as a ranking quantity).
+
+    Shape: docids is a bounded id list (the component runs over one result
+    page, ~rows docs). The analyzed forward table is filtered by docid
+    (predicate pushed to the scan) and posexploded JVM-side; positions are
+    offsets in the POST-analysis token stream, this engine's positional
+    convention (query/phrase.py module doc). df joins the global dictionary
+    (partition-pruned by the terms' buckets would need the terms first, so
+    the join is docid-bounded-left-small instead: the per-page term set is
+    tiny and broadcast against the dictionary scan).
+
+    Returns DataFrame(docid, term, tf [, positions array<int>] [, df]
+    [, tf_idf]).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids = list(docids)
+    fwd = (spark.read.parquet(os.path.join(reader.index_dir, "analyzed",
+                                           "batch-*"))
+           .where(F.col("docid").isin(ids))
+           .select("docid", F.split("toks", " ").alias("arr")))
+    tv = (fwd.select("docid", F.posexplode("arr").alias("pos", "term"))
+             .where(F.col("term") != "")
+             .groupBy("docid", "term")
+             .agg(F.count(F.lit(1)).cast("int").alias("tf"),
+                  F.sort_array(F.collect_list("pos")).alias("positions")))
+    if not positions:
+        tv = tv.drop("positions")
+    if doc_freq or tf_idf:
+        d = (spark.read.parquet(os.path.join(reader.index_dir, "dictionary"))
+             .groupBy("term").agg(F.sum("df").cast("long").alias("df")))
+        tv = F.broadcast(tv).join(d, "term", "left") \
+              .withColumn("df", F.coalesce("df", F.lit(0)))
+        if tf_idf:
+            # TermVectorComponent.java:392 — tfIdfVal = freq / df
+            tv = tv.withColumn(
+                "tf_idf",
+                F.when(F.col("df") > 0,
+                       F.col("tf").cast("double") / F.col("df")))
+        if not doc_freq:
+            tv = tv.drop("df")
+    front = ["docid", "term", "tf"]
+    return tv.select(*front, *[c for c in tv.columns if c not in front])

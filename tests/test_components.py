@@ -973,3 +973,30 @@ def test_json_search_fields_projection(spark, built_index):
                                     "fields": ["no_such_field"]})
     with _pt.raises(ValueError, match="sort"):
         json_search(spark, reader, {"query": "error", "sort": "score desc"})
+
+
+def test_term_vectors_component(spark, built_index):
+    """TermVectorComponent.java:150-195 — tf/positions/df/tf-idf options;
+    tf-idf = tf/df (:392)."""
+    from solr_spark.operators.components import term_vectors_component
+    from solr_spark.query import IndexReader
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    ids = [r["docid"] for r in reader.doc_map(spark).limit(3).collect()]
+    tv = term_vectors_component(spark, reader, ids)
+    assert set(tv.columns) == {"docid", "term", "tf", "positions", "df",
+                               "tf_idf"}
+    rows = tv.collect()
+    assert rows and all(r["tf"] == len(r["positions"]) for r in rows)
+    assert all(r["df"] >= 1 for r in rows)
+    for r in rows:
+        assert abs(r["tf_idf"] - r["tf"] / r["df"]) < 1e-12
+        assert r["positions"] == sorted(r["positions"])
+    # option toggles drop columns, as tv.positions/tv.df/tv.tf_idf do
+    lean = term_vectors_component(spark, reader, ids, positions=False,
+                                  doc_freq=False, tf_idf=False)
+    assert set(lean.columns) == {"docid", "term", "tf"}
+    only_df = term_vectors_component(spark, reader, ids, positions=False,
+                                     tf_idf=False)
+    assert set(only_df.columns) == {"docid", "term", "tf", "df"}
