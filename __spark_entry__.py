@@ -5057,6 +5057,80 @@ ORDER BY doc_id, term
 """
 
 
+def _q84_group_query(spark, sf_dir):
+    """group.query grouping (search/Grouping.java:860 CommandQuery;
+    operators/windows.py::group_query): each named query is a group, top-5
+    rows per group from ONE scan (tag -> explode -> salted two-stage top-N);
+    a row matching two queries appears in both groups."""
+    from solr_spark.operators.windows import group_query
+
+    ev = _t(spark, sf_dir, "events")
+    out = group_query(
+        ev,
+        {"big": F.col("value") >= 900,
+         "clicks": F.col("event_type") == "click",
+         "early_errors": (F.col("event_type") == "error")
+         & (F.col("user_id") < 100)},
+        [F.desc("value"), F.asc("event_id")], n=5)
+    return out.select(
+        "group", F.col("event_id").cast("long").alias("event_id"),
+        _dround("value", 6).alias("value"),
+        F.col("group_rank").cast("long").alias("group_rank"))
+
+
+_Q84_SQL = """
+WITH tagged AS (
+  SELECT 'big' AS grp, event_id, value FROM events WHERE value >= 900
+  UNION ALL
+  SELECT 'clicks', event_id, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT 'early_errors', event_id, value FROM events
+  WHERE event_type = 'error' AND user_id < 100
+),
+r AS (
+  SELECT grp, event_id, value,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM tagged
+)
+SELECT grp AS "group", event_id::BIGINT AS event_id,
+       round(value, 6) AS value, rk::BIGINT AS group_rank
+FROM r WHERE rk <= 5 ORDER BY grp, rk
+"""
+
+
+def _q85_group_func(spark, sf_dir):
+    """group.func grouping (search/Grouping.java:933 CommandFunc): group key
+    is a computed function value — price bands of floor(o_totalprice/50000)
+    — materialized once JVM-side, then the same salted top-N."""
+    from solr_spark.operators.windows import group_func
+
+    orders = _t(spark, sf_dir, "orders")
+    out = group_func(
+        orders, F.floor(F.col("o_totalprice") / 50000).cast("long"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], n=3,
+        group_col="band")
+    return out.select(
+        F.col("band").cast("long").alias("band"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        _dround("o_totalprice", 6).alias("o_totalprice"),
+        F.col("group_rank").cast("long").alias("group_rank"))
+
+
+_Q85_SQL = """
+WITH r AS (
+  SELECT floor(o_totalprice / 50000)::BIGINT AS band, o_orderkey,
+         o_totalprice,
+         row_number() OVER (PARTITION BY floor(o_totalprice / 50000)
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT band, o_orderkey::BIGINT AS o_orderkey,
+       round(o_totalprice, 6) AS o_totalprice, rk::BIGINT AS group_rank
+FROM r WHERE rk <= 3 ORDER BY band, rk
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5229,6 +5303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq03_sql_distinct": _sq03_sql_distinct,
         "sq04_sql_operators": _sq04_sql_operators,
         "tv01_term_vectors": _tv01_term_vectors,
+        "q84_group_query": _q84_group_query,
+        "q85_group_func": _q85_group_func,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6002,6 +6078,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "sq03_sql_distinct": _SQ03_SQL,
         "sq04_sql_operators": _SQ04_SQL,
         "tv01_term_vectors": _tv01_sql(),
+        "q84_group_query": _Q84_SQL,
+        "q85_group_func": _Q85_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

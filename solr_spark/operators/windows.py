@@ -308,3 +308,39 @@ def sft_pairs(
           .drop("_ctx")
     )
     return out
+
+
+def group_query(df: DataFrame, queries: dict[str, Column],
+                sort: Sequence[Column | str], n: int) -> DataFrame:
+    """group.query grouping: each named query is one group; return the top-N
+    matching rows per group (search/Grouping.java:860 CommandQuery — one
+    TopDocsCollector per query over the same match stream).
+
+    Spark shape: ONE corpus scan — each row is tagged with the array of
+    group names whose predicate it satisfies, exploded (a row matching two
+    group.queries appears in both groups, as in the reference), then the
+    salted two-stage top-N bounds any hot group. Rows matching no query are
+    dropped before the explode so the shuffle carries only group members.
+
+    Output: the input columns + `group` (query name) + `group_rank`.
+    """
+    tags = F.array_compact(F.array(*[
+        F.when(pred, F.lit(name)) for name, pred in queries.items()]))
+    tagged = (df.withColumn("__tags", tags)
+                .where(F.size("__tags") > 0)
+                .withColumn("group", F.explode("__tags"))
+                .drop("__tags"))
+    return salted_top_n(tagged, "group", sort, n, rank_col="group_rank")
+
+
+def group_func(df: DataFrame, func: Column, sort: Sequence[Column | str],
+               n: int, group_col: str = "group") -> DataFrame:
+    """group.func grouping: group by a computed function value
+    (search/Grouping.java:933 CommandFunc — ValueSource-keyed groups).
+
+    The function value materializes as a plain column (so the grouping key
+    is computed once, JVM-side) and the salted two-stage top-N applies
+    unchanged. Output: input columns + `group_col` + `group_rank`.
+    """
+    return salted_top_n(df.withColumn(group_col, func), group_col, sort, n,
+                        rank_col="group_rank")

@@ -624,3 +624,24 @@ def test_stats_component_calcdistinct(spark):
     row = stats_component(df, "v", calcdistinct=True).first()
     assert row["count_distinct"] == 2 and row["count"] == 3
     assert "count_distinct" not in stats_component(df, "v").columns
+
+
+def test_group_query_and_func(spark):
+    """Grouping.java:860 CommandQuery / :933 CommandFunc."""
+    from solr_spark.operators.windows import group_func, group_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 20.0),
+         (4, "b", 40.0), (5, "c", 35.0)],
+        "id int, cat string, v double")
+    out = group_query(
+        df, {"hi": F.col("v") >= 30, "ab": F.col("cat").isin("a", "b")},
+        [F.desc("v"), F.asc("id")], n=2)
+    got = sorted((r["group"], r["id"], r["group_rank"]) for r in out.collect())
+    # id=4 matches BOTH queries and appears in both groups
+    assert got == [("ab", 2, 2), ("ab", 4, 1), ("hi", 4, 1), ("hi", 5, 2)]
+
+    out = group_func(df, F.floor(F.col("v") / 20).cast("long"),
+                     [F.desc("v"), F.asc("id")], n=1, group_col="band")
+    got = sorted((r["band"], r["id"]) for r in out.collect())
+    assert got == [(0, 1), (1, 5), (2, 4)]
