@@ -5131,6 +5131,77 @@ FROM r WHERE rk <= 3 ORDER BY band, rk
 """
 
 
+def _dd20_cluster_balanced(spark, sf_dir):
+    """Topic-balanced sampling (D4 diversify, Tirumala et al. 2023 §3;
+    functions/sampling.py::cluster_balanced_sample): embedding-cluster
+    assignment against pinned centroids (vectors of vec_id 0/100/200/300),
+    then the deterministic temperature-quota draw per cluster (quota_c ~
+    sqrt(n_c), md5-fraction membership) — one broadcast assign, one tiny
+    count agg, one window on the cluster key."""
+    from solr_spark.functions.sampling import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.where(F.col("vec_id").isin(0, 100, 200, 300))
+             .select(F.col("vec_id").cast("int").alias("cid"),
+                     F.col("embedding").alias("cvec")))
+    out = cluster_balanced_sample(emb, "embedding", budget=120,
+                                  centroids=cents, alpha=0.5,
+                                  id_col="vec_id")
+    return (out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       F.col("cluster").cast("long").alias("cluster"))
+            .orderBy("vec_id"))
+
+
+_DD20_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id IN (0, 100, 200, 300)
+),
+flat AS (
+  SELECT e.vec_id, c.cid,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.cvec)::DOUBLE AS y
+  FROM embeddings e, cents c
+),
+sims AS (
+  SELECT vec_id, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 9) AS c
+  FROM flat GROUP BY vec_id, cid
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, cid ASC) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+n AS (SELECT cluster, count(*)::BIGINT AS nc FROM assigned GROUP BY cluster),
+w AS (
+  SELECT cluster, nc,
+         CAST(floor(sqrt(nc::DOUBLE) * 10000 + 0.5) AS BIGINT) AS wi
+  FROM n
+),
+q AS (
+  SELECT cluster, least(nc, (120 * wi) // (SELECT sum(wi) FROM w)) AS quota
+  FROM w
+),
+u AS (
+  SELECT a.vec_id, a.cluster,
+         ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 4294967296.0 AS u
+  FROM assigned a
+),
+rk AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY u, vec_id) AS r
+  FROM u
+)
+SELECT rk.vec_id::BIGINT AS vec_id, rk.cluster::BIGINT AS cluster
+FROM rk JOIN q USING (cluster)
+WHERE rk.r <= q.quota ORDER BY vec_id
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5305,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tv01_term_vectors": _tv01_term_vectors,
         "q84_group_query": _q84_group_query,
         "q85_group_func": _q85_group_func,
+        "dd20_cluster_balanced": _dd20_cluster_balanced,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6080,6 +6152,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "tv01_term_vectors": _tv01_sql(),
         "q84_group_query": _Q84_SQL,
         "q85_group_func": _Q85_SQL,
+        "dd20_cluster_balanced": _DD20_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

@@ -371,3 +371,34 @@ def dsir_select(raw_df: DataFrame, target_df: DataFrame, id_col: str,
     return (w.select(id_col, "log_weight", key.alias("__key"))
              .orderBy(F.desc("__key"), F.asc(id_col)).limit(k)
              .drop("__key"))
+
+
+def cluster_balanced_sample(df: DataFrame, vec_col: str, budget: int,
+                            centroids: "DataFrame | None" = None,
+                            n_centroids: int = 16, alpha: float = 0.5,
+                            id_col: str = "vec_id") -> DataFrame:
+    """Topic-balanced sampling over an embedding column (the D4-style
+    diversify step, Tirumala et al. 2023 §3): cluster the corpus in
+    embedding space, then draw a temperature-scaled per-cluster quota —
+    alpha<1 up-samples tail topics the way temperature_mixture_sample
+    up-samples tail domains, but with clusters DISCOVERED from the vectors
+    instead of taken from a metadata column.
+
+    Role beyond the reference (training-pipeline op): composes this
+    module's deterministic mixture sampler with the vectors module's IVF
+    machinery — `centroids` (DataFrame(cid, cvec), e.g. from ivf_train)
+    pins the clustering for reproducibility; centroids=None trains
+    spherical k-means on the corpus first.
+
+    Plan shape: the assignment is one broadcast crossJoin + per-id argmax
+    window (ivf_assign — narrow, no shuffle of the corpus), then the
+    mixture sampler's tiny count-aggregate, broadcast quota join, and one
+    window exchange on the cluster key. Output: input columns + `cluster`.
+    """
+    from solr_spark.functions.vectors import ivf_assign, ivf_train
+
+    if centroids is None:
+        centroids = ivf_train(df, vec_col, n_centroids, id_col=id_col)
+    assigned = ivf_assign(df, vec_col, centroids, id_col=id_col)
+    return temperature_mixture_sample(assigned, id_col, "cluster", budget,
+                                      alpha=alpha)

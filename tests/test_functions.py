@@ -1067,3 +1067,38 @@ def test_bloom_decontaminate_superset_of_exact(spark):
             bloom_decontaminate(train, bench, "id", "text", n=4,
                                 m_bits=64, k_hashes=2).collect()}
     assert set(exact) <= tiny
+
+
+def test_cluster_balanced_sample(spark):
+    """D4-style diversify: per-cluster temperature quotas over discovered
+    (here: pinned) embedding clusters."""
+    import math
+
+    from solr_spark.functions.sampling import cluster_balanced_sample
+
+    # two tight clusters of very different size: 40 docs near +x, 10 near +y
+    rows = [(i, [1.0, 0.01 * (i % 5)]) for i in range(40)]
+    rows += [(100 + i, [0.01 * (i % 3), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<float>")
+    out = cluster_balanced_sample(df, "v", budget=20, centroids=cents,
+                                  alpha=0.5, id_col="vec_id")
+    got = out.groupBy("cluster").count().collect()
+    by_c = {r["cluster"]: r["count"] for r in got}
+    # quotas ~ sqrt(n): w0=sqrt(40), w1=sqrt(10) -> q0 = 20*w0/(w0+w1) = 13,
+    # q1 = 6 (floor division under-allocates at most 1 per cluster)
+    w0, w1 = math.sqrt(40), math.sqrt(10)
+    assert by_c[0] == int(20 * math.floor(w0 * 10000 + 0.5)
+                          // (math.floor(w0 * 10000 + 0.5)
+                              + math.floor(w1 * 10000 + 0.5)))
+    assert by_c[1] == 6
+    # deterministic under reruns
+    again = cluster_balanced_sample(df, "v", budget=20, centroids=cents,
+                                    alpha=0.5, id_col="vec_id")
+    assert sorted(r["vec_id"] for r in out.collect()) == \
+           sorted(r["vec_id"] for r in again.collect())
+    # trains its own quantizer when centroids are omitted
+    trained = cluster_balanced_sample(df, "v", budget=10, n_centroids=2,
+                                      id_col="vec_id")
+    assert 0 < trained.count() <= 10
