@@ -490,3 +490,49 @@ def tokenize_column_joined(col, config: IndexConfig = DEFAULT_CONFIG):
     from pyspark.sql import functions as F
 
     return F.array_join(tokenize_column(col, config), " ")
+
+
+def analyze_stages(text: str | None,
+                   config: IndexConfig = DEFAULT_CONFIG) -> list[tuple[str, object]]:
+    """Analysis-debug surface (FieldAnalysisRequestHandler /
+    analysis.field — handler/FieldAnalysisRequestHandler.java:55,
+    AnalysisRequestHandlerBase.analyzeValue): the value after EVERY stage of
+    the analyzer chain, in chain order, so index/query analysis mismatches
+    can be inspected the way the reference's Analysis screen shows them.
+
+    Driver-side admin helper (one value, not a distributed op). Stages
+    mirror this engine's chain (module doc): char filters (HTML strip ...)
+    -> tokenizer (UAX#29-style or word-delimiter) -> stop filter ->
+    lowercase/fold (applied text-wide before tokenize here; reported in
+    reference chain order, which is observably identical — see
+    analyze_text) -> optional stem/fold token filter. Returns
+    [(stage_name, text-or-token-list), ...]; the last entry equals
+    analyze_text(text, config).
+    """
+    out: list[tuple[str, object]] = [("input", text or "")]
+    if not text:
+        return out + [("tokens", [])]
+    cf = _char_filter_steps(config)
+    if cf:
+        text = _apply_char_filters(
+            text, [(regex.compile(p), r) for p, r in cf])
+        out.append(("charFilters", text))
+    stops = _stopset(config)
+    if config.word_delimiter:
+        t = _fold_text(text) if config.fold_ascii else text
+        toks = _wd_tokens(t, config.max_token_length)
+        out.append(("tokenizer(word_delimiter)", list(toks)))
+    else:
+        low = text.lower()
+        if config.fold_ascii:
+            low = _fold_text(low)
+        toks = _scan(low, config.max_token_length)
+        out.append(("tokenizer", list(toks)))
+    toks = [tk for tk in toks if tk not in stops]
+    out.append(("stopFilter", list(toks)))
+    filt = _token_filter(config)
+    if filt:
+        toks = [filt(tk) for tk in toks]
+        out.append(("tokenFilter", list(toks)))
+    out.append(("tokens", toks))
+    return out

@@ -369,3 +369,33 @@ def test_char_filters_compose_with_wd_and_config_roundtrip():
     rt = IndexConfig(**d)
     assert rt == IndexConfig(pattern_replace=(("x", "y"),))
     assert rt.config_hash() == IndexConfig(pattern_replace=(("x", "y"),)).config_hash()
+
+
+def test_analyze_stages_debug_surface():
+    """FieldAnalysisRequestHandler.java:55 — per-stage token stream; last
+    stage always equals analyze_text."""
+    from solr_spark.analysis.analyzer import analyze_stages, analyze_text
+    from solr_spark.config import IndexConfig
+
+    cfg = IndexConfig(stem="porter")
+    st = analyze_stages("The Quick-Running FOXES jumped", cfg)
+    names = [n for n, _ in st]
+    assert names[0] == "input" and names[-1] == "tokens"
+    assert "tokenizer" in names and "stopFilter" in names
+    assert "tokenFilter" in names  # porter stage present
+    stages = dict(st)
+    # stop filter drops 'the'; stemmer maps foxes->fox AFTER stop filtering
+    assert "the" in stages["tokenizer"]
+    assert "the" not in stages["stopFilter"]
+    assert "fox" in stages["tokenFilter"]
+    assert st[-1][1] == analyze_text("The Quick-Running FOXES jumped", cfg)
+
+    # char-filter stage appears only when configured
+    cfg2 = IndexConfig(html_strip=True)
+    st2 = dict(analyze_stages("<b>error</b> timeout", cfg2))
+    assert "charFilters" in st2 and "<b>" not in st2["charFilters"]
+    assert "charFilters" not in dict(analyze_stages("error", IndexConfig()))
+
+    # empty / None inputs
+    assert analyze_stages("", cfg)[-1] == ("tokens", [])
+    assert analyze_stages(None, cfg)[-1] == ("tokens", [])
