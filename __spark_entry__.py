@@ -5202,6 +5202,24 @@ WHERE rk.r <= q.quota ORDER BY vec_id
 """
 
 
+def _sq05_scored_sql(spark, sf_dir):
+    """Scored Parallel SQL (sql-query.adoc 'LIMIT Clause' — limited queries
+    carry score; query/sqlhandler.py::solr_sql_search): the WHERE clause's
+    one text predicate becomes the ranked q, the other conjuncts render to
+    classic fq strings intersected BEFORE scoring (SolrTable compiling to a
+    search stream; same q+fq flow as ft33, same oracle)."""
+    from solr_spark.query import solr_sql_search
+
+    reader = _ft_index(spark, sf_dir)
+    out = solr_sql_search(
+        spark, reader,
+        f"SELECT conv_id, score FROM documents "
+        f"WHERE text = '({_FT_QUERY})' AND lang = 'en' "
+        f"AND n_chars >= 200 ORDER BY score DESC LIMIT 20",
+        table="documents")
+    return out.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5377,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_group_query": _q84_group_query,
         "q85_group_func": _q85_group_func,
         "dd20_cluster_balanced": _dd20_cluster_balanced,
+        "sq05_scored_sql": _sq05_scored_sql,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6153,6 +6172,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q84_group_query": _Q84_SQL,
         "q85_group_func": _Q85_SQL,
         "dd20_cluster_balanced": _DD20_SQL,
+        "sq05_scored_sql": _ft33_sql(),
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

@@ -10,7 +10,7 @@ from solr_spark.query.multiterm import (
 )
 from solr_spark.query.hybrid import rrf_fuse
 from solr_spark.query.jsonapi import json_facets, json_request, json_search
-from solr_spark.query.sqlhandler import solr_sql
+from solr_spark.query.sqlhandler import solr_sql, solr_sql_search
 from solr_spark.query.local import LocalSearcher
 from solr_spark.query.docsets import docid_range_bitmaps, filter_docids
 from solr_spark.query.parser import LuceneQueryParser, parse_query
@@ -23,6 +23,6 @@ __all__ = ["IndexReader", "bm25_topk", "term_docs", "terms_postings",
            "expand_prefix", "expand_wildcard", "expand_fuzzy",
            "prefix_topk", "wildcard_topk", "fuzzy_topk",
            "parse_scored_query", "scored_topk", "rrf_fuse", "LocalSearcher",
-           "json_request", "json_search", "json_facets", "solr_sql",
+           "json_request", "json_search", "json_facets", "solr_sql", "solr_sql_search",
            "filter_docids", "docid_range_bitmaps",
            "shard_index", "ShardedSearcher", "realtime_get"]

@@ -118,10 +118,11 @@ class _Select:
 class _SqlParser:
     """Recursive-descent parser for the Solr-SQL subset."""
 
-    def __init__(self, sql: str, pred_compiler):
+    def __init__(self, sql: str, pred_compiler, allow_score: bool = False):
         self.toks = _sql_lex(sql)
         self.i = 0
         self.pred = pred_compiler  # (field, op, values) -> Column
+        self.allow_score = allow_score
 
     # -- token helpers --------------------------------------------------
     def peek(self) -> _SqlTok | None:
@@ -215,10 +216,10 @@ class _SqlParser:
             self.i += 1
             return ("star", None, None)
         name = self.ident()
-        if name.lower() == "score":
+        if name.lower() == "score" and not self.allow_score:
             raise ValueError(
-                "score requires the ranked path — use json_search/bm25_topk "
-                "(index-backed scoring is a separate surface)")
+                "score requires the ranked path — use solr_sql_search "
+                "(index-backed scoring) or json_search/bm25_topk")
         if self._accept_punct("("):
             fn = name.lower()
             if fn not in _AGG_FNS:
@@ -251,10 +252,10 @@ class _SqlParser:
 
     def _order_item(self) -> tuple[str, str]:
         name = self.ident()
-        if name.lower() == "score":
+        if name.lower() == "score" and not self.allow_score:
             raise ValueError(
                 "ORDER BY score requires the ranked path — use "
-                "json_search/bm25_topk")
+                "solr_sql_search or json_search/bm25_topk")
         direction = "asc"
         if self.accept_kw("desc"):
             direction = "desc"
@@ -569,4 +570,166 @@ def _sort_page(out: DataFrame, stmt: _Select, known: set) -> DataFrame:
     return out
 
 
-__all__ = ["solr_sql"]
+class _Pred:
+    """Recording predicate node: supports the parser's &/|/~ composition so
+    the same grammar can yield an AST instead of a Column (the scored path
+    renders it back to q/fq strings, the way SolrFilter keeps RexNodes
+    symbolic until SolrTable compiles the search stream)."""
+
+    def __init__(self, kind, *args):
+        self.kind = kind   # leaf | and | or | not
+        self.args = args
+
+    def __and__(self, other):
+        return _Pred("and", self, other)
+
+    def __or__(self, other):
+        return _Pred("or", self, other)
+
+    def __invert__(self):
+        return _Pred("not", self)
+
+
+def _q_str(v) -> str:
+    """Render a literal as a classic-parser value token."""
+    s = str(v)
+    if isinstance(v, str) and (" " in s or s == ""):
+        return f'"{s}"'
+    return s
+
+
+def _render_fq(node: _Pred) -> str:
+    """Predicate AST -> classic fq string per the operator table
+    (sql-query.adoc 'Supported WHERE Operators' Solr Query column)."""
+    if node.kind == "and":
+        return f"({_render_fq(node.args[0])} AND {_render_fq(node.args[1])})"
+    if node.kind == "or":
+        return f"({_render_fq(node.args[0])} OR {_render_fq(node.args[1])})"
+    if node.kind == "not":
+        return f"(NOT {_render_fq(node.args[0])})"
+    fld, op, vals = node.args
+    if op == "=":
+        v = vals[0]
+        if isinstance(v, str) and _RANGE_VAL_RE.match(v):
+            return f"{fld}:{v}"
+        if isinstance(v, str) and v.startswith("(") and v.endswith(")"):
+            # field-scoped raw syntax: distribute the field over bare terms
+            # is the parser's job; fq strings keep the default-field form
+            raise ValueError(
+                f"raw Solr syntax on non-text field {fld!r} is not "
+                f"supported on the scored path's filter side")
+        return f"{fld}:{_q_str(v)}"
+    if op == "<>":
+        return f"(NOT {fld}:{_q_str(vals[0])})"
+    if op == ">":
+        return f"{fld}:{{{vals[0]} TO *]"
+    if op == ">=":
+        return f"{fld}:[{vals[0]} TO *]"
+    if op == "<":
+        return f"{fld}:[* TO {vals[0]}}}"
+    if op == "<=":
+        return f"{fld}:[* TO {vals[0]}]"
+    if op == "in":
+        return "(" + " OR ".join(f"{fld}:{_q_str(v)}" for v in vals) + ")"
+    if op == "like":
+        pat = str(vals[0]).replace("%", "*").replace("_", "?")
+        return f"{fld}:{pat}"
+    if op == "between":
+        return f"{fld}:[{vals[0]} TO {vals[1]}]"
+    if op == "isnull":
+        return f"(NOT {fld}:*)"
+    raise ValueError(f"unsupported operator {op!r} on the scored path")
+
+
+def _text_query(vals: list) -> str:
+    """Text-field equality value -> the scored-surface q string."""
+    v = str(vals[0])
+    if v.startswith("(") and v.endswith(")"):
+        return v[1:-1]          # injected Solr syntax, default-field scoped
+    if " " in v:
+        return f'"{v}"'         # phrase search
+    return v
+
+
+def solr_sql_search(spark, reader, sql: str,
+                    text_fields: set[str] | None = None,
+                    table: str | None = None, now=None) -> DataFrame:
+    """Scored Solr-SQL: the limited-query path of the /sql handler where
+    ``score`` is available in the select/ORDER BY list (sql-query.adoc
+    'LIMIT Clause' — "Limited queries support score") and the WHERE clause
+    compiles to a search against an IndexReader instead of DataFrame
+    predicates (SolrTable compiling to a search stream).
+
+    Supported shape: a conjunctive WHERE (top-level AND chain) holding
+    EXACTLY ONE text-field predicate — it becomes the ranked ``q`` — with
+    every other conjunct rendered to a classic fq string (DocSet-intersected
+    before scoring, the q+fq flow); LIMIT required; ORDER BY absent or
+    ``score DESC`` (rank order is the contract — re-sorting a ranked page
+    is a separate operator, as in json_search); OFFSET/FETCH pages by rank.
+    The select list may name result columns (conv_id, turn_idx, docid,
+    score, rank) or any stored field (fl join semantics of json_search).
+    """
+    tf = text_fields or {"text"}
+    p = _SqlParser(sql, lambda fld, op, vals: _Pred("leaf", fld, op, vals),
+                   allow_score=True)
+    stmt = p.statement()
+    if table is not None and stmt.table != table:
+        raise ValueError(f"unknown table {stmt.table!r} (collection: {table!r})")
+    if stmt.group_by or stmt.having or stmt.distinct:
+        raise ValueError("scored SQL supports plain SELECT only "
+                         "(GROUP BY/DISTINCT run on the unranked path)")
+    if any(kind != "col" for kind, _, _ in stmt.items):
+        raise ValueError("scored SQL select list must be plain columns")
+    if stmt.limit is None:
+        raise ValueError(
+            "scored SQL requires LIMIT — unlimited queries are the /export "
+            "role and do not carry score (sql-query.adoc LIMIT clause)")
+    for f_, d in stmt.order_by:
+        if f_ != "score" or d != "desc":
+            raise ValueError(
+                "scored SQL orders by rank; only ORDER BY score DESC is "
+                "accepted (re-sorting a ranked page is a separate operator)")
+
+    # flatten the top-level AND chain; one text predicate -> q, rest -> fq
+    conjuncts: list[_Pred] = []
+
+    def flatten(n: _Pred) -> None:
+        if n.kind == "and":
+            flatten(n.args[0])
+            flatten(n.args[1])
+        else:
+            conjuncts.append(n)
+
+    if stmt.where is None:
+        raise ValueError("scored SQL needs a text-field predicate in WHERE")
+    flatten(stmt.where)
+    text_preds = [c for c in conjuncts
+                  if c.kind == "leaf" and c.args[0] in tf]
+    if len(text_preds) != 1:
+        raise ValueError(
+            f"scored SQL needs exactly one text-field predicate "
+            f"({len(text_preds)} found; text fields: {sorted(tf)})")
+    tp = text_preds[0]
+    if tp.args[1] != "=":
+        raise ValueError("text-field predicate must be an equality search")
+    filters = [_render_fq(c) for c in conjuncts if c is not tp]
+
+    from solr_spark.query.jsonapi import json_search
+
+    body: dict = {"query": _text_query(tp.args[2]), "limit": stmt.limit}
+    if filters:
+        body["filter"] = filters
+    if stmt.offset:
+        body["offset"] = stmt.offset
+    if now is not None:
+        body["params"] = {"NOW": now}
+    fields = [spec for _, spec, _ in stmt.items]
+    if fields:
+        body["fields"] = fields
+    out = json_search(spark, reader, body)
+    # apply select aliases (json_search returns source-named columns)
+    return out.select(*[F.col(spec).alias(alias)
+                        for _, spec, alias in stmt.items])
+
+
+__all__ = ["solr_sql", "solr_sql_search"]

@@ -149,3 +149,80 @@ def test_where_pushed_to_scan(docs, tmp_path):
     out = solr_sql(df, "SELECT id FROM docs WHERE n > 300 AND lang = 'en'")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThan(n,300)" in plan
+
+
+@pytest.fixture(scope="module")
+def sql_index(spark, tmp_path_factory):
+    from solr_spark.config import IndexConfig
+    from solr_spark.data import synth_transcripts_spark
+    from solr_spark.indexing import build_index
+    from solr_spark.query import IndexReader
+
+    idx = str(tmp_path_factory.mktemp("sql_idx"))
+    cfg = IndexConfig(range_shift=9, num_term_buckets=16)
+    corpus = synth_transcripts_spark(spark, 1500, seed=13)
+    build_index(spark, corpus, idx, cfg, input_token="sqlsearch-1500",
+                stored_cols=("role", "tool"))
+    return IndexReader.open(idx, cfg)
+
+
+def test_scored_sql_matches_json_search(spark, sql_index):
+    """solr_sql_search = limited /sql query with score: same ranks/scores as
+    the json_search body it compiles to (q + fq flow)."""
+    from solr_spark.query import json_search, solr_sql_search
+
+    out = solr_sql_search(
+        spark, sql_index,
+        "SELECT conv_id, turn_idx, score FROM transcripts "
+        "WHERE text = '(error timeout)' AND role = 'assistant' "
+        "ORDER BY score DESC LIMIT 8")
+    ref = json_search(spark, sql_index,
+                      {"query": "error timeout", "filter": ["role:assistant"],
+                       "limit": 8,
+                       "fields": ["conv_id", "turn_idx", "score"]})
+    assert [tuple(r) for r in out.collect()] == \
+           [tuple(r) for r in ref.collect()]
+    # phrase form and paging
+    page = solr_sql_search(
+        spark, sql_index,
+        "SELECT docid, score FROM transcripts WHERE text = '(error timeout)' "
+        "ORDER BY score DESC OFFSET 3 FETCH NEXT 3 ROWS ONLY")
+    full = solr_sql_search(
+        spark, sql_index,
+        "SELECT docid, score FROM transcripts "
+        "WHERE text = '(error timeout)' LIMIT 6")
+    assert [r["docid"] for r in page.collect()] == \
+           [r["docid"] for r in full.collect()][3:]
+
+
+def test_scored_sql_operator_rendering(spark, sql_index):
+    """Attr conjuncts render to fq strings per the operator table; every hit
+    satisfies them."""
+    from solr_spark.query import solr_sql_search
+
+    out = solr_sql_search(
+        spark, sql_index,
+        "SELECT docid, role, score FROM transcripts "
+        "WHERE text = '(error timeout)' AND role IN ('assistant', 'user') "
+        "AND turn_idx >= 2 LIMIT 10")
+    rows = out.collect()
+    assert rows and all(r["role"] in ("assistant", "user") for r in rows)
+
+
+def test_scored_sql_guards(spark, sql_index):
+    from solr_spark.query import solr_sql_search
+
+    with pytest.raises(ValueError, match="requires LIMIT"):
+        solr_sql_search(spark, sql_index,
+                        "SELECT docid, score FROM t WHERE text = 'error'")
+    with pytest.raises(ValueError, match="exactly one text-field"):
+        solr_sql_search(spark, sql_index,
+                        "SELECT docid FROM t WHERE role = 'user' LIMIT 5")
+    with pytest.raises(ValueError, match="ORDER BY score DESC"):
+        solr_sql_search(spark, sql_index,
+                        "SELECT docid, score FROM t WHERE text = 'error' "
+                        "ORDER BY score ASC LIMIT 5")
+    with pytest.raises(ValueError, match="plain SELECT"):
+        solr_sql_search(spark, sql_index,
+                        "SELECT role, COUNT(*) AS c FROM t "
+                        "WHERE text = 'error' GROUP BY role LIMIT 5")
