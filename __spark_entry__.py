@@ -5220,6 +5220,32 @@ def _sq05_scored_sql(spark, sf_dir):
     return out.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _q86_multiselect_facet(spark, sf_dir):
+    """Multi-select faceting ({!tag=...} + domain.excludeTags — SimpleFacets
+    excludeTags / FacetRequest Domain; query/jsonapi.py): the lang facet
+    excludes the LANG-tagged lang filter from its own domain (so all
+    language buckets stay visible while the docs list is filtered), the
+    n_chars filter still applies."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "text:join",
+           "filter": ["{!tag=LANG}lang:en", "n_chars:[200 TO *]"],
+           "facet": {"langs": {"type": "terms", "field": "lang", "limit": 10,
+                               "mincount": 1,
+                               "domain": {"excludeTags": ["LANG"]}}}}
+    out = json_facets(docs, req)["langs"]
+    return out.select("bucket", F.col("count").cast("long").alias("count"))
+
+
+_Q86_SQL = r"""
+SELECT lang AS bucket, count(*)::BIGINT AS count
+FROM documents
+WHERE regexp_matches(text, '(^|\W)join(\W|$)') AND n_chars >= 200
+GROUP BY lang ORDER BY count DESC, bucket ASC LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5396,6 +5422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_group_func": _q85_group_func,
         "dd20_cluster_balanced": _dd20_cluster_balanced,
         "sq05_scored_sql": _sq05_scored_sql,
+        "q86_multiselect_facet": _q86_multiselect_facet,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6173,6 +6200,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q85_group_func": _Q85_SQL,
         "dd20_cluster_balanced": _DD20_SQL,
         "sq05_scored_sql": _ft33_sql(),
+        "q86_multiselect_facet": _Q86_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

@@ -125,17 +125,40 @@ def _tree_levels(name: str, spec: dict) -> "list[FC.FacetLevel]":
         node_name, node = next(iter(subs.items()))
 
 
-def _domain(df: DataFrame, req: dict, parser: LuceneQueryParser) -> DataFrame:
-    """Apply query + filter strings as predicates (the fq/DocSet role)."""
+# `{!tag=a,b}lang:en` — the tag local param marks a filter so facet domains
+# can exclude it (multi-select faceting; request/json/RequestUtil tag flow,
+# SimpleFacets excludeTags)
+_TAG_RE = re.compile(r"^\{!tag=([\w,]+)\}\s*(.*)$", re.S)
+
+
+def _tagged_filters(req: dict, parser: LuceneQueryParser
+                    ) -> list[tuple[frozenset, Column]]:
+    """Parse the request's filter strings into (tag-set, predicate) pairs."""
+    filters = req.get("filter", [])
+    if isinstance(filters, str):
+        filters = [filters]
+    out = []
+    for f in filters:
+        m = _TAG_RE.match(f)
+        tags = frozenset(m.group(1).split(",")) if m else frozenset()
+        out.append((tags, parser.parse(m.group(2) if m else f)))
+    return out
+
+
+def _domain(df: DataFrame, req: dict, parser: LuceneQueryParser,
+            exclude_tags: "Sequence[str] | frozenset" = ()) -> DataFrame:
+    """Apply query + filter strings as predicates (the fq/DocSet role).
+    exclude_tags drops the filters carrying any of those tags — the
+    multi-select faceting domain change (facet_domain's rule; excluding a
+    tag widens the pushed predicate conjunction, never disables pushdown)."""
     out = df
     q = req.get("query", "*:*")
     if q and q != "*:*":
         out = out.where(parser.parse(q))
-    filters = req.get("filter", [])
-    if isinstance(filters, str):
-        filters = [filters]
-    for f in filters:
-        out = out.where(parser.parse(f))
+    excl = set(exclude_tags)
+    for tags, pred in _tagged_filters(req, parser):
+        if not (tags & excl):
+            out = out.where(pred)
     return out
 
 
@@ -268,12 +291,22 @@ def json_facets(df: DataFrame, request: dict | str,
         if isinstance(spec, str):
             out[name] = dom.agg(_parse_metric(name, spec))
             continue
-        # per-facet domain change: {"domain": {"filter": "..."}} narrows this
-        # facet's domain without touching the docs query (FacetRequest.java
-        # Domain / json-facet-api.adoc "Changing the Domain"); excludeTags /
-        # block joins are served by operators.facets.facet_domain directly.
-        dom_f = spec.get("domain", {}).get("filter")
-        fdom = dom.where(parser.parse(dom_f)) if dom_f else dom
+        # per-facet domain changes (FacetRequest.java Domain /
+        # json-facet-api.adoc "Changing the Domain"):
+        #   {"domain": {"excludeTags": [...]}} re-derives the domain WITHOUT
+        #   the filters carrying those tags ({!tag=x} local param) — the
+        #   multi-select faceting idiom where a field's own filter is
+        #   excluded from its facet counts;
+        #   {"domain": {"filter": "..."}} then narrows the result. Block
+        #   joins are served by operators.facets.to_children directly.
+        dspec = spec.get("domain", {})
+        excl = dspec.get("excludeTags", ())
+        if isinstance(excl, str):
+            excl = [excl]
+        fdom = _domain(df, req, parser, exclude_tags=excl) if excl else dom
+        dom_f = dspec.get("filter")
+        if dom_f:
+            fdom = fdom.where(parser.parse(dom_f))
         ftype = spec.get("type")
         if ftype == "terms":
             subs = {a: s for a, s in spec.get("facet", {}).items()

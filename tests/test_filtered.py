@@ -229,3 +229,41 @@ def test_postings_lru_byte_bound(spark, built):
     # results identical to an unbounded searcher despite eviction
     big = LocalSearcher(reader)
     assert ls.search(Q, k=10) == big.search(Q, k=10)
+
+
+def test_multiselect_facet_exclude_tags(spark):
+    """{!tag=x} local params + domain.excludeTags — multi-select faceting
+    (SimpleFacets excludeTags / FacetRequest Domain)."""
+    from solr_spark.query.jsonapi import json_facets, json_request
+
+    df = spark.createDataFrame(
+        [("en", "web"), ("en", "web"), ("en", "code"),
+         ("de", "web"), ("fr", "code")], "lang string, source string")
+    req = {"query": "*:*",
+           "filter": ["{!tag=LANG}lang:en", "{!tag=SRC}source:web"],
+           "facet": {
+               "langs": {"type": "terms", "field": "lang", "limit": 10,
+                         "domain": {"excludeTags": "LANG"}},
+               "srcs": {"type": "terms", "field": "source", "limit": 10,
+                        "domain": {"excludeTags": ["SRC"]}},
+               "narrow": {"type": "terms", "field": "lang", "limit": 10,
+                          "domain": {"excludeTags": ["LANG"],
+                                     "filter": "source:web"}}}}
+    f = json_facets(df, req, default_field="lang", text_fields=set())
+    assert {(r["bucket"], r["count"]) for r in f["langs"].collect()} == \
+           {("en", 2), ("de", 1)}
+    assert {(r["bucket"], r["count"]) for r in f["srcs"].collect()} == \
+           {("web", 2), ("code", 1)}
+    # excludeTags composes with domain.filter
+    assert {(r["bucket"], r["count"]) for r in f["narrow"].collect()} == \
+           {("en", 2), ("de", 1)}
+    # tags are transparent to the docs query; unknown tags exclude nothing
+    assert json_request(
+        df, {"query": "*:*", "filter": ["{!tag=LANG}lang:en"]},
+        default_field="lang").count() == 3
+    g = json_facets(df, {"query": "*:*", "filter": ["{!tag=A}lang:en"],
+                         "facet": {"x": {"type": "terms", "field": "lang",
+                                         "domain": {"excludeTags": ["B"]}}}},
+                    default_field="lang", text_fields=set())
+    assert {(r["bucket"], r["count"]) for r in g["x"].collect()} == \
+           {("en", 3)}
