@@ -5246,6 +5246,35 @@ GROUP BY lang ORDER BY count DESC, bucket ASC LIMIT 10
 """
 
 
+def _tx06_mlt_interesting(spark, sf_dir):
+    """mlt.interestingTerms=details (MoreLikeThisHandler InterestingTerm;
+    operators/streams.py::mlt_interesting_terms): the idf-boosted seed terms
+    tx03's disjunction runs — same selection, exposed for introspection."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "),
+                           lambda t: t != "")).alias("term"))
+    return streams.mlt_interesting_terms(pairs, 0, n_docs, doc_col="doc_id",
+                                         max_query_terms=15)
+
+
+_TX06_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY term)
+SELECT p.term,
+       round(ln((SELECT count(*) FROM documents)::DOUBLE / df), 6) AS idf,
+       df::BIGINT AS df
+FROM pairs p JOIN dft USING (term) WHERE p.doc_id = 0
+ORDER BY idf DESC, term LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5423,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd20_cluster_balanced": _dd20_cluster_balanced,
         "sq05_scored_sql": _sq05_scored_sql,
         "q86_multiselect_facet": _q86_multiselect_facet,
+        "tx06_mlt_interesting": _tx06_mlt_interesting,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6201,6 +6231,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd20_cluster_balanced": _DD20_SQL,
         "sq05_scored_sql": _ft33_sql(),
         "q86_multiselect_facet": _Q86_SQL,
+        "tx06_mlt_interesting": _TX06_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

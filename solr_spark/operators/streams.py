@@ -232,6 +232,29 @@ def more_like_this(docs_terms: DataFrame, doc_id, n_docs: int,
                  .limit(k))
 
 
+def mlt_interesting_terms(docs_terms: DataFrame, doc_id, n_docs: int,
+                           term_col: str = "term", doc_col: str = "doc_id",
+                           max_query_terms: int = 25) -> DataFrame:
+    """mlt interestingTerms=details: the seed terms MLT selected, with their
+    idf boosts — the introspection companion of more_like_this (same seed
+    selection, exposed instead of executed).
+
+    Reference: handler/MoreLikeThisHandler.java InterestingTerm /
+    mlt.interestingTerms=list|details (MoreLikeThisParams.INTERESTING_TERMS);
+    boost = the term's idf weight, what the reference reports with
+    boost=true. Output: term, idf (round 6), df — idf desc, term asc.
+    """
+    pairs = docs_terms.select(doc_col, term_col).dropDuplicates(
+        [doc_col, term_col])
+    df_counts = pairs.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    return (pairs.where(F.col(doc_col) == doc_id)
+            .join(df_counts, term_col)
+            .withColumn("idf", F.round(
+                F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+            .orderBy(F.desc("idf"), term_col).limit(max_query_terms)
+            .select(term_col, "idf", F.col("df").cast("long").alias("df")))
+
+
 def child_docs(parents: DataFrame, children: DataFrame, key: str,
                order_cols: Sequence[str], child_filter: Column | None = None,
                limit: int | None = None) -> DataFrame:
