@@ -5057,7 +5057,7 @@ ORDER BY doc_id, term
 """
 
 
-def _q84_group_query(spark, sf_dir):
+def _q88_group_query(spark, sf_dir):
     """group.query grouping (search/Grouping.java:860 CommandQuery;
     operators/windows.py::group_query): each named query is a group, top-5
     rows per group from ONE scan (tag -> explode -> salted two-stage top-N);
@@ -5078,7 +5078,7 @@ def _q84_group_query(spark, sf_dir):
         F.col("group_rank").cast("long").alias("group_rank"))
 
 
-_Q84_SQL = """
+_Q88_SQL = """
 WITH tagged AS (
   SELECT 'big' AS grp, event_id, value FROM events WHERE value >= 900
   UNION ALL
@@ -5099,7 +5099,7 @@ FROM r WHERE rk <= 5 ORDER BY grp, rk
 """
 
 
-def _q85_group_func(spark, sf_dir):
+def _q89_group_func(spark, sf_dir):
     """group.func grouping (search/Grouping.java:933 CommandFunc): group key
     is a computed function value — price bands of floor(o_totalprice/50000)
     — materialized once JVM-side, then the same salted top-N."""
@@ -5117,7 +5117,7 @@ def _q85_group_func(spark, sf_dir):
         F.col("group_rank").cast("long").alias("group_rank"))
 
 
-_Q85_SQL = """
+_Q89_SQL = """
 WITH r AS (
   SELECT floor(o_totalprice / 50000)::BIGINT AS band, o_orderkey,
          o_totalprice,
@@ -5220,7 +5220,7 @@ def _sq05_scored_sql(spark, sf_dir):
     return out.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
-def _q86_multiselect_facet(spark, sf_dir):
+def _q90_multiselect_facet(spark, sf_dir):
     """Multi-select faceting ({!tag=...} + domain.excludeTags — SimpleFacets
     excludeTags / FacetRequest Domain; query/jsonapi.py): the lang facet
     excludes the LANG-tagged lang filter from its own domain (so all
@@ -5238,7 +5238,7 @@ def _q86_multiselect_facet(spark, sf_dir):
     return out.select("bucket", F.col("count").cast("long").alias("count"))
 
 
-_Q86_SQL = r"""
+_Q90_SQL = r"""
 SELECT lang AS bucket, count(*)::BIGINT AS count
 FROM documents
 WHERE regexp_matches(text, '(^|\W)join(\W|$)') AND n_chars >= 200
@@ -5447,11 +5447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq03_sql_distinct": _sq03_sql_distinct,
         "sq04_sql_operators": _sq04_sql_operators,
         "tv01_term_vectors": _tv01_term_vectors,
-        "q84_group_query": _q84_group_query,
-        "q85_group_func": _q85_group_func,
+        "q88_group_query": _q88_group_query,
+        "q89_group_func": _q89_group_func,
         "dd20_cluster_balanced": _dd20_cluster_balanced,
         "sq05_scored_sql": _sq05_scored_sql,
-        "q86_multiselect_facet": _q86_multiselect_facet,
+        "q90_multiselect_facet": _q90_multiselect_facet,
         "tx06_mlt_interesting": _tx06_mlt_interesting,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
@@ -6226,11 +6226,11 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "sq03_sql_distinct": _SQ03_SQL,
         "sq04_sql_operators": _SQ04_SQL,
         "tv01_term_vectors": _tv01_sql(),
-        "q84_group_query": _Q84_SQL,
-        "q85_group_func": _Q85_SQL,
+        "q88_group_query": _Q88_SQL,
+        "q89_group_func": _Q89_SQL,
         "dd20_cluster_balanced": _DD20_SQL,
         "sq05_scored_sql": _ft33_sql(),
-        "q86_multiselect_facet": _Q86_SQL,
+        "q90_multiselect_facet": _Q90_SQL,
         "tx06_mlt_interesting": _TX06_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
