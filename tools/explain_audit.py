@@ -414,6 +414,46 @@ def main() -> None:
         ["BroadcastHashJoin"],
         ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"]))
 
+    # 26b/27. group_query: one corpus scan tags+explodes members only, then
+    # the SALTED two-stage top-N (two window stages, no Python); a row's
+    # group membership never round-trips through a join
+    from solr_spark.operators.windows import group_query
+    ev27 = t("events")
+    p27 = plan_of(group_query(
+        ev27,
+        {"big": F.col("value") >= 900, "clicks": F.col("event_type") == "click"},
+        [F.desc("value"), F.asc("event_id")], n=5))
+    checks.append((
+        "group_query: tag-explode + salted top-N, no join, no Python",
+        p27,
+        ["Generate", "Window"],
+        ["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin",
+         "BroadcastHashJoin"]))
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", p27, _re.M)) == 1, \
+        "group_query must scan the corpus once"
+    # (WindowGroupLimit nodes are Spark's rank-limit pushdown riding each
+    # window — count only the Window exec nodes themselves)
+    n_win27 = len(_re.findall(r"^\(\d+\) Window\s*$", p27, _re.M))
+    assert n_win27 == 2, \
+        f"expected 2 window stages (salted + final), found {n_win27}"
+
+    # 28. Solr-SQL front-end: WHERE conjunction reaches the parquet scan as
+    # PushedFilters (the Calcite-pushdown role belongs to Catalyst), GROUP BY
+    # is one partially-aggregated exchange
+    from solr_spark.query.sqlhandler import solr_sql
+    p28 = plan_of(solr_sql(
+        t("documents"),
+        "SELECT lang, COUNT(*) AS cnt FROM documents "
+        "WHERE n_chars > 200 AND lang <> 'xx' GROUP BY lang "
+        "ORDER BY cnt DESC LIMIT 5"))
+    checks.append((
+        "solr_sql: predicates pushed to scan, partial agg, no Python",
+        p28,
+        ["PushedFilters: [IsNotNull(n_chars), IsNotNull(lang), "
+         "GreaterThan(n_chars,200)",
+         "HashAggregate", "TakeOrderedAndProject"],
+        ["BatchEvalPython", "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
