@@ -226,3 +226,33 @@ def test_scored_sql_guards(spark, sql_index):
         solr_sql_search(spark, sql_index,
                         "SELECT role, COUNT(*) AS c FROM t "
                         "WHERE text = 'error' GROUP BY role LIMIT 5")
+
+
+def test_sql_parser_never_crashes_unstructured(spark, docs):
+    """Property: arbitrary token soup either parses to a plan or raises
+    ValueError — never an unhandled exception type (the handler's error
+    contract)."""
+    import random
+
+    from solr_spark.query.sqlhandler import solr_sql
+
+    rng = random.Random(42)
+    words = ["SELECT", "FROM", "WHERE", "ORDER", "BY", "GROUP", "LIMIT",
+             "id", "lang", "docs", "COUNT", "(", ")", "*", ",", "=", "<>",
+             "'en'", "10", "AND", "OR", "NOT", "IN", "LIKE", "ASC", "DESC",
+             "AS", "HAVING", "BETWEEN", "IS", "NULL", "OFFSET", "FETCH"]
+    crashes = 0
+    for _ in range(400):
+        stmt = " ".join(rng.choice(words)
+                        for _ in range(rng.randint(1, 14)))
+        try:
+            solr_sql(docs, stmt, text_fields={"text"})
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 — the property under test
+            # Catalyst analysis errors are acceptable only as ValueError;
+            # count anything else as a crash
+            crashes += 1
+            if crashes == 1:
+                first = (stmt, type(e).__name__, str(e)[:120])
+    assert crashes == 0, first
