@@ -5275,6 +5275,62 @@ ORDER BY idf DESC, term LIMIT 15
 """
 
 
+def _q91_json_dsl_bool(spark, sf_dir):
+    """JSON Query DSL bool node (json-query-dsl.adoc; BoolQParserPlugin
+    .java:33; query/jsonapi.py::_compile_query): should clauses with
+    mm=2 (Lucene's minimum-should-match counting as a codegen sum of
+    WHEN tags), composed with a must_not — all one pushed predicate."""
+    from solr_spark.query.jsonapi import json_request
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": {"bool": {
+               "should": ["text:join", "text:merge", "text:window"],
+               "mm": 2,
+               "must_not": ["n_chars:[* TO 199]"]}},
+           "fields": ["doc_id", "lang", "n_chars"]}
+    return json_request(docs, req).orderBy("doc_id")
+
+
+_Q91_SQL = r"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (regexp_matches(text, '(^|\W)join(\W|$)')::INT
+       + regexp_matches(text, '(^|\W)merge(\W|$)')::INT
+       + regexp_matches(text, '(^|\W)window(\W|$)')::INT) >= 2
+  AND NOT (n_chars <= 199)
+ORDER BY doc_id
+"""
+
+
+def _q92_matched_queries(spark, sf_dir):
+    """MatchedQueriesComponent (matched_queries=true —
+    MatchedQueriesComponent.java; operators/components.py::matched_queries):
+    per-hit named-match lists, materialized in the result scan instead of
+    the reference's separate NamedMatches post-pass."""
+    from solr_spark.operators.components import matched_queries
+
+    ev = _t(spark, sf_dir, "events")
+    out = matched_queries(
+        ev, {"big": F.col("value") >= 500,
+             "clicks": F.col("event_type") == "click",
+             "early": F.col("user_id") < 50})
+    out = out.where(F.size("matched_queries") > 0)
+    return (out.select(F.col("event_id").cast("long").alias("event_id"),
+                       F.array_join("matched_queries", ",").alias("names"))
+            .orderBy("event_id"))
+
+
+_Q92_SQL = """
+SELECT event_id::BIGINT AS event_id,
+       concat_ws(',',
+                 CASE WHEN value >= 500 THEN 'big' END,
+                 CASE WHEN event_type = 'click' THEN 'clicks' END,
+                 CASE WHEN user_id < 50 THEN 'early' END) AS names
+FROM events
+WHERE value >= 500 OR event_type = 'click' OR user_id < 50
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5453,6 +5509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq05_scored_sql": _sq05_scored_sql,
         "q90_multiselect_facet": _q90_multiselect_facet,
         "tx06_mlt_interesting": _tx06_mlt_interesting,
+        "q91_json_dsl_bool": _q91_json_dsl_bool,
+        "q92_matched_queries": _q92_matched_queries,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6232,6 +6290,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "sq05_scored_sql": _ft33_sql(),
         "q90_multiselect_facet": _Q90_SQL,
         "tx06_mlt_interesting": _TX06_SQL,
+        "q91_json_dsl_bool": _Q91_SQL,
+        "q92_matched_queries": _Q92_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

@@ -609,3 +609,34 @@ def term_vectors_component(spark: SparkSession, reader, docids,
             tv = tv.drop("df")
     front = ["docid", "term", "tf"]
     return tv.select(*front, *[c for c in tv.columns if c not in front])
+
+
+def matched_queries(df: DataFrame, queries: "dict[str, Column]",
+                    summary: bool = False) -> DataFrame:
+    """MatchedQueriesComponent (matched_queries=true / mq=true): annotate
+    each row with the NAMES of the named queries it matches.
+
+    Reference: handler/component/MatchedQueriesComponent.java — per-hit
+    name lists via Lucene's NamedMatches post-pass (COMPLETE_NO_SCORES:
+    matching without scoring). Column form: the names materialize in the
+    same scan as the result page (array_compact over per-query WHEN tags —
+    zero extra passes, unlike the reference's separate matches() walk);
+    rows matching no query carry an empty array (the reference omits them
+    from its per-hit map — filter on size if that shape is needed).
+
+    summary=True returns the matched_queries_summary shape instead: one row
+    per query name with the ordered list of matching ids from the FIRST
+    remaining column (pass a pre-projected df).
+    """
+    from pyspark.sql import functions as F
+
+    tags = F.array_compact(F.array(*[
+        F.when(pred, F.lit(name)) for name, pred in queries.items()]))
+    out = df.withColumn("matched_queries", F.sort_array(tags))
+    if not summary:
+        return out
+    id_col = df.columns[0]
+    return (out.select(id_col, F.explode("matched_queries").alias("name"))
+            .groupBy("name")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .orderBy("name"))

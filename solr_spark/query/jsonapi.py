@@ -139,10 +139,60 @@ def _tagged_filters(req: dict, parser: LuceneQueryParser
         filters = [filters]
     out = []
     for f in filters:
+        if isinstance(f, dict):   # JSON DSL object filter (no tag form)
+            out.append((frozenset(), _compile_query(f, parser)))
+            continue
         m = _TAG_RE.match(f)
         tags = frozenset(m.group(1).split(",")) if m else frozenset()
         out.append((tags, parser.parse(m.group(2) if m else f)))
     return out
+
+
+def _compile_query(q, parser: LuceneQueryParser) -> Column:
+    """JSON Query DSL -> Column predicate (json-query-dsl.adoc): a query is
+    a classic-syntax STRING, a ``{"lucene": {"df": ..., "query": ...}}``
+    parser object, or a ``{"bool": {...}}`` node (BoolQParserPlugin.java:33)
+    with must / filter / must_not / should lists and Lucene's matching rule:
+    all must+filter match, no must_not matches, and should clauses are
+    scoring-only when must/filter exist (unless ``mm`` asks for more) but
+    at least mm (default 1) must match when they don't."""
+    if isinstance(q, str):
+        return parser.parse(q)
+    if not isinstance(q, dict) or len(q) != 1:
+        raise ValueError(f"unsupported JSON query object: {q!r}")
+    (kind, body), = q.items()
+    if kind == "lucene":
+        sub = LuceneQueryParser(body.get("df", parser.default_field),
+                                parser.text_fields, now=parser.now)
+        return sub.parse(body["query"])
+    if kind != "bool":
+        raise ValueError(f"unsupported query parser {kind!r} in JSON DSL "
+                         "(supported: string, lucene, bool)")
+
+    def listify(v):
+        return [v] if isinstance(v, (str, dict)) else list(v or [])
+
+    known = set(body) - {"must", "filter", "must_not", "should", "mm"}
+    if known:
+        raise ValueError(f"unknown bool clause(s): {sorted(known)}")
+    must = [_compile_query(c, parser)
+            for c in listify(body.get("must")) + listify(body.get("filter"))]
+    nots = [_compile_query(c, parser) for c in listify(body.get("must_not"))]
+    should = [_compile_query(c, parser) for c in listify(body.get("should"))]
+    mm = int(body.get("mm", 0 if must else 1))
+    col = None
+    for c in must:
+        col = c if col is None else (col & c)
+    if should and mm > 0:
+        n = sum((F.when(c, 1).otherwise(0) for c in should), F.lit(0))
+        c2 = n >= F.lit(mm)
+        col = c2 if col is None else (col & c2)
+    elif col is None:
+        # no must/filter and mm=0: degenerate but well-defined — match all
+        col = F.lit(True)
+    for c in nots:
+        col = col & ~c
+    return col
 
 
 def _domain(df: DataFrame, req: dict, parser: LuceneQueryParser,
@@ -154,7 +204,7 @@ def _domain(df: DataFrame, req: dict, parser: LuceneQueryParser,
     out = df
     q = req.get("query", "*:*")
     if q and q != "*:*":
-        out = out.where(parser.parse(q))
+        out = out.where(_compile_query(q, parser))
     excl = set(exclude_tags)
     for tags, pred in _tagged_filters(req, parser):
         if not (tags & excl):

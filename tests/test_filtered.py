@@ -267,3 +267,66 @@ def test_multiselect_facet_exclude_tags(spark):
                     default_field="lang", text_fields=set())
     assert {(r["bucket"], r["count"]) for r in g["x"].collect()} == \
            {("en", 3)}
+
+
+def test_json_query_dsl_bool(spark):
+    """json-query-dsl.adoc / BoolQParserPlugin.java:33 — bool node with
+    must/filter/must_not/should + mm, nested bool, lucene parser object."""
+    from solr_spark.query.jsonapi import json_request
+
+    df = spark.createDataFrame(
+        [(1, "error timeout", "en"), (2, "all good", "en"),
+         (3, "timeout late", "de"), (4, "error early", "de"),
+         (5, "warn only", "en")], "id int, text string, lang string")
+
+    def ids(q, flt=None):
+        req = {"query": q}
+        if flt is not None:
+            req["filter"] = flt
+        return sorted(r["id"] for r in
+                      json_request(df, req, default_field="text",
+                                   text_fields={"text"}).collect())
+
+    # must + must_not
+    assert ids({"bool": {"must": ["text:error"],
+                         "must_not": ["lang:de"]}}) == [1]
+    # should without must: at least one matches (mm default 1)
+    assert ids({"bool": {"should": ["text:error", "text:warn"]}}) == [1, 4, 5]
+    # mm=2 over shoulds: only doc 1 (error+timeout+en) matches two clauses
+    assert ids({"bool": {"should": ["text:error", "text:timeout",
+                                    "lang:en"], "mm": 2}}) == [1]
+    # should with must present is scoring-only (no constraint)
+    assert ids({"bool": {"must": ["lang:en"],
+                         "should": ["text:error"]}}) == [1, 2, 5]
+    # nested bool + lucene parser object + object filter
+    assert ids({"bool": {"must": [{"lucene": {"df": "text",
+                                              "query": "timeout"}},
+                                  {"bool": {"must_not": ["lang:de"]}}]}}) \
+        == [1]
+    assert ids("*:*", flt=[{"bool": {"must": ["lang:de"]}}]) == [3, 4]
+    # unknown clause / parser raise
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown bool clause"):
+        ids({"bool": {"mus": ["text:error"]}})
+    with _pt.raises(ValueError, match="unsupported query parser"):
+        ids({"nope": {}})
+
+
+def test_matched_queries_component(spark):
+    """MatchedQueriesComponent.java — per-hit named-match lists + summary."""
+    from pyspark.sql import functions as F
+
+    from solr_spark.operators.components import matched_queries
+
+    df = spark.createDataFrame(
+        [(1, "error", 10), (2, "ok", 20), (3, "error", 30)],
+        "id int, status string, v int")
+    out = matched_queries(df, {"errs": F.col("status") == "error",
+                               "big": F.col("v") >= 20})
+    got = {r["id"]: r["matched_queries"] for r in out.collect()}
+    assert got == {1: ["errs"], 2: ["big"], 3: ["big", "errs"]}
+    summ = matched_queries(df.select("id", "status", "v"),
+                           {"errs": F.col("status") == "error",
+                            "big": F.col("v") >= 20}, summary=True)
+    assert [(r["name"], r["ids"]) for r in summ.collect()] == \
+           [("big", [2, 3]), ("errs", [1, 3])]
