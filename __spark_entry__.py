@@ -5331,6 +5331,33 @@ ORDER BY event_id
 """
 
 
+def _q93_facet_domain_join(spark, sf_dir):
+    """Facet domain join (json-faceting-domain-changes.adoc "join";
+    query/jsonapi.py): domain = ALL events of users who had an error event
+    — the current domain's from-keys semi-join the whole collection — then
+    a terms facet by event_type over the widened domain."""
+    from solr_spark.query.jsonapi import json_facets
+
+    ev = _t(spark, sf_dir, "events")
+    req = {"query": "event_type:error",
+           "facet": {"their_events": {
+               "type": "terms", "field": "event_type", "limit": 10,
+               "domain": {"join": {"from": "user_id", "to": "user_id"}}}}}
+    out = json_facets(ev, req, default_field="event_type",
+                      text_fields=set())["their_events"]
+    return out.select("bucket", F.col("count").cast("long").alias("count"))
+
+
+_Q93_SQL = """
+WITH seed AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+SELECT event_type AS bucket, count(*)::BIGINT AS count
+FROM events JOIN seed USING (user_id)
+GROUP BY event_type ORDER BY count DESC, bucket ASC LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5511,6 +5538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx06_mlt_interesting": _tx06_mlt_interesting,
         "q91_json_dsl_bool": _q91_json_dsl_bool,
         "q92_matched_queries": _q92_matched_queries,
+        "q93_facet_domain_join": _q93_facet_domain_join,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6292,6 +6320,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "tx06_mlt_interesting": _TX06_SQL,
         "q91_json_dsl_bool": _Q91_SQL,
         "q92_matched_queries": _Q92_SQL,
+        "q93_facet_domain_join": _Q93_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

@@ -354,6 +354,16 @@ def json_facets(df: DataFrame, request: dict | str,
         if isinstance(excl, str):
             excl = [excl]
         fdom = _domain(df, req, parser, exclude_tags=excl) if excl else dom
+        dj = dspec.get("join")
+        if dj:
+            # domain join (json-faceting-domain-changes.adoc "join"): the new
+            # domain is every doc in the WHOLE collection whose `to` field
+            # value appears among the current domain's `from` values — a
+            # left-semi join against the (distinct, usually small) from-key
+            # set, broadcastable under AQE
+            keys = (fdom.select(F.col(dj["from"]).alias(dj["to"]))
+                    .dropDuplicates())
+            fdom = df.join(keys, dj["to"], "left_semi")
         dom_f = dspec.get("filter")
         if dom_f:
             fdom = fdom.where(parser.parse(dom_f))

@@ -330,3 +330,24 @@ def test_matched_queries_component(spark):
                             "big": F.col("v") >= 20}, summary=True)
     assert [(r["name"], r["ids"]) for r in summ.collect()] == \
            [("big", [2, 3]), ("errs", [1, 3])]
+
+
+def test_facet_domain_join(spark):
+    """json-faceting-domain-changes.adoc "join": facet domain re-seeded
+    through a from->to self-join of the collection."""
+    from solr_spark.query.jsonapi import json_facets
+
+    df = spark.createDataFrame(
+        [(1, "u1", "error"), (2, "u1", "view"), (3, "u2", "view"),
+         (4, "u3", "error"), (5, "u3", "click"), (6, "u2", "view")],
+        "id int, user string, et string")
+    # domain: users who had an error -> ALL their events, facet by type
+    req = {"query": "et:error",
+           "facet": {"their_events": {
+               "type": "terms", "field": "et", "limit": 10,
+               "domain": {"join": {"from": "user", "to": "user"}}}}}
+    out = json_facets(df, req, default_field="et", text_fields=set())
+    got = {(r["bucket"], r["count"])
+           for r in out["their_events"].collect()}
+    # u1 and u3 had errors; their events: error x2, view x1, click x1
+    assert got == {("error", 2), ("view", 1), ("click", 1)}
