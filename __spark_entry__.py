@@ -5358,6 +5358,74 @@ GROUP BY event_type ORDER BY count DESC, bucket ASC LIMIT 10
 """
 
 
+def _q94_classifier_metrics(spark, sf_dir):
+    """Distributed classifier evaluation (training-pipeline op;
+    operators/classify.py::binary_classification_metrics): does cosine
+    similarity to a class exemplar separate that class? Score = cosine to
+    the embedding of vec_id 0, positive label = that vector's class (1).
+    AUC via tie-averaged rank sums over the distinct-score count table —
+    the mann_whitney scale shape, no global per-row rank window."""
+    from solr_spark.functions.vectors import cosine_scores
+    from solr_spark.operators.classify import binary_classification_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    scored = cosine_scores(emb, "embedding", [float(x) for x in q],
+                           id_col="vec_id")
+    both = scored.join(emb.select("vec_id", "label"), "vec_id")
+    lab0 = emb.where(F.col("vec_id") == 0).first()["label"]
+    both = both.withColumn("y", (F.col("label") == int(lab0)).cast("int"))
+    return binary_classification_metrics(both, "cosine", "y",
+                                         threshold=0.5)
+
+
+def _q94_sql() -> str:
+    return """
+WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0),
+flat AS (
+  SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.qv)::DOUBLE AS yv
+  FROM embeddings e, q
+),
+scored AS (
+  SELECT vec_id, any_value(label) AS label,
+         round(sum(x * yv) / (sqrt(sum(x * x)) * sqrt(sum(yv * yv))), 6) AS s
+  FROM flat GROUP BY vec_id
+),
+base AS (
+  SELECT s, (label = (SELECT ql FROM q))::INT AS y,
+         (s >= 0.5)::INT AS p
+  FROM scored
+),
+ranked AS (
+  SELECT y, avg(rk) OVER (PARTITION BY s) AS r
+  FROM (SELECT s, y, row_number() OVER (ORDER BY s) AS rk FROM base)
+),
+auc AS (
+  SELECT (sum(CASE WHEN y = 1 THEN r END)
+          - sum(y) * (sum(y) + 1) / 2.0)
+         / (sum(y) * (count(*) - sum(y))) AS a
+  FROM ranked
+)
+SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+       sum((p = 1 AND y = 1)::INT)::BIGINT AS tp,
+       sum((p = 1 AND y = 0)::INT)::BIGINT AS fp,
+       sum((p = 0 AND y = 1)::INT)::BIGINT AS fn,
+       sum((p = 0 AND y = 0)::INT)::BIGINT AS tn,
+       round(sum((p = 1 AND y = 1)::INT)::DOUBLE
+             / nullif(sum((p = 1)::INT), 0), 6) AS precision,
+       round(sum((p = 1 AND y = 1)::INT)::DOUBLE
+             / nullif(sum(y), 0), 6) AS recall,
+       round(2.0 * sum((p = 1 AND y = 1)::INT)
+             / nullif(sum((p = 1)::INT) + sum(y), 0), 6) AS f1,
+       round((sum((p = 1 AND y = 1)::INT)
+              + sum((p = 0 AND y = 0)::INT))::DOUBLE / count(*), 6)
+           AS accuracy,
+       round((SELECT a FROM auc), 6) AS auc
+FROM base
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5539,6 +5607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_json_dsl_bool": _q91_json_dsl_bool,
         "q92_matched_queries": _q92_matched_queries,
         "q93_facet_domain_join": _q93_facet_domain_join,
+        "q94_classifier_metrics": _q94_classifier_metrics,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6321,6 +6390,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q91_json_dsl_bool": _Q91_SQL,
         "q92_matched_queries": _Q92_SQL,
         "q93_facet_domain_join": _Q93_SQL,
+        "q94_classifier_metrics": _q94_sql(),
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),

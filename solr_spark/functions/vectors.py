@@ -101,6 +101,19 @@ def dequantize(qvec_col: Column | str, scale_col: Column | str) -> Column:
     return F.transform(q, lambda x: x.cast("double") * s)
 
 
+def cosine_scores(df: DataFrame, vec_col: str, query: Sequence[float],
+                  id_col: str = "vec_id") -> DataFrame:
+    """Cosine similarity of EVERY vector to a literal query — the unranked
+    companion of cosine_topk (same 6dp contract, no sort/limit): feeds
+    downstream relational ops (joins, metrics, filters) where top-k
+    truncation would be wrong. Pure codegen Column algebra, map-only."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    v = F.col(vec_col).cast("array<double>")
+    sim = _dot(v, q) / (_norm(v) * F.lit(qn))
+    return df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+
+
 def cosine_topk_int8(df: DataFrame, query: Sequence[float], k: int,
                      id_col: str = "vec_id", qvec_col: str = "qvec",
                      scale_col: str = "scale") -> DataFrame:

@@ -198,3 +198,71 @@ def term_vectors(df: DataFrame, id_col: str, text_col: str,
         * F.element_at(weights, t))
     out = per_doc.select(F.col("_id").alias(id_col), vec.alias("vector"))
     return out, labels
+
+
+def binary_classification_metrics(df: DataFrame, score_col: str,
+                                  label_col: str,
+                                  threshold: float = 0.5) -> DataFrame:
+    """Classifier quality report: precision / recall / F1 / accuracy at
+    `threshold`, plus threshold-free ROC AUC — the evaluation half of this
+    engine's quality-classifier stack (igain/tlogit train; this scores).
+
+    Role beyond the reference (training-pipeline op): the reference ships
+    model TRAINING streams (ml/TextLogitStream role) but no distributed
+    eval report; pipeline QA needs one (is the quality classifier worth
+    its threshold?).
+
+    AUC is the rank-sum (Mann-Whitney) form with tie-averaged ranks:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg). Ranks are a
+    function of the SCORE alone — rank(s) = #rows below s + (ties+1)/2 —
+    so the whole statistic reduces over the per-distinct-score count table
+    (one groupBy + the distributed prefix sum), never a per-row global
+    rank window; the same scale shape as functions/evaluators.mann_whitney.
+    Threshold metrics are one conditional aggregation pass.
+
+    Returns ONE row: n, n_pos, tp, fp, fn, tn, precision, recall, f1,
+    accuracy, auc (6dp; metrics NULL when undefined, e.g. no positives).
+    """
+    from solr_spark.functions.evaluators import distributed_cumsum
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pred = (s >= F.lit(float(threshold))).cast("double")
+    base = df.select(s.alias("__s"), y.alias("__y"), pred.alias("__p"))
+
+    per = base.groupBy("__s").agg(
+        F.sum("__y").alias("pos"),
+        F.count("*").cast("double").alias("ct"))
+    cum = distributed_cumsum(per, "__s", ["ct"], inclusive=False)
+    rank_pos = cum.agg(
+        F.sum(F.col("pos") * (F.col("cum_ct") + (F.col("ct") + 1) / 2.0)
+              ).alias("r_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("ct") - F.col("pos")).alias("n_neg"))
+
+    conf = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when((F.col("__p") == 1) & (F.col("__y") == 1), 1)
+               .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("__p") == 1) & (F.col("__y") == 0), 1)
+               .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("__p") == 0) & (F.col("__y") == 1), 1)
+               .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("__p") == 0) & (F.col("__y") == 0), 1)
+               .otherwise(0)).cast("long").alias("tn"))
+
+    out = conf.crossJoin(rank_pos)  # two one-row frames
+    prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    auc = ((F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+           / F.nullif(F.col("n_pos") * F.col("n_neg"), F.lit(0.0)))
+    return out.select(
+        "n", F.col("n_pos").cast("long").alias("n_pos"),
+        "tp", "fp", "fn", "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), 6)
+         .alias("f1"),
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 6)
+         .alias("accuracy"),
+        F.round(auc, 6).alias("auc"))

@@ -77,3 +77,26 @@ def test_auc_rank_statistic():
     assert auc([(0.9, 1), (0.8, 1), (0.3, 0), (0.1, 0)]) == 1.0
     assert auc([(0.9, 0), (0.8, 0), (0.3, 1), (0.1, 1)]) == 0.0
     assert auc([(0.5, 1), (0.5, 0)]) == 0.5
+
+
+def test_binary_classification_metrics(spark):
+    """Training-pipeline eval op: threshold confusion metrics + tie-exact
+    rank-sum AUC (no global per-row rank window)."""
+    from solr_spark.operators.classify import binary_classification_metrics
+
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.55, 0), (0.55, 1),
+            (0.4, 0), (0.3, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = binary_classification_metrics(df, "s", "y", threshold=0.5).first()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (4, 2, 0, 2)
+    assert r["recall"] == 1.0 and r["precision"] == 0.666667
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    brute = sum((1.0 if p > n else 0.5 if p == n else 0.0)
+                for p in pos for n in neg) / (len(pos) * len(neg))
+    assert r["auc"] == round(brute, 6)
+    # degenerate: all one class -> NULL precision-family stays defined,
+    # AUC NULL (no pairs)
+    one = spark.createDataFrame([(0.2, 1), (0.9, 1)], "s double, y int")
+    r1 = binary_classification_metrics(one, "s", "y").first()
+    assert r1["auc"] is None and r1["recall"] == 0.5 and r1["tn"] == 0
