@@ -197,3 +197,25 @@ def parse_query(query: str, default_field: str,
                 text_fields: set[str] | None = None) -> Column:
     """One-shot helper: Solr classic query string -> Column predicate."""
     return LuceneQueryParser(default_field, text_fields).parse(query)
+
+
+def switch_query(value: str | None, cases: dict[str, str],
+                 default_field: str, text_fields: set[str] | None = None,
+                 default: str | None = None, now=None) -> Column:
+    """`{!switch}` qparser: select one of several predefined queries by an
+    input value (search/SwitchQParserPlugin.java:119 — `case.<val>` local
+    params, `case` for blank input, `default` fallback).
+
+    Request-templating helper: `cases` maps trimmed input values to classic
+    query strings (the empty-string key is the blank-input `case` param);
+    an unmatched value without a `default` raises, as the reference's 400
+    does. The chosen string compiles through LuceneQueryParser, so the
+    result is an ordinary pushed predicate.
+    """
+    key = (value or "").strip()
+    q = cases.get(key, default)
+    if q is None:
+        raise ValueError(
+            f"switch: no case matches input {key!r} and no default "
+            f"(cases: {sorted(cases)})")
+    return LuceneQueryParser(default_field, text_fields, now=now).parse(q)

@@ -645,3 +645,27 @@ def test_group_query_and_func(spark):
                      [F.desc("v"), F.asc("id")], n=1, group_col="band")
     got = sorted((r["band"], r["id"]) for r in out.collect())
     assert got == [(0, 1), (1, 5), (2, 4)]
+
+
+def test_switch_qparser(spark):
+    """SwitchQParserPlugin.java:119 — case selection, blank input, default,
+    no-match error."""
+    import pytest as _pt
+
+    from solr_spark.query.parser import switch_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 50), (3, "a", 500)], "id int, g string, v int")
+    cases = {"small": "v:[* TO 10]", "big": "v:[100 TO *]", "": "g:a"}
+
+    def ids(val, **kw):
+        return sorted(r["id"] for r in df.where(
+            switch_query(val, cases, "g", **kw)).collect())
+
+    assert ids("small") == [1]
+    assert ids(" big ") == [3]          # input is trimmed
+    assert ids("") == [1, 3]            # blank input -> the `case` param
+    assert ids(None) == [1, 3]
+    assert ids("nope", default="v:[0 TO *]") == [1, 2, 3]
+    with _pt.raises(ValueError, match="no case matches"):
+        ids("nope")
