@@ -630,6 +630,8 @@ def matched_queries(df: DataFrame, queries: "dict[str, Column]",
     """
     from pyspark.sql import functions as F
 
+    if not queries:
+        raise ValueError("matched_queries needs at least one named query")
     tags = F.array_compact(F.array(*[
         F.when(pred, F.lit(name)) for name, pred in queries.items()]))
     out = df.withColumn("matched_queries", F.sort_array(tags))

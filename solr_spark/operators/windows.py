@@ -324,6 +324,8 @@ def group_query(df: DataFrame, queries: dict[str, Column],
 
     Output: the input columns + `group` (query name) + `group_rank`.
     """
+    if not queries:
+        raise ValueError("group_query needs at least one named query")
     tags = F.array_compact(F.array(*[
         F.when(pred, F.lit(name)) for name, pred in queries.items()]))
     tagged = (df.withColumn("__tags", tags)

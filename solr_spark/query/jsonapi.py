@@ -72,6 +72,17 @@ _TOP_KEYS = {"query", "filter", "fields", "sort", "offset", "limit", "facet",
              "params"}
 
 
+def _check_params(req: dict, allowed: set[str], ctx: str) -> None:
+    """The `params` sub-object is request metadata, not a free-form bag —
+    a typo like {"params": {"simlarity": ...}} must not silently fall back
+    to defaults (the same rule _check_keys applies to top-level keys)."""
+    unknown = set(req.get("params", {})) - allowed
+    if unknown:
+        raise ValueError(
+            f"unknown params key(s) in JSON {ctx}: {sorted(unknown)} "
+            f"(allowed: {sorted(allowed)})")
+
+
 def _check_keys(req: dict, allowed: set[str], ctx: str) -> None:
     unknown = set(req) - allowed
     if unknown:
@@ -220,6 +231,7 @@ def json_request(df: DataFrame, request: dict | str,
     sort+limit is TakeOrdered (no global sort materialization)."""
     req = json.loads(request) if isinstance(request, str) else dict(request)
     _check_keys(req, _TOP_KEYS - {"facet"}, "request")
+    _check_params(req, {"NOW"}, "request")
     parser = LuceneQueryParser(default_field, text_fields or {default_field},
                                now=req.get("params", {}).get("NOW"))
     out = _domain(df, req, parser)
@@ -262,6 +274,7 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
     # expresses as separate operators) — reject rather than silently ignore
     _check_keys(req, {"query", "filter", "fields", "limit", "offset",
                       "params"}, "search request")
+    _check_params(req, {"NOW", "similarity"}, "search request")
     offset = int(req.get("offset", 0))
     limit = int(req.get("limit", 10))
     k = offset + limit
@@ -333,6 +346,7 @@ def json_facets(df: DataFrame, request: dict | str,
     """
     req = json.loads(request) if isinstance(request, str) else dict(request)
     _check_keys(req, _TOP_KEYS, "facet request")
+    _check_params(req, {"NOW"}, "facet request")
     parser = LuceneQueryParser(default_field, text_fields or {default_field},
                                now=req.get("params", {}).get("NOW"))
     dom = _domain(df, req, parser)

@@ -351,3 +351,34 @@ def test_facet_domain_join(spark):
            for r in out["their_events"].collect()}
     # u1 and u3 had errors; their events: error x2, view x1, click x1
     assert got == {("error", 2), ("view", 1), ("click", 1)}
+
+
+def test_params_key_validation(spark, built):
+    """A typo inside `params` must raise, same rule as top-level keys."""
+    from solr_spark.query.jsonapi import json_facets, json_request, json_search
+
+    reader = IndexReader.open(built, CFG)
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    with pytest.raises(ValueError, match="unknown params key"):
+        json_request(df, {"query": "*:*", "params": {"NOWW": "x"}})
+    with pytest.raises(ValueError, match="unknown params key"):
+        json_search(spark, reader, {"query": "error",
+                                    "params": {"simlarity": "bm25"}})
+    with pytest.raises(ValueError, match="unknown params key"):
+        json_facets(df, {"query": "*:*", "params": {"fq": "id:1"},
+                         "facet": {}})
+    # valid keys still pass through
+    assert json_search(spark, reader,
+                       {"query": "error", "limit": 2,
+                        "params": {"similarity": "bm25"}}).count() <= 2
+
+
+def test_empty_named_query_dicts_raise(spark):
+    from solr_spark.operators.components import matched_queries
+    from solr_spark.operators.windows import group_query
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="at least one named query"):
+        group_query(df, {}, ["id"], 5)
+    with pytest.raises(ValueError, match="at least one named query"):
+        matched_queries(df, {})
