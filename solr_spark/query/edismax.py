@@ -128,17 +128,30 @@ def _phrase_boosts(
     spark: SparkSession, readers: dict[str, IndexReader],
     pf: dict[str, float], query_text: str,
     field_idfs: dict[str, dict[str, float]],
+    ngram: int | None = None,
 ) -> DataFrame | None:
-    """Optional pf clauses: per-doc phrase-BM25 boost summed over pf fields."""
+    """Optional pf/pf2/pf3 clauses: per-doc phrase-BM25 boost summed over
+    the pf fields. ngram=None boosts the WHOLE query as one phrase (pf);
+    ngram=2/3 boosts every adjacent word bigram/trigram of the query
+    (ExtendedDismaxQParser pf2/pf3 — getQueryFields addShingledPhraseQueries),
+    each shingle scored like a pf phrase and summed."""
     import os
 
     from solr_spark.query.phrase import phrase_count_expr
 
+    words = [w for w in query_text.split() if w]
+    if ngram is None:
+        sub_queries = [query_text]
+    else:
+        sub_queries = [" ".join(words[i:i + ngram])
+                       for i in range(len(words) - ngram + 1)]
+
     parts = []
     for fld, weight in sorted(pf.items()):
+      for sub in sub_queries:
         reader = readers[fld]
         cfg = reader.config
-        terms = analyze_text(query_text, cfg)
+        terms = analyze_text(sub, cfg)
         if len(terms) < 2:
             continue
         # Lucene PhraseQuery similarity: idf = sum of member-term idfs
@@ -181,6 +194,8 @@ def edismax_topk(
     tie: float = 0.0,
     min_match: int = 1,
     pf: dict[str, float] | None = None,
+    pf2: dict[str, float] | None = None,
+    pf3: dict[str, float] | None = None,
     bf: DataFrame | None = None,
     boost: DataFrame | None = None,
 ) -> DataFrame:
@@ -190,7 +205,9 @@ def edismax_topk(
     restatement of Lucene's per-(field, term) posting keying). qf: per-field
     query weights; tie: DisjunctionMaxQuery tiebreaker in [0, 1]; min_match:
     minimum number of distinct query terms that must match in any field;
-    pf: optional per-field phrase-boost weights.
+    pf: optional per-field phrase-boost weights; pf2/pf3 boost every
+    adjacent word bigram/trigram instead of the whole query (the
+    reference's shingled phrase clauses), all summed into one boost join.
 
     bf / boost are the edismax function-query boosts (ExtendedDismaxQParser
     `bf` additive clauses / `boost` multiplicative wrapper): each is a
@@ -247,14 +264,23 @@ def edismax_topk(
                  F.count(F.lit(1)).alias("nclauses"))
             .where(F.col("nclauses") >= min_match))
 
-    if pf:
-        boosts = _phrase_boosts(spark, readers, pf, query_text, field_idfs)
-        if boosts is not None:
-            main = (main.join(boosts, "docid", "left")
-                    .withColumn("score",
-                                F.col("score")
-                                + F.coalesce(F.col("boost"), F.lit(0.0)))
-                    .drop("boost"))
+    all_boosts = []
+    for spec, ng in ((pf, None), (pf2, 2), (pf3, 3)):
+        if spec:
+            b_ = _phrase_boosts(spark, readers, spec, query_text, field_idfs,
+                                ngram=ng)
+            if b_ is not None:
+                all_boosts.append(b_)
+    if all_boosts:
+        boosts = all_boosts[0]
+        for b_ in all_boosts[1:]:
+            boosts = boosts.unionByName(b_)
+        boosts = boosts.groupBy("docid").agg(F.sum("boost").alias("boost"))
+        main = (main.join(boosts, "docid", "left")
+                .withColumn("score",
+                            F.col("score")
+                            + F.coalesce(F.col("boost"), F.lit(0.0)))
+                .drop("boost"))
 
     if bf is not None:
         main = (main.join(bf.select("docid", F.col("bf").alias("_bf_add")),

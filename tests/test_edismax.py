@@ -194,3 +194,54 @@ def test_edismax_bf_boost_functions(spark, built_index):
     assert both[0].docid == ids[1]
     assert both[0].score == pytest.approx(2.0 * (base[1].score + delta),
                                           rel=1e-12)
+
+
+def test_pf2_pf3_shingled_phrase_boosts(spark, tmp_path):
+    """ExtendedDismaxQParser pf2/pf3 (addShingledPhraseQueries): adjacent
+    bigram/trigram phrase boosts; a doc with only a bigram of the query
+    gets boosted by pf2 but not pf."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query import IndexReader
+    from solr_spark.query.edismax import edismax_topk
+
+    cfg = IndexConfig(range_shift=8, num_term_buckets=8)
+    rows = [
+        (f"{i}", 0, "user", f"filler{i} text body", None, None)
+        for i in range(8)
+    ] + [
+        ("100", 0, "user", "alpha beta gamma here", None, None),  # full phrase
+        ("101", 0, "user", "alpha beta elsewhere gamma", None, None),  # bigram only
+        ("102", 0, "user", "beta gamma alone", None, None),  # 2nd bigram only
+        ("103", 0, "user", "gamma beta alpha", None, None),  # words, no order
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    idx = str(tmp_path / "pfidx")
+    build_index(spark, df, idx, cfg, input_token="pf23")
+    reader = IndexReader.open(idx, cfg)
+    readers, qf = {"text": reader}, {"text": 1.0}
+    q = "alpha beta gamma"
+
+    def scores(**kw):
+        return {r["conv_id"]: r["score"] for r in
+                edismax_topk(spark, readers, q, qf, k=10, **kw).collect()}
+
+    base = scores()
+    with_pf = scores(pf={"text": 1.0})
+    with_pf2 = scores(pf2={"text": 1.0})
+    with_pf3 = scores(pf3={"text": 1.0})
+    # pf boosts only the doc with the full phrase
+    assert with_pf["100"] > base["100"]
+    assert with_pf["101"] == base["101"] and with_pf["103"] == base["103"]
+    # pf2 boosts full-phrase (both bigrams), each bigram-only doc once,
+    # and the no-order doc not at all
+    assert with_pf2["100"] > with_pf2["101"] > base["101"]
+    assert with_pf2["102"] > base["102"]
+    assert with_pf2["103"] == base["103"]
+    # pf3 behaves like pf for a 3-word query
+    assert with_pf3["100"] > base["100"] and with_pf3["101"] == base["101"]
+    # combination sums all boost families
+    both = scores(pf={"text": 1.0}, pf2={"text": 1.0})
+    assert both["100"] > with_pf["100"] and both["100"] > with_pf2["100"]
