@@ -141,3 +141,42 @@ def test_build_with_all_stopword_partition(spark, tmp_path):
     assert reader.config == cfg
     got = bm25_topk(spark, reader, "error", k=5).collect()
     assert len(got) == 1 and got[0].conv_id == "c1" and got[0].turn_idx == 0
+
+
+def test_degenerate_hot_term_build_and_query(spark, tmp_path):
+    """A term present in EVERY doc (worst-case posting skew): the range-
+    chunked build must keep per-partition posting rows bounded (no one task
+    owns the whole hot list — build.py range-chunking, the UnInvertedField
+    big-term lesson), and scored queries over the hot term stay
+    rank-identical between exact and WAND modes."""
+    import json as _json
+
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    cfg = IndexConfig(range_shift=7, num_term_buckets=8)  # many small ranges
+    rows = [(f"c{i}", 0, "u",
+             "hot hot hot " + f"unique{i} filler{i % 7}", None, None)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp").repartition(8)
+    idx = str(tmp_path / "hotidx")
+    build_index(spark, df, idx, cfg, input_token="hot-2k")
+    reader = IndexReader.open(idx, cfg)
+
+    # the hot term's postings are chunked per range: no single segment row
+    # carries more than one range's worth of docs (2**range_shift)
+    seg = reader.segments_df(spark).where(F.col("term") == "hot")
+    assert seg.count() >= 2000 / (2 ** cfg.range_shift)
+    assert seg.agg(F.max("n_docs")).first()[0] <= 2 ** cfg.range_shift
+
+    wand = [(r["docid"], round(r["score"], 9)) for r in
+            bm25_topk(spark, reader, "hot unique5", k=10, mode="wand").collect()]
+    exact = [(r["docid"], round(r["score"], 9)) for r in
+             bm25_topk(spark, reader, "hot unique5", k=10, mode="exact").collect()]
+    assert wand == exact and len(wand) == 10
+    # every doc matches the hot term
+    from solr_spark.query.bm25 import term_docs
+    assert term_docs(spark, reader, "hot").count() == 2000
