@@ -219,3 +219,154 @@ def switch_query(value: str | None, cases: dict[str, str],
             f"switch: no case matches input {key!r} and no default "
             f"(cases: {sorted(cases)})")
     return LuceneQueryParser(default_field, text_fields, now=now).parse(q)
+
+
+def simple_query(query: str, default_field: str,
+                 text_fields: set[str] | None = None,
+                 default_op: str = "OR") -> Column:
+    """`{!simple}` qparser: Lucene SimpleQueryParser's end-user grammar —
+    `+`/AND, `|`/OR, `-`/NOT, `"phrase"`, trailing `*` prefix, `term~N`
+    fuzzy, `(...)` precedence, `\\` escape — with its defining property:
+    it NEVER throws. Malformed operator usage degrades to literal terms
+    (search/SimpleQParserPlugin.java:65; Lucene SimpleQueryParser).
+
+    Filter-predicate analog of the reference (this engine's scored surface
+    is bm25_topk/edismax): terms compile through the classic parser's leaf
+    semantics against `default_field`. An input that reduces to nothing
+    (empty / operators only) matches everything, as the reference's empty
+    query does.
+    """
+    tf = text_fields if text_fields is not None else {default_field}
+    leaf_parser = LuceneQueryParser(default_field, tf)
+
+    # tokenize: phrases, parens, operators, escaped chars, bare terms
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(query)
+    while i < n:
+        c = query[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == '"':
+            j = i + 1
+            buf = []
+            while j < n and query[j] != '"':
+                buf.append(query[j])
+                j += 1
+            if j < n:           # closed phrase
+                toks.append(("phrase", "".join(buf)))
+                i = j + 1
+            else:               # unterminated quote -> literal degradation
+                toks.append(("term", "".join(buf)))
+                i = n
+            continue
+        if c in "+&":
+            toks.append(("and", c)); i += 1
+            continue
+        if c == "|":
+            toks.append(("or", c)); i += 1
+            continue
+        if c == "-":
+            toks.append(("not", c)); i += 1
+            continue
+        if c in "()":
+            toks.append(("lparen" if c == "(" else "rparen", c)); i += 1
+            continue
+        # bare term (handles \ escapes, trailing * and ~N inside the leaf)
+        j, buf = i, []
+        while j < n and not query[j].isspace() and query[j] not in '+|-()"&':
+            if query[j] == "\\" and j + 1 < n:
+                buf.append(query[j + 1]); j += 2
+            else:
+                buf.append(query[j]); j += 1
+        toks.append(("term", "".join(buf)))
+        i = j
+
+    def leaf_col(kind: str, text: str) -> Column | None:
+        if not text:
+            return None
+        try:
+            if kind == "phrase":
+                return leaf_parser.parse(f'"{text}"')
+            if default_field in tf:
+                # word-level multiterm semantics on analyzed fields: the
+                # classic parser's wildcard/fuzzy leaves compare the whole
+                # stored value; SimpleQueryParser operators apply per TOKEN
+                import re as _re2
+                fz = _re2.match(r"^(.+?)~(\d*)$", text)
+                if fz and fz.group(1) and not any(c in fz.group(1) for c in "*?"):
+                    dist = int(fz.group(2) or 2)
+                    return F.exists(
+                        F.split(F.col(default_field), r"\s+"),
+                        lambda t: F.levenshtein(t, F.lit(fz.group(1))) <= dist)
+                if "*" in text or "?" in text:
+                    pat = "".join(r"\w*" if c == "*" else r"\w" if c == "?"
+                                  else _re2.escape(c) for c in text)
+                    return F.col(default_field).rlike(
+                        rf"(^|\W){pat}(\W|$)")
+            return leaf_parser.parse(text)
+        except ValueError:
+            # never-throws contract: unparseable leaf -> literal equality
+            return F.col(default_field) == F.lit(text)
+
+    # recursive descent with graceful degradation: operators missing an
+    # operand are dropped, unbalanced parens close at end-of-input
+    pos = 0
+
+    def expr() -> Column | None:
+        nonlocal pos
+        out: Column | None = None  # positive clauses (SHOULD/MUST chain)
+        neg: Column | None = None  # MUST_NOT conjunction for this group
+        pending_op = None          # "and" | "or" | None (whitespace=default)
+        negate_next = False
+        while pos < len(toks):
+            kind, text = toks[pos]
+            if kind == "rparen":
+                break
+            pos += 1
+            if kind in ("and", "or"):
+                pending_op = kind
+                continue
+            if kind == "not":
+                negate_next = not negate_next
+                continue
+            if kind == "lparen":
+                sub = expr()
+                if pos < len(toks) and toks[pos][0] == "rparen":
+                    pos += 1
+                col = sub
+            else:
+                col = leaf_col(kind, text)
+            if col is None:
+                pending_op, negate_next = None, False
+                continue
+            if negate_next:
+                # Lucene occurs semantics: '-' marks MUST_NOT within the
+                # clause group — it excludes regardless of the OR/AND chain
+                # the positive clauses form ("a -b" = a AND NOT b)
+                neg = ~col if neg is None else (neg & ~col)
+                negate_next = False
+                pending_op = None
+                continue
+            if out is None:
+                out = col
+            elif pending_op == "and" or (pending_op is None
+                                         and default_op.upper() == "AND"):
+                out = out & col
+            else:
+                out = out | col
+            pending_op = None
+        if neg is not None:
+            out = neg if out is None else (out & neg)
+        return out
+
+    result = expr()
+    # trailing tokens after an unmatched ')' degrade: keep OR-ing remaining
+    while pos < len(toks):
+        if toks[pos][0] == "rparen":
+            pos += 1
+            continue
+        more = expr()
+        if more is not None:
+            result = more if result is None else (result | more)
+    return result if result is not None else F.lit(True)

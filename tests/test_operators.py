@@ -669,3 +669,35 @@ def test_switch_qparser(spark):
     assert ids("nope", default="v:[0 TO *]") == [1, 2, 3]
     with _pt.raises(ValueError, match="no case matches"):
         ids("nope")
+
+
+def test_simple_qparser(spark):
+    """SimpleQParserPlugin.java:65 — end-user grammar, never throws."""
+    from solr_spark.query.parser import simple_query
+
+    df = spark.createDataFrame(
+        [(1, "error timeout worker"), (2, "all good"), (3, "timeout parse"),
+         (4, "warn error"), (5, "quiet day")], "id int, text string")
+
+    def ids(q, **kw):
+        return sorted(r["id"] for r in
+                      df.where(simple_query(q, "text", **kw)).collect())
+
+    assert ids("error timeout") == [1, 3, 4]             # OR default
+    assert ids("error timeout", default_op="AND") == [1]
+    assert ids("error + timeout") == [1]                 # + is AND
+    assert ids("error | quiet") == [1, 4, 5]
+    assert ids("error -timeout") == [4]                  # - is MUST_NOT
+    assert ids("error + -timeout") == [4]
+    assert ids('"error timeout"') == [1]                 # phrase
+    assert ids("tim*") == [1, 3]                         # prefix wildcard
+    assert ids("eror~1") == [1, 4]                       # fuzzy... word-level
+    assert ids("(error | warn) + quiet") == []
+    assert ids("(timeout | quiet) + day") == [5]
+    # never-throws degradations
+    assert ids('"unterminated phrase') == []             # literal, no match
+    assert ids("error)") == [1, 4]                       # stray paren dropped
+    assert ids("(error") == [1, 4]                       # unclosed paren
+    assert ids("-quiet") == [1, 2, 3, 4]                 # pure negative
+    assert ids("+ | -") == [1, 2, 3, 4, 5]               # operators only
+    assert ids("") == [1, 2, 3, 4, 5]                    # empty = match all
