@@ -5426,6 +5426,29 @@ FROM base
 """
 
 
+def _q95_simple_parser(spark, sf_dir):
+    """`{!simple}` qparser (SimpleQParserPlugin.java:65;
+    query/parser.py::simple_query): end-user grammar with occurs semantics
+    — `join | merge -parse` = (join OR merge) AND NOT parse, word-level
+    prefix `wind*` ANDed in — compiled to one pushed predicate."""
+    from solr_spark.query.parser import simple_query
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = simple_query("join | merge + wind* -parse", "text")
+    return (docs.where(pred)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+
+
+_Q95_SQL = r"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (regexp_matches(text, '(^|\W)join(\W|$)')
+       OR regexp_matches(text, '(^|\W)merge(\W|$)'))
+  AND regexp_matches(text, '(^|\W)wind\w*(\W|$)')
+  AND NOT regexp_matches(text, '(^|\W)parse(\W|$)')
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- contract
 
 
@@ -5608,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_matched_queries": _q92_matched_queries,
         "q93_facet_domain_join": _q93_facet_domain_join,
         "q94_classifier_metrics": _q94_classifier_metrics,
+        "q95_simple_parser": _q95_simple_parser,
         "ft34_multi_snippets": _ft34_multi_snippets,
         "ft36_terms_enum": _ft36_terms_enum,
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
@@ -6391,6 +6415,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q92_matched_queries": _Q92_SQL,
         "q93_facet_domain_join": _Q93_SQL,
         "q94_classifier_metrics": _q94_sql(),
+        "q95_simple_parser": _Q95_SQL,
         "ft34_multi_snippets": _ft34_sql(),
         "ft36_terms_enum": _ft36_sql(),
         "ft38_copyfield_bm25": _ft38_sql(),
