@@ -5452,6 +5452,54 @@ ORDER BY doc_id
 # --------------------------------------------------------------------- contract
 
 
+def _dd21_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (ExactSubstr, Lee et al. 2022;
+    solr_spark/functions/dedup.py::duplicated_spans): maximal token spans
+    covered by a 13-gram that occurs >= 2 times in the corpus — provably the
+    exact set of positions inside duplicated substrings of >= 13 tokens, via
+    an L-gram seed join + per-doc interval merge instead of a suffix array."""
+    from solr_spark.functions.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (duplicated_spans(docs, "doc_id", "text", min_tokens=13)
+            .orderBy("doc_id", "span_start"))
+
+
+_DD21_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, s.pos AS pos, s.g AS g
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 13
+                      THEN list_transform(range(1, len(t) - 11),
+                             i -> struct_pack(pos := i - 1,
+                                    g := md5(array_to_string(t[i:i+12], ' '))))
+                      ELSE [] END) AS s
+        FROM toks)
+),
+dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+d AS (SELECT o.doc_id, o.pos, o.pos + 13 AS e FROM occ o JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM d),
+num AS (SELECT doc_id, pos, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM isl)
+SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+       (max(e) - min(pos))::BIGINT AS span_tokens
+FROM num GROUP BY doc_id, isl_id ORDER BY doc_id, span_start
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -5637,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft38_copyfield_bm25": _ft38_copyfield_bm25,
         "ft39_json_fields": _ft39_json_fields,
         "ft37_luke_histogram": _ft37_luke_histogram,
+        "dd21_duplicated_spans": _dd21_duplicated_spans,
     }
 
 
@@ -6421,4 +6470,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft38_copyfield_bm25": _ft38_sql(),
         "ft39_json_fields": _ft39_sql(),
         "ft37_luke_histogram": _ft37_sql(),
+        "dd21_duplicated_spans": _DD21_SQL,
     }

@@ -620,3 +620,122 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
                 F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0))
                  .alias("n_lines_removed")))
     return df.join(kept, df[id_col] == kept["__doc"], "left").drop("__doc")
+
+
+def duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                     min_tokens: int = 13,
+                     cross_doc_only: bool = False) -> DataFrame:
+    """Exact duplicated-substring spans — the ExactSubstr dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed without the suffix array.
+
+    A token position p of doc d lies inside a substring of >= `min_tokens`
+    tokens that occurs >= 2 times in the corpus IFF some `min_tokens`-gram
+    covering p occurs >= 2 times (the gram itself is such a substring, and any
+    longer duplicated substring's grams are all duplicated). So seeding with
+    duplicated L-grams and merging overlapping gram intervals per doc is
+    EXACT at token granularity — not an approximation — and replaces the
+    sequential suffix-array construction with two shuffles.
+
+    Output: id, span_start (0-based token index), span_end (exclusive),
+    span_tokens — the maximal duplicated spans per doc, disjoint, ordered.
+
+    Scale shape (100 TB): the L-gram stream is the one big exchange (~n_tokens
+    rows, same as dd08's decontamination gram stream); the duplicate census is
+    a map-side-combinable count on the gram key (hot boilerplate grams
+    pre-combine per partition); the seed join's right side (duplicated grams
+    only) is far smaller than the corpus, so AQE broadcasts it in realistic
+    shapes; interval-merge windows are per-doc (bounded by doc length, never
+    a global sort). With cross_doc_only=True a gram must appear in >= 2
+    DISTINCT docs (within-doc repetition alone is left to the Gopher
+    repetition filters); the census then counts distinct ids per gram —
+    distinct-on-(gram, id) first, still map-side combinable.
+
+    Reference seed: Solr's index-time SignatureUpdateProcessorFactory dedups
+    whole docs (solr/core/src/java/org/apache/solr/update/processor/
+    SignatureUpdateProcessorFactory.java); sub-document span dedup is the
+    training-pipeline extension this module adds on the same corpus surface.
+    """
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    L = min_tokens
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(text_col).alias("__t"))
+    # (id, pos, gram-hash) for every L-gram; docs shorter than L emit nothing.
+    grams = (toks
+             .withColumn("__n", F.size("__t"))
+             .where(F.col("__n") >= L)
+             .select(
+                 id_col,
+                 F.explode(F.expr(
+                     f"transform(sequence(0, __n - {L}), i -> "
+                     f"named_struct('pos', i, 'g', "
+                     f"md5(array_join(slice(__t, i + 1, {L}), ' '))))"))
+                  .alias("__s"))
+             .select(id_col, F.col("__s.pos").alias("__pos"),
+                     F.col("__s.g").alias("__g")))
+    if cross_doc_only:
+        dup = (grams.select("__g", id_col).distinct()
+               .groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") >= 2).select("__g"))
+    else:
+        dup = (grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") >= 2).select("__g"))
+    seeds = (grams.join(dup, "__g")
+             .select(id_col, "__pos", (F.col("__pos") + L).alias("__end")))
+    # gaps-and-islands merge of overlapping/adjacent [pos, pos+L) intervals
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_max = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (seeds
+               .withColumn("__brk", F.when(
+                   prev_max.isNull() | (F.col("__pos") > prev_max), 1)
+                   .otherwise(0))
+               .withColumn("__isl", F.sum("__brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy(id_col, "__isl")
+            .agg(F.min("__pos").alias("span_start"),
+                 F.max("__end").alias("span_end"))
+            .select(F.col(id_col),
+                    F.col("span_start").cast("long").alias("span_start"),
+                    F.col("span_end").cast("long").alias("span_end"),
+                    (F.col("span_end") - F.col("span_start")).cast("long")
+                     .alias("span_tokens")))
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                            min_tokens: int = 13,
+                            cross_doc_only: bool = False,
+                            out_col: str = "cleaned_text") -> DataFrame:
+    """Cut every duplicated span (>= min_tokens tokens, corpus frequency >= 2)
+    out of every doc — the removal half of the Lee et al. ExactSubstr tool
+    (every occurrence is cut; like the released deduplicate-text-datasets
+    tool, no canonical copy is kept, and the Gopher-style length filters
+    downstream drop docs this empties).
+
+    Output: all input columns + out_col + n_tokens_kept + n_tokens_removed.
+    Plan: spans per doc collapse to one bounded array (a doc has at most
+    n_tokens/min_tokens disjoint spans), joined back on the id key; token
+    filtering is a JVM higher-order expression over the token array — no
+    Python, no second explode.
+    """
+    spans = duplicated_spans(df, id_col, text_col, min_tokens, cross_doc_only)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(F.struct("span_start", "span_end"))
+                     .alias("__spans")))
+    joined = (df.withColumn("__t", whitespace_tokens(text_col))
+              .join(per_doc, id_col, "left"))
+    covered = ("exists(__spans, s -> i >= s.span_start AND i < s.span_end)")
+    kept_arr = F.when(F.col("__spans").isNull(), F.col("__t")).otherwise(
+        F.expr("filter(transform(__t, (tok, i) -> "
+               f"IF({covered}, CAST(NULL AS STRING), tok)), "
+               "x -> x IS NOT NULL)"))
+    return (joined
+            .withColumn("__kept", kept_arr)
+            .withColumn(out_col, F.array_join("__kept", " "))
+            .withColumn("n_tokens_kept",
+                        F.size("__kept").cast("long"))
+            .withColumn("n_tokens_removed",
+                        (F.size("__t") - F.size("__kept")).cast("long"))
+            .drop("__t", "__spans", "__kept"))
