@@ -5500,6 +5500,77 @@ FROM num GROUP BY doc_id, isl_id ORDER BY doc_id, span_start
 """
 
 
+def _q96_ranking_metrics(spark, sf_dir):
+    """trec_eval-style ranking quality (operators/ltr.py::ranking_metrics):
+    per-query P@10 / recall@10 / MRR / MAP / nDCG@10 over a deterministic
+    run (top-10 docs per language by length) against md5-free synthetic
+    judgments (doc_id%3 judged, grade = doc_id%4). Contributions are summed
+    on a 1e-6 DECIMAL grid, so both engines add bit-identically."""
+    from solr_spark.operators.ltr import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    results = (docs
+               .select(F.col("lang").alias("query_id"), "doc_id",
+                       F.row_number().over(w).alias("rank"))
+               .where(F.col("rank") <= 10))
+    judgments = (docs.where(F.col("doc_id") % 3 == 0)
+                 .select(F.col("lang").alias("query_id"), "doc_id",
+                         (F.col("doc_id") % 4).cast("int").alias("grade")))
+    return ranking_metrics(results, judgments, k=10).orderBy("query_id")
+
+
+_Q96_SQL = """
+WITH results AS (
+  SELECT lang AS query_id, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents QUALIFY rank <= 10
+),
+judg AS (
+  SELECT lang AS query_id, doc_id, (doc_id % 4)::INT AS grade
+  FROM documents WHERE doc_id % 3 = 0
+),
+jrel AS (SELECT * FROM judg WHERE grade > 0),
+totals AS (SELECT query_id, count(*) AS n_rel FROM jrel GROUP BY query_id),
+ideal AS (
+  SELECT query_id,
+         sum(round((pow(2, grade) - 1) / log2(i + 1), 6)::DECIMAL(38,6))
+           AS idcg
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id) AS i
+        FROM jrel)
+  WHERE i <= 10 GROUP BY query_id
+),
+hits AS (
+  SELECT r.query_id, r.rank, coalesce(j.grade, 0) AS g,
+         CASE WHEN coalesce(j.grade, 0) > 0 THEN 1 ELSE 0 END AS rel
+  FROM results r LEFT JOIN judg j USING (query_id, doc_id)
+),
+cum AS (SELECT *, sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                                 ROWS UNBOUNDED PRECEDING) AS c
+        FROM hits),
+perq AS (
+  SELECT query_id, sum(rel) AS hits,
+         max(CASE WHEN rel = 1 THEN round(1.0 / rank, 6) END) AS rr,
+         sum(CASE WHEN rel = 1 THEN round(c * 1.0 / rank, 6)::DECIMAL(38,6)
+                  ELSE 0::DECIMAL(38,6) END) AS apnum,
+         sum(round((pow(2, g) - 1) / log2(rank + 1), 6)::DECIMAL(38,6))
+           AS dcg
+  FROM cum GROUP BY query_id
+)
+SELECT t.query_id, t.n_rel::BIGINT AS n_rel,
+       (coalesce(p.hits, 0) / 10.0)::DOUBLE AS p_at_k,
+       (coalesce(p.hits, 0) * 1.0 / t.n_rel)::DOUBLE AS recall_at_k,
+       coalesce(p.rr, 0.0)::DOUBLE AS rr,
+       (coalesce(p.apnum::DOUBLE, 0.0) / t.n_rel)::DOUBLE AS ap,
+       (coalesce(p.dcg::DOUBLE, 0.0) / i.idcg::DOUBLE)::DOUBLE AS ndcg
+FROM totals t JOIN ideal i USING (query_id) LEFT JOIN perq p USING (query_id)
+ORDER BY query_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -5686,6 +5757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft39_json_fields": _ft39_json_fields,
         "ft37_luke_histogram": _ft37_luke_histogram,
         "dd21_duplicated_spans": _dd21_duplicated_spans,
+        "q96_ranking_metrics": _q96_ranking_metrics,
     }
 
 
@@ -6471,4 +6543,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft39_json_fields": _ft39_sql(),
         "ft37_luke_histogram": _ft37_sql(),
         "dd21_duplicated_spans": _DD21_SQL,
+        "q96_ranking_metrics": _Q96_SQL,
     }

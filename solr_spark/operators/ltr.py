@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from solr_spark.operators.components import rerank
@@ -178,3 +178,80 @@ def log_features(hits: DataFrame, features: Mapping[str, Column | str],
     else:
         raise ValueError(f"unknown feature log format {fmt!r}")
     return hits.withColumn(out_col, out)
+
+
+def ranking_metrics(results: DataFrame, judgments: DataFrame, k: int = 10,
+                    query_col: str = "query_id", doc_col: str = "doc_id",
+                    rank_col: str = "rank",
+                    grade_col: str = "grade") -> DataFrame:
+    """Per-query ranking-quality metrics — the trec_eval companion to the LTR
+    stack (reference: the LTR module trains/rescores but ships no evaluator;
+    solr/modules/ltr/README.adoc points users at external judgment tooling —
+    this closes that loop on the same DataFrame surface).
+
+    Inputs: `results` (query, doc, 1-based rank) and `judgments` (query, doc,
+    integer grade >= 0; grade > 0 means relevant). Queries with no relevant
+    judged doc are dropped (the trec_eval convention). Output per query:
+    n_rel, p_at_k, recall_at_k, rr (reciprocal rank), ap (average precision,
+    /n_rel), ndcg (exponential gain, log2 position discount).
+
+    Determinism: per-position contributions (precision@i, DCG terms) are
+    rounded to a 1e-6 grid and summed as DECIMAL(38,6) — exact, order-free
+    addition, so the result is bit-identical across engines and across
+    shuffle orders (the dd18/q65 pattern).
+
+    Scale shape: one shuffle on the query key (the judgments join, the
+    cumulative-hit window, and the final groupBy all share it); every window
+    is bounded by k rows per query after the rank filter, and the ideal-DCG
+    window by the per-query judged set. Nothing global, nothing driver-side.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, d, r, g = query_col, doc_col, rank_col, grade_col
+    dec = "decimal(38,6)"
+
+    jrel = judgments.where(F.col(g) > 0)
+    wj = Window.partitionBy(q).orderBy(F.col(g).desc(), F.col(d))
+    ideal = (jrel
+             .withColumn("__i", F.row_number().over(wj))
+             .where(F.col("__i") <= k)
+             .groupBy(q)
+             .agg(F.sum(F.round(
+                      (F.pow(F.lit(2.0), F.col(g)) - 1.0)
+                      / F.log2(F.col("__i") + 1.0), 6).cast(dec))
+                   .alias("__idcg")))
+    totals = jrel.groupBy(q).agg(F.count(F.lit(1)).alias("n_rel"))
+
+    hits = (results.where(F.col(r) <= k)
+            .join(judgments.select(q, d, g), [q, d], "left")
+            .withColumn("__g", F.coalesce(F.col(g), F.lit(0)))
+            .withColumn("__rel", (F.col("__g") > 0).cast("int")))
+    wr = Window.partitionBy(q).orderBy(r)
+    hits = hits.withColumn(
+        "__cum", F.sum("__rel").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0)))
+    perq = (hits.groupBy(q).agg(
+        F.sum("__rel").alias("__hits"),
+        F.max(F.when(F.col("__rel") == 1,
+                     F.round(1.0 / F.col(r), 6))).alias("__rr"),
+        F.sum(F.when(F.col("__rel") == 1,
+                     F.round(F.col("__cum") / F.col(r), 6).cast(dec))
+               .otherwise(F.lit(0).cast(dec))).alias("__apnum"),
+        F.sum(F.round((F.pow(F.lit(2.0), F.col("__g")) - 1.0)
+                      / F.log2(F.col(r) + 1.0), 6).cast(dec))
+         .alias("__dcg")))
+    return (totals
+            .join(ideal, q)
+            .join(perq, q, "left")
+            .select(
+                F.col(q),
+                F.col("n_rel").cast("long").alias("n_rel"),
+                (F.coalesce(F.col("__hits"), F.lit(0)) / float(k))
+                 .alias("p_at_k"),
+                (F.coalesce(F.col("__hits"), F.lit(0)) / F.col("n_rel"))
+                 .alias("recall_at_k"),
+                F.coalesce(F.col("__rr"), F.lit(0.0)).alias("rr"),
+                (F.coalesce(F.col("__apnum").cast("double"), F.lit(0.0))
+                 / F.col("n_rel")).alias("ap"),
+                (F.coalesce(F.col("__dcg").cast("double"), F.lit(0.0))
+                 / F.col("__idcg").cast("double")).alias("ndcg")))
