@@ -5571,6 +5571,101 @@ ORDER BY query_id
 """
 
 
+def _tx07_c4_filters(spark, sf_dir):
+    """C4/FineWeb heuristic cleaning (textanalysis.py::c4_filters). The
+    documents table is punctuation-free token soup, so both engines first
+    build the SAME deterministic line-structured page from it (8-token
+    lines; every 5th line unpunctuated, every 7th a 'javascript' line,
+    lorem-ipsum / curly-brace pages at doc_id%37 / %41) and then apply the
+    line + page rules — every branch of the operator exercised, zero
+    external data."""
+    from solr_spark.functions.textanalysis import c4_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.expr("""
+          concat(
+            array_join(
+              transform(
+                sequence(0, greatest(cast(ceil(
+                  size(filter(split(text, '\\\\s+'), x -> x != '')) / 8.0
+                ) AS int), 1) - 1),
+                i -> concat(
+                  array_join(slice(filter(split(text, '\\\\s+'),
+                                          x -> x != ''),
+                                   i * 8 + 1, 8), ' '),
+                  CASE WHEN (doc_id + i) % 5 = 0 THEN ''
+                       WHEN (doc_id + i) % 7 = 0 THEN ' javascript.'
+                       ELSE '.' END)),
+              chr(10)),
+            CASE WHEN doc_id % 37 = 0
+                 THEN concat(chr(10), 'lorem ipsum dolor sit amet.')
+                 ELSE '' END,
+            CASE WHEN doc_id % 41 = 0
+                 THEN concat(chr(10), 'function f() { return 1; }')
+                 ELSE '' END)
+        """).alias("text"))
+    out = c4_filters(built, "doc_id", "text",
+                     min_words_per_line=3, min_sentences=5)
+    return (out.select("doc_id", "n_lines", "n_lines_kept", "n_sentences",
+                       "has_lorem_ipsum", "has_curly_brace", "keep",
+                       F.md5("cleaned_text").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+_TX07_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, greatest(ceil(len(t) / 8.0)::INT, 1)),
+        i -> array_to_string(t[i*8+1:i*8+8], ' ') ||
+             CASE WHEN (doc_id + i) % 5 = 0 THEN ''
+                  WHEN (doc_id + i) % 7 = 0 THEN ' javascript.'
+                  ELSE '.' END),
+      chr(10))
+    || CASE WHEN doc_id % 37 = 0
+            THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+    || CASE WHEN doc_id % 41 = 0
+            THEN chr(10) || 'function f() ' || chr(123) || ' return 1; ' || chr(125) ELSE '' END
+      AS text
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+         coalesce(array_to_string(
+           list_filter(string_split(text, chr(10)), l ->
+             right(rtrim(l), 1) IN ('.', '!', '?', '"', '”')
+             AND len(list_filter(string_split_regex(l, '\\s+'),
+                                 w -> w <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')),
+           chr(10)), '') AS cleaned,
+         len(list_filter(string_split(text, chr(10)), l ->
+             right(rtrim(l), 1) IN ('.', '!', '?', '"', '”')
+             AND len(list_filter(string_split_regex(l, '\\s+'),
+                                 w -> w <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript'))) AS n_kept
+  FROM built
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       n_kept::BIGINT AS n_lines_kept,
+       len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(text, chr(123)) AS has_curly_brace,
+       (NOT contains(lower(text), 'lorem ipsum'))
+         AND (NOT contains(text, chr(123)))
+         AND len(regexp_extract_all(cleaned, '[.!?]')) >= 5 AS keep,
+       md5(cleaned) AS clean_md5
+FROM kept ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -5758,6 +5853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft37_luke_histogram": _ft37_luke_histogram,
         "dd21_duplicated_spans": _dd21_duplicated_spans,
         "q96_ranking_metrics": _q96_ranking_metrics,
+        "tx07_c4_filters": _tx07_c4_filters,
     }
 
 
@@ -6544,4 +6640,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft37_luke_histogram": _ft37_sql(),
         "dd21_duplicated_spans": _DD21_SQL,
         "q96_ranking_metrics": _Q96_SQL,
+        "tx07_c4_filters": _TX07_SQL,
     }

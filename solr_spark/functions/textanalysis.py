@@ -340,3 +340,55 @@ def jaro_winkler(col1: Column | str, col2: Column | str) -> Column:
     c1 = F.col(col1) if isinstance(col1, str) else col1
     c2 = F.col(col2) if isinstance(col2, str) else col2
     return _jw(c1, c2)
+
+
+def c4_filters(df: DataFrame, id_col: str, text_col: str,
+               min_words_per_line: int = 3, min_sentences: int = 5,
+               newline: str = "\n",
+               out_col: str = "cleaned_text") -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2, as kept/tuned by
+    FineWeb) as one map-only codegen pass — the heuristic companion to the
+    Gopher repetition filters in `repetition_stats`.
+
+    Line level (lines failing any rule are dropped, survivors rejoined in
+    order): (1) must end in a terminal punctuation mark (. ! ? or a closing
+    quote), (2) must have >= min_words_per_line words, (3) must not contain
+    the word "javascript". Page level (flags + a `keep` verdict; the page
+    text itself is judged, not the cleaned text, matching the reference
+    pipeline order): pages containing "lorem ipsum" or "{" are dropped, and
+    the cleaned page must retain >= min_sentences sentence terminators.
+    (C4's bad-words list is a data dependency, not an operator — plug it in
+    as an extra `filter` on the same line array.)
+
+    Output: input columns + out_col, n_lines, n_lines_kept, n_sentences,
+    has_lorem_ipsum, has_curly_brace, keep. Shuffle count: ZERO — every rule
+    is a higher-order array expression over the line split, whole-stage
+    codegen, embarrassingly parallel at any scale.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, newline)
+
+    def _line_ok(line: Column) -> Column:
+        stripped = F.rtrim(line)
+        last = F.substring(stripped, -1, 1)
+        ends_ok = last.isin(".", "!", "?", '"', "”")
+        n_words = F.size(F.filter(F.split(line, r"\s+"),
+                                  lambda w: w != ""))
+        no_js = ~F.contains(F.lower(line), F.lit("javascript"))
+        return ends_ok & (n_words >= min_words_per_line) & no_js
+
+    kept = F.filter(lines, _line_ok)
+    cleaned = F.array_join(kept, newline)
+    n_sent = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    has_lorem = F.contains(F.lower(text), F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    return (df
+            .withColumn(out_col, cleaned)
+            .withColumn("n_lines", F.size(lines).cast("long"))
+            .withColumn("n_lines_kept", F.size(kept).cast("long"))
+            .withColumn("n_sentences", n_sent.cast("long"))
+            .withColumn("has_lorem_ipsum", has_lorem)
+            .withColumn("has_curly_brace", has_brace)
+            .withColumn("keep",
+                        ~has_lorem & ~has_brace
+                        & (n_sent >= min_sentences)))
