@@ -5666,6 +5666,44 @@ FROM kept ORDER BY doc_id
 """
 
 
+def _tx08_bpe_tokens(spark, sf_dir):
+    """Token counting, whitespace AND BPE-ish (textanalysis.py::token_count /
+    bpe_token_count): GPT-2 pre-tokenizer piece counts over documents text
+    enriched with a deterministic contraction/digit/punctuation suffix so
+    every alternation branch fires. Same lookahead-free pattern string runs
+    on both engines (Java regex and RE2)."""
+    from solr_spark.functions.textanalysis import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" it's "),
+                 F.col("doc_id").cast("string"),
+                 F.lit(", done?!")).alias("t"))
+    return (enriched.select(
+                "doc_id",
+                token_count("t").cast("long").alias("ws_tokens"),
+                bpe_token_count("t").cast("long").alias("bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+def _tx08_sql() -> str:
+    from solr_spark.functions.textanalysis import BPE_PRETOKEN_PATTERN
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' it''s ' || doc_id::VARCHAR || ', done?!' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(string_split_regex(t, '\\s+'), x -> x <> ''))::BIGINT
+         AS ws_tokens,
+       len(regexp_extract_all(t, '{pat}'))::BIGINT AS bpe_tokens
+FROM enriched ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -5854,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd21_duplicated_spans": _dd21_duplicated_spans,
         "q96_ranking_metrics": _q96_ranking_metrics,
         "tx07_c4_filters": _tx07_c4_filters,
+        "tx08_bpe_tokens": _tx08_bpe_tokens,
     }
 
 
@@ -6641,4 +6680,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd21_duplicated_spans": _DD21_SQL,
         "q96_ranking_metrics": _Q96_SQL,
         "tx07_c4_filters": _TX07_SQL,
+        "tx08_bpe_tokens": _tx08_sql(),
     }

@@ -392,3 +392,24 @@ def c4_filters(df: DataFrame, id_col: str, text_col: str,
             .withColumn("keep",
                         ~has_lorem & ~has_brace
                         & (n_sent >= min_sentences)))
+
+
+# GPT-2-style pre-tokenizer (the BPE *piece splitter*, before vocab merges):
+# contractions, optionally-space-prefixed letter runs / digit runs /
+# punctuation runs, then whitespace runs. Deviation from the reference
+# pattern, documented: the trailing-space lookahead `\s+(?!\S)` is dropped so
+# the SAME pattern runs on RE2-based engines (RE2 has no lookahead) — interior
+# multi-space runs therefore absorb their last space instead of donating it to
+# the next piece. Piece COUNTS shift by at most one per multi-space run.
+BPE_PRETOKEN_PATTERN = ("'s|'t|'re|'ve|'m|'ll|'d"
+                        "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """LLM-token budget proxy: GPT-2 pre-tokenizer piece count as one codegen
+    regexp pass (true BPE merge counts need the merge table — a data
+    dependency, not an operator; the pre-token count is the standard cheap
+    upper-bound proxy for budgeting/packing). Whitespace tokenization
+    (`token_count`) undercounts code/punctuation-heavy text; this does not."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_PATTERN))

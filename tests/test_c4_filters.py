@@ -59,3 +59,20 @@ def test_sentence_count_uses_cleaned_text(spark):
     assert got["n_lines_kept"] == 2
     assert got["n_sentences"] == 2
     assert got["keep"] is False
+
+
+def test_bpe_token_count_pieces(spark):
+    from solr_spark.functions.textanalysis import bpe_token_count
+    df = spark.createDataFrame(
+        [(1, "it's 2024, really?!"),   # it|'s| 2024|,| really|?!
+         (2, "def f(x): return x+1"),
+         (3, ""), (4, "   ")],
+        "doc_id int, t string")
+    got = {r["doc_id"]: r["n"]
+           for r in df.select("doc_id",
+                              bpe_token_count("t").alias("n")).collect()}
+    assert got[1] == 6
+    # def| f|(|x|):| return| x|+|1  -> 9 pieces
+    assert got[2] == 9
+    assert got[3] == 0
+    assert got[4] == 1  # one whitespace run
