@@ -5704,6 +5704,61 @@ FROM enriched ORDER BY doc_id
 """
 
 
+def _vv07_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (dedup.py::semantic_decontaminate):
+    flag training vectors with cosine >= 0.30 to any benchmark vector
+    (vec_id%25==0 held out as the benchmark), cluster-blocked through 8
+    pinned centroids (vec_id<8 — the SQL-twin-checkable quantizer mode, as
+    vv04). Precision-1: every flag is exactly verified."""
+    from solr_spark.functions.dedup import semantic_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.where(F.col("vec_id") % 25 == 0)
+    trainset = e.where(F.col("vec_id") % 25 != 0)
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return semantic_decontaminate(trainset, bench, "vec_id", "embedding",
+                                  0.30, centroids=cents)
+
+
+_VV07_SQL = """
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+),
+tr AS (SELECT * FROM embeddings WHERE vec_id % 25 <> 0),
+be AS (SELECT * FROM embeddings WHERE vec_id % 25 = 0),
+ta AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec::DOUBLE[]), 9) DESC,
+                      c.cid) AS rn
+    FROM tr e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+ba AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec::DOUBLE[]), 9) DESC,
+                      c.cid) AS rn
+    FROM be e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+hits AS (
+  SELECT ta.vec_id,
+         round(list_cosine_similarity(ta.embedding::DOUBLE[],
+                                      ba.embedding::DOUBLE[]), 6) AS cos
+  FROM ta JOIN ba USING (cluster)
+)
+SELECT vec_id, max(cos) AS max_cosine, count(*)::BIGINT AS n_bench_hits
+FROM hits WHERE cos >= 0.30
+GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -5893,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_ranking_metrics": _q96_ranking_metrics,
         "tx07_c4_filters": _tx07_c4_filters,
         "tx08_bpe_tokens": _tx08_bpe_tokens,
+        "vv07_semantic_decontaminate": _vv07_semantic_decontaminate,
     }
 
 
@@ -6681,4 +6737,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q96_ranking_metrics": _Q96_SQL,
         "tx07_c4_filters": _TX07_SQL,
         "tx08_bpe_tokens": _tx08_sql(),
+        "vv07_semantic_decontaminate": _VV07_SQL,
     }

@@ -739,3 +739,54 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_tokens_removed",
                         (F.size("__t") - F.size("__kept")).cast("long"))
             .drop("__t", "__spans", "__kept"))
+
+
+def semantic_decontaminate(train_df: DataFrame, bench_df: DataFrame,
+                           id_col: str, vec_col: str, threshold: float,
+                           centroids: DataFrame | None = None,
+                           n_centroids: int = 16, train: bool = True,
+                           iters: int = 5, seed: int = 7) -> DataFrame:
+    """Embedding-space decontamination — the semantic analog of the 13-gram
+    rule (`decontaminate`): flag training docs whose embedding has cosine >=
+    threshold to ANY benchmark embedding (paraphrased benchmark leakage the
+    string rules miss). SemDeDup machinery (cluster blocking) applied
+    cross-set instead of within-set.
+
+    Pipeline: one coarse quantizer (trained on the BENCHMARK side when
+    train=True — it is benchmark-sized, so training is cheap and the anchors
+    sit where the contamination is; `train=False` pins the first n_centroids
+    bench vectors, the SQL-twin-checkable mode); assign BOTH sides by
+    broadcast centroid join; candidates = cluster equi-join (the bench side
+    is benchmark-sized, AQE broadcasts it); exact codegen cosine verify;
+    one groupBy on the training id. Like all LSH/cluster blocking here,
+    precision is 1 (every flag is exactly verified) and only recall depends
+    on the blocking — a cross-cluster paraphrase pair can be missed, which
+    the within-set SemDeDup path shares by construction.
+
+    Output: id, max_cosine (6dp), n_bench_hits — flagged training rows only.
+    """
+    from solr_spark.functions.vectors import _dot, _norm, ivf_assign, ivf_train
+
+    if centroids is None:
+        if train:
+            centroids = ivf_train(bench_df, vec_col, n_centroids, iters,
+                                  id_col=id_col, seed=seed)
+        else:
+            centroids = (bench_df.where(F.col(id_col) < n_centroids)
+                         .select(F.col(id_col).alias("cid"),
+                                 F.col(vec_col).alias("cvec")))
+    t = (ivf_assign(train_df, vec_col, centroids, id_col)
+         .select("cluster", F.col(id_col),
+                 F.col(vec_col).cast("array<double>").alias("__tv")))
+    b = (ivf_assign(bench_df, vec_col, centroids, id_col)
+         .select("cluster",
+                 F.col(vec_col).cast("array<double>").alias("__bv")))
+    sim = _dot(F.col("__tv"), F.col("__bv")) / (
+        _norm(F.col("__tv")) * _norm(F.col("__bv")))
+    return (t.join(b, "cluster")
+            .withColumn("__cos", F.round(sim, 6))
+            .where(F.col("__cos") >= threshold)
+            .groupBy(id_col)
+            .agg(F.max("__cos").alias("max_cosine"),
+                 F.count(F.lit(1)).cast("long").alias("n_bench_hits"))
+            .orderBy(id_col))

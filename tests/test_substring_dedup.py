@@ -101,3 +101,20 @@ def test_remove_can_empty_a_doc(spark):
 def test_min_tokens_guard(spark):
     with pytest.raises(ValueError):
         duplicated_spans(_docs(spark), "doc_id", "text", min_tokens=1)
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    from solr_spark.functions.dedup import semantic_decontaminate
+    # bench vec 100 == train vec 1 (planted leak); train vec 2 orthogonal
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]), (100, [1.0, 0.0, 0.0]),
+            (101, [0.7, 0.7, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    train = df.where("vec_id < 100")
+    bench = df.where("vec_id >= 100")
+    got = {r["vec_id"]: r.asDict()
+           for r in semantic_decontaminate(
+               train, bench, "vec_id", "embedding", 0.95,
+               n_centroids=2, train=True, iters=3).collect()}
+    assert 1 in got and got[1]["max_cosine"] == 1.0
+    assert 3 not in got  # orthogonal to every bench vector
