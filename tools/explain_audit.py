@@ -454,6 +454,47 @@ def main() -> None:
          "HashAggregate", "TakeOrderedAndProject"],
         ["BatchEvalPython", "ArrowEvalPython"]))
 
+    # 29. ExactSubstr duplicated spans: the gram census is a partial
+    # (map-side-combinable) aggregation, the interval merge is a per-doc
+    # window, and nothing is all-pairs or Python
+    from solr_spark.functions.dedup import duplicated_spans
+    p29 = plan_of(duplicated_spans(t("documents"), "doc_id", "text", 13))
+    checks.append((
+        "duplicated_spans: partial gram census + per-doc windows, no "
+        "cartesian, no Python",
+        p29,
+        ["HashAggregate", "Window"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]))
+
+    # 30. C4 cleaning: a map-ONLY pass — zero exchanges of any kind
+    from solr_spark.functions.textanalysis import c4_filters
+    p30 = plan_of(c4_filters(t("documents"), "doc_id", "text"))
+    checks.append((
+        "c4_filters: map-only, zero exchanges",
+        p30,
+        ["[codegen id :", "Scan parquet"],
+        ["Exchange", "BatchEvalPython", "ArrowEvalPython"]))
+
+    # 31. ranking_metrics: every window is query-partitioned — no
+    # single-partition global sort anywhere in the plan
+    from solr_spark.operators.ltr import ranking_metrics
+    docs31 = t("documents")
+    w31 = __import__("pyspark.sql", fromlist=["Window"]).Window \
+        .partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    res31 = (docs31.select(F.col("lang").alias("query_id"), "doc_id",
+                           F.row_number().over(w31).alias("rank"))
+             .where(F.col("rank") <= 10))
+    judg31 = (docs31.where(F.col("doc_id") % 3 == 0)
+              .select(F.col("lang").alias("query_id"), "doc_id",
+                      (F.col("doc_id") % 4).cast("int").alias("grade")))
+    p31 = plan_of(ranking_metrics(res31, judg31, k=10))
+    checks.append((
+        "ranking_metrics: partitioned windows only, no global sort, "
+        "no Python",
+        p31,
+        ["Window"],
+        ["Exchange SinglePartition", "BatchEvalPython", "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
