@@ -5759,6 +5759,142 @@ GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def _q97_facet_percentile(spark, sf_dir):
+    """Per-bucket `percentile` facet metric (facets.percentile_metric,
+    PercentileAgg.java role): terms facet over documents.lang with p50/p90
+    of n_chars computed INSIDE the facet's single aggregation shuffle.
+    Exact linear interpolation on both engines (Spark percentile ==
+    DuckDB quantile_cont); the reference's t-digest contract is the
+    documented percentile_approx swap at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    out = facets.terms_facet(
+        docs, "lang", limit=10,
+        metrics=[facets.percentile_metric("n_chars", 0.5),
+                 facets.percentile_metric("n_chars", 0.9)])
+    return out.select("bucket", F.col("count").cast("long").alias("count"),
+                      _dround("p50_n_chars", 6).alias("p50_n_chars"),
+                      _dround("p90_n_chars", 6).alias("p90_n_chars"))
+
+
+_Q97_SQL = """
+SELECT lang AS bucket, count(*)::BIGINT AS count,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_n_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_n_chars
+FROM documents GROUP BY lang
+ORDER BY count DESC, bucket LIMIT 10
+"""
+
+
+def _ft40_edismax_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edismax `ps` (phrase slop on the pf boost phrases —
+    ExtendedDismaxQParser U.getParam ps wiring the slop into each pf
+    PhraseQuery): same qf/tie/pf request as ft11 but the pf boost counts
+    ordered sloppy chains weighted 1/(1+matchLength) within slop=2 instead
+    of exact adjacency, so near-miss phrase docs pick up a (smaller) boost
+    too. Kernel: query/phrase.py::_sloppy_phrase_kernel via
+    edismax._phrase_boosts(slop=)."""
+    from solr_spark.query.edismax import edismax_topk
+
+    readers = {"text": _ft_index(spark, sf_dir),
+               "title": _ft_title_index(spark, sf_dir)}
+    topk = edismax_topk(spark, readers, _EDISMAX_Q, _EDISMAX_QF, k=20,
+                        tie=_EDISMAX_TIE, pf={"text": _EDISMAX_PF}, ps=2)
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft40_sql() -> str:
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    t1, t2 = _EDISMAX_Q.split()
+    in_list = f"'{t1}', '{t2}'"
+    wt_text, wt_title = _EDISMAX_QF["text"], _EDISMAX_QF["title"]
+    tie, pfw = _EDISMAX_TIE, _EDISMAX_PF
+    return f"""
+WITH {_TOKS_CTE},
+ttoks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok
+        FROM documents
+    ) WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+fstats AS (
+    SELECT 'text' AS fld, (SELECT count(*) FROM toks)::DOUBLE / n_docs AS avgdl
+    FROM corpus
+    UNION ALL
+    SELECT 'title', (SELECT count(*) FROM ttoks)::DOUBLE / n_docs FROM corpus
+),
+alltoks AS (
+    SELECT 'text' AS fld, doc_id, tok FROM toks
+    UNION ALL SELECT 'title', doc_id, tok FROM ttoks
+),
+dl AS (SELECT fld, doc_id, count(*)::DOUBLE AS dl FROM alltoks GROUP BY fld, doc_id),
+dfreq AS (
+    SELECT fld, tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM alltoks WHERE tok IN ({in_list}) GROUP BY fld, tok
+),
+idf AS (
+    SELECT fld, term, ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) AS idf
+    FROM dfreq CROSS JOIN corpus c
+),
+tf AS (
+    SELECT fld, doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM alltoks WHERE tok IN ({in_list}) GROUP BY fld, doc_id, tok
+),
+contrib AS (
+    SELECT tf.doc_id, tf.term,
+           (CASE tf.fld WHEN 'text' THEN {wt_text} ELSE {wt_title} END)
+           * idf.idf * tf.tf
+           / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / fs.avgdl)) AS c
+    FROM tf
+    JOIN idf ON idf.fld = tf.fld AND idf.term = tf.term
+    JOIN dl ON dl.fld = tf.fld AND dl.doc_id = tf.doc_id
+    JOIN fstats fs ON fs.fld = tf.fld
+),
+dismax AS (
+    SELECT doc_id, term, max(c) + {tie} * (sum(c) - max(c)) AS tscore
+    FROM contrib GROUP BY doc_id, term
+),
+main AS (SELECT doc_id, sum(tscore) AS score FROM dismax GROUP BY doc_id),
+rawp AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS rp
+  FROM documents
+),
+ptoks AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rp) - 1 AS p
+  FROM rawp WHERE tok <> '' AND lower(tok) NOT IN ({_STOP_SQL})
+),
+starts AS (SELECT doc_id, p FROM ptoks WHERE tok = '{t1}'),
+nxtt AS (SELECT doc_id, p FROM ptoks WHERE tok = '{t2}'),
+chain AS (
+  SELECT s.doc_id, s.p, min(j.p) AS q
+  FROM starts s JOIN nxtt j ON j.doc_id = s.doc_id AND j.p > s.p
+  GROUP BY s.doc_id, s.p
+),
+pfreq AS (
+  SELECT doc_id, sum(1.0 / (1.0 + (q - p - 1)))::DOUBLE AS pfr
+  FROM chain WHERE (q - p - 1) <= 2 GROUP BY doc_id
+),
+idfsum AS (
+  SELECT sum(idf)::DOUBLE AS s FROM idf WHERE fld = 'text'
+),
+boost AS (
+  SELECT p.doc_id,
+         {pfw} * idfsum.s * p.pfr
+         / (p.pfr + {k1} * (1.0 - {b} + {b} * dl.dl / fs.avgdl)) AS bst
+  FROM pfreq p
+  JOIN dl ON dl.fld = 'text' AND dl.doc_id = p.doc_id
+  JOIN fstats fs ON fs.fld = 'text'
+  CROSS JOIN idfsum
+  WHERE p.pfr > 0
+)
+SELECT m.doc_id, round(m.score + coalesce(boost.bst, 0.0), 4) AS score
+FROM main m LEFT JOIN boost ON boost.doc_id = m.doc_id
+ORDER BY score DESC, m.doc_id LIMIT 20
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -5949,6 +6085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx07_c4_filters": _tx07_c4_filters,
         "tx08_bpe_tokens": _tx08_bpe_tokens,
         "vv07_semantic_decontaminate": _vv07_semantic_decontaminate,
+        "q97_facet_percentile": _q97_facet_percentile,
+        "ft40_edismax_ps": _ft40_edismax_ps,
     }
 
 
@@ -6738,4 +6876,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "tx07_c4_filters": _TX07_SQL,
         "tx08_bpe_tokens": _tx08_sql(),
         "vv07_semantic_decontaminate": _VV07_SQL,
+        "q97_facet_percentile": _Q97_SQL,
+        "ft40_edismax_ps": _ft40_sql(),
     }

@@ -39,6 +39,20 @@ def metric(name: str, col: str) -> Column:
     return _METRICS[name](col).alias(f"{name}_{col}")
 
 
+def percentile_metric(col: str, p: float) -> Column:
+    """`percentile(field, P)` per-bucket JSON-facet metric (PercentileAgg.java,
+    registered in search/ValueSourceParser.java).
+
+    Exact linear-interpolation percentile (Spark `percentile`), engine-portable
+    (DuckDB quantile_cont interpolates identically). The reference computes a
+    t-digest sketch; at 100 TB swap to F.percentile_approx for the same
+    approximate contract. Rides INSIDE the facet's single partial-agg shuffle —
+    no extra pass over the data.
+    """
+    return (F.expr(f"percentile({col}, {p!r})")
+             .alias(f"p{int(round(p * 100))}_{col}"))
+
+
 def terms_facet(df: DataFrame, field: str, limit: int = 10,
                 metrics: Sequence[Column] = (), min_count: int = 1,
                 sort_by_count: bool = True, sort: str | None = None,

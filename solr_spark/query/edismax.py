@@ -129,15 +129,23 @@ def _phrase_boosts(
     pf: dict[str, float], query_text: str,
     field_idfs: dict[str, dict[str, float]],
     ngram: int | None = None,
+    slop: int = 0,
 ) -> DataFrame | None:
     """Optional pf/pf2/pf3 clauses: per-doc phrase-BM25 boost summed over
     the pf fields. ngram=None boosts the WHOLE query as one phrase (pf);
     ngram=2/3 boosts every adjacent word bigram/trigram of the query
     (ExtendedDismaxQParser pf2/pf3 — getQueryFields addShingledPhraseQueries),
-    each shingle scored like a pf phrase and summed."""
+    each shingle scored like a pf phrase and summed.
+
+    slop > 0 is the edismax `ps` family (ps/ps2/ps3 — phrase slop on the
+    boost phrases, ExtendedDismaxQParser.addShingledPhraseQueries wiring the
+    slop into each PhraseQuery): phrase frequency comes from the ordered
+    sloppy kernel (1/(1+matchLength) chains, query/phrase.py) instead of the
+    exact-adjacency count, same BM25 combination above it."""
     import os
 
-    from solr_spark.query.phrase import phrase_count_expr
+    from solr_spark.query.phrase import (_sloppy_phrase_kernel,
+                                         phrase_count_expr)
 
     words = [w for w in query_text.split() if w]
     if ngram is None:
@@ -159,22 +167,37 @@ def _phrase_boosts(
         if not all(t in idfs for t in terms):
             continue  # a phrase containing an unindexed term matches nothing
         idf_sum = sum(idfs[t] for t in terms)
-        analyzed = spark.read.parquet(
-            os.path.join(reader.index_dir, "analyzed", "batch-*")
-        ).select("docid", "toks")
         k1, b, avgdl = cfg.k1, cfg.b, reader.avgdl
-        scored = (
-            analyzed
-            .withColumn("pfreq", phrase_count_expr(F.col("toks"), terms))
-            .where(F.col("pfreq") > 0)
-            .join(doc_lengths(spark, reader), "docid")
-            .select(
-                "docid",
-                (F.lit(weight * idf_sum) * F.col("pfreq")
-                 / (F.col("pfreq")
-                    + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-                 ).alias("boost"),
-            )
+        if slop > 0:
+            # inverted-index prefilter ahead of the Arrow kernel, as
+            # phrase_topk: only docs containing ALL phrase terms reach Python
+            from solr_spark.query.bm25 import term_docs
+
+            src = spark.read.parquet(
+                os.path.join(reader.index_dir, "analyzed", "batch-*")
+            ).select("docid", "dl", "toks")
+            cand = term_docs(spark, reader, terms[0])
+            for t in sorted(set(terms[1:])):
+                cand = cand.join(term_docs(spark, reader, t),
+                                 "docid", "left_semi")
+            matched = src.join(cand, "docid", "left_semi").mapInArrow(
+                _sloppy_phrase_kernel(terms, slop),
+                "docid long, tf double, dl long"
+            ).withColumnRenamed("tf", "pfreq")
+        else:
+            matched = (
+                spark.read.parquet(
+                    os.path.join(reader.index_dir, "analyzed", "batch-*"))
+                .select("docid", "toks")
+                .withColumn("pfreq", phrase_count_expr(F.col("toks"), terms))
+                .where(F.col("pfreq") > 0)
+                .join(doc_lengths(spark, reader), "docid"))
+        scored = matched.select(
+            "docid",
+            (F.lit(weight * idf_sum) * F.col("pfreq")
+             / (F.col("pfreq")
+                + F.lit(k1) * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+             ).alias("boost"),
         )
         parts.append(scored)
     if not parts:
@@ -196,6 +219,9 @@ def edismax_topk(
     pf: dict[str, float] | None = None,
     pf2: dict[str, float] | None = None,
     pf3: dict[str, float] | None = None,
+    ps: int = 0,
+    ps2: int | None = None,
+    ps3: int | None = None,
     bf: DataFrame | None = None,
     boost: DataFrame | None = None,
 ) -> DataFrame:
@@ -265,10 +291,14 @@ def edismax_topk(
             .where(F.col("nclauses") >= min_match))
 
     all_boosts = []
-    for spec, ng in ((pf, None), (pf2, 2), (pf3, 3)):
+    # ps2/ps3 default to ps when unset — ExtendedDismaxQParser's param
+    # fallback (U.getParam ps2/ps3 -> ps)
+    for spec, ng, sl in ((pf, None, ps),
+                         (pf2, 2, ps if ps2 is None else ps2),
+                         (pf3, 3, ps if ps3 is None else ps3)):
         if spec:
             b_ = _phrase_boosts(spark, readers, spec, query_text, field_idfs,
-                                ngram=ng)
+                                ngram=ng, slop=sl)
             if b_ is not None:
                 all_boosts.append(b_)
     if all_boosts:

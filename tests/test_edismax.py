@@ -245,3 +245,72 @@ def test_pf2_pf3_shingled_phrase_boosts(spark, tmp_path):
     # combination sums all boost families
     both = scores(pf={"text": 1.0}, pf2={"text": 1.0})
     assert both["100"] > with_pf["100"] and both["100"] > with_pf2["100"]
+
+
+def test_ps_sloppy_pf_boost(spark, tmp_path):
+    """edismax ps (phrase slop on pf clauses): a doc with the pf words one
+    insertion apart gets no boost at ps=0 but a 1/(1+1)-weighted boost at
+    ps=2; the exact-phrase doc's sloppy boost >= its exact boost (the exact
+    chain still matches at matchLength 0). ps2 slops pf2 bigrams the same
+    way; ps2 defaults to ps when unset."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.indexing import build_index
+    from solr_spark.query import IndexReader
+    from solr_spark.query.edismax import edismax_topk
+
+    cfg = IndexConfig(range_shift=8, num_term_buckets=8)
+    rows = [
+        (f"{i}", 0, "user", f"filler{i} words here", None, None)
+        for i in range(8)
+    ] + [
+        ("200", 0, "user", "alpha beta end", None, None),       # exact phrase
+        ("201", 0, "user", "alpha gap beta end", None, None),   # slop-1 match
+        ("202", 0, "user", "beta then alpha end", None, None),  # reversed
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    idx = str(tmp_path / "psidx")
+    build_index(spark, df, idx, cfg, input_token="ps-test")
+    reader = IndexReader.open(idx, cfg)
+    readers, qf = {"text": reader}, {"text": 1.0}
+
+    def scores(**kw):
+        return {r["conv_id"]: r["score"] for r in
+                edismax_topk(spark, readers, "alpha beta", qf, k=12,
+                             **kw).collect()}
+
+    base = scores()
+    exact_pf = scores(pf={"text": 1.0})
+    sloppy_pf = scores(pf={"text": 1.0}, ps=2)
+    # exact pf: only the adjacent-phrase doc is boosted
+    assert exact_pf["200"] > base["200"]
+    assert exact_pf["201"] == base["201"]
+    # ps=2 admits the one-gap doc (weight 1/2) and keeps the exact doc's
+    # boost (weight 1 chain)
+    assert sloppy_pf["201"] > base["201"]
+    assert sloppy_pf["200"] >= exact_pf["200"]
+    # ordered kernel: the reversed doc never gets a pf boost
+    assert sloppy_pf["202"] == base["202"]
+    # ps2 falls back to ps for pf2 clauses
+    via_ps = scores(pf2={"text": 1.0}, ps=2)
+    via_ps2 = scores(pf2={"text": 1.0}, ps2=2)
+    assert via_ps == via_ps2
+    assert via_ps["201"] > base["201"]
+
+
+def test_facet_percentile_metric(spark):
+    """facets.percentile_metric rides inside terms_facet's single agg and
+    matches the exact linear-interpolation definition."""
+    from solr_spark.operators import facets
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b", float(i)) for i in range(10)],
+        "id long, g string, v double")
+    out = {r["bucket"]: (r["count"], r["p50_v"]) for r in
+           facets.terms_facet(df, "g", limit=5,
+                              metrics=[facets.percentile_metric("v", 0.5)])
+           .collect()}
+    # a: values 0..3 -> p50 = 1.5; b: values 4..9 -> p50 = 6.5
+    assert out["a"] == (4, 1.5)
+    assert out["b"] == (6, 6.5)
