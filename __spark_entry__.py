@@ -5895,6 +5895,70 @@ ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
 
+def _q98_expr_significant(spark, sf_dir):
+    """significantTerms() through the streaming-expression STRING DSL
+    (dispatch.py::_h_significant_terms; SignificantTermsStream.java:57):
+    q= picks the foreground, whole collection is background, minDocFreq
+    floors bg df, foreground-only terms, lift scoring — the same operator
+    tx02 pins, exercised end-to-end from the parsed expression."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"documents": _t(spark, sf_dir, "documents")}
+    out = run_expression(
+        'significantTerms(documents, q="source:src1", field="text", '
+        'minDocFreq="5")', colls)
+    return out.select("term", F.col("fg").cast("long").alias("fg"),
+                      F.col("bg").cast("long").alias("bg"),
+                      _dround("score", 4).alias("score")).orderBy("term")
+
+
+_Q98_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, source, tok AS term FROM (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tot AS (
+  SELECT count(DISTINCT doc_id) AS n_bg,
+         count(DISTINCT doc_id) FILTER (source = 'src1') AS n_fg
+  FROM pairs
+),
+cnt AS (
+  SELECT term, count(*)::BIGINT AS bg,
+         count(*) FILTER (source = 'src1')::BIGINT AS fg
+  FROM pairs GROUP BY term
+)
+SELECT term, fg, bg,
+       round((fg::DOUBLE / n_fg) / (bg::DOUBLE / n_bg), 4) AS score
+FROM cnt, tot WHERE bg >= 5 AND fg > 0 ORDER BY term
+"""
+
+
+def _q99_expr_random(spark, sf_dir):
+    """random() through the expression DSL (RandomStream.java:60 role,
+    dispatch.py::_h_random): a pseudo-random sample of the q= match set
+    whose order is the DETERMINISTIC md5(fl values + seed) used across
+    functions/sampling.py — reruns, retried partitions, and other engines
+    draw the identical sample (the reference's session-Random is the one
+    part that can't be reproduced across engines, so the seed is explicit)."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"documents": _t(spark, sf_dir, "documents")}
+    out = run_expression(
+        'random(documents, q="lang:en", fl="doc_id,source", rows="15", '
+        'seed="7")', colls)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+_Q99_SQL = """
+SELECT doc_id, source FROM documents
+WHERE lang = 'en'
+ORDER BY md5(doc_id::VARCHAR || chr(31) || source || chr(31) || '7') ASC,
+         doc_id ASC, source ASC
+LIMIT 15
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6087,6 +6151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vv07_semantic_decontaminate": _vv07_semantic_decontaminate,
         "q97_facet_percentile": _q97_facet_percentile,
         "ft40_edismax_ps": _ft40_edismax_ps,
+        "q98_expr_significant": _q98_expr_significant,
+        "q99_expr_random": _q99_expr_random,
     }
 
 
@@ -6878,4 +6944,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "vv07_semantic_decontaminate": _VV07_SQL,
         "q97_facet_percentile": _Q97_SQL,
         "ft40_edismax_ps": _ft40_sql(),
+        "q98_expr_significant": _Q98_SQL,
+        "q99_expr_random": _Q99_SQL,
     }

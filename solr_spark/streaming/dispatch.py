@@ -417,6 +417,75 @@ def _h_echo(ctx, e):
     return any_df.sparkSession.createDataFrame([(txt,)], ["echo"])
 
 
+def _h_significant_terms(ctx, e):
+    """SignificantTermsStream.java:57 — q= defines the FOREGROUND document
+    set, the whole collection is the background; terms come from whitespace
+    tokens of field= (default the context's default field). id= names the
+    document key column (the uniqueKey analog; default doc_id).
+    minDocFreq= floors the background df; limit= keeps the top-N by lift
+    (score desc, term asc). Only foreground terms are returned, as the
+    reference. One conditional-aggregation shuffle (operators/streams.py::
+    significant_terms)."""
+    df = _collection(ctx, e)
+    field = e.named1("field", ctx.default_field)
+    id_col = e.named1("id", "doc_id")
+    qs = e.named1("q", "*:*")
+    fg = (F.lit(True) if qs.strip() in ("*:*", "")
+          else parse_query(qs, ctx.default_field, ctx.text_fields))
+    pairs = df.select(
+        F.col(id_col), fg.alias("__fg_mark"),
+        F.explode(F.filter(F.split(F.col(field), " "),
+                           lambda t: t != "")).alias("term"))
+    out = streams.significant_terms(
+        pairs, F.col("__fg_mark"), term_col="term", doc_col=id_col,
+        min_doc_freq=int(e.named1("minDocFreq", 1)))
+    out = out.where(F.col("fg") > 0).orderBy(F.desc("score"), F.asc("term"))
+    limit = e.named1("limit")
+    return out.limit(int(limit)) if limit else out
+
+
+def _h_score_nodes(ctx, e):
+    """ScoreNodesStream.java:63 — TF-IDF relevance for traversal-gathered
+    nodes. The reference resolves each node's global df by re-querying the
+    collection recorded in the node tuples' metadata; collections here are
+    plain DataFrames, so the edge table and its to-column are explicit named
+    params: scoreNodes(<nodes>, edges=<collection>, to=<col>[, node=<col>]).
+    node= names the input stream's node column (default: the to= name).
+    Occurrence counts are taken from a `count` column when the input has one,
+    else counted from the stream."""
+    nodes = _input_stream(ctx, e)
+    edges = ctx.collections[e.named1("edges")]
+    to = e.named1("to")
+    node_col = e.named1("node", to)
+    if "count" in nodes.columns:
+        hits = nodes.select(F.col(node_col).alias("node"), "count")
+    else:
+        hits = (nodes.groupBy(F.col(node_col).alias("node"))
+                .agg(F.count(F.lit(1)).alias("count")))
+    from solr_spark.operators.graph import score_nodes
+
+    return score_nodes(hits, edges, to)
+
+
+def _h_random(ctx, e):
+    """RandomStream.java:60 — pseudo-random sample of the q= match set.
+    The reference shuffles with a per-session Random; a cluster engine needs
+    reruns and retried partitions to agree, so the order here is the
+    DETERMINISTIC md5 used across functions/sampling.py: md5 over the fl
+    values joined with 0x1f plus seed= (default 0). Same q/fl/seed ->
+    byte-identical sample on every engine and every rerun; vary seed= for a
+    fresh draw. TakeOrdered — no global sort materializes."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    fl = _fields(e.named1("fl"))
+    seed = e.named1("seed", "0")
+    key = F.md5(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in fl], F.lit(seed)))
+    rows = int(e.named1("rows", 10))
+    return (df.select(*fl)
+              .orderBy(key.asc(), *[F.col(c).asc() for c in fl])
+              .limit(rows))
+
+
 _HANDLERS = {
     "search": _h_search,
     "select": _h_select,
@@ -447,6 +516,9 @@ _HANDLERS = {
     "nodes": _h_gather_nodes,
     "shortestPath": _h_shortest_path,
     "echo": _h_echo,
+    "significantTerms": _h_significant_terms,
+    "scoreNodes": _h_score_nodes,
+    "random": _h_random,
 }
 
 

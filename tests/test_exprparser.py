@@ -264,3 +264,55 @@ def test_dispatch_gather_nodes_seed(spark, colls):
 def test_dispatch_unknown_function_raises(colls):
     with pytest.raises(ValueError, match="unknown stream function"):
         run_expression("daemonize(search(orders, sort=\"o_orderkey asc\"))", colls)
+
+
+def test_dispatch_significant_terms(spark, colls):
+    docs = spark.createDataFrame(
+        [(0, "a", "rare shared shared"), (1, "a", "rare common"),
+         (2, "b", "common shared"), (3, "b", "common other"),
+         (4, "b", "common other")],
+        ["doc_id", "source", "text"])
+    out = run_expression(
+        'significantTerms(d, q="source:a", field="text", minDocFreq="1")',
+        {**colls, "d": docs}).collect()
+    scores = {r["term"]: r["score"] for r in out}
+    # 'rare' occurs only in foreground: lift = (2/2)/(2/5) = 2.5
+    assert scores["rare"] == pytest.approx(2.5)
+    # foreground-only terms are returned ('other' is bg-only)
+    assert "other" not in scores
+    # limit keeps the top by score
+    top1 = run_expression(
+        'significantTerms(d, q="source:a", field="text", limit="1")',
+        {**colls, "d": docs}).collect()
+    assert len(top1) == 1 and top1[0]["term"] == "rare"
+
+
+def test_dispatch_score_nodes(spark, colls):
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "niche")],
+        ["src", "dst"])
+    roots = spark.createDataFrame([("a",), ("b",)], ["node_id"])
+    out = run_expression(
+        'scoreNodes(gatherNodes(g, search(r, q=*:*, fl="node_id", '
+        'sort="node_id asc"), walk="node_id->src", gather="dst"), '
+        'edges="g", to="dst")',
+        {**colls, "g": edges, "r": roots}).collect()
+    rows = {r["node"]: r for r in out}
+    # hub reached from a+b (count from gatherNodes dedup = 1 each after
+    # dedup -> groupBy counts occurrences in the stream)
+    assert set(rows) == {"hub", "niche"}
+    # niche (df=1) outscores hub (df=3) at equal stream counts
+    if rows["hub"]["count"] == rows["niche"]["count"]:
+        assert rows["niche"]["score"] > rows["hub"]["score"]
+
+
+def test_dispatch_random_deterministic(colls):
+    expr = ('random(orders, q="o_orderstatus:F", fl="o_orderkey", '
+            'rows="5", seed="3")')
+    a = [r["o_orderkey"] for r in run_expression(expr, colls).collect()]
+    b = [r["o_orderkey"] for r in run_expression(expr, colls).collect()]
+    assert a == b and len(a) == 5
+    other = [r["o_orderkey"] for r in run_expression(
+        'random(orders, q="o_orderstatus:F", fl="o_orderkey", '
+        'rows="5", seed="4")', colls).collect()]
+    assert set(other) != set(a)
