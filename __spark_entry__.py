@@ -5959,6 +5959,27 @@ LIMIT 15
 """
 
 
+def _ft41_doc_suggester(spark, sf_dir):
+    """Document-dictionary suggester (components.suggest_documents;
+    DocumentDictionaryFactory.java:41): suggestions are field VALUES
+    weighted by an explicit numeric column (weightField) with a payload
+    column riding the heaviest row (payloadField) — doc_id is the weight
+    here so the max_by payload pick is tie-free and engine-portable."""
+    from solr_spark.operators.components import suggest_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_documents(docs, "source", "src", weight_col="doc_id",
+                             payload_col="lang", k=10)
+
+
+_FT41_SQL = """
+SELECT source AS term, max(doc_id)::DOUBLE AS weight,
+       arg_max(lang, doc_id) AS payload
+FROM documents WHERE starts_with(source, 'src')
+GROUP BY source ORDER BY weight DESC, term LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6153,6 +6174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft40_edismax_ps": _ft40_edismax_ps,
         "q98_expr_significant": _q98_expr_significant,
         "q99_expr_random": _q99_expr_random,
+        "ft41_doc_suggester": _ft41_doc_suggester,
     }
 
 
@@ -6946,4 +6968,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft40_edismax_ps": _ft40_sql(),
         "q98_expr_significant": _Q98_SQL,
         "q99_expr_random": _Q99_SQL,
+        "ft41_doc_suggester": _FT41_SQL,
     }

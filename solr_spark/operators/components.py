@@ -237,6 +237,35 @@ def suggest_infix(spark: SparkSession, index_dir: str, query: str,
     return out.orderBy(F.desc("df"), F.asc("term")).limit(k)
 
 
+def suggest_documents(docs: DataFrame, field: str, prefix: str,
+                      weight_col: str | None = None,
+                      payload_col: str | None = None,
+                      k: int = 10) -> DataFrame:
+    """Document-dictionary suggester: suggestions are FIELD VALUES of a
+    document table (not index terms), ranked by an explicit numeric weight
+    column — the reference's DocumentDictionaryFactory
+    (spelling/suggest/DocumentDictionaryFactory.java:41: field /
+    weightField / payloadField over the stored documents), the mode used
+    when suggestions carry business weights (popularity, price, clicks)
+    instead of corpus statistics.
+
+    Duplicate field values collapse to one suggestion with the MAX weight
+    (Lucene's lookup keeps the heaviest entry per key; payload follows the
+    same winning row via max_by). weight_col=None falls back to weight 1.
+    One partial-aggregation shuffle over prefix-pruned rows; the prefix
+    predicate pushes to the scan, so a value-sorted layout row-group-prunes.
+    Output: term, weight (double)[, payload] — ordered weight desc, term asc.
+    """
+    src = docs.where(F.col(field).startswith(prefix))
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    aggs = [F.max(w).alias("weight")]
+    if payload_col is not None:
+        aggs.append(F.max_by(F.col(payload_col), w).alias("payload"))
+    return (src.groupBy(F.col(field).alias("term")).agg(*aggs)
+               .orderBy(F.desc("weight"), F.asc("term")).limit(k))
+
+
 def suggest_fuzzy(spark: SparkSession, index_dir: str, word: str,
                   k: int = 10, max_edits: int = 1) -> DataFrame:
     """Fuzzy suggester: dictionary terms within `max_edits` Levenshtein of

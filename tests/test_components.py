@@ -1000,3 +1000,21 @@ def test_term_vectors_component(spark, built_index):
     only_df = term_vectors_component(spark, reader, ids, positions=False,
                                      tf_idf=False)
     assert set(only_df.columns) == {"docid", "term", "tf", "df"}
+
+
+def test_suggest_documents_weighted(spark):
+    """DocumentDictionaryFactory role: field-value suggestions ranked by an
+    explicit weight column; duplicates collapse to the max-weight entry with
+    the payload following the winning row; no weight column -> weight 1."""
+    from solr_spark.operators.components import suggest_documents
+
+    docs = spark.createDataFrame(
+        [("apple pie", 5.0, "p1"), ("apple pie", 9.0, "p2"),
+         ("apple tart", 2.0, "p3"), ("banana", 100.0, "p4")],
+        "title string, pop double, pid string")
+    out = suggest_documents(docs, "title", "app", weight_col="pop",
+                            payload_col="pid", k=10).collect()
+    assert [(r["term"], r["weight"], r["payload"]) for r in out] == [
+        ("apple pie", 9.0, "p2"), ("apple tart", 2.0, "p3")]
+    flat = suggest_documents(docs, "title", "app", k=10).collect()
+    assert all(r["weight"] == 1.0 for r in flat)
