@@ -5980,6 +5980,32 @@ GROUP BY source ORDER BY weight DESC, term LIMIT 10
 """
 
 
+def _q100_expr_let(spark, sf_dir):
+    """let()/get() variable binding in the expression DSL (LetStream.java:63 /
+    GetStream.java:42, dispatch.py::_h_let): a filtered search bound to a
+    variable, replayed by get() into a rollup — the reference's Lang program
+    shape, end-to-end from the parsed string."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"lineitem": _t(spark, sf_dir, "lineitem")}
+    out = run_expression(
+        'let(f=search(lineitem, q="l_shipdate:[1998-06-01 TO *]", '
+        'fl="l_returnflag,l_quantity", sort="l_returnflag asc"), '
+        'rollup(get(f), over="l_returnflag", sum(l_quantity), count(*)))',
+        colls)
+    return out.select(
+        "l_returnflag",
+        F.col("`sum(l_quantity)`").alias("sum_qty"),
+        F.col("`count(*)`").cast("long").alias("n"))
+
+
+_Q100_SQL = """
+SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n
+FROM lineitem WHERE l_shipdate >= DATE '1998-06-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6175,6 +6201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_expr_significant": _q98_expr_significant,
         "q99_expr_random": _q99_expr_random,
         "ft41_doc_suggester": _ft41_doc_suggester,
+        "q100_expr_let": _q100_expr_let,
     }
 
 
@@ -6969,4 +6996,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q98_expr_significant": _Q98_SQL,
         "q99_expr_random": _Q99_SQL,
         "ft41_doc_suggester": _FT41_SQL,
+        "q100_expr_let": _Q100_SQL,
     }

@@ -417,6 +417,65 @@ def _h_echo(ctx, e):
     return any_df.sparkSession.createDataFrame([(txt,)], ["echo"])
 
 
+def _h_let(ctx, e):
+    """LetStream.java:63 — bind named sub-streams to variables IN ORDER
+    (later bindings and the trailing expression see earlier ones), then
+    evaluate the trailing expression. Variables shadow collection names for
+    the duration of the let, exactly the reference's variable map pushed
+    into the StreamContext. String values bind as-is (the reference's
+    non-stream lets)."""
+    scope = dict(ctx.collections)
+    inner = _Ctx(scope, ctx.default_field, ctx.text_fields)
+    result = None
+    for p in e.params:
+        if isinstance(p, NamedParam):
+            v = p.value
+            scope[p.name] = (_dispatch(inner, v)
+                             if isinstance(v, StreamExpr) else v)
+        elif isinstance(p, StreamExpr):
+            result = _dispatch(inner, p)
+    if result is None:
+        raise ValueError("let() needs a trailing expression to evaluate")
+    return result
+
+
+def _h_get(ctx, e):
+    """GetStream.java:42 — replay a let-bound stream by variable name."""
+    names = e.positional_values()
+    if not names:
+        raise ValueError("get() needs a variable name")
+    df = ctx.collections.get(names[0])
+    if df is None:
+        raise ValueError(f"get({names[0]!r}): no such let variable or "
+                         f"collection (bound: {sorted(ctx.collections)})")
+    return df
+
+
+def _h_tuple(ctx, e):
+    """TupStream.java:48 — a ONE-row stream of named evaluator values
+    (x=add(1,2), y=3). Stream-valued entries (x=<let variable>) raise: the
+    reference attaches them in stream arrival order, which a distributed
+    collect can't reproduce deterministically — read the variable with
+    get() instead."""
+    any_df = next(iter(ctx.collections.values()))
+    spark = any_df.sparkSession
+    cols = []
+    for p in e.params:
+        if not isinstance(p, NamedParam):
+            continue
+        v = p.value
+        if isinstance(v, str) and v.strip() in ctx.collections \
+                and not _NUM_RE.match(v.strip()):
+            raise ValueError(
+                f"tuple({p.name}={v}): stream-valued tuple entries are not "
+                "supported (arrival order is nondeterministic on a cluster) "
+                "— use get() to read the bound stream")
+        cols.append(_evaluator(v).alias(p.name))
+    if not cols:
+        raise ValueError("tuple() needs at least one named value")
+    return spark.range(1).select(*cols)
+
+
 def _h_significant_terms(ctx, e):
     """SignificantTermsStream.java:57 — q= defines the FOREGROUND document
     set, the whole collection is the background; terms come from whitespace
@@ -519,6 +578,9 @@ _HANDLERS = {
     "significantTerms": _h_significant_terms,
     "scoreNodes": _h_score_nodes,
     "random": _h_random,
+    "let": _h_let,
+    "get": _h_get,
+    "tuple": _h_tuple,
 }
 
 

@@ -316,3 +316,42 @@ def test_dispatch_random_deterministic(colls):
         'random(orders, q="o_orderstatus:F", fl="o_orderkey", '
         'rows="5", seed="4")', colls).collect()]
     assert set(other) != set(a)
+
+
+def test_dispatch_let_get(colls):
+    """LetStream/GetStream: later bindings see earlier ones; variables
+    shadow collections inside the let; trailing expression is the result."""
+    out = run_expression(
+        'let(a=search(orders, q="o_orderstatus:F", '
+        'fl="o_orderkey,o_totalprice", sort="o_orderkey asc"), '
+        'b=having(get(a), gt(o_totalprice, 100000)), '
+        'top(get(b), n="3", sort="o_totalprice desc"))', colls)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["o_totalprice"] >= rows[1]["o_totalprice"]
+    assert all(r["o_totalprice"] > 100000 for r in rows)
+
+
+def test_dispatch_let_requires_trailing_expr(colls):
+    with pytest.raises(ValueError, match="trailing expression"):
+        run_expression('let(a=search(orders, sort="o_orderkey asc"))', colls)
+
+
+def test_dispatch_get_unknown_raises(colls):
+    with pytest.raises(ValueError, match="no such let variable"):
+        run_expression('get(zzz)', colls)
+
+
+def test_dispatch_tuple(colls):
+    row = run_expression('tuple(x=add(1, 2), y=4, z=mult(2, val(3)))',
+                         colls).collect()[0]
+    assert (row["x"], row["y"]) == (3, 4)
+    # tuple sees ONE row
+    assert run_expression('tuple(x=1)', colls).count() == 1
+
+
+def test_dispatch_tuple_stream_value_raises(colls):
+    with pytest.raises(ValueError, match="stream-valued"):
+        run_expression(
+            'let(a=search(orders, sort="o_orderkey asc"), tuple(t=a))',
+            colls)
