@@ -495,6 +495,29 @@ def main() -> None:
         ["Window"],
         ["Exchange SinglePartition", "BatchEvalPython", "ArrowEvalPython"]))
 
+    # 32. DSL random(): the deterministic sample is a TakeOrdered (bounded
+    # heap per partition + driver-side k-merge), never a global sort; and
+    # DSL significantTerms() stays a single-aggregation plan with no Python
+    from solr_spark.streaming.dispatch import run_expression
+    p32a = plan_of(run_expression(
+        'random(documents, q="lang:en", fl="doc_id,source", rows="15", '
+        'seed="7")', {"documents": t("documents")}))
+    checks.append((
+        "DSL random: TakeOrdered bounded heap, no global Sort exchange, "
+        "no Python",
+        p32a,
+        ["TakeOrderedAndProject"],
+        ["Exchange rangepartitioning", "BatchEvalPython", "ArrowEvalPython"]))
+    p32b = plan_of(run_expression(
+        'significantTerms(documents, q="source:src1", field="text", '
+        'minDocFreq="5")', {"documents": t("documents")}))
+    checks.append((
+        "DSL significantTerms: hash-agg pipeline, totals broadcast, "
+        "no Python",
+        p32b,
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
