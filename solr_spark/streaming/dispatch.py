@@ -150,7 +150,21 @@ def _evaluator(node) -> Column:
         return F.when(args[0], args[1]).otherwise(args[2])
     if name == "val":
         return F.lit(node.positional_values()[0])
-    raise ValueError(f"unknown evaluator: {name!r}")
+    # fall back to the full Lang.java census registry
+    # (functions/evaluators.py::ev — 166 implemented names): the scalar and
+    # array evaluators are Column -> Column, so expression text like
+    # select(..., sqrt(a_i) as r) dispatches straight through. A registry
+    # evaluator whose signature needs non-Column parameters fails ITS call
+    # loudly and surfaces here as unknown — never a silently-wrong Column.
+    try:
+        from solr_spark.functions.evaluators import ev
+
+        return ev(name, *args)
+    except NotImplementedError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"unknown evaluator: {name!r} "
+                         f"(registry dispatch failed: {exc})") from exc
 
 
 def _input_stream(ctx: _Ctx, e: StreamExpr) -> DataFrame:

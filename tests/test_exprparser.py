@@ -355,3 +355,19 @@ def test_dispatch_tuple_stream_value_raises(colls):
         run_expression(
             'let(a=search(orders, sort="o_orderkey asc"), tuple(t=a))',
             colls)
+
+
+def test_evaluator_registry_fallback(spark, colls):
+    """select() expression columns dispatch through the full Lang census
+    registry (functions/evaluators.ev) when the name isn't in the scalar
+    core: sqrt/ln/ceil work from expression text; unknown names and
+    out-of-scope names stay loud."""
+    df = spark.createDataFrame([(4.0,), (9.0,)], ["v"])
+    out = run_expression(
+        'select(search(d, q=*:*, fl="v", sort="v asc"), '
+        'sqrt(v) as r, ceil(v) as c)', {**colls, "d": df}).collect()
+    assert [(r["r"], r["c"]) for r in out] == [(2.0, 4), (3.0, 9)]
+    with pytest.raises(ValueError, match="unknown evaluator"):
+        run_expression(
+            'select(search(d, q=*:*, fl="v", sort="v asc"), zzz(v) as z)',
+            {**colls, "d": df})
