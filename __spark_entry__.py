@@ -6006,6 +6006,32 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _q101_expr_evaluators(spark, sf_dir):
+    """Lang-census evaluators reached FROM EXPRESSION TEXT (dispatch.py
+    _evaluator -> functions/evaluators.ev fallback): sqrt/ceil dispatch via
+    the 166-name registry inside a select() projection, composed with the
+    scalar core's add — the reference's Lang.java name resolution
+    (StreamFactory.java:219) over the same census."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"orders": _t(spark, sf_dir, "orders")}
+    out = run_expression(
+        'select(search(orders, q="o_orderstatus:F", '
+        'fl="o_orderkey,o_totalprice", sort="o_orderkey asc"), '
+        'o_orderkey as k, sqrt(o_totalprice) as root, '
+        'ceil(add(o_totalprice, 1)) as c)', colls)
+    return out.select(F.col("k").cast("long").alias("k"),
+                      _dround("root", 6).alias("root"),
+                      F.col("c").cast("long").alias("c")).orderBy("k")
+
+
+_Q101_SQL = """
+SELECT o_orderkey AS k, round(sqrt(o_totalprice), 6) AS root,
+       ceil(o_totalprice + 1)::BIGINT AS c
+FROM orders WHERE o_orderstatus = 'F' ORDER BY k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6202,6 +6228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_expr_random": _q99_expr_random,
         "ft41_doc_suggester": _ft41_doc_suggester,
         "q100_expr_let": _q100_expr_let,
+        "q101_expr_evaluators": _q101_expr_evaluators,
     }
 
 
@@ -6997,4 +7024,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q99_expr_random": _Q99_SQL,
         "ft41_doc_suggester": _FT41_SQL,
         "q100_expr_let": _Q100_SQL,
+        "q101_expr_evaluators": _Q101_SQL,
     }
