@@ -6032,6 +6032,36 @@ FROM orders WHERE o_orderstatus = 'F' ORDER BY k
 """
 
 
+def _q102_expr_knn(spark, sf_dir):
+    """knn() through the expression DSL (KnnStream.java:55,
+    dispatch.py::_h_knn): MoreLikeThis text-kNN from a seed document's top
+    idf terms — the same operator tx03 pins, reached from the parsed
+    expression string with the reference's id=/qf=/k=/maxqt= params."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"documents": _t(spark, sf_dir, "documents")}
+    return run_expression(
+        'knn(documents, id="0", qf="text", k="10", maxqt="25")', colls)
+
+
+_Q102_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+seed AS (
+  SELECT p.term, ln((SELECT count(*) FROM documents)::DOUBLE / df) AS idf
+  FROM pairs p JOIN dft USING (term) WHERE p.doc_id = 0
+  ORDER BY idf DESC, term LIMIT 25
+)
+SELECT doc_id, round(sum(idf), 4) AS mlt_score, count(*)::BIGINT AS n_shared
+FROM pairs JOIN seed USING (term) WHERE doc_id <> 0
+GROUP BY doc_id ORDER BY mlt_score DESC, doc_id LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6229,6 +6259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft41_doc_suggester": _ft41_doc_suggester,
         "q100_expr_let": _q100_expr_let,
         "q101_expr_evaluators": _q101_expr_evaluators,
+        "q102_expr_knn": _q102_expr_knn,
     }
 
 
@@ -7025,4 +7056,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft41_doc_suggester": _FT41_SQL,
         "q100_expr_let": _Q100_SQL,
         "q101_expr_evaluators": _Q101_SQL,
+        "q102_expr_knn": _Q102_SQL,
     }

@@ -490,6 +490,34 @@ def _h_tuple(ctx, e):
     return spark.range(1).select(*cols)
 
 
+def _h_knn(ctx, e):
+    """KnnStream.java:55 — text k-nearest-neighbours via MoreLikeThis:
+    knn(collection, id=<doc>, qf=<text field>, k=<n>[, maxqt=<seed terms>,
+    docId=<key col>]). The seed doc's top idf terms become a disjunction
+    ranked by summed idf (operators/streams.py::more_like_this — seed terms
+    broadcast, one shuffle over the selected postings). mintf/mindf/boost
+    long tail documented out of scope on the operator."""
+    df = _collection(ctx, e)
+    field = e.named1("qf")
+    if field is None:
+        raise ValueError("knn() requires qf= (the text field)")
+    id_col = e.named1("docId", "doc_id")
+    seed_id = e.named1("id")
+    if seed_id is None:
+        raise ValueError("knn() requires id= (the seed document)")
+    typ = df.schema[id_col].dataType.simpleString()
+    seed = seed_id if typ == "string" else int(seed_id)
+    n_docs = df.count()
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(field), " "),
+                           lambda t: t != "")).alias("term"))
+    return streams.more_like_this(
+        pairs, seed, n_docs, doc_col=id_col,
+        k=int(e.named1("k", 10)),
+        max_query_terms=int(e.named1("maxqt", 25)))
+
+
 def _h_significant_terms(ctx, e):
     """SignificantTermsStream.java:57 — q= defines the FOREGROUND document
     set, the whole collection is the background; terms come from whitespace
@@ -595,6 +623,7 @@ _HANDLERS = {
     "let": _h_let,
     "get": _h_get,
     "tuple": _h_tuple,
+    "knn": _h_knn,
 }
 
 

@@ -371,3 +371,18 @@ def test_evaluator_registry_fallback(spark, colls):
         run_expression(
             'select(search(d, q=*:*, fl="v", sort="v asc"), zzz(v) as z)',
             {**colls, "d": df})
+
+
+def test_dispatch_knn_mlt(spark, colls):
+    """KnnStream: knn(collection, id=, qf=, k=) ranks neighbours by shared
+    rare terms with the seed; the seed itself is excluded; qf/id required."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta rare"), (1, "alpha beta rare"),
+         (2, "alpha common"), (3, "unrelated words")],
+        ["doc_id", "text"])
+    out = run_expression('knn(d, id="0", qf="text", k="3")',
+                         {**colls, "d": docs}).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 0 not in ids and ids[0] == 1  # identical doc ranks first
+    with pytest.raises(ValueError, match="requires qf"):
+        run_expression('knn(d, id="0")', {**colls, "d": docs})
