@@ -6062,6 +6062,20 @@ GROUP BY doc_id ORDER BY mlt_score DESC, doc_id LIMIT 10
 """
 
 
+def _q103_expr_features(spark, sf_dir):
+    """featuresSelection() through the expression DSL
+    (FeaturesSelectionStream.java:59, dispatch.py::_h_features_selection):
+    top-10 information-gain features against a binary outcome column — the
+    q63 operator reached from the parsed expression string."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("y"))
+    return run_expression(
+        'featuresSelection(documents, q=*:*, field="text", outcome="y", '
+        'numTerms="10")', {"documents": docs})
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6260,6 +6274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_expr_let": _q100_expr_let,
         "q101_expr_evaluators": _q101_expr_evaluators,
         "q102_expr_knn": _q102_expr_knn,
+        "q103_expr_features": _q103_expr_features,
     }
 
 
@@ -7057,4 +7072,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q100_expr_let": _Q100_SQL,
         "q101_expr_evaluators": _Q101_SQL,
         "q102_expr_knn": _Q102_SQL,
+        "q103_expr_features": _Q63_SQL,
     }

@@ -518,6 +518,48 @@ def _h_knn(ctx, e):
         max_query_terms=int(e.named1("maxqt", 25)))
 
 
+def _h_features_selection(ctx, e):
+    """FeaturesSelectionStream.java:59 — top numTerms= features of field=
+    by information gain against the binary outcome= column over the q=
+    match set (operators/classify.py::igain_terms: one distinct-(doc,term)
+    explode + one groupBy, totals broadcast)."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    outcome = e.named1("outcome")
+    if outcome is None:
+        raise ValueError("featuresSelection() requires outcome= "
+                         "(the binary label column)")
+    from solr_spark.operators.classify import igain_terms
+
+    return igain_terms(df, e.named1("field", ctx.default_field), outcome,
+                       k=int(e.named1("numTerms", 10)))
+
+
+def _h_train(ctx, e):
+    """TextLogitStream.java:61 — logistic regression over the top-igain
+    token-presence features: train(collection, q=, field=, outcome=,
+    numTerms=, maxIterations=). Feature selection and the per-iteration
+    gradient pass both run as bounded aggregations (classify.igain_terms /
+    tlogit_train — weights travel as broadcast literals, the reference's
+    ship-the-weight-vector-to-every-shard shape). Emits the trained model as
+    rows: (term, weight) per feature plus an `__intercept__` row, the
+    relational restatement of the reference's final weight tuple."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    outcome = e.named1("outcome")
+    if outcome is None:
+        raise ValueError("train() requires outcome= (the binary label column)")
+    field = e.named1("field", ctx.default_field)
+    from solr_spark.operators.classify import igain_terms, tlogit_train
+
+    feats = [r["term"] for r in
+             igain_terms(df, field, outcome,
+                         k=int(e.named1("numTerms", 10))).collect()]
+    model = tlogit_train(df, field, outcome, feats,
+                         iters=int(e.named1("maxIterations", 10)))
+    rows = sorted(model["weights"].items()) + [
+        ("__intercept__", model["intercept"])]
+    return df.sparkSession.createDataFrame(rows, "term string, weight double")
+
+
 def _h_significant_terms(ctx, e):
     """SignificantTermsStream.java:57 — q= defines the FOREGROUND document
     set, the whole collection is the background; terms come from whitespace
@@ -624,6 +666,9 @@ _HANDLERS = {
     "get": _h_get,
     "tuple": _h_tuple,
     "knn": _h_knn,
+    "featuresSelection": _h_features_selection,
+    "features": _h_features_selection,
+    "train": _h_train,
 }
 
 

@@ -386,3 +386,24 @@ def test_dispatch_knn_mlt(spark, colls):
     assert 0 not in ids and ids[0] == 1  # identical doc ranks first
     with pytest.raises(ValueError, match="requires qf"):
         run_expression('knn(d, id="0")', {**colls, "d": docs})
+
+
+def test_dispatch_train_tlogit(spark, colls):
+    """TextLogitStream: train() selects top-igain features then fits the
+    deterministic logistic regression; output is (term, weight) rows plus
+    __intercept__; the discriminative token gets a positive weight."""
+    docs = spark.createDataFrame(
+        [(i, ("spamword buy now" if i % 2 else "normal message text"),
+          1 if i % 2 else 0) for i in range(20)],
+        ["doc_id", "text", "y"])
+    out = run_expression(
+        'train(d, q=*:*, field="text", outcome="y", numTerms="3", '
+        'maxIterations="8")', {**colls, "d": docs}).collect()
+    w = {r["term"]: r["weight"] for r in out}
+    assert "__intercept__" in w and len(w) == 4
+    # every token is perfectly class-separating here, so igain ties and the
+    # deterministic (ig desc, term asc) order picks alphabetically: 'buy'
+    # (positive class) and 'message'/'normal' (negative class)
+    assert w["buy"] > 0 and w["message"] < 0
+    with pytest.raises(ValueError, match="requires outcome"):
+        run_expression('train(d, field="text")', {**colls, "d": docs})
