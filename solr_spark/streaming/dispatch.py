@@ -518,6 +518,24 @@ def _h_knn(ctx, e):
         max_query_terms=int(e.named1("maxqt", 25)))
 
 
+def _h_list(ctx, e):
+    """ListStream.java:42 / PlistStream — emit each sub-stream's tuples,
+    streams in declaration order. A `_list_idx` column carries which
+    sub-stream each row came from (the cluster-safe restatement of the
+    reference's sequential-open ordering: consumers sort or filter on it;
+    Spark runs the branches in parallel, which is exactly plist's point).
+    Columns union by name with nulls for the missing ones."""
+    subs = e.sub_expressions()
+    if not subs:
+        raise ValueError("list() needs at least one sub-stream")
+    out = None
+    for i, s in enumerate(subs):
+        part = _dispatch(ctx, s).withColumn("_list_idx", F.lit(i))
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True)
+    return out
+
+
 def _h_features_selection(ctx, e):
     """FeaturesSelectionStream.java:59 — top numTerms= features of field=
     by information gain against the binary outcome= column over the q=
@@ -669,6 +687,8 @@ _HANDLERS = {
     "featuresSelection": _h_features_selection,
     "features": _h_features_selection,
     "train": _h_train,
+    "list": _h_list,
+    "plist": _h_list,
 }
 
 

@@ -407,3 +407,19 @@ def test_dispatch_train_tlogit(spark, colls):
     assert w["buy"] > 0 and w["message"] < 0
     with pytest.raises(ValueError, match="requires outcome"):
         run_expression('train(d, field="text")', {**colls, "d": docs})
+
+
+def test_dispatch_list_plist(spark, colls):
+    """ListStream/PlistStream: sub-streams concatenate with _list_idx
+    carrying declaration order; columns union by name with null fill."""
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    b = spark.createDataFrame([(2,), (3,)], ["id"])
+    out = run_expression(
+        'list(search(a, q=*:*, sort="id asc"), search(b, q=*:*, '
+        'sort="id asc"))', {**colls, "a": a, "b": b}).collect()
+    by_idx = sorted((r["_list_idx"], r["id"], r["s"]) for r in out)
+    assert by_idx == [(0, 1, "x"), (1, 2, None), (1, 3, None)]
+    same = run_expression(
+        'plist(search(a, q=*:*, sort="id asc"), search(b, q=*:*, '
+        'sort="id asc"))', {**colls, "a": a, "b": b}).count()
+    assert same == 3
