@@ -124,6 +124,8 @@ def read_transcripts(
             fmt = "csv"
         elif source.endswith((".arrow", ".arrows", ".feather", ".ipc")):
             fmt = "arrow"
+        elif source.endswith(".xml"):
+            fmt = "xml"
         else:
             fmt = "parquet"
     if fmt == "table":
@@ -136,10 +138,43 @@ def read_transcripts(
         df = spark.read.parquet(source)
     elif fmt == "arrow":
         df = _read_arrow_ipc(spark, source)
+    elif fmt == "xml":
+        df = _read_solr_xml(spark, source)
     else:
         raise ValueError(f"unknown transcript format {fmt!r}")
     token = input_fingerprint(spark, source if fmt == "table" else None, df)
     return validate_transcripts(df, strict=strict), token
+
+
+def _read_solr_xml(spark: SparkSession, source: str) -> DataFrame:
+    """Solr XML update-format loader (XMLLoader role —
+    solr/core/src/java/org/apache/solr/handler/loader/XMLLoader.java,
+    SURVEY §2.1): `<add><doc><field name="conv_id">c1</field>...</doc></add>`.
+
+    Spark 4's native XML source parses each `<doc>` into
+    `field: array<struct<_VALUE string, _name string>>`; the name→value
+    pivot is pure Column algebra (`filter` + `element_at`), so parsing and
+    projection both stay JVM-side and distribute like any other file scan.
+    Repeated `<field name=X>` entries (Solr's multiValued XML shape) keep
+    the FIRST value for the scalar transcript contract — the same collapse
+    CSV/JSON loaders apply.
+    """
+    raw = (spark.read.format("xml")
+           .option("rowTag", "doc")
+           .load(source))
+    if "field" not in raw.columns:
+        raise ValueError(
+            f"{source}: no <field> elements under <doc> rowTag — not Solr "
+            "XML update format")
+
+    def first_of(name: str, typ: str):
+        vals = F.filter(F.col("field"), lambda s: s["_name"] == F.lit(name))
+        return F.try_element_at(vals, F.lit(1))["_VALUE"].cast(typ).alias(name)
+
+    return raw.select(
+        first_of("conv_id", "string"), first_of("turn_idx", "int"),
+        first_of("role", "string"), first_of("text", "string"),
+        first_of("tool", "string"), first_of("ts", "timestamp"))
 
 
 def _read_arrow_ipc(spark: SparkSession, source: str) -> DataFrame:

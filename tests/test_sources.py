@@ -107,3 +107,42 @@ def test_arrow_ipc_reader(spark, tmp_path):
                    ("c2", 0, "retry merge", None)]
     assert df.schema["turn_idx"].dataType.simpleString() == "int"
     assert token.startswith("files-")
+
+
+def test_xml_solr_update_format(spark, tmp_path):
+    """XMLLoader role: <add><doc><field name=..> parses natively and lands
+    on the transcript contract; repeated field names keep the first value."""
+    p = str(tmp_path / "t.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<add>"
+            '<doc><field name="conv_id">c1</field>'
+            '<field name="turn_idx">0</field>'
+            '<field name="role">user</field>'
+            '<field name="text">hello world</field>'
+            '<field name="ts">2024-01-01T00:00:00Z</field></doc>'
+            '<doc><field name="conv_id">c1</field>'
+            '<field name="turn_idx">1</field>'
+            '<field name="role">assistant</field>'
+            '<field name="text">first value</field>'
+            '<field name="text">second value dropped</field>'
+            '<field name="tool">search</field></doc>'
+            "</add>")
+    df, token = read_transcripts(spark, p)
+    rows = {r.turn_idx: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows[0].text == "hello world" and rows[0].role == "user"
+    assert rows[0].ts is not None
+    assert rows[1].text == "first value"  # multivalued keeps first
+    assert rows[1].tool == "search" and rows[1].ts is None
+    assert df.schema["turn_idx"].dataType.simpleString() == "int"
+    assert token.startswith("files-")
+
+
+def test_xml_not_update_format_raises(spark, tmp_path):
+    p = str(tmp_path / "bad.xml")
+    with open(p, "w") as f:
+        f.write("<add><doc><title>plain</title></doc></add>")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="update format"):
+        read_transcripts(spark, p)
