@@ -6076,6 +6076,69 @@ def _q103_expr_features(spark, sf_dir):
         'numTerms="10")', {"documents": docs})
 
 
+def _q104_versioned_update(spark, sf_dir):
+    """Optimistic concurrency (DistributedUpdateProcessor.versionAdd;
+    indexing/versions.py::check_versions): `_version_` conditional updates
+    classified in one broadcastable key+version join. Current versions are
+    synthesized as 2 + doc_id % 5; the update batch covers all four
+    semantics — exact-match (doc_id%4==0), mismatch (999), must-exist (1),
+    unconditional (0) — plus creates at shifted ids with must-not-exist (-1,
+    applied) and must-exist (1, conflict)."""
+    from solr_spark.indexing.versions import check_versions
+
+    docs = _t(spark, sf_dir, "documents")
+    current = docs.select(
+        "doc_id", (F.lit(2) + F.col("doc_id") % 5).cast("long")
+        .alias("_version_"))
+    req = (F.when(F.col("doc_id") % 4 == 0, F.lit(2) + F.col("doc_id") % 5)
+           .when(F.col("doc_id") % 4 == 1, F.lit(999))
+           .when(F.col("doc_id") % 4 == 2, F.lit(1))
+           .otherwise(F.lit(0)))
+    updates = docs.select("doc_id", req.cast("long").alias("_version_"))
+    tens = docs.where(F.col("doc_id") % 10 == 0)
+    creates = tens.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.lit(-1).cast("long").alias("_version_"))
+    ghosts = tens.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.lit(1).cast("long").alias("_version_"))
+    batch = updates.unionByName(creates).unionByName(ghosts)
+    out = check_versions(current, batch, ["doc_id"])
+    return (out.select("doc_id", "status", "cur_version", "new_version")
+            .orderBy("doc_id", "status"))
+
+
+_Q104_SQL = """
+WITH cur AS (
+  SELECT doc_id, (2 + doc_id % 5)::BIGINT AS cur_version FROM documents
+),
+upd AS (
+  SELECT doc_id, (CASE WHEN doc_id % 4 = 0 THEN 2 + doc_id % 5
+                       WHEN doc_id % 4 = 1 THEN 999
+                       WHEN doc_id % 4 = 2 THEN 1
+                       ELSE 0 END)::BIGINT AS req
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, (-1)::BIGINT FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, 1::BIGINT FROM documents WHERE doc_id % 10 = 0
+),
+j AS (
+  SELECT upd.doc_id, req, cur_version,
+    CASE WHEN req > 1 AND cur_version IS NULL THEN 'conflict_doc_missing'
+         WHEN req > 1 AND cur_version <> req THEN 'conflict_version_mismatch'
+         WHEN req = 1 AND cur_version IS NULL THEN 'conflict_doc_missing'
+         WHEN req < 0 AND cur_version IS NOT NULL THEN 'conflict_doc_exists'
+         ELSE 'applied' END AS status
+  FROM upd LEFT JOIN cur USING (doc_id)
+)
+SELECT doc_id, status, cur_version,
+  (CASE WHEN status = 'applied' THEN COALESCE(cur_version, 1) + 1 END)::BIGINT
+    AS new_version
+FROM j ORDER BY doc_id, status
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6275,6 +6338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_expr_evaluators": _q101_expr_evaluators,
         "q102_expr_knn": _q102_expr_knn,
         "q103_expr_features": _q103_expr_features,
+        "q104_versioned_update": _q104_versioned_update,
     }
 
 
@@ -7073,4 +7137,5 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q101_expr_evaluators": _Q101_SQL,
         "q102_expr_knn": _Q102_SQL,
         "q103_expr_features": _Q63_SQL,
+        "q104_versioned_update": _Q104_SQL,
     }
