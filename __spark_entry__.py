@@ -6076,6 +6076,99 @@ def _q103_expr_features(spark, sf_dir):
         'numTerms="10")', {"documents": docs})
 
 
+def _ft42_word_breaks(spark, sf_dir):
+    """WordBreak spellcheck, break direction (WordBreakSolrSpellChecker /
+    Lucene WordBreakSpellChecker.suggestWordBreaks;
+    operators/components.py::suggest_word_breaks): 'mergejoin' splits at one
+    change, 'hashjoinkey' needs the 3-part split (max_changes=2). Candidate
+    splits enumerate driver-side; the dictionary scans once per call with an
+    isin pushdown."""
+    from solr_spark.operators.components import suggest_word_breaks
+
+    reader = _ft_index(spark, sf_dir)
+    a = (suggest_word_breaks(spark, reader.index_dir, "mergejoin",
+                             min_break_length=3, max_changes=1, k=10)
+         .withColumn("word", F.lit("mergejoin")))
+    b = (suggest_word_breaks(spark, reader.index_dir, "hashjoinkey",
+                             min_break_length=3, max_changes=2, k=10)
+         .withColumn("word", F.lit("hashjoinkey")))
+    return (a.unionByName(b)
+            .select("word", "suggestion", "n_changes", "score")
+            .orderBy("word", "n_changes", F.desc("score"), "suggestion"))
+
+
+def _ft42_sql() -> str:
+    # independent split enumeration: DuckDB generate_series over cut points
+    return f"""
+WITH {_TOKS_CTE},
+d AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY tok),
+w AS (SELECT 'mergejoin' AS word UNION ALL SELECT 'hashjoinkey'),
+s2 AS (
+  SELECT word, substr(word, 1, i) AS p1, substr(word, i + 1) AS p2
+  FROM w CROSS JOIN generate_series(3, 8) t(i)
+  WHERE i <= length(word) - 3 AND word = 'mergejoin'
+),
+m2 AS (
+  SELECT word, p1 || ' ' || p2 AS suggestion, 1 AS n_changes,
+         greatest(d1.df, d2.df) AS score
+  FROM s2 JOIN d d1 ON d1.term = p1 JOIN d d2 ON d2.term = p2
+),
+s3 AS (
+  SELECT word, substr(word, 1, i) AS p1,
+         substr(word, i + 1, j - i) AS p2, substr(word, j + 1) AS p3
+  FROM (SELECT 'hashjoinkey' AS word)
+       CROSS JOIN generate_series(3, 8) t(i)
+       CROSS JOIN generate_series(6, 8) u(j)
+  WHERE j - i >= 3 AND length(word) - j >= 3
+),
+s3two AS (  -- the 2-part splits of hashjoinkey (max_changes=2 includes them)
+  SELECT word, substr(word, 1, i) AS p1, substr(word, i + 1) AS p2
+  FROM (SELECT 'hashjoinkey' AS word) CROSS JOIN generate_series(3, 8) t(i)
+  WHERE i <= length(word) - 3
+),
+m3 AS (
+  SELECT word, p1 || ' ' || p2 || ' ' || p3 AS suggestion, 2 AS n_changes,
+         greatest(d1.df, d2.df, d3.df) AS score
+  FROM s3 JOIN d d1 ON d1.term = p1 JOIN d d2 ON d2.term = p2
+          JOIN d d3 ON d3.term = p3
+  UNION ALL
+  SELECT word, p1 || ' ' || p2, 1, greatest(d1.df, d2.df)
+  FROM s3two JOIN d d1 ON d1.term = p1 JOIN d d2 ON d2.term = p2
+)
+SELECT word, suggestion, n_changes::INT AS n_changes, score
+FROM (SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+ORDER BY word, n_changes, score DESC, suggestion
+"""
+
+
+def _ft43_word_combinations(spark, sf_dir):
+    """WordBreak spellcheck, combine direction
+    (WordBreakSpellChecker.suggestWordCombinations;
+    operators/components.py::suggest_word_combinations): adjacent query-term
+    runs 'vec tor'->'vector' and 'mer ge'->'merge' resolve against the
+    dictionary in one isin-pushed lookup."""
+    from solr_spark.operators.components import suggest_word_combinations
+
+    reader = _ft_index(spark, sf_dir)
+    return suggest_word_combinations(
+        spark, reader.index_dir, ["vec", "tor", "mer", "ge"], k=10)
+
+
+def _ft43_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+d AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+      FROM toks GROUP BY tok),
+runs(start_idx, length, suggestion) AS (
+  VALUES (0, 2, 'vector'), (1, 2, 'tormer'), (2, 2, 'merge')
+)
+SELECT start_idx::INT AS start_idx, length::INT AS length, suggestion, df
+FROM runs JOIN d ON d.term = suggestion
+ORDER BY length, df DESC, suggestion, start_idx
+"""
+
+
 def _q104_versioned_update(spark, sf_dir):
     """Optimistic concurrency (DistributedUpdateProcessor.versionAdd;
     indexing/versions.py::check_versions): `_version_` conditional updates
@@ -6339,6 +6432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_expr_knn": _q102_expr_knn,
         "q103_expr_features": _q103_expr_features,
         "q104_versioned_update": _q104_versioned_update,
+        "ft42_word_breaks": _ft42_word_breaks,
+        "ft43_word_combinations": _ft43_word_combinations,
     }
 
 
@@ -7138,4 +7233,6 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q102_expr_knn": _Q102_SQL,
         "q103_expr_features": _Q63_SQL,
         "q104_versioned_update": _Q104_SQL,
+        "ft42_word_breaks": _ft42_sql(),
+        "ft43_word_combinations": _ft43_sql(),
     }

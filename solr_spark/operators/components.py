@@ -407,6 +407,108 @@ def spellcheck(spark: SparkSession, index_dir: str, word: str,
              .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(k))
 
 
+def _compositions(word: str, max_parts: int, min_len: int) -> list[list[str]]:
+    """All splits of `word` into 2..max_parts contiguous parts, each at least
+    `min_len` chars. Driver-side enumeration — query words are tiny, and the
+    count is bounded by C(len-1, max_parts-1)."""
+    out: list[list[str]] = []
+
+    def rec(rest: str, parts: list[str]) -> None:
+        if parts and len(rest) >= min_len and len(parts) + 1 >= 2 \
+                and len(parts) + 1 <= max_parts:
+            out.append(parts + [rest])
+        if len(parts) + 1 >= max_parts:
+            return
+        for i in range(min_len, len(rest) - min_len + 1):
+            rec(rest[i:], parts + [rest[:i]])
+
+    rec(word, [])
+    return out
+
+
+def suggest_word_breaks(spark: SparkSession, index_dir: str, word: str,
+                        k: int = 5, min_break_length: int = 3,
+                        max_changes: int = 1,
+                        sort_by: str = "max_freq") -> DataFrame:
+    """WordBreak spellcheck, break direction: split a (typically zero-hit)
+    query word into 2..max_changes+1 dictionary words.
+
+    Reference: WordBreakSolrSpellChecker wrapping Lucene's
+    WordBreakSpellChecker.suggestWordBreaks
+    (lucene/suggest/src/java/org/apache/lucene/search/spell/WordBreakSpellChecker.java
+    — minBreakWordLength, maxChanges, BreakSuggestionSortMethod
+    NUM_CHANGES_THEN_MAX_FREQUENCY / NUM_CHANGES_THEN_SUM_FREQUENCY).
+
+    Plan shape: candidate splits are enumerated driver-side (a few dozen
+    strings), the dictionary is scanned ONCE with an `isin` pushdown over
+    the distinct parts, and the per-split "every part is a real term" check
+    is a tiny grouped join — nothing here grows with corpus size, only with
+    vocabulary selectivity. Output: suggestion (space-joined parts),
+    n_changes, score — ordered (n_changes asc, score desc, suggestion asc).
+    """
+    if sort_by not in ("max_freq", "sum_freq"):
+        raise ValueError(f"sort_by must be max_freq|sum_freq, got {sort_by!r}")
+    splits = _compositions(word, max_changes + 1, min_break_length)
+    if not splits:
+        return spark.createDataFrame(
+            [], "suggestion string, n_changes int, score bigint")
+    rows = [(i, " ".join(parts), len(parts), p)
+            for i, parts in enumerate(splits) for p in parts]
+    cand = spark.createDataFrame(
+        rows, "sug_id int, suggestion string, n_parts int, part string")
+    parts_set = sorted({p for _, _, _, p in rows})
+    d = (spark.read.parquet(os.path.join(index_dir, "dictionary"))
+         .where(F.col("term").isin(parts_set))
+         .select("term", F.col("df").cast("long").alias("df")))
+    agg = F.max("df") if sort_by == "max_freq" else F.sum("df")
+    return (cand.join(d, cand.part == d.term)
+            .groupBy("sug_id", "suggestion", "n_parts")
+            .agg(F.count("*").alias("n_hit"), agg.cast("long").alias("score"))
+            .where(F.col("n_hit") == F.col("n_parts"))
+            .select("suggestion",
+                    (F.col("n_parts") - 1).cast("int").alias("n_changes"),
+                    "score")
+            .orderBy(F.asc("n_changes"), F.desc("score"), F.asc("suggestion"))
+            .limit(k))
+
+
+def suggest_word_combinations(spark: SparkSession, index_dir: str,
+                              terms: Sequence[str], k: int = 5,
+                              max_changes: int = 1,
+                              max_combine_word_length: int = 20) -> DataFrame:
+    """WordBreak spellcheck, combine direction: join runs of 2..max_changes+1
+    ADJACENT query terms into a single dictionary word.
+
+    Reference: WordBreakSpellChecker.suggestWordCombinations (maxChanges,
+    maxCombineWordLength; ranked by the combined term's frequency). Candidate
+    runs are enumerated driver-side from the query terms; one dictionary
+    lookup with `isin` pushdown resolves them. Output: start_idx, length,
+    suggestion, df — ordered (n_changes asc, df desc, suggestion asc).
+    """
+    terms = list(terms)
+    cands = []
+    for start in range(len(terms)):
+        for ln in range(2, max_changes + 2):
+            if start + ln > len(terms):
+                break
+            combined = "".join(terms[start:start + ln])
+            if len(combined) <= max_combine_word_length:
+                cands.append((start, ln, combined))
+    if not cands:
+        return spark.createDataFrame(
+            [], "start_idx int, length int, suggestion string, df bigint")
+    cand = spark.createDataFrame(
+        cands, "start_idx int, length int, suggestion string")
+    d = (spark.read.parquet(os.path.join(index_dir, "dictionary"))
+         .where(F.col("term").isin(sorted({c[2] for c in cands})))
+         .select("term", F.col("df").cast("long").alias("df")))
+    return (cand.join(d, cand.suggestion == d.term)
+            .select("start_idx", "length", "suggestion", "df")
+            .orderBy(F.asc(F.col("length")), F.desc("df"),
+                     F.asc("suggestion"), F.asc("start_idx"))
+            .limit(k))
+
+
 def rerank(topk: DataFrame, rerank_expr: Column, rerank_docs: int,
            first_sort: Sequence[Column | str], weight: float = 1.0,
            score_col: str = "score") -> DataFrame:

@@ -1018,3 +1018,48 @@ def test_suggest_documents_weighted(spark):
         ("apple pie", 9.0, "p2"), ("apple tart", 2.0, "p3")]
     flat = suggest_documents(docs, "title", "app", k=10).collect()
     assert all(r["weight"] == 1.0 for r in flat)
+
+
+def test_word_break_suggestions(spark, built_index):
+    """WordBreakSpellChecker break direction: split a zero-hit word into
+    dictionary words, fewest changes first."""
+    from solr_spark.operators.components import suggest_word_breaks
+
+    index_dir, cfg, _ = built_index
+    out = suggest_word_breaks(spark, index_dir, "errortimeout",
+                              min_break_length=3, max_changes=1).collect()
+    assert out and out[0].suggestion == "error timeout"
+    assert out[0].n_changes == 1 and out[0].score > 0
+    # max_changes=2 finds the 3-way split, ordered after any 2-way splits
+    out3 = suggest_word_breaks(spark, index_dir, "retryservererror",
+                               min_break_length=3, max_changes=2, k=10).collect()
+    assert any(r.suggestion == "retry server error" and r.n_changes == 2
+               for r in out3)
+    two_way = [r for r in out3 if r.n_changes == 1]
+    idx3 = [r.suggestion for r in out3].index("retry server error")
+    assert all([r.suggestion for r in out3].index(r.suggestion) < idx3
+               for r in two_way)
+    # sum_freq vs max_freq agree on membership, may reorder
+    s = suggest_word_breaks(spark, index_dir, "errortimeout",
+                            min_break_length=3, sort_by="sum_freq").collect()
+    assert {r.suggestion for r in s} == {r.suggestion for r in out}
+    # unsplittable word -> empty
+    assert suggest_word_breaks(spark, index_dir, "zzzzqqqq").count() == 0
+
+
+def test_word_combinations(spark, built_index):
+    from solr_spark.operators.components import suggest_word_combinations
+
+    index_dir, cfg, _ = built_index
+    out = suggest_word_combinations(
+        spark, index_dir, ["time", "out", "mer", "ge"], k=5).collect()
+    got = {(r.start_idx, r.length): r.suggestion for r in out}
+    assert got.get((0, 2)) == "timeout"
+    assert got.get((2, 2)) == "merge"
+    assert all(r.df > 0 for r in out)
+    # adjacent-only: ("time","ge") never combines
+    assert (0, 3) not in got  # length capped by max_changes=1
+    # 3-term combine with max_changes=2 (no such vocab word here -> absent)
+    out2 = suggest_word_combinations(
+        spark, index_dir, ["time", "out", "mer", "ge"], max_changes=2).collect()
+    assert {(r.start_idx, r.length) for r in out2} == {(0, 2), (2, 2)}
