@@ -6169,6 +6169,54 @@ ORDER BY length, df DESC, suggestion, start_idx
 """
 
 
+def _q105_json_ranges_facet(spark, sf_dir):
+    """Explicit `ranges` list in a JSON range facet (SOLR-6348,
+    RangeFacetProcessor `ranges`; facets.py::list_ranges_facet through
+    jsonapi.py::json_facets): arbitrary OVERLAPPING ranges with mixed
+    inclusivity and unbounded ends, a per-range stat, all folded into one
+    conditional-aggregation scan of the filtered domain."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "*:*",
+           "filter": "lang:en",
+           "facet": {"sizes": {
+               "type": "range", "field": "n_chars",
+               "ranges": [
+                   {"range": "[0,200)"},
+                   {"from": 100, "to": 400},
+                   {"from": 300, "to": 800, "inclusive_from": False,
+                    "inclusive_to": True},
+                   {"range": "[500,*)"}],
+               "facet": {"total_chars": "sum(n_chars)"}}}}
+    out = json_facets(docs, req)["sizes"]
+    return (out.select("range",
+                       F.col("count").cast("long").alias("count"),
+                       F.col("total_chars").cast("long").alias("total_chars"))
+            .orderBy("range"))
+
+
+_Q105_SQL = """
+WITH dom AS (SELECT n_chars FROM documents WHERE lang = 'en'),
+r(k, lo, hi, ilo, ihi) AS (VALUES
+  ('[0,200)',   0,    200, true,  false),
+  ('[100,400)', 100,  400, true,  false),
+  ('(300,800]', 300,  800, false, true),
+  ('[500,*)',   500, NULL, true,  false))
+SELECT k AS range,
+  count(CASE WHEN (CASE WHEN ilo THEN n_chars >= lo ELSE n_chars > lo END)
+              AND (hi IS NULL OR (CASE WHEN ihi THEN n_chars <= hi
+                                       ELSE n_chars < hi END))
+        THEN 1 END)::BIGINT AS count,
+  sum(CASE WHEN (CASE WHEN ilo THEN n_chars >= lo ELSE n_chars > lo END)
+            AND (hi IS NULL OR (CASE WHEN ihi THEN n_chars <= hi
+                                     ELSE n_chars < hi END))
+      THEN n_chars END)::BIGINT AS total_chars
+FROM dom CROSS JOIN r
+GROUP BY k ORDER BY k
+"""
+
+
 def _q104_versioned_update(spark, sf_dir):
     """Optimistic concurrency (DistributedUpdateProcessor.versionAdd;
     indexing/versions.py::check_versions): `_version_` conditional updates
@@ -6432,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_expr_knn": _q102_expr_knn,
         "q103_expr_features": _q103_expr_features,
         "q104_versioned_update": _q104_versioned_update,
+        "q105_json_ranges_facet": _q105_json_ranges_facet,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7233,6 +7282,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q102_expr_knn": _Q102_SQL,
         "q103_expr_features": _Q63_SQL,
         "q104_versioned_update": _Q104_SQL,
+        "q105_json_ranges_facet": _Q105_SQL,
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

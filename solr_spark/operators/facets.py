@@ -324,6 +324,76 @@ def interval_facet(df: DataFrame, field: str,
         F.expr(f"stack({len(preds)}, {stack}) as (interval, count)"))
 
 
+def list_ranges_facet(df: DataFrame, field: str,
+                      ranges: Sequence[dict],
+                      metrics: Sequence[tuple[str, str]] = ()) -> DataFrame:
+    """JSON range facet with an explicit `ranges` list (SOLR-6348;
+    RangeFacetProcessor's `ranges` parameter — arbitrary, possibly
+    overlapping ranges instead of start/gap arithmetic).
+
+    Each range is `{"range": "[0,100)"}` (interval syntax, `*` unbounded) or
+    `{"from": 0, "to": 100, "inclusive_from": True, "inclusive_to": False}`
+    (the reference's defaults: from-inclusive, to-exclusive). The bucket key
+    is the canonical range string, exactly how the reference labels these
+    buckets. Like `interval_facet`, ALL ranges and metrics fold into ONE
+    conditional-aggregation scan — overlap costs nothing extra, and there is
+    no shuffle at all (one partial-agg reduce to a single row, then a stack).
+    """
+    import re
+
+    v = F.col(field)
+    rows: list[tuple[str, Column]] = []
+    for spec in ranges:
+        if "range" in spec:
+            m = re.match(r"^([\[\(])(.*),(.*)([\]\)])$", spec["range"].strip())
+            if not m:
+                raise ValueError(f"bad range syntax {spec['range']!r}")
+            lo = None if m.group(2).strip() == "*" else float(m.group(2))
+            hi = None if m.group(3).strip() == "*" else float(m.group(3))
+            inc_lo, inc_hi = m.group(1) == "[", m.group(4) == "]"
+        else:
+            lo, hi = spec.get("from"), spec.get("to")
+            inc_lo = bool(spec.get("inclusive_from", True))
+            inc_hi = bool(spec.get("inclusive_to", False))
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (v >= lo if inc_lo else v > lo)
+        if hi is not None:
+            p = p & (v <= hi if inc_hi else v < hi)
+
+        def fmt(x):
+            if x is None:
+                return "*"
+            return str(int(x)) if float(x).is_integer() else str(x)
+
+        key = (("[" if inc_lo else "(") + fmt(lo) + "," + fmt(hi)
+               + ("]" if inc_hi else ")"))
+        rows.append((key, p))
+
+    aggs, names = [], []
+    for i, (key, p) in enumerate(rows):
+        aggs.append(F.count(F.when(p, F.lit(1))).alias(f"__c{i}"))
+        names.append((key, [f"__c{i}"]))
+        for name, col in metrics:
+            a = f"__m{i}_{name}_{col}"
+            if name == "missing":
+                m = F.count(F.when(p & F.col(col).isNull(), F.lit(1)))
+            elif name == "sumsq":
+                m = F.sum(F.when(p, F.col(col) * F.col(col)))
+            else:
+                m = _METRICS[name](F.when(p, F.col(col)))
+            aggs.append(m.alias(a))
+            names[-1][1].append(a)
+    one = df.agg(*aggs)
+    out_cols = ["count"] + [f"{n}_{c}" for n, c in metrics]
+    stack = ", ".join(
+        f"'{key}', " + ", ".join(f"`{a}`" for a in cols)
+        for key, cols in names)
+    return one.select(F.expr(
+        f"stack({len(rows)}, {stack}) as (`range`, "
+        + ", ".join(f"`{c}`" for c in out_cols) + ")"))
+
+
 def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
     """`query` facets: one bucket per named predicate, computed in a SINGLE pass via
     conditional aggregation + stack (the reference runs one DocSet intersection per

@@ -416,6 +416,23 @@ def json_facets(df: DataFrame, request: dict | str,
                 if not isinstance(s, str):
                     raise ValueError(
                         f"range facet {name!r} supports stat strings only")
+            if "ranges" in spec:
+                # SOLR-6348 explicit range list (RangeFacetProcessor
+                # `ranges`): arbitrary/overlapping ranges, canonical
+                # range-string bucket keys, one conditional-agg scan.
+                pairs, renames = [], []
+                for a, s in spec.get("facet", {}).items():
+                    m = _METRIC_RE.fullmatch(s.strip())
+                    if not m or m.group(1) not in FC._METRICS:
+                        raise ValueError(f"unsupported facet stat {s!r}")
+                    pairs.append(m.groups())
+                    renames.append((f"{m.group(1)}_{m.group(2)}", a))
+                ranged = FC.list_ranges_facet(
+                    fdom, spec["field"], spec["ranges"], metrics=pairs)
+                for old, new in renames:
+                    ranged = ranged.withColumnRenamed(old, new)
+                out[name] = ranged
+                continue
             metrics = [_parse_metric(a, s)
                        for a, s in spec.get("facet", {}).items()]
             ranged = FC.range_facet(fdom, spec["field"],

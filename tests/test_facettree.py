@@ -126,3 +126,30 @@ def test_bucket_with_empty_subdomain_still_ranks(spark):
     # top-2 langs by count are xx (30) and en (20); xx has no leaf rows, so
     # the output contains ONLY en leaves — never fr
     assert {r.langs for r in tree} == {"en"}
+
+
+def test_list_ranges_facet(spark):
+    """SOLR-6348 `ranges` param: arbitrary overlapping ranges, canonical
+    range-string bucket keys, metrics in the same single pass."""
+    from solr_spark.operators.facets import list_ranges_facet
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(10)], "id int, v double")
+    out = list_ranges_facet(
+        df, "v",
+        [{"range": "[0,30)"},                       # 0,10,20
+         {"from": 20, "to": 50},                    # 20,30,40 (defaults)
+         {"from": 40, "to": 60, "inclusive_from": False,
+          "inclusive_to": True},                    # 50,60
+         {"range": "[80,*)"},                       # 80,90
+         {"range": "(90,*)"}],                      # empty
+        metrics=[("sum", "v"), ("max", "id")]).collect()
+    got = {r["range"]: (r["count"], r.sum_v, r.max_id) for r in out}
+    assert got["[0,30)"] == (3, 30.0, 2)
+    assert got["[20,50)"] == (3, 90.0, 4)
+    assert got["(40,60]"] == (2, 110.0, 6)
+    assert got["[80,*)"] == (2, 170.0, 9)
+    assert got["(90,*)"] == (0, None, None)
+    # request order preserved
+    assert [r["range"] for r in out] == [
+        "[0,30)", "[20,50)", "(40,60]", "[80,*)", "(90,*)"]
