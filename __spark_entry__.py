@@ -6280,6 +6280,94 @@ FROM j ORDER BY doc_id, status
 """
 
 
+def _q106_expr_classify(spark, sf_dir):
+    """classify() stream (ClassifyStream.java:38; dispatch.py::_h_classify):
+    apply a FIXED logistic model (term,weight rows, __intercept__ included)
+    to a doc stream via the expression DSL, emitting the reference's score_d
+    (raw margin over distinct-token presence) and probability_d (sigmoid).
+    Training itself is gated by q65/q103; this pins the apply semantics."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    model = spark.createDataFrame(
+        [("error", 1.5), ("merge", -0.75), ("__intercept__", 0.25)],
+        "term string, weight double")
+    colls = {"models": model, "docs": _t(spark, sf_dir, "documents")}
+    out = run_expression(
+        'classify(search(models, q=*:*, fl="term,weight", sort="term asc"), '
+        'search(docs, q=*:*, fl="doc_id,text", sort="doc_id asc"))', colls)
+    return (out.select("doc_id",
+                       _dround("score_d", 6).alias("score_d"),
+                       _dround("probability_d", 6).alias("probability_d"))
+            .orderBy("doc_id"))
+
+
+_Q106_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         0.25 + 1.5 * (CASE WHEN list_contains(string_split(text, ' '),
+                                               'error') THEN 1.0 ELSE 0.0 END)
+              - 0.75 * (CASE WHEN list_contains(string_split(text, ' '),
+                                                'merge') THEN 1.0 ELSE 0.0 END)
+           AS margin
+  FROM documents
+)
+SELECT doc_id, round(margin, 6) AS score_d,
+       round(1.0 / (1.0 + exp(-margin)), 6) AS probability_d
+FROM m ORDER BY doc_id
+"""
+
+
+def _q107_expr_outer_hash_join(spark, sf_dir):
+    """outerHashJoin() stream (OuterHashJoinStream.java:50; dispatch.py::
+    _h_outer_hash_join): left-outer broadcast join through the DSL — every
+    nation row passes, ASIA region fields attach where the key matches."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"nation": _t(spark, sf_dir, "nation"),
+             "region": _t(spark, sf_dir, "region")}
+    out = run_expression(
+        'outerHashJoin(search(nation, q=*:*, fl="n_nationkey,n_name,'
+        'n_regionkey", sort="n_nationkey asc"), '
+        'hashed=search(region, q="r_name:ASIA", fl="r_regionkey,r_name", '
+        'sort="r_regionkey asc"), on="n_regionkey=r_regionkey")', colls)
+    return out.select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+
+
+_Q107_SQL = """
+SELECT n_nationkey, n_name, r.r_name
+FROM nation n LEFT JOIN (SELECT * FROM region WHERE r_name = 'ASIA') r
+  ON n.n_regionkey = r.r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def _q108_expr_drill(spark, sf_dir):
+    """drill() stream (DrillStream.java:43 + DrillHandler's pushed export
+    rollup; dispatch.py::_h_drill/_h_input): the inner rollup runs over
+    input() = the exported scan — Spark's partial aggregation IS the
+    reference's shard-side pushdown, so the plan is the plain one-exchange
+    grouped aggregate."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"lineitem": _t(spark, sf_dir, "lineitem")}
+    out = run_expression(
+        'drill(lineitem, q="l_shipdate:[1998-03-01 TO *]", '
+        'fl="l_returnflag,l_quantity", sort="l_returnflag asc", '
+        'rollup(input(), over="l_returnflag", sum(l_quantity), count(*)))',
+        colls)
+    return out.select(
+        F.col("l_returnflag"),
+        F.col("`sum(l_quantity)`").alias("sum_qty"),
+        F.col("`count(*)`").alias("n")).orderBy("l_returnflag")
+
+
+_Q108_SQL = """
+SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*)::BIGINT AS n
+FROM lineitem WHERE l_shipdate >= DATE '1998-03-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6481,6 +6569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_expr_features": _q103_expr_features,
         "q104_versioned_update": _q104_versioned_update,
         "q105_json_ranges_facet": _q105_json_ranges_facet,
+        "q106_expr_classify": _q106_expr_classify,
+        "q107_expr_outer_hash_join": _q107_expr_outer_hash_join,
+        "q108_expr_drill": _q108_expr_drill,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7283,6 +7374,9 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q103_expr_features": _Q63_SQL,
         "q104_versioned_update": _Q104_SQL,
         "q105_json_ranges_facet": _Q105_SQL,
+        "q106_expr_classify": _Q106_SQL,
+        "q107_expr_outer_hash_join": _Q107_SQL,
+        "q108_expr_drill": _Q108_SQL,
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

@@ -17,12 +17,13 @@ solr_spark.query.parser) and therefore push down to the scan; everything else
 is declarative Column algebra, so Catalyst still sees one whole plan per
 expression — the string front-end adds zero execution overhead.
 
-Per-function reference citations live on each handler. Not registered (with
-reasons): `let`/`tuple`/`list`/`get` (driver-side variable plumbing —
-Python variables do this), `daemon`/`topic`/`update`/`commit` (live in
-solr_spark.streaming.topic / solr_spark.indexing with checkpoint state that
-doesn't fit a pure-function dispatch), `parallel` (Spark IS the parallel
-executor; the workers= parameter has no analog), `jdbc` (spark.read.jdbc).
+Per-function reference citations live on each handler. Stateful streams
+(`update`/`commit`/`topic`/`daemon`) are registered too: they need
+`index_dirs=` / `checkpoint_dir=` passed to `run_expression`, and their
+side effects (segment adds, watermark advances) happen EAGERLY at dispatch
+time — the batch analog of the reference's push-as-you-stream semantics.
+Not registered (with reasons): `jdbc` (spark.read.jdbc is the idiomatic
+spelling), `executor` (a distributed task queue — Spark's scheduler role).
 """
 
 from __future__ import annotations
@@ -46,6 +47,9 @@ class _Ctx:
     collections: dict
     default_field: str
     text_fields: set | None
+    index_dirs: dict | None = None      # name -> index dir (update/commit)
+    checkpoint_dir: str | None = None   # topic() watermark files
+    config: object = None               # IndexConfig for update()
 
 
 # ---------------------------------------------------------------- helpers
@@ -484,7 +488,12 @@ def _h_tuple(ctx, e):
                 f"tuple({p.name}={v}): stream-valued tuple entries are not "
                 "supported (arrival order is nondeterministic on a cluster) "
                 "— use get() to read the bound stream")
-        cols.append(_evaluator(v).alias(p.name))
+        if isinstance(v, str) and not _NUM_RE.match(v.strip()):
+            # a bare string in tuple() is a constant (TupStream evaluates
+            # literals; there is no row context for a column reference)
+            cols.append(F.lit(v).alias(p.name))
+        else:
+            cols.append(_evaluator(v).alias(p.name))
     if not cols:
         raise ValueError("tuple() needs at least one named value")
     return spark.range(1).select(*cols)
@@ -647,6 +656,211 @@ def _h_random(ctx, e):
               .limit(rows))
 
 
+def _h_update(ctx, e):
+    """UpdateStream.java:60 — update(dest, <stream>): push the inner
+    stream's tuples into the destination index as a fresh NRT segment
+    (indexing.merge.add_documents), EAGERLY at dispatch time (the reference
+    indexes as it pulls tuples), then emit the batch-summary tuple the
+    reference emits (batchIndexed / totalIndexed). `dest` resolves through
+    run_expression's `index_dirs=` mapping."""
+    names = e.positional_values()
+    if not names:
+        raise ValueError("update() needs a destination collection name")
+    dest = names[0]
+    if not ctx.index_dirs or dest not in ctx.index_dirs:
+        raise ValueError(
+            f"update() destination {dest!r} not registered — pass "
+            f"index_dirs={{{dest!r}: <index path>}} to run_expression")
+    df = _input_stream(ctx, e)
+    spark = df.sparkSession
+    n = df.count()
+    if n:
+        from solr_spark.config import DEFAULT_CONFIG
+        from solr_spark.indexing.merge import add_documents
+
+        stats = add_documents(spark, df, ctx.index_dirs[dest],
+                              ctx.config or DEFAULT_CONFIG)
+        total = stats["n_docs"]
+    else:
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(ctx.index_dirs[dest], "stats.json")) as f:
+            total = _json.load(f)["n_docs"]
+    return spark.createDataFrame(
+        [(dest, n, total)],
+        "dest string, batchIndexed long, totalIndexed long")
+
+
+def _h_commit(ctx, e):
+    """CommitStream.java:46 — commit(dest, <stream>): run the wrapped
+    (usually update) stream, then make its adds durable. The LSM layout
+    commits on segment write (write_live_segments is the atomic commit
+    point), so this is a semantic passthrough that re-emits the inner
+    stream's tuples — registered for expression compatibility."""
+    names = e.positional_values()
+    if not names:
+        raise ValueError("commit() needs a destination collection name")
+    return _input_stream(ctx, e)
+
+
+def _h_topic(ctx, e):
+    """TopicStream.java:118 — topic(checkpointName, collection, id=,
+    versionField=): return only rows with version strictly above the
+    persisted watermark, then advance the watermark. The reference
+    checkpoints into a collection as it streams (checkpointEvery); the
+    batch analog computes the batch's high watermark EAGERLY (one bounded
+    agg job), persists it, and returns the frozen slice — so
+    daemon(update(dest, topic(...))) indexes each row exactly once across
+    runs. Requires checkpoint_dir= on run_expression."""
+    import json as _json
+    import os as _os
+
+    names = e.positional_values()
+    if len(names) < 2:
+        raise ValueError("topic() needs (checkpointName, collection)")
+    if not ctx.checkpoint_dir:
+        raise ValueError("topic() requires checkpoint_dir= on run_expression")
+    ckpt_name, coll = names[0], names[1]
+    topic_id = e.named1("id", ckpt_name)
+    vcol = e.named1("versionField", "ts")
+    df = ctx.collections[coll]
+    df = _apply_q_fq(ctx, df, e)
+    fl = e.named1("fl")
+    if fl:
+        df = df.select(*_fields(fl))
+    path = _os.path.join(ctx.checkpoint_dir, f"topic-{topic_id}.json")
+    watermark = None
+    if _os.path.exists(path):
+        with open(path) as f:
+            watermark = _json.load(f)["watermark"]
+    out = df.where(F.col(vcol) > F.lit(watermark)) \
+        if watermark is not None else df
+    hi = out.agg(F.max(vcol)).collect()[0][0]
+    if hi is not None:
+        _os.makedirs(ctx.checkpoint_dir, exist_ok=True)
+        val = hi if isinstance(hi, (int, float)) else str(hi)
+        with open(path + ".tmp", "w") as f:
+            _json.dump({"watermark": val, "version_col": vcol}, f)
+        _os.replace(path + ".tmp", path)
+        # freeze the slice against rows arriving after the watermark read
+        out = out.where(F.col(vcol) <= F.lit(hi))
+    return out
+
+
+def _h_daemon(ctx, e):
+    """DaemonStream.java:50 — daemon(<stream>, id=, runs=N): the reference
+    re-runs the wrapped expression on an interval inside the server; the
+    batch analog re-DISPATCHES it `runs` times (each dispatch re-reads
+    topic watermarks and re-fires update side effects — the micro-batch
+    loop) and returns the union of the per-run tuples tagged with
+    DAEMON_RUN. Scheduling intervals belong to an external scheduler."""
+    subs = e.sub_expressions()
+    if not subs:
+        raise ValueError("daemon() needs an input stream sub-expression")
+    runs = int(e.named1("runs", 1))
+    outs = []
+    for i in range(runs):
+        outs.append(_dispatch(ctx, subs[0])
+                    .withColumn("DAEMON_RUN", F.lit(i)))
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def _h_classify(ctx, e):
+    """ClassifyStream.java:38 — classify(<model>, <docs>, field=): apply a
+    trained logistic-regression model (the (term, weight) rows train()
+    emits, `__intercept__` included) to the doc stream, adding the
+    reference's score_d (raw margin) and probability_d (sigmoid) fields.
+    The model is a bounded collect (numTerms rows) shipped as broadcast
+    literals — the reference ships the weight vector to every shard the
+    same way."""
+    subs = e.sub_expressions()
+    if len(subs) < 2:
+        raise ValueError("classify() needs (model stream, doc stream)")
+    model_df, docs = _dispatch(ctx, subs[0]), _dispatch(ctx, subs[1])
+    field = e.named1("field", ctx.default_field)
+    rows = model_df.select("term", "weight").collect()
+    weights = {r["term"]: float(r["weight"]) for r in rows}
+    intercept = weights.pop("__intercept__", 0.0)
+    from solr_spark.functions.textanalysis import whitespace_tokens
+
+    toks = F.array_distinct(whitespace_tokens(field))
+    margin = F.lit(float(intercept))
+    for t in sorted(weights):
+        margin = margin + (F.lit(weights[t])
+                           * F.array_contains(toks, t).cast("double"))
+    return (docs.withColumn("score_d", margin)
+            .withColumn("probability_d",
+                        F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score_d")))))
+
+
+def _h_parallel(ctx, e):
+    """ParallelStream.java:72 — parallel(workerColl, <stream>, workers=N,
+    sort=): the reference sends the inner expression to N workers, each
+    executing it over its hash slice ({!hash workers=N worker=i}), and
+    merge-sorts the streams back. Spark's shuffle IS that worker
+    partitioning — every groupBy/join in the inner plan already hash-splits
+    across executors — so the handler validates workers, dispatches the
+    inner stream once, and applies the merge sort= ordering."""
+    subs = e.sub_expressions()
+    if not subs:
+        raise ValueError("parallel() needs an input stream sub-expression")
+    workers = int(e.named1("workers", 1))
+    if workers < 1:
+        raise ValueError(f"parallel() workers must be >= 1, got {workers}")
+    out = _dispatch(ctx, subs[0])
+    sort = e.named1("sort")
+    return out.orderBy(*_sort_cols(sort)) if sort else out
+
+
+def _h_eval(ctx, e):
+    """EvalStream.java:39 — eval(<stream>): read the FIRST tuple of the
+    inner stream, parse the streaming expression in its `expr_s` field, and
+    dispatch it. A driver-side indirection (one-row collect), exactly the
+    reference's read-one-tuple-then-open semantics."""
+    inner = _input_stream(ctx, e)
+    first = inner.limit(1).collect()
+    if not first or "expr_s" not in first[0].__fields__ \
+            or first[0]["expr_s"] is None:
+        raise ValueError("eval() needs an input tuple with an expr_s field")
+    return _dispatch(ctx, parse_expression(first[0]["expr_s"]))
+
+
+def _h_drill(ctx, e):
+    """DrillStream.java:43 + the /export DrillHandler — drill(collection,
+    q=, fl=, sort=, <expr over input()>): run the inner aggregating
+    expression with input() bound to the exported scan. The reference
+    pushes the rollup INTO each shard's export handler; Spark's partial
+    aggregation does the identical map-side combine, so dispatching the
+    inner expression over the scan yields the same pushed-down plan."""
+    df = _apply_q_fq(ctx, _collection(ctx, e), e)
+    fl = e.named1("fl")
+    if fl:
+        df = df.select(*_fields(fl))
+    sort = e.named1("sort")
+    if sort:
+        df = df.orderBy(*_sort_cols(sort))
+    subs = e.sub_expressions()
+    if not subs:
+        raise ValueError("drill() needs an aggregating sub-expression "
+                         "over input()")
+    inner_ctx = _Ctx({**ctx.collections, "__drill_input__": df},
+                     ctx.default_field, ctx.text_fields,
+                     ctx.index_dirs, ctx.checkpoint_dir, ctx.config)
+    return _dispatch(inner_ctx, subs[0])
+
+
+def _h_input(ctx, e):
+    """input() — DrillStream's placeholder for the shard-local exported
+    stream; resolves to the scan drill() bound."""
+    if "__drill_input__" not in ctx.collections:
+        raise ValueError("input() is only valid inside drill()")
+    return ctx.collections["__drill_input__"]
+
+
 _HANDLERS = {
     "search": _h_search,
     "select": _h_select,
@@ -689,7 +903,30 @@ _HANDLERS = {
     "train": _h_train,
     "list": _h_list,
     "plist": _h_list,
+    "update": _h_update,
+    "commit": _h_commit,
+    "topic": _h_topic,
+    "daemon": _h_daemon,
+    "classify": _h_classify,
+    "parallel": _h_parallel,
+    "eval": _h_eval,
+    "drill": _h_drill,
+    "input": _h_input,
+    "outerHashJoin": lambda c, e: _h_outer_hash_join(c, e),
 }
+
+
+def _h_outer_hash_join(ctx, e):
+    """OuterHashJoinStream.java:50 — left outer hashJoin: every full-side
+    tuple passes, hashed-side fields attach where keys match. The hashed=
+    side is read into memory in the reference == broadcast left join here."""
+    full = _input_stream(ctx, e)
+    hashed = _dispatch(ctx, e.named1("hashed"))
+    same, renames = _join_keys(e.named1("on", ""))
+    for l, r in renames:
+        hashed = hashed.withColumnRenamed(r, l)
+    return full.join(F.broadcast(hashed), same + [l for l, _ in renames],
+                     "left")
 
 
 def _h_hash_join(ctx, e):
@@ -712,8 +949,17 @@ def _dispatch(ctx: _Ctx, e: StreamExpr) -> DataFrame:
 
 def run_expression(expr: str | StreamExpr, collections: dict,
                    default_field: str = "text",
-                   text_fields: set | None = None) -> DataFrame:
-    """Evaluate a streaming-expression string against named DataFrames."""
+                   text_fields: set | None = None,
+                   index_dirs: dict | None = None,
+                   checkpoint_dir: str | None = None,
+                   config: object = None) -> DataFrame:
+    """Evaluate a streaming-expression string against named DataFrames.
+
+    `index_dirs` maps update()/commit() destination names to index
+    directories; `checkpoint_dir` hosts topic() watermark files; `config`
+    is the IndexConfig update() builds new segments with.
+    """
     if isinstance(expr, str):
         expr = parse_expression(expr)
-    return _dispatch(_Ctx(collections, default_field, text_fields), expr)
+    return _dispatch(_Ctx(collections, default_field, text_fields,
+                          index_dirs, checkpoint_dir, config), expr)

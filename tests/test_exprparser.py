@@ -423,3 +423,132 @@ def test_dispatch_list_plist(spark, colls):
         'plist(search(a, q=*:*, sort="id asc"), search(b, q=*:*, '
         'sort="id asc"))', {**colls, "a": a, "b": b}).count()
     assert same == 3
+
+
+# ---------------------------------------------------------------- stateful
+# streams: update/commit/topic/daemon + classify/parallel/eval/drill
+
+
+def test_dispatch_update_topic_daemon(spark, tmp_path):
+    """daemon(update(dest, topic(...))) — the reference's incremental
+    indexing loop: each daemon run indexes only rows above the watermark."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.data import synth_transcripts_spark
+    from solr_spark.indexing import build_index
+    from solr_spark.query import IndexReader, bm25_topk
+
+    corpus = synth_transcripts_spark(spark, 400, seed=11).withColumn(
+        "rank_ts", F.col("turn_idx").cast("long"))
+    base = corpus.where(F.col("conv_id") < "c")  # deterministic split? no —
+    # split by hash instead for stability
+    base = corpus.where(F.crc32(F.col("conv_id")) % 2 == 0)
+    extra = corpus.where(F.crc32(F.col("conv_id")) % 2 == 1)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=16)
+    build_index(spark, base, idx, cfg, input_token="t0")
+
+    colls = {"incoming": extra}
+    out = run_expression(
+        'daemon(update(dest, topic(ck, incoming, versionField="rank_ts")), '
+        'runs=2)',
+        colls, index_dirs={"dest": idx},
+        checkpoint_dir=str(tmp_path / "ck"), config=cfg)
+    rows = out.collect()
+    # run 0 indexes everything, run 1 sees an advanced watermark -> 0 new
+    by_run = {r.DAEMON_RUN: r.batchIndexed for r in rows}
+    assert by_run[0] == extra.count()
+    assert by_run[1] == 0
+    # the incrementally-built index equals a fresh full build, query-wise
+    full_idx = str(tmp_path / "full")
+    build_index(spark, corpus, full_idx, cfg, input_token="t1")
+    q = "error timeout"
+    inc = bm25_topk(spark, IndexReader.open(idx), q, k=10).collect()
+    ful = bm25_topk(spark, IndexReader.open(full_idx), q, k=10).collect()
+    assert [(r.conv_id, r.turn_idx, round(r.score, 6)) for r in inc] == \
+           [(r.conv_id, r.turn_idx, round(r.score, 6)) for r in ful]
+
+
+def test_dispatch_commit_passthrough(spark, tmp_path):
+    from solr_spark.config import IndexConfig
+    from solr_spark.data import synth_transcripts_spark
+    from solr_spark.indexing import build_index
+
+    corpus = synth_transcripts_spark(spark, 100, seed=5)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=16)
+    build_index(spark, corpus.limit(50), idx, cfg, input_token="t0")
+    out = run_expression(
+        'commit(dest, update(dest, search(more, q=*:*, fl="conv_id,turn_idx,'
+        'text", sort="conv_id asc")))',
+        {"more": corpus.limit(60).subtract(corpus.limit(50))},
+        index_dirs={"dest": idx}, config=cfg)
+    assert out.collect()[0].batchIndexed == 10
+
+
+def test_dispatch_classify(spark, colls):
+    """classify(train(...), search(...)) adds score_d/probability_d from the
+    trained weights."""
+    docs = colls["events"].select(
+        "event_id", F.col("event_type").alias("text"),
+        (F.crc32("event_type") % 2 == 0).cast("int").alias("y"))
+    local = {"train_docs": docs, "apply_docs": docs}
+    out = run_expression(
+        'classify(train(train_docs, q=*:*, field="text", outcome="y", '
+        'numTerms="4", maxIterations="5"), '
+        'search(apply_docs, q=*:*, fl="event_id,text", sort="event_id asc"))',
+        local)
+    rows = out.limit(200).collect()
+    assert all(0.0 <= r.probability_d <= 1.0 for r in rows)
+    # label is a pure function of the token, so trained probabilities must
+    # separate the two classes
+    import statistics
+    import zlib
+    pos = [r.probability_d for r in rows
+           if zlib.crc32(r.text.encode()) % 2 == 0]
+    neg = [r.probability_d for r in rows
+           if zlib.crc32(r.text.encode()) % 2 == 1]
+    assert pos and neg
+    assert statistics.mean(pos) > statistics.mean(neg)
+    # score_d is the raw margin: sigmoid(score_d) == probability_d
+    import math
+    for r in rows[:10]:
+        assert abs(1.0 / (1.0 + math.exp(-r.score_d)) - r.probability_d) < 1e-9
+
+
+def test_dispatch_parallel_and_outer_hash_join(colls):
+    seq = run_expression(
+        'rollup(search(orders, q=*:*, fl="o_custkey,o_totalprice", '
+        'sort="o_custkey asc"), over="o_custkey", sum(o_totalprice))', colls)
+    par = run_expression(
+        'parallel(workers, rollup(search(orders, q=*:*, fl="o_custkey,'
+        'o_totalprice", sort="o_custkey asc"), over="o_custkey", '
+        'sum(o_totalprice)), workers=4, sort="o_custkey asc")', colls)
+    a = [(r[0], round(float(r[1]), 2)) for r in seq.orderBy("o_custkey").collect()]
+    b = [(r[0], round(float(r[1]), 2)) for r in par.collect()]
+    assert a == b
+    oj = run_expression(
+        'outerHashJoin(search(nation, q=*:*, fl="n_nationkey,n_name,'
+        'n_regionkey", sort="n_nationkey asc"), '
+        'hashed=search(region, q="r_name:ASIA", fl="r_regionkey,r_name", '
+        'sort="r_regionkey asc"), on="n_regionkey=r_regionkey")', colls)
+    rows = oj.collect()
+    assert len(rows) == colls["nation"].count()  # left outer keeps all
+    assert any(r.r_name is None for r in rows)
+    assert any(r.r_name == "ASIA" for r in rows)
+
+
+def test_dispatch_eval_and_drill(spark, colls):
+    ev = run_expression(
+        'eval(tuple(expr_s="echo(hello world)"))', colls)
+    assert ev.collect()[0].echo == "hello world"
+    dr = run_expression(
+        'drill(lineitem, q=*:*, fl="l_returnflag,l_quantity", '
+        'sort="l_returnflag asc", '
+        'rollup(input(), over="l_returnflag", sum(l_quantity)))', colls)
+    direct = (colls["lineitem"].groupBy("l_returnflag")
+              .agg(F.sum("l_quantity")).collect())
+    got = {r[0]: float(r[1]) for r in dr.collect()}
+    want = {r[0]: float(r[1]) for r in direct}
+    assert got == want
+    with pytest.raises(ValueError, match="input"):
+        run_expression('input()', colls)
