@@ -6368,6 +6368,67 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _q109_scale_recip_ms(spark, sf_dir):
+    """Corpus-dependent function queries (functions/funcquery.py):
+    scale(o_totalprice, 0, 1) = ScaleFloatFunction's corpus-min/max linear
+    map (one bounded agg broadcast over the scan), and the classic recency
+    boost recip(ms(fixed_now, o_orderdate), 1e-9, 1, 1) =
+    ReciprocalFloatFunction over epoch-millis arithmetic."""
+    from solr_spark.functions.funcquery import ms, recip, scale_fq
+
+    o = _t(spark, sf_dir, "orders")
+    scaled = scale_fq(o, "o_totalprice", 0.0, 1.0)
+    age = ms(F.lit("1998-12-01 00:00:00"), F.col("o_orderdate"))
+    return (scaled.select(
+        "o_orderkey",
+        _dround("scale_o_totalprice", 6).alias("scaled_price"),
+        _dround(recip(age, 1e-9, 1.0, 1.0), 6).alias("recency"))
+        .where(F.col("o_orderkey") < 2000).orderBy("o_orderkey"))
+
+
+_Q109_SQL = """
+WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           FROM orders)
+SELECT o_orderkey,
+  round(CASE WHEN mx = mn THEN 0.5
+             ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS scaled_price,
+  round(1.0 / (1e-9 * (epoch_ms(TIMESTAMP '1998-12-01 00:00:00')
+                       - epoch_ms(o_orderdate::TIMESTAMP)) + 1.0), 6)
+    AS recency
+FROM orders CROSS JOIN s
+WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
+def _q110_ord_rord(spark, sf_dir):
+    """ord()/rord() ordinal function queries (OrdFieldSource /
+    ReverseOrdFieldSource; functions/funcquery.py::with_ord): 1-based
+    ordinal of the doc's value in the field's sorted unique values, ranked
+    over the DISTINCT-value table (|vocabulary| window rows, never
+    |corpus|) and joined back; null -> 0."""
+    from solr_spark.functions.funcquery import with_ord
+
+    ev = _t(spark, sf_dir, "events")
+    out = with_ord(with_ord(ev, "event_type"), "event_type", reverse=True)
+    return (out.groupBy("event_type", "ord_event_type", "rord_event_type")
+            .agg(F.count("*").alias("n")).orderBy("event_type"))
+
+
+_Q110_SQL = """
+WITH vals AS (
+  SELECT event_type, row_number() OVER (ORDER BY event_type) AS o,
+         count(*) OVER () AS nv
+  FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL)
+)
+SELECT e.event_type,
+       coalesce(o, 0)::BIGINT AS ord_event_type,
+       coalesce(nv + 1 - o, 0)::BIGINT AS rord_event_type,
+       count(*)::BIGINT AS n
+FROM events e LEFT JOIN vals USING (event_type)
+GROUP BY 1, 2, 3 ORDER BY e.event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6572,6 +6633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_expr_classify": _q106_expr_classify,
         "q107_expr_outer_hash_join": _q107_expr_outer_hash_join,
         "q108_expr_drill": _q108_expr_drill,
+        "q109_scale_recip_ms": _q109_scale_recip_ms,
+        "q110_ord_rord": _q110_ord_rord,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7377,6 +7440,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q106_expr_classify": _Q106_SQL,
         "q107_expr_outer_hash_join": _Q107_SQL,
         "q108_expr_drill": _Q108_SQL,
+        "q109_scale_recip_ms": _Q109_SQL,
+        "q110_ord_rord": _Q110_SQL,
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

@@ -1,0 +1,49 @@
+"""Corpus-dependent function queries: scale / recip / ms / ord / rord
+(ScaleFloatFunction, ReciprocalFloatFunction, OrdFieldSource roles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solr_spark.functions.funcquery import ms, recip, scale_fq, with_ord
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "b", "2024-01-01 00:00:00"),
+         (2, 20.0, "a", "2024-01-02 00:00:00"),
+         (3, 30.0, "c", "2024-01-01 12:00:00"),
+         (4, None, None, None)],
+        "id int, v double, s string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_scale_maps_corpus_min_max(df):
+    rows = {r.id: r.scale_v for r in scale_fq(df, "v", 0.0, 1.0).collect()}
+    assert rows[1] == 0.0 and rows[3] == 1.0
+    assert abs(rows[2] - 0.5) < 1e-12
+    assert rows[4] is None  # null value stays null
+
+
+def test_scale_degenerate_corpus_is_midpoint(df):
+    one = scale_fq(df.where("id=1"), "v", 0.0, 10.0).collect()[0]
+    assert one.scale_v == 5.0
+
+
+def test_recip_and_ms(df):
+    r = df.where("id=1").select(recip(F.col("v"), 0.1, 1, 1).alias("r"))
+    assert abs(r.collect()[0].r - 1 / (0.1 * 10 + 1)) < 1e-12
+    got = {x.id: x for x in df.select(
+        "id", ms("ts").alias("m"),
+        ms("ts", F.lit("2024-01-01 00:00:00")).alias("d")).collect()}
+    assert got[2].d == 86_400_000 and got[3].d == 43_200_000
+    assert got[4].m is None
+
+
+def test_ord_rord(df):
+    od = {r.id: r.ord_s for r in with_ord(df, "s").collect()}
+    assert od == {1: 2, 2: 1, 3: 3, 4: 0}  # null -> ordinal 0
+    rod = {r.id: r.rord_s for r in with_ord(df, "s", reverse=True).collect()}
+    assert rod == {1: 2, 2: 3, 3: 1, 4: 0}
