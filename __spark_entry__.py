@@ -6429,6 +6429,36 @@ GROUP BY 1, 2, 3 ORDER BY e.event_type
 """
 
 
+def _ft44_blended_infix(spark, sf_dir):
+    """BlendedInfixSuggester (BlendedInfixSuggester.java POSITION_RECIPROCAL
+    blender, Solr BlendedInfixLookupFactory;
+    operators/components.py::suggest_blended_infix): token-prefix infix
+    match over document text with weight = n_chars discounted by
+    1/(match_position+1)."""
+    from solr_spark.operators.components import suggest_blended_infix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = suggest_blended_infix(docs.select(
+        F.col("text"), F.col("n_chars")), "text", "vec", "n_chars", k=15)
+    return out.select("suggestion", F.col("weight").cast("long").alias("weight"),
+                      "position", _dround("score", 4).alias("score"))
+
+
+_FT44_SQL = """
+WITH hits AS (
+  SELECT text AS suggestion, n_chars::BIGINT AS weight,
+         (list_position(list_transform(string_split(text, ' '),
+                                       t -> starts_with(t, 'vec')),
+                        true) - 1)::INT AS position
+  FROM documents
+)
+SELECT suggestion, weight, position,
+       round(weight / (position + 1.0), 4) AS score
+FROM hits WHERE position >= 0
+ORDER BY score DESC, suggestion LIMIT 15
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6635,6 +6665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_expr_drill": _q108_expr_drill,
         "q109_scale_recip_ms": _q109_scale_recip_ms,
         "q110_ord_rord": _q110_ord_rord,
+        "ft44_blended_infix": _ft44_blended_infix,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7442,6 +7473,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q108_expr_drill": _Q108_SQL,
         "q109_scale_recip_ms": _Q109_SQL,
         "q110_ord_rord": _Q110_SQL,
+        "ft44_blended_infix": _FT44_SQL,
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

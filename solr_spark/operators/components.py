@@ -407,6 +407,43 @@ def spellcheck(spark: SparkSession, index_dir: str, word: str,
              .orderBy(F.asc("dist"), F.desc("df"), F.asc("term")).limit(k))
 
 
+def suggest_blended_infix(df: DataFrame, field: str, query: str,
+                          weight_field: str, k: int = 10,
+                          blender: str = "reciprocal") -> DataFrame:
+    """Blended infix suggestions: mid-phrase prefix matches, weight
+    DISCOUNTED by the matched token's position.
+
+    Reference: BlendedInfixSuggester
+    (lucene/suggest/.../analyzing/BlendedInfixSuggester.java — blender
+    types POSITION_RECIPROCAL coef = 1/(position+1) and POSITION_LINEAR
+    coef = 1 - 0.10*position) wrapped by Solr's
+    BlendedInfixLookupFactory.java. Matching is token-prefix (the analyzed
+    infix match): the FIRST token of the suggestion text that starts with
+    `query` sets the position.
+
+    Pure Column algebra over the suggestion table — split, one
+    array_position probe, arithmetic — so it rides a single scan + TakeOrdered.
+    Output: suggestion, weight, position (0-based), score — ordered
+    (score desc, suggestion asc).
+    """
+    if blender not in ("reciprocal", "linear"):
+        raise ValueError(f"blender must be reciprocal|linear, got {blender!r}")
+    toks = F.split(F.col(field), r"\s+")
+    hit = F.array_position(
+        F.transform(toks, lambda t: t.startswith(query)), F.lit(True))
+    pos = (hit - 1).cast("int")
+    coef = (F.lit(1.0) / (pos + F.lit(1.0)) if blender == "reciprocal"
+            else F.lit(1.0) - F.lit(0.10) * pos)
+    return (df.select(F.col(field).alias("suggestion"),
+                      F.col(weight_field).cast("double").alias("weight"),
+                      pos.alias("position"),
+                      (F.col(weight_field) * coef).cast("double")
+                      .alias("score"))
+            .where(hit > 0)
+            .orderBy(F.desc("score"), F.asc("suggestion"))
+            .limit(k))
+
+
 def _compositions(word: str, max_parts: int, min_len: int) -> list[list[str]]:
     """All splits of `word` into 2..max_parts contiguous parts, each at least
     `min_len` chars. Driver-side enumeration — query words are tiny, and the

@@ -1063,3 +1063,28 @@ def test_word_combinations(spark, built_index):
     out2 = suggest_word_combinations(
         spark, index_dir, ["time", "out", "mer", "ge"], max_changes=2).collect()
     assert {(r.start_idx, r.length) for r in out2} == {(0, 2), (2, 2)}
+
+
+def test_blended_infix_suggester(spark):
+    """BlendedInfixSuggester: token-prefix match, position-discounted weight
+    (reciprocal and linear blenders)."""
+    from solr_spark.operators.components import suggest_blended_infix
+
+    df = spark.createDataFrame(
+        [("merge the segments", 10.0),
+         ("the merge policy", 10.0),
+         ("a slow but thorough mergesort", 10.0),
+         ("no match here", 99.0)],
+        "phrase string, w double")
+    out = suggest_blended_infix(df, "phrase", "mer", "w").collect()
+    got = {r.suggestion: (r.position, r.score) for r in out}
+    assert "no match here" not in got
+    assert got["merge the segments"] == (0, 10.0)
+    assert got["the merge policy"] == (1, 5.0)          # 10 * 1/(1+1)
+    assert got["a slow but thorough mergesort"] == (4, 2.0)  # 10 * 1/5
+    # order: highest blended score first
+    assert [r.suggestion for r in out][0] == "merge the segments"
+    lin = suggest_blended_infix(df, "phrase", "mer", "w", blender="linear")
+    lg = {r.suggestion: r.score for r in lin.collect()}
+    assert lg["the merge policy"] == 9.0                # 10 * (1 - 0.1)
+    assert abs(lg["a slow but thorough mergesort"] - 6.0) < 1e-9
