@@ -6459,6 +6459,46 @@ ORDER BY score DESC, suggestion LIMIT 15
 """
 
 
+def _q111_external_file_field(spark, sf_dir):
+    """ExternalFileField / FileFloatSource (schema/ExternalFileField.java;
+    functions/funcquery.py::load_external_floats/with_external_field): a
+    key=float sidecar file attached to the corpus as a function-query
+    field. The file is synthesized deterministically from doc_ids (with a
+    malformed line and a duplicate key to exercise the reference's
+    skip-and-last-wins parse); missing keys take defVal 0.0."""
+    import os as _os
+    import tempfile as _tf
+
+    from solr_spark.functions.funcquery import (
+        load_external_floats, with_external_field)
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in
+           docs.where(F.col("doc_id") % 3 == 0).select("doc_id").collect()]
+    d = _tf.mkdtemp(prefix="extff_")
+    p = _os.path.join(d, "external_rank")
+    with open(p, "w") as f:
+        if ids:
+            f.write(f"{ids[0]}=99.0\n")     # duplicate: overwritten below
+        f.write("not a kv line\n")
+        for i in sorted(ids):
+            f.write(f"{i}={(i % 7) + 0.5}\n")
+    ext = load_external_floats(spark, p, key_type="long")
+    out = with_external_field(docs.select("doc_id"), ext, "doc_id",
+                              "rank_f", default=0.0)
+    return (out.select("doc_id",
+                       F.col("rank_f").cast("double").alias("rank_f"))
+            .orderBy("doc_id"))
+
+
+_Q111_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) + 0.5
+            ELSE 0.0 END::DOUBLE AS rank_f
+FROM documents ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6666,6 +6706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_scale_recip_ms": _q109_scale_recip_ms,
         "q110_ord_rord": _q110_ord_rord,
         "ft44_blended_infix": _ft44_blended_infix,
+        "q111_external_file_field": _q111_external_file_field,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7474,6 +7515,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q109_scale_recip_ms": _Q109_SQL,
         "q110_ord_rord": _Q110_SQL,
         "ft44_blended_infix": _FT44_SQL,
+        "q111_external_file_field": _Q111_SQL,
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

@@ -66,6 +66,48 @@ def ms(a: Column | str, b: Column | str | None = None) -> Column:
     return millis(a) if b is None else millis(a) - millis(b)
 
 
+def load_external_floats(spark, path: str,
+                         key_type: str = "string") -> DataFrame:
+    """ExternalFileField source (schema/ExternalFileField.java +
+    function/FileFloatSource.java): parse `key=float` lines from the
+    external_* file(s). Reference semantics preserved: malformed lines are
+    SKIPPED (FileFloatSource logs and continues), the LAST occurrence of a
+    duplicated key wins (the file is read top to bottom into the array),
+    and keys absent from the file take the field's default at join time.
+
+    spark.read.text distributes the parse; last-wins needs a per-key
+    ordering, which file order gives via a monotonic id per line — one
+    bounded shuffle on key.
+    """
+    from pyspark.sql import Window as W
+
+    raw = (spark.read.text(path)
+           .withColumn("__seq", F.monotonically_increasing_id()))
+    kv = raw.select(
+        F.regexp_extract("value", r"^([^=]+)=(.*)$", 1).alias("key"),
+        F.regexp_extract("value", r"^([^=]+)=(.*)$", 2).alias("val"),
+        "__seq")
+    kv = (kv.where((F.col("key") != "")
+                   & F.col("val").try_cast("float").isNotNull())
+            .select(F.col("key").try_cast(key_type).alias("key"),
+                    F.col("val").try_cast("float").alias("value"), "__seq"))
+    kv = kv.where(F.col("key").isNotNull())
+    w = W.partitionBy("key").orderBy(F.desc("__seq"))
+    return (kv.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).select("key", "value"))
+
+
+def with_external_field(df: DataFrame, ext: DataFrame, on: str,
+                        out: str, default: float = 0.0) -> DataFrame:
+    """Attach an external float field to the corpus (the function-query /
+    boost use of ExternalFileField): broadcastable left join on the key,
+    absent keys take `default` (the field's defVal)."""
+    e = ext.select(F.col("key").alias(on), F.col("value").alias(out))
+    return (df.join(F.broadcast(e), on, "left")
+              .withColumn(out, F.coalesce(F.col(out), F.lit(float(default)))
+                          .cast("float")))
+
+
 def with_ord(df: DataFrame, col: str, reverse: bool = False,
              out: str | None = None) -> DataFrame:
     """Add `out` (default ord_<col> / rord_<col>) = the doc value's 1-based

@@ -47,3 +47,28 @@ def test_ord_rord(df):
     assert od == {1: 2, 2: 1, 3: 3, 4: 0}  # null -> ordinal 0
     rod = {r.id: r.rord_s for r in with_ord(df, "s", reverse=True).collect()}
     assert rod == {1: 2, 2: 3, 3: 1, 4: 0}
+
+
+def test_external_file_field(spark, tmp_path):
+    """ExternalFileField / FileFloatSource: key=value parse, malformed lines
+    skipped, last duplicate wins, defVal on missing keys."""
+    from solr_spark.functions.funcquery import (
+        load_external_floats,
+        with_external_field,
+    )
+
+    p = str(tmp_path / "external_rank")
+    with open(p, "w") as f:
+        f.write("a=1.5\n")
+        f.write("b=2.0\n")
+        f.write("garbage line\n")
+        f.write("c=notafloat\n")
+        f.write("a=9.5\n")          # duplicate: last wins
+        f.write("=3.0\n")           # empty key: skipped
+    ext = load_external_floats(spark, p)
+    got = {r.key: r.value for r in ext.collect()}
+    assert got == {"a": 9.5, "b": 2.0}
+    docs = spark.createDataFrame([("a",), ("b",), ("z",)], "id string")
+    out = with_external_field(docs, ext, "id", "rank", default=0.5)
+    vals = {r.id: r.rank for r in out.collect()}
+    assert vals == {"a": 9.5, "b": 2.0, "z": 0.5}
