@@ -518,6 +518,60 @@ def main() -> None:
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"]))
 
+    # 33. list_ranges_facet: ALL ranges + metrics fold into ONE
+    # conditional-aggregation scan — a single-partition reduce, never a
+    # hash-partitioned exchange, no Python
+    from solr_spark.operators.facets import list_ranges_facet
+    p33 = plan_of(list_ranges_facet(
+        t("documents"), "n_chars",
+        [{"range": "[0,200)"}, {"from": 100, "to": 400},
+         {"range": "[500,*)"}],
+        metrics=[("sum", "n_chars")]))
+    checks.append((
+        "list_ranges_facet: one conditional-agg scan, no keyed shuffle, "
+        "no Python",
+        p33,
+        ["HashAggregate", "SinglePartition"],
+        ["Exchange hashpartitioning", "BatchEvalPython", "ArrowEvalPython"]))
+
+    # 34. scale_fq: the corpus min/max attaches as a BROADCAST single-row
+    # build — the scan is never shuffled to meet its own aggregate
+    from solr_spark.functions.funcquery import scale_fq
+    p34 = plan_of(scale_fq(t("orders"), "o_totalprice", 0.0, 1.0))
+    checks.append((
+        "scale_fq: min/max broadcast back over the scan, no keyed shuffle",
+        p34,
+        ["BroadcastNestedLoopJoin", "SinglePartition"],
+        ["Exchange hashpartitioning", "SortMergeJoin"]))
+
+    # 35. blended infix suggester: bounded TakeOrdered heap, never a global
+    # sort exchange, pure Column algebra
+    from solr_spark.operators.components import suggest_blended_infix
+    p35 = plan_of(suggest_blended_infix(
+        t("documents"), "text", "vec", "n_chars", k=15))
+    checks.append((
+        "suggest_blended_infix: TakeOrdered bounded heap, no global sort, "
+        "no Python",
+        p35,
+        ["TakeOrderedAndProject"],
+        ["Exchange rangepartitioning", "BatchEvalPython", "ArrowEvalPython"]))
+
+    # 36. versioned_update classification: the corpus side is projected to
+    # key+version before the join (ReadSchema prunes to 2 columns) and the
+    # update batch joins without a sort-merge
+    from solr_spark.indexing.versions import check_versions
+    cur36 = t("documents").select(
+        "doc_id", (F.col("doc_id") % 5 + 2).cast("long").alias("_version_"))
+    upd36 = t("documents").select(
+        "doc_id", F.lit(0).cast("long").alias("_version_"))
+    p36 = plan_of(check_versions(cur36, upd36, ["doc_id"]))
+    checks.append((
+        "versioned_update: pruned 2-column corpus projection, hash join "
+        "not sort-merge, no Python",
+        p36,
+        ["ReadSchema: struct<doc_id:bigint>"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
