@@ -6499,6 +6499,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q112_json_graph_domain(spark, sf_dir):
+    """Graph domain change in the JSON facet tree
+    (json-faceting-domain-changes.adoc "graph", search/join/GraphQuery.java;
+    jsonapi.py domain.graph): customers form a parent forest via
+    to_v = c_custkey DIV 10; the facet domain walks from the queried range
+    [1000,1009] up the ancestor chain (1000..1009 -> 100 -> 10 -> 1), then
+    counts mktsegments over roots + traversed docs."""
+    from solr_spark.query.jsonapi import json_facets
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("from_v", F.col("c_custkey"))
+         .withColumn("to_v", F.expr("c_custkey DIV 10")))
+    req = {"query": "c_custkey:[1000 TO 1009]",
+           "facet": {"segs": {
+               "type": "terms", "field": "c_mktsegment", "limit": 10,
+               "domain": {"graph": {"from": "from_v", "to": "to_v",
+                                    "maxDepth": 10}}}}}
+    out = json_facets(c, req)["segs"]
+    return (out.select("bucket", F.col("count").cast("long").alias("count"))
+            .orderBy(F.desc("count"), "bucket"))
+
+
+_Q112_SQL = """
+WITH RECURSIVE dom0 AS (
+  SELECT c_custkey FROM customer WHERE c_custkey BETWEEN 1000 AND 1009
+),
+vals AS (
+  SELECT DISTINCT (c_custkey // 10) AS v, 0 AS lvl
+  FROM customer WHERE c_custkey BETWEEN 1000 AND 1009
+  UNION
+  SELECT c.c_custkey // 10, vals.lvl + 1
+  FROM customer c JOIN vals ON c.c_custkey = vals.v
+  WHERE vals.lvl < 10
+),
+dom AS (
+  SELECT c_custkey FROM dom0
+  UNION
+  SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT v FROM vals)
+)
+SELECT c_mktsegment AS bucket, count(*)::BIGINT AS count
+FROM customer WHERE c_custkey IN (SELECT c_custkey FROM dom)
+GROUP BY 1 ORDER BY count DESC, bucket LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6707,6 +6752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_ord_rord": _q110_ord_rord,
         "ft44_blended_infix": _ft44_blended_infix,
         "q111_external_file_field": _q111_external_file_field,
+        "q112_json_graph_domain": _q112_json_graph_domain,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7516,6 +7562,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q110_ord_rord": _Q110_SQL,
         "ft44_blended_infix": _FT44_SQL,
         "q111_external_file_field": _Q111_SQL,
+        "q112_json_graph_domain": _Q112_SQL,
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

@@ -378,6 +378,43 @@ def json_facets(df: DataFrame, request: dict | str,
             keys = (fdom.select(F.col(dj["from"]).alias(dj["to"]))
                     .dropDuplicates())
             fdom = df.join(keys, dj["to"], "left_semi")
+        dg = dspec.get("graph")
+        if dg:
+            # graph domain (json-faceting-domain-changes.adoc "graph" /
+            # search/join/GraphQuery.java): each hop finds docs whose
+            # `from` field matches the current frontier docs' `to` values,
+            # up to maxDepth hops. The walk runs in VALUE space over the
+            # whole collection's (from, to) pairs through the per-level
+            # checkpointed BFS of operators/graph.py — seeded by the
+            # current domain's to-values — then one semi-join materializes
+            # the traversed docs; returnRoot (default true, the reference's
+            # default) unions the original domain docs back in.
+            from solr_spark.operators.graph import gather_nodes
+
+            depth = int(dg.get("maxDepth", 20))
+            roots = (fdom.select(F.col(dg["to"]).alias("node"))
+                     .where(F.col("node").isNotNull()).dropDuplicates())
+            reached = gather_nodes(
+                df.select(F.col(dg["from"]), F.col(dg["to"])),
+                roots, dg["from"], dg["to"], levels=depth)
+            # gather_nodes emits levels >= 1 only; the frontier VALUES at
+            # level 0 (the roots) also resolve to traversed docs. Docs at
+            # DOC-hop h join on values at level h-1, so maxDepth doc hops
+            # means value levels 0..maxDepth-1.
+            keys = (roots.unionByName(
+                        reached.where(F.col("level") <= depth - 1)
+                               .select("node"))
+                    .dropDuplicates()
+                    .select(F.col("node").alias(dg["from"])))
+            traversed = (df.join(keys, dg["from"], "left_semi")
+                         .select(*df.columns))
+            if bool(dg.get("returnRoot", True)):
+                # subtract aligns by POSITION: fdom is re-selected to the
+                # same column order before the set difference
+                fdom = traversed.unionByName(
+                    fdom.select(*df.columns).subtract(traversed))
+            else:
+                fdom = traversed
         dom_f = dspec.get("filter")
         if dom_f:
             fdom = fdom.where(parser.parse(dom_f))

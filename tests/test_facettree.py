@@ -153,3 +153,30 @@ def test_list_ranges_facet(spark):
     # request order preserved
     assert [r["range"] for r in out] == [
         "[0,30)", "[20,50)", "(40,60]", "[80,*)", "(90,*)"]
+
+
+def test_json_graph_domain(spark):
+    """domain.graph: each hop finds docs whose `from` matches the frontier
+    docs' `to` values; returnRoot controls the original domain's docs."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = spark.createDataFrame(
+        [(1, 10, "a"), (10, 100, "b"), (100, 0, "c"),
+         (2, 20, "a"), (20, 0, "b"), (7, 9, "z")],
+        "from_v int, to_v int, tag string")
+    req = {"query": "from_v:1",
+           "facet": {"tags": {
+               "type": "terms", "field": "tag", "limit": 10,
+               "domain": {"graph": {"from": "from_v", "to": "to_v"}}}}}
+    out = json_facets(docs, req)["tags"].collect()
+    # roots={doc 1}; walk: to=10 -> doc 10 -> to=100 -> doc 100; tags a,b,c
+    got = {r.bucket: r["count"] for r in out}
+    assert got == {"a": 1, "b": 1, "c": 1}
+    req["facet"]["tags"]["domain"]["graph"]["returnRoot"] = False
+    out2 = json_facets(docs, req)["tags"].collect()
+    assert {r.bucket: r["count"] for r in out2} == {"b": 1, "c": 1}
+    req["facet"]["tags"]["domain"]["graph"]["maxDepth"] = 1
+    req["facet"]["tags"]["domain"]["graph"]["returnRoot"] = True
+    out3 = json_facets(docs, req)["tags"].collect()
+    got3 = {r.bucket: r["count"] for r in out3}
+    assert got3 == {"a": 1, "b": 1}  # one DOC hop: root + doc 10 only
