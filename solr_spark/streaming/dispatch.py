@@ -913,7 +913,18 @@ _HANDLERS = {
     "drill": _h_drill,
     "input": _h_input,
     "outerHashJoin": lambda c, e: _h_outer_hash_join(c, e),
+    # ShuffleStream (ShuffleStream.java) IS search against /export — same
+    # contract, never a different plan here
+    "shuffle": _h_search,
+    "null": lambda c, e: _h_null(c, e),
 }
+
+
+def _h_null(ctx, e):
+    """NullStream.java:41 — consume the inner stream, emit ONE tuple with
+    the tuple count (the reference's parallel-plumbing perf probe)."""
+    df = _input_stream(ctx, e)
+    return df.agg(F.count(F.lit(1)).alias("nullCount"))
 
 
 def _h_outer_hash_join(ctx, e):

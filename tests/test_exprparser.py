@@ -552,3 +552,17 @@ def test_dispatch_eval_and_drill(spark, colls):
     assert got == want
     with pytest.raises(ValueError, match="input"):
         run_expression('input()', colls)
+
+
+def test_dispatch_shuffle_and_null(colls):
+    sh = run_expression(
+        'shuffle(orders, q=*:*, fl="o_orderkey", sort="o_orderkey asc", '
+        'rows="5")', colls)
+    assert [r.o_orderkey for r in sh.collect()] == sorted(
+        r.o_orderkey for r in sh.collect())
+    nl = run_expression(
+        'null(search(orders, q="o_orderstatus:F", fl="o_orderkey", '
+        'sort="o_orderkey asc"))', colls)
+    n = nl.collect()
+    assert len(n) == 1 and n[0].nullCount == colls["orders"].where(
+        "o_orderstatus = 'F'").count()
