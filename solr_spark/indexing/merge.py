@@ -86,6 +86,41 @@ def merge_segments(
     return [merged_name]
 
 
+def segments_info(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-segment admin view (Solr /admin/segments,
+    handler/admin/SegmentsInfoRequestHandler.java): one row per on-disk
+    segment with liveness, file/byte footprint, posting-row and term
+    cardinalities, and the docid-range span. Segment count is small by
+    construction (the tiered merge policy bounds it), so the per-segment
+    aggregations are a handful of bounded jobs."""
+    live = set(B.live_segments(index_dir))
+    seg_root = os.path.join(index_dir, "segments")
+    rows = []
+    for name in sorted(os.listdir(seg_root)):
+        path = os.path.join(seg_root, name)
+        if not os.path.isdir(path):
+            continue
+        n_files = n_bytes = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(root, fn))
+        agg = (spark.read.parquet(path)
+               .agg(F.count(F.lit(1)).alias("postings"),
+                    F.count_distinct("term").alias("terms"),
+                    F.sum("n_docs").alias("doc_entries"),
+                    F.min("range_id").alias("min_range"),
+                    F.max("range_id").alias("max_range")).head())
+        rows.append((name, name in live, n_files, n_bytes,
+                     agg["postings"], agg["terms"], agg["doc_entries"],
+                     agg["min_range"], agg["max_range"]))
+    return spark.createDataFrame(
+        rows,
+        "segment string, live boolean, n_files int, n_bytes long, "
+        "postings long, terms long, doc_entries long, "
+        "min_range long, max_range long")
+
+
 def add_documents(
     spark: SparkSession,
     new_source: DataFrame,

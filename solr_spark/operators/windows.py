@@ -222,6 +222,29 @@ def elevate(df: DataFrame, id_col: str, elevated_ids: Sequence,
                .limit(rows).drop("__elev"))
 
 
+def elevate_marked(df: DataFrame, id_col: str, elevated_ids: Sequence,
+                   excluded_ids: Sequence, sort: Sequence[Column | str],
+                   rows: int) -> DataFrame:
+    """Query elevation with markExcludes=true + the [elevated]/[excluded]
+    doc transformers (QueryElevationComponent.java markExcludes handling;
+    response/transform/ElevatedMarkerFactory.java / ExcludedMarkerFactory):
+    excluded docs are KEPT, annotated `excluded=true`, and lose their
+    elevation (they sort by the natural order); elevated docs pin to the
+    top annotated `elevated=true`."""
+    excl = list(excluded_ids)
+    is_excl = F.col(id_col).isin(excl) if excl else F.lit(False)
+    elev_rank = F.when(
+        F.col(id_col).isin(list(elevated_ids)) & ~is_excl,
+        F.array_position(F.array(*[F.lit(i) for i in elevated_ids]),
+                         F.col(id_col)),
+    ).otherwise(F.lit(None))
+    return (df.withColumn("__elev", elev_rank)
+              .withColumn("elevated", F.col("__elev").isNotNull())
+              .withColumn("excluded", is_excl)
+              .orderBy(F.asc_nulls_last("__elev"), *sort)
+              .limit(rows).drop("__elev"))
+
+
 def context_window(
     df: DataFrame,
     match: Column,

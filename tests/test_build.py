@@ -180,3 +180,18 @@ def test_degenerate_hot_term_build_and_query(spark, tmp_path):
     # every doc matches the hot term
     from solr_spark.query.bm25 import term_docs
     assert term_docs(spark, reader, "hot").count() == 2000
+
+
+def test_segments_info_admin_view(spark, built_index):
+    """/admin/segments role: per-segment liveness, footprint, cardinalities."""
+    from solr_spark.indexing.merge import segments_info
+
+    index_dir, cfg, stats = built_index
+    info = segments_info(spark, index_dir).collect()
+    assert info, "at least one segment"
+    assert all(r.live for r in info)  # fresh build: every segment live
+    assert all(r.n_files > 0 and r.n_bytes > 0 for r in info)
+    assert sum(r.postings for r in info) > 0
+    assert all(r.min_range <= r.max_range for r in info)
+    # doc_entries sums per-term doc counts; must be >= distinct terms
+    assert all(r.doc_entries >= r.terms for r in info)

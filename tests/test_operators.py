@@ -701,3 +701,23 @@ def test_simple_qparser(spark):
     assert ids("-quiet") == [1, 2, 3, 4]                 # pure negative
     assert ids("+ | -") == [1, 2, 3, 4, 5]               # operators only
     assert ids("") == [1, 2, 3, 4, 5]                    # empty = match all
+
+
+def test_elevate_marked_excludes(spark):
+    """markExcludes + [elevated]/[excluded] transformers: excluded docs stay,
+    annotated and unpinned."""
+    from solr_spark.operators.windows import elevate_marked
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7), (4, 0.6)], "id int, score double")
+    out = elevate_marked(df, "id", elevated_ids=[3, 2], excluded_ids=[2],
+                         sort=[F.desc("score")], rows=10).collect()
+    ids = [r.id for r in out]
+    assert ids[0] == 3                       # elevated (and not excluded)
+    assert set(ids) == {1, 2, 3, 4}          # excluded doc 2 KEPT
+    marks = {r.id: (r.elevated, r.excluded) for r in out}
+    assert marks[3] == (True, False)
+    assert marks[2] == (False, True)         # exclusion cancels elevation
+    assert marks[1] == (False, False)
+    # doc 2 sorts by natural order among non-elevated
+    assert ids == [3, 1, 2, 4]
