@@ -6544,6 +6544,51 @@ GROUP BY 1 ORDER BY count DESC, bucket LIMIT 10
 """
 
 
+def _q113_stats_facet(spark, sf_dir):
+    """stats.facet (StatsComponent.java stats.facet / StatsInfo.facets;
+    facets.py::stats_facet): the full stats block per o_orderpriority value
+    in ONE grouped aggregation — identical exact-DECIMAL sum kernels to the
+    q09 stats_component gate, keyed by the facet value."""
+    out = facets.stats_facet(_t(spark, sf_dir, "orders"), "o_totalprice",
+                             "o_orderpriority")
+    return (out.withColumn("sum", F.col("sum").cast("string"))
+            .withColumn("sum_of_squares",
+                        F.col("sum_of_squares").cast("string"))
+            .orderBy("facet_value"))
+
+
+_Q113_SQL = """
+SELECT o_orderpriority AS facet_value,
+       min(o_totalprice) AS min, max(o_totalprice) AS max,
+       sum(round(o_totalprice, 4)::DECIMAL(38,4))::VARCHAR AS sum,
+       count(o_totalprice)::BIGINT AS count,
+       count(*) FILTER (o_totalprice IS NULL)::BIGINT AS missing,
+       round(avg(o_totalprice), 6) AS mean,
+       sum(round(o_totalprice * o_totalprice, 4)::DECIMAL(38,4))::VARCHAR
+         AS sum_of_squares,
+       round(stddev_samp(o_totalprice), 6) AS stddev
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q114_json_heatmap(spark, sf_dir):
+    """facet.heatmap through the JSON facet tree (spatial-search.adoc,
+    HeatmapFacetCounter role; jsonapi.py type=heatmap): grid-cell counts
+    over a filtered domain, coordinates derived deterministically from keys
+    as in q40."""
+    from solr_spark.query.jsonapi import json_facets
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("lat", (F.col("c_custkey") % 180 - 90) + F.lit(0.5))
+         .withColumn("lon", (F.col("c_custkey") * 7 % 360 - 180) + F.lit(0.5)))
+    req = {"query": "*:*", "filter": "c_custkey:[0 TO 700]",
+           "facet": {"grid": {"type": "heatmap", "latField": "lat",
+                              "lonField": "lon", "gridSize": 30.0}}}
+    out = json_facets(c, req)["grid"]
+    return (out.select("cell", F.col("count").cast("long").alias("count"))
+            .orderBy("cell"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6753,6 +6798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft44_blended_infix": _ft44_blended_infix,
         "q111_external_file_field": _q111_external_file_field,
         "q112_json_graph_domain": _q112_json_graph_domain,
+        "q113_stats_facet": _q113_stats_facet,
+        "q114_json_heatmap": _q114_json_heatmap,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7563,6 +7610,18 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft44_blended_infix": _FT44_SQL,
         "q111_external_file_field": _Q111_SQL,
         "q112_json_graph_domain": _Q112_SQL,
+        "q113_stats_facet": _Q113_SQL,
+        "q114_json_heatmap": """
+WITH pts AS (
+  SELECT (c_custkey % 180 - 90) + 0.5 AS lat,
+         (c_custkey * 7 % 360 - 180) + 0.5 AS lon
+  FROM customer WHERE c_custkey BETWEEN 0 AND 700
+)
+SELECT (floor((lat + 90) / 30)::BIGINT || ':' ||
+        floor((lon + 180) / 30)::BIGINT) AS cell,
+       count(*)::BIGINT AS count
+FROM pts GROUP BY cell ORDER BY cell
+""",
         "ft42_word_breaks": _ft42_sql(),
         "ft43_word_combinations": _ft43_sql(),
     }

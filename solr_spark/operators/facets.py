@@ -674,9 +674,16 @@ def stats_component(df: DataFrame, field: str,
     # engine-specific once the ulp reaches 0.25), while the quantize-then-
     # DECIMAL sum is deterministic at every scale and every partitioning, and
     # still map-side combinable.
+    return df.agg(*_stats_aggs(field, calcdistinct))
+
+
+def _stats_aggs(field: str, calcdistinct: bool = False) -> list[Column]:
+    from solr_spark.functions.portable import exact_sum
+
+    c = F.col(field)
     extra = [F.count_distinct(c).alias("count_distinct")] \
         if calcdistinct else []
-    return df.agg(
+    return [
         F.min(c).alias("min"),
         F.max(c).alias("max"),
         exact_sum(c, 4).alias("sum"),
@@ -686,7 +693,18 @@ def stats_component(df: DataFrame, field: str,
         exact_sum(c * c, 4).alias("sum_of_squares"),
         F.round(F.stddev(c), 6).alias("stddev"),
         *extra,
-    )
+    ]
+
+
+def stats_facet(df: DataFrame, field: str, facet_field: str,
+                calcdistinct: bool = False) -> DataFrame:
+    """StatsComponent's `stats.facet`: the full stats block PER VALUE of a
+    facet field (StatsComponent.java stats.facet / StatsInfo.facets). One
+    grouped aggregation — identical stat kernels to stats_component, keyed
+    by the facet value (null bucket included, as the reference returns a
+    bucket for documents missing the facet field)."""
+    return (df.groupBy(F.col(facet_field).alias("facet_value"))
+              .agg(*_stats_aggs(field, calcdistinct)))
 
 
 def percentiles(df: DataFrame, field: str, pcts: Sequence[float]) -> DataFrame:

@@ -481,6 +481,16 @@ def json_facets(df: DataFrame, request: dict | str,
             out[name] = ranged
         elif ftype == "query":
             out[name] = FC.query_facet(fdom, {name: parser.parse(spec["q"])})
+        elif ftype == "heatmap":
+            # facet.heatmap (spatial-search.adoc; HeatmapFacetCounter role):
+            # counts per fixed-degree grid cell over the facet domain — one
+            # grouped aggregation on the derived cell key
+            from solr_spark.functions.geo import geo_grid_cell
+
+            out[name] = (fdom.groupBy(
+                geo_grid_cell(spec["latField"], spec["lonField"],
+                              float(spec.get("gridSize", 1.0))).alias("cell"))
+                .agg(F.count(F.lit(1)).alias("count")))
         else:
             raise ValueError(f"unsupported facet type {ftype!r} for {name!r}")
     return out
