@@ -6589,6 +6589,37 @@ def _q114_json_heatmap(spark, sf_dir):
             .orderBy("cell"))
 
 
+def _q115_query_facet_stats(spark, sf_dir):
+    """query facets carrying nested stat metrics (FacetQuery.java with a
+    facet block; facets.py::query_facet_stats through jsonapi): count + sum
+    + avg per named predicate in ONE conditional-aggregation pass."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "*:*",
+           "facet": {"long_en": {"type": "query",
+                                 "q": "lang:en AND n_chars:[300 TO *]",
+                                 "facet": {"total_chars": "sum(n_chars)",
+                                           "avg_chars": "avg(n_chars)"}}}}
+    out = json_facets(docs, req)["long_en"]
+    return out.select(
+        "bucket", F.col("count").cast("long").alias("count"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        _dround("avg_chars", 6).alias("avg_chars"))
+
+
+_Q115_SQL = """
+SELECT 'long_en' AS bucket,
+       count(CASE WHEN lang = 'en' AND n_chars >= 300 THEN 1 END)::BIGINT
+         AS count,
+       sum(CASE WHEN lang = 'en' AND n_chars >= 300 THEN n_chars END)::BIGINT
+         AS total_chars,
+       round(avg(CASE WHEN lang = 'en' AND n_chars >= 300 THEN n_chars END),
+             6) AS avg_chars
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6800,6 +6831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_json_graph_domain": _q112_json_graph_domain,
         "q113_stats_facet": _q113_stats_facet,
         "q114_json_heatmap": _q114_json_heatmap,
+        "q115_query_facet_stats": _q115_query_facet_stats,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7611,6 +7643,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q111_external_file_field": _Q111_SQL,
         "q112_json_graph_domain": _Q112_SQL,
         "q113_stats_facet": _Q113_SQL,
+        "q115_query_facet_stats": _Q115_SQL,
         "q114_json_heatmap": """
 WITH pts AS (
   SELECT (c_custkey % 180 - 90) + 0.5 AS lat,

@@ -132,7 +132,9 @@ def terms_facet(df: DataFrame, field: str, limit: int = 10,
     out = filtered.orderBy(*order)
     if offset:
         out = out.offset(int(offset))
-    out = out.limit(limit)
+    if limit >= 0:
+        # limit < 0 = "all buckets" (JSON facet limit:-1 / facet.limit=-1)
+        out = out.limit(limit)
     if not (all_buckets or num_buckets or missing):
         return out
 
@@ -407,6 +409,37 @@ def query_facet(df: DataFrame, preds: dict[str, Column]) -> DataFrame:
     return row.select(
         F.expr(f"stack({len(preds)}, {stack}) as (bucket, count)")
     ).orderBy("bucket")
+
+
+def query_facet_stats(df: DataFrame, preds: dict[str, Column],
+                      metrics: Sequence[tuple[str, str]] = ()) -> DataFrame:
+    """`query` facets carrying nested stat metrics (FacetQuery.java with a
+    `facet` block of agg strings): count plus each metric per named
+    predicate, still ONE conditional-aggregation pass — overlapping
+    predicates cost nothing extra and nothing shuffles by key."""
+    aggs, names = [], []
+    for i, (bname, p) in enumerate(preds.items()):
+        aggs.append(F.count(F.when(p, F.lit(1))).alias(f"__c{i}"))
+        cols = [f"__c{i}"]
+        for mname, col in metrics:
+            a = f"__m{i}_{mname}_{col}"
+            if mname == "missing":
+                m = F.count(F.when(p & F.col(col).isNull(), F.lit(1)))
+            elif mname == "sumsq":
+                m = F.sum(F.when(p, F.col(col) * F.col(col)))
+            else:
+                m = _METRICS[mname](F.when(p, F.col(col)))
+            aggs.append(m.alias(a))
+            cols.append(a)
+        names.append((bname, cols))
+    one = df.agg(*aggs)
+    out_cols = ["count"] + [f"{n}_{c}" for n, c in metrics]
+    stack = ", ".join(
+        f"'{b}', " + ", ".join(f"`{a}`" for a in cols) for b, cols in names)
+    return (one.select(F.expr(
+        f"stack({len(names)}, {stack}) as (bucket, "
+        + ", ".join(f"`{c}`" for c in out_cols) + ")"))
+        .orderBy("bucket"))
 
 
 def nested_facet(df: DataFrame, outer: str, inner: str,

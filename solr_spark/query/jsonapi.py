@@ -480,7 +480,23 @@ def json_facets(df: DataFrame, request: dict | str,
                     F.col("bucket_start") < float(spec["end"]))
             out[name] = ranged
         elif ftype == "query":
-            out[name] = FC.query_facet(fdom, {name: parser.parse(spec["q"])})
+            stats = spec.get("facet", {})
+            if stats:
+                pairs, renames = [], []
+                for a, s in stats.items():
+                    m = _METRIC_RE.fullmatch(str(s).strip())
+                    if not m or m.group(1) not in FC._METRICS:
+                        raise ValueError(f"unsupported facet stat {s!r}")
+                    pairs.append(m.groups())
+                    renames.append((f"{m.group(1)}_{m.group(2)}", a))
+                qf = FC.query_facet_stats(
+                    fdom, {name: parser.parse(spec["q"])}, metrics=pairs)
+                for old, new_ in renames:
+                    qf = qf.withColumnRenamed(old, new_)
+                out[name] = qf
+            else:
+                out[name] = FC.query_facet(fdom,
+                                           {name: parser.parse(spec["q"])})
         elif ftype == "heatmap":
             # facet.heatmap (spatial-search.adoc; HeatmapFacetCounter role):
             # counts per fixed-degree grid cell over the facet domain — one

@@ -180,3 +180,27 @@ def test_json_graph_domain(spark):
     out3 = json_facets(docs, req)["tags"].collect()
     got3 = {r.bucket: r["count"] for r in out3}
     assert got3 == {"a": 1, "b": 1}  # one DOC hop: root + doc 10 only
+
+
+def test_query_facet_stats_and_unlimited_terms(spark):
+    from solr_spark.operators.facets import query_facet_stats, terms_facet
+    from solr_spark.query.jsonapi import json_facets
+
+    df = spark.createDataFrame(
+        [(i, float(i), "t%d" % (i % 13)) for i in range(40)],
+        "id int, v double, tag string")
+    out = query_facet_stats(
+        df, {"big": F.col("v") >= 20, "small": F.col("v") < 20},
+        metrics=[("sum", "v"), ("max", "id")]).collect()
+    got = {r.bucket: (r["count"], r.sum_v, r.max_id) for r in out}
+    assert got["big"] == (20, sum(float(i) for i in range(20, 40)), 39)
+    assert got["small"] == (20, sum(float(i) for i in range(20)), 19)
+    # JSON adapter: query facet with nested stats
+    req = {"query": "*:*",
+           "facet": {"big": {"type": "query", "q": "v:[20 TO *]",
+                             "facet": {"total": "sum(v)"}}}}
+    jf = json_facets(df, req)["big"].collect()[0]
+    assert jf["count"] == 20 and jf.total == got["big"][1]
+    # limit:-1 returns every bucket
+    allb = terms_facet(df, "tag", limit=-1)
+    assert allb.count() == 13
