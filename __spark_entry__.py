@@ -6620,6 +6620,42 @@ FROM documents
 """
 
 
+def _q116_range_subfacet(spark, sf_dir):
+    """Terms sub-facet INSIDE range buckets (FacetRange with nested
+    FacetField; jsonapi range branch -> facet_tree): n_chars ranges as the
+    outer level, top-2 langs per range inside, one tree plan / one scan."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "*:*",
+           "facet": {"sizes": {
+               "type": "range", "field": "n_chars",
+               "start": 0, "gap": 250, "end": 1000,
+               "facet": {"langs": {"type": "terms", "field": "lang",
+                                   "limit": 2}}}}}
+    out = json_facets(docs, req)["sizes"]
+    return (out.select(F.col("bucket").cast("long").alias("bucket_start"),
+                       F.col("langs"),
+                       F.col("count").cast("long").alias("count"))
+            .orderBy("bucket_start", "langs"))
+
+
+_Q116_SQL = """
+WITH b AS (
+  SELECT (floor(n_chars / 250) * 250)::BIGINT AS bucket_start, lang
+  FROM documents WHERE n_chars >= 0 AND n_chars < 1000
+),
+counts AS (
+  SELECT bucket_start, lang, count(*)::BIGINT AS count,
+         row_number() OVER (PARTITION BY bucket_start
+                            ORDER BY count(*) DESC, lang) AS rk
+  FROM b GROUP BY 1, 2
+)
+SELECT bucket_start, lang AS langs, count
+FROM counts WHERE rk <= 2 ORDER BY bucket_start, langs
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6832,6 +6868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_stats_facet": _q113_stats_facet,
         "q114_json_heatmap": _q114_json_heatmap,
         "q115_query_facet_stats": _q115_query_facet_stats,
+        "q116_range_subfacet": _q116_range_subfacet,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7644,6 +7681,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q112_json_graph_domain": _Q112_SQL,
         "q113_stats_facet": _Q113_SQL,
         "q115_query_facet_stats": _Q115_SQL,
+        "q116_range_subfacet": _Q116_SQL,
         "q114_json_heatmap": """
 WITH pts AS (
   SELECT (c_custkey % 180 - 90) + 0.5 AS lat,

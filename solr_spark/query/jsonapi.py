@@ -449,10 +449,19 @@ def json_facets(df: DataFrame, request: dict | str,
                 missing=bool(spec.get("missing", False)),
                 prefix=spec.get("prefix"), contains=spec.get("contains"))
         elif ftype == "range":
-            for a, s in spec.get("facet", {}).items():
-                if not isinstance(s, str):
-                    raise ValueError(
-                        f"range facet {name!r} supports stat strings only")
+            if any(isinstance(s, dict)
+                   for s in spec.get("facet", {}).values()):
+                # range facet with a nested sub-facet: same facet_tree
+                # compilation the terms branch uses (_tree_levels accepts
+                # range nodes at any position in the chain)
+                levels = _tree_levels(name, spec)
+                tree = FC.facet_tree(fdom, levels)
+                leaf_name = levels[-1].name
+                out[name] = (tree
+                             .withColumnRenamed(name, "bucket")
+                             .withColumnRenamed(f"{leaf_name}_count",
+                                                "count"))
+                continue
             if "ranges" in spec:
                 # SOLR-6348 explicit range list (RangeFacetProcessor
                 # `ranges`): arbitrary/overlapping ranges, canonical

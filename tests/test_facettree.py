@@ -204,3 +204,23 @@ def test_query_facet_stats_and_unlimited_terms(spark):
     # limit:-1 returns every bucket
     allb = terms_facet(df, "tag", limit=-1)
     assert allb.count() == 13
+
+
+def test_range_with_terms_subfacet(spark):
+    """Top-level range facet carrying a terms sub-facet routes through the
+    facet_tree compilation (one scan)."""
+    from solr_spark.query.jsonapi import json_facets
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100), ["en", "fr", "de"][i % 3]) for i in range(90)],
+        "id int, v double, lang string")
+    req = {"query": "*:*",
+           "facet": {"sizes": {"type": "range", "field": "v",
+                               "start": 0, "gap": 50, "end": 100,
+                               "facet": {"langs": {"type": "terms",
+                                                   "field": "lang",
+                                                   "limit": 3}}}}}
+    out = json_facets(df, req)["sizes"].collect()
+    got = {(r.bucket, r.langs): r["count"] for r in out}
+    assert got[(0.0, "en")] == 15 and got[(50.0, "fr")] == 15
+    assert len(got) == 6
