@@ -222,5 +222,8 @@ def test_range_with_terms_subfacet(spark):
                                                    "limit": 3}}}}}
     out = json_facets(df, req)["sizes"].collect()
     got = {(r.bucket, r.langs): r["count"] for r in out}
-    assert got[(0.0, "en")] == 15 and got[(50.0, "fr")] == 15
+    # bucket [0,50): i in 0..49 -> en(i%3==0)=17, fr=17, de=16
+    # bucket [50,100): i in 50..89 -> en=13, fr=13, de=14
+    assert got[(0.0, "en")] == 17 and got[(0.0, "de")] == 16
+    assert got[(50.0, "de")] == 14 and got[(50.0, "en")] == 13
     assert len(got) == 6
