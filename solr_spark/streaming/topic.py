@@ -109,6 +109,88 @@ def index_stream(
     return writer.start()
 
 
+class CommitTracker:
+    """autoCommit policy for the micro-batch indexing loop — the
+    CommitTracker analog (update/CommitTracker.java:47,72,186-189 and
+    solrconfig.xml autoCommit maxDocs/maxTime).
+
+    Small incoming batches STAGE (parquet append under
+    ``{index_dir}/staging/``) instead of each becoming a tiny LSM segment;
+    the commit — ONE ``add_documents`` draining the stage into a single
+    segment — fires when staged docs reach ``max_docs`` or the oldest
+    staged batch's age reaches ``max_time_s`` (checked at add time, the
+    batch-loop analog of the reference's scheduled tracker thread).
+    ``flush()`` is the explicit hard commit.
+
+    Durability window: staged files persist across a crash (the tlog role);
+    a restarted tracker finds them (count + age recovered from the staging
+    dir) and the next commit drains them — at-least-once, exactly the
+    reference's tlog-replay exposure. ``clock`` is injectable for
+    deterministic tests.
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 config: IndexConfig = DEFAULT_CONFIG,
+                 max_docs: int | None = None,
+                 max_time_s: float | None = None,
+                 clock=None):
+        if max_docs is None and max_time_s is None:
+            raise ValueError("CommitTracker needs max_docs and/or max_time_s")
+        import time as _time
+
+        self.spark, self.index_dir, self.config = spark, index_dir, config
+        self.max_docs, self.max_time_s = max_docs, max_time_s
+        self._clock = clock or _time.monotonic
+        self._staging = os.path.join(index_dir, "staging")
+        self._staged_docs = 0
+        self._first_stage_at: float | None = None
+        if os.path.isdir(self._staging):  # crash recovery: count survivors
+            staged = spark.read.parquet(self._staging)
+            self._staged_docs = staged.count()
+            if self._staged_docs:
+                self._first_stage_at = self._clock()
+
+    def add(self, batch_df: DataFrame) -> dict | None:
+        """Stage a batch; commit if a policy threshold is now crossed.
+        Returns the commit's index stats, or None if only staged."""
+        n = batch_df.count()
+        if n:
+            batch_df.write.mode("append").parquet(self._staging)
+            self._staged_docs += n
+            if self._first_stage_at is None:
+                self._first_stage_at = self._clock()
+        return self._maybe_commit()
+
+    def flush(self) -> dict | None:
+        """Explicit hard commit of everything staged."""
+        return self._commit() if self._staged_docs else None
+
+    def _maybe_commit(self) -> dict | None:
+        over_docs = (self.max_docs is not None
+                     and self._staged_docs >= self.max_docs)
+        over_time = (self.max_time_s is not None
+                     and self._first_stage_at is not None
+                     and self._clock() - self._first_stage_at
+                     >= self.max_time_s)
+        if self._staged_docs and (over_docs or over_time):
+            return self._commit()
+        return None
+
+    def _commit(self) -> dict:
+        import shutil
+
+        from solr_spark.indexing.merge import add_documents
+
+        staged = self.spark.read.parquet(self._staging)
+        stats = add_documents(self.spark, staged, self.index_dir,
+                              self.config)
+        # drain AFTER the segment add: a crash between the two replays the
+        # stage (duplicates possible, loss impossible — tlog semantics)
+        shutil.rmtree(self._staging, ignore_errors=True)
+        self._staged_docs, self._first_stage_at = 0, None
+        return stats
+
+
 def _signature_col(method: str):
     from solr_spark.functions.dedup import text_profile_signature
 

@@ -199,3 +199,49 @@ def test_streaming_index_dedup_signatures(spark, tmp_path):
     assert reader.n_docs == 3
     hits = bm25_topk(spark, reader, "unique", k=10, mode="exact").collect()
     assert {r["conv_id"] for r in hits} == {"seed-000"}
+
+
+def test_commit_tracker_max_docs_and_time(spark, tmp_path):
+    """CommitTracker analog: small batches stage; the segment add fires on
+    maxDocs or maxTime; the committed index equals a fresh full build."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.data import synth_transcripts_spark
+    from solr_spark.indexing import build_index
+    from solr_spark.indexing.merge import segments_info
+    from solr_spark.query import IndexReader, bm25_topk
+    from solr_spark.streaming.topic import CommitTracker
+
+    cfg = IndexConfig(range_shift=8, num_term_buckets=16)
+    corpus = synth_transcripts_spark(spark, 300, seed=9)
+    slices = [corpus.where(F.crc32("conv_id") % 3 == i) for i in range(3)]
+    idx = str(tmp_path / "idx")
+    build_index(spark, slices[0], idx, cfg, input_token="t0")
+    n_seg0 = len(segments_info(spark, idx).collect())
+
+    # maxDocs policy: first small batch stages, second crosses and commits
+    tr = CommitTracker(spark, idx, cfg, max_docs=slices[1].count())
+    assert tr.add(slices[1].limit(10)) is None          # staged only
+    assert len(segments_info(spark, idx).collect()) == n_seg0
+    stats = tr.add(slices[1].subtract(slices[1].limit(10)))
+    assert stats is not None                            # committed ONE segment
+    assert len(segments_info(spark, idx).collect()) == n_seg0 + 1
+
+    # maxTime policy with an injected clock
+    t = [0.0]
+    tr2 = CommitTracker(spark, idx, cfg, max_time_s=30.0, clock=lambda: t[0])
+    assert tr2.add(slices[2].limit(5)) is None
+    t[0] = 31.0
+    assert tr2.add(slices[2].subtract(slices[2].limit(5))) is not None
+
+    # empty adds never commit; flush with nothing staged is a no-op
+    assert tr2.add(slices[2].limit(0)) is None
+    assert tr2.flush() is None
+
+    # incrementally committed index == fresh full build, query-for-query
+    full = str(tmp_path / "full")
+    build_index(spark, corpus, full, cfg, input_token="t1")
+    q = "error timeout"
+    a = bm25_topk(spark, IndexReader.open(idx), q, k=10).collect()
+    b = bm25_topk(spark, IndexReader.open(full), q, k=10).collect()
+    assert [(r.conv_id, r.turn_idx, round(r.score, 6)) for r in a] == \
+           [(r.conv_id, r.turn_idx, round(r.score, 6)) for r in b]
