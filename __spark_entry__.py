@@ -1285,7 +1285,7 @@ def _ft11_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
-def _ft11_sql() -> str:
+def _ft11_sql(final_where: str = "") -> str:
     k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
     t1, t2 = _EDISMAX_Q.split()
     in_list = f"'{t1}', '{t2}'"
@@ -1365,6 +1365,7 @@ boost AS (
 )
 SELECT m.doc_id, round(m.score + coalesce(boost.bst, 0.0), 4) AS score
 FROM main m LEFT JOIN boost ON boost.doc_id = m.doc_id
+{final_where}
 ORDER BY score DESC, m.doc_id LIMIT 20
 """
 
@@ -1565,6 +1566,7 @@ def _ft19_sql() -> str:
     old_tail = """
 SELECT m.doc_id, round(m.score + coalesce(boost.bst, 0.0), 4) AS score
 FROM main m LEFT JOIN boost ON boost.doc_id = m.doc_id
+
 ORDER BY score DESC, m.doc_id LIMIT 20
 """
     new_tail = """
@@ -6656,6 +6658,21 @@ FROM counts WHERE rk <= 2 ORDER BY bucket_start, langs
 """
 
 
+def _ft45_edismax_filtered(spark, sf_dir):
+    """edismax q + fq (ExtendedDismaxQParser with the classic fq flow;
+    query/edismax.py filters=): the ft11 request restricted to lang:en --
+    the filter docid-set semi-joins the combined match set BEFORE
+    mm/boosts/top-k, scoring stats stay global (IDF unchanged)."""
+    from solr_spark.query.edismax import edismax_topk
+
+    readers = {"text": _ft_index(spark, sf_dir),
+               "title": _ft_title_index(spark, sf_dir)}
+    topk = edismax_topk(spark, readers, _EDISMAX_Q, _EDISMAX_QF, k=20,
+                        tie=_EDISMAX_TIE, pf={"text": _EDISMAX_PF},
+                        filters=["lang:en"])
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6869,6 +6886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_json_heatmap": _q114_json_heatmap,
         "q115_query_facet_stats": _q115_query_facet_stats,
         "q116_range_subfacet": _q116_range_subfacet,
+        "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
     }
@@ -7682,6 +7700,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q113_stats_facet": _Q113_SQL,
         "q115_query_facet_stats": _Q115_SQL,
         "q116_range_subfacet": _Q116_SQL,
+        "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (
   SELECT (c_custkey % 180 - 90) + 0.5 AS lat,

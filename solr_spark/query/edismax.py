@@ -224,6 +224,9 @@ def edismax_topk(
     ps3: int | None = None,
     bf: DataFrame | None = None,
     boost: DataFrame | None = None,
+    filters: list[str] | str | None = None,
+    filter_docids: DataFrame | None = None,
+    now: str | None = None,
 ) -> DataFrame:
     """Top-k edismax. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
@@ -247,6 +250,17 @@ def edismax_topk(
     a doc from outside the unboosted top-k), as left joins keyed on docid —
     the match set is bounded by query selectivity, and the function tables
     prune to their two columns at the scan.
+
+    filters / filter_docids: the same q+fq flow bm25_topk carries
+    (SolrIndexSearcher.getProcessedFilter; edismax requests take fq exactly
+    like the classic handler). `filters` compile against the PRIMARY
+    reader's forward table (query/docsets.py::filter_docids — pushed scan
+    predicates); `filter_docids` is a precomputed DataFrame(docid)
+    (filterCache role). The docid set semi-joins the combined match set
+    BEFORE mm/boosts/top-k, so a selective fq still returns k hits and
+    boost promotion happens within the filtered domain; scoring stats stay
+    global, as the reference's filter never changes IDF. `now` anchors
+    date-math fq endpoints.
     """
     primary = readers[next(iter(sorted(qf)))]
     k = min(k, max(r.n_docs for r in readers.values()))  # O(k) TakeOrdered
@@ -279,6 +293,18 @@ def edismax_topk(
     allc = contribs[0]
     for c in contribs[1:]:
         allc = allc.unionByName(c)
+
+    if isinstance(filters, (list, tuple)) and not filters:
+        filters = None
+    if filters is not None and filter_docids is not None:
+        raise ValueError("pass filters OR filter_docids, not both")
+    if filters is not None:
+        from solr_spark.query.docsets import filter_docids as _compile_fq
+
+        filter_docids = _compile_fq(spark, primary, filters, now=now)
+    if filter_docids is not None:
+        allc = allc.join(filter_docids.select("docid").dropDuplicates(),
+                         "docid", "left_semi")
 
     # dismax per (doc, clause): max + tie * (sum - max); then BooleanQuery
     # combine: sum over clauses, mm over the matched-clause count

@@ -382,3 +382,37 @@ def test_empty_named_query_dicts_raise(spark):
         group_query(df, {}, ["id"], 5)
     with pytest.raises(ValueError, match="at least one named query"):
         matched_queries(df, {})
+
+
+def test_edismax_filtered(spark, built):
+    """edismax q+fq: the filter docid set restricts the combined match set
+    BEFORE the top-k cut — k hits where post-filtering the unfiltered top-k
+    would return fewer; scores of surviving docs unchanged (global stats)."""
+    from solr_spark.query.edismax import edismax_topk
+
+    reader = IndexReader.open(built, CFG)
+    readers, qf = {"text": reader}, {"text": 1.0}
+    unfiltered = edismax_topk(spark, readers, Q, qf, k=10, tie=0.3)
+    filtered = edismax_topk(spark, readers, Q, qf, k=10, tie=0.3, filters=FQ)
+    rows_f = filtered.collect()
+    assert len(rows_f) == 10
+    # every filtered hit satisfies the fq
+    fwd = spark.read.parquet(f"{built}/analyzed/batch-000")
+    roles = {r.docid: r.role for r in
+             fwd.select("docid", "role").collect()}
+    assert all(roles[r.docid] == "assistant" for r in rows_f)
+    # scores agree with the unfiltered run where docs overlap
+    uf = {r.docid: r.score for r in unfiltered.collect()}
+    for r in rows_f:
+        if r.docid in uf:
+            assert abs(uf[r.docid] - r.score) < 1e-9
+    # post-join of the unfiltered top-10 returns FEWER than k
+    post = [d for d in uf if roles.get(d) == "assistant"]
+    assert len(post) < 10
+    # precomputed handle path agrees with string-fq path
+    from solr_spark.query.docsets import filter_docids as compile_fq
+    ds = compile_fq(spark, reader, FQ)
+    via_handle = edismax_topk(spark, readers, Q, qf, k=10, tie=0.3,
+                              filter_docids=ds)
+    assert _rows(filtered.select("docid", "score")) == \
+           _rows(via_handle.select("docid", "score"))
