@@ -243,16 +243,42 @@ def main() -> None:
         local_latency: dict[str, dict] = {}
         for name, q in FT_QUERIES.items():
             searcher.search(q, k=10)  # warm the posting row groups
-            series = []
+            series, cached = [], []
             for _ in range(max(reps, 5)):
+                # warm-searcher latency: postings/filter caches hot, the
+                # queryResultCache cleared (a repeat hit is the separate
+                # *_cached series below — Solr's cache-hit path)
+                searcher.clear_query_result_cache()
                 t0 = time.time()
                 searcher.search(q, k=10)
                 series.append(round(time.time() - t0, 4))
+                t0 = time.time()
+                searcher.search(q, k=10)
+                cached.append(round(time.time() - t0, 4))
             s = sorted(series)
             local_latency[name] = {
                 "p50": s[len(s) // 2],
                 "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
             }
+            c = sorted(cached)
+            local_latency[name + "_cached"] = {"p50": c[len(c) // 2],
+                                               "p95": c[-1]}
+
+        # filtered serving (q+fq, the most common Solr request shape):
+        # warm p50 of the flagship query under a selective metadata filter
+        fq = ["role:assistant"]
+        searcher.search("error timeout", k=10, filters=fq)  # warm
+        series = []
+        for _ in range(max(reps, 5)):
+            searcher.clear_query_result_cache()  # keep the filterCache hot
+            t0 = time.time()
+            searcher.search("error timeout", k=10, filters=fq)
+            series.append(round(time.time() - t0, 4))
+        s = sorted(series)
+        local_latency["ft_filtered"] = {
+            "p50": s[len(s) // 2],
+            "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+        }
 
         # serving-path suggesters (same tier): warm per-call p50 in ms-range
         for sname, call in (
@@ -292,6 +318,8 @@ def main() -> None:
             merged.search(q, k=10)  # warm
             series = []
             for _ in range(max(reps, 5)):
+                for sh in merged.shards:
+                    sh.clear_query_result_cache()
                 t0 = time.time()
                 merged.search(q, k=10)
                 series.append(round(time.time() - t0, 4))

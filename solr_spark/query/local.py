@@ -240,6 +240,12 @@ class LocalSearcher:
             name: {"hits": 0, "misses": 0, "evictions": 0}
             for name in ("filter", "query_result")}
 
+    def clear_query_result_cache(self) -> None:
+        """Drop cached ranked windows (commit-time cache invalidation role:
+        the reference throws queryResultCache away on newSearcher). Postings
+        and filter caches survive — those are the autowarmed tier."""
+        self._qr_cache.clear()
+
     def cache_info(self) -> dict:
         """Per-cache hits/misses/evictions + current sizes (the admin
         cache-stats surface; reference: SolrCache getStatistics)."""
