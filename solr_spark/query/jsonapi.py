@@ -512,6 +512,9 @@ def json_facets(df: DataFrame, request: dict | str,
             # grouped aggregation on the derived cell key
             from solr_spark.functions.geo import geo_grid_cell
 
+            if "latField" not in spec or "lonField" not in spec:
+                raise ValueError(
+                    f"heatmap facet {name!r} needs latField and lonField")
             out[name] = (fdom.groupBy(
                 geo_grid_cell(spec["latField"], spec["lonField"],
                               float(spec.get("gridSize", 1.0))).alias("cell"))

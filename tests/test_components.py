@@ -793,6 +793,8 @@ def test_json_request_api(spark):
     with _pytest.raises(ValueError, match="unsupported facet stat"):
         json_facets(df, {"facet": {"bad": "median(n)"}})
     with _pytest.raises(ValueError, match="unsupported facet type"):
+        json_facets(df, {"facet": {"bad": {"type": "hyperloglog"}}})
+    with _pytest.raises(ValueError, match="latField"):
         json_facets(df, {"facet": {"bad": {"type": "heatmap"}}})
 
 
@@ -845,11 +847,21 @@ def test_json_facet_domain_filter(spark):
     assert {r["bucket"]: r["count"] for r in fs["big_langs"].collect()} == \
         {"en": 1, "fr": 2}
 
+    # range facets CARRY terms sub-facets since round 4 (q116: routed
+    # through the facet_tree compilation)
+    rf = json_facets(df, {"facet": {"r": {"type": "range", "field": "n",
+        "start": 0, "gap": 40, "end": 80,
+        "facet": {"x": {"type": "terms", "field": "lang"}}}}},
+        default_field="lang")["r"]
+    got_rf = {(r.bucket, r.x): r["count"] for r in rf.collect()}
+    assert got_rf == {(0.0, "en"): 2, (0.0, "fr"): 1, (40.0, "fr"): 1}
+
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="stat strings only"):
+    with _pytest.raises(ValueError, match="one chain per tree"):
         json_facets(df, {"facet": {"r": {"type": "range", "field": "n",
             "start": 0, "gap": 10,
-            "facet": {"x": {"type": "terms", "field": "lang"}}}}},
+            "facet": {"a": {"type": "terms", "field": "lang"},
+                      "b": {"type": "terms", "field": "lang"}}}}},
             default_field="lang")
 
 
