@@ -127,6 +127,28 @@ def _evaluator(node) -> Column:
             return F.lit(float(v) if "." in v else int(v))
         return F.col(v)
     assert isinstance(node, StreamExpr), node
+    if node.name == "analyze":
+        # AnalyzeEvaluator (handler/AnalyzeEvaluator.java:49): run a field
+        # through an analyzer chain, yielding the token array — typically
+        # exploded with cartesianProduct(..., analyze(text) as term). The
+        # chain runs as the pure-JVM Column analyzer (tokenize_column), so
+        # the evaluator stays inside whole-stage codegen. The optional
+        # second positional is the fieldType name; only the default
+        # text_general chain has a JVM expression form (stemming chains are
+        # Arrow-kernel-only and can't be embedded in expression text).
+        from solr_spark.analysis.analyzer import tokenize_column
+
+        pos = [p for p in node.params if not isinstance(p, NamedParam)]
+        if not pos:
+            raise ValueError("analyze() needs a field to analyze")
+        if len(pos) > 1:
+            ftype = pos[1] if isinstance(pos[1], str) else None
+            if ftype != "text_general":
+                raise ValueError(
+                    f"analyze(): fieldType {ftype!r} has no expression-"
+                    "embeddable chain (only text_general; stemming chains "
+                    "run as Arrow kernels in the index build)")
+        return tokenize_column(_evaluator(pos[0]))
     args = [_evaluator(p) for p in node.params if not isinstance(p, NamedParam)]
     name = node.name
     if name in _ARITH:
@@ -692,6 +714,49 @@ def _h_update(ctx, e):
         "dest string, batchIndexed long, totalIndexed long")
 
 
+def _h_delete(ctx, e):
+    """DeleteStream.java:44 — delete(dest, <stream>): each inner tuple's id
+    becomes a delete-by-id against the destination index. Our document
+    identity is the dense docid (indexing/docids.py), so the inner stream
+    supplies a `docid` column (override with id=<col>); deletes are LSM
+    tombstones (indexing/deletes.py) consulted at collect time and purged
+    at merge, exactly the liveDocs flow the reference wraps. Emits the
+    reference's batch-summary tuple shape (totalDeleted)."""
+    names = e.positional_values()
+    if not names:
+        raise ValueError("delete() needs a destination collection name")
+    dest = names[0]
+    if not ctx.index_dirs or dest not in ctx.index_dirs:
+        raise ValueError(
+            f"delete() destination {dest!r} not registered — pass "
+            f"index_dirs={{{dest!r}: <index path>}} to run_expression")
+    from solr_spark.indexing.deletes import delete_docids
+
+    df = _input_stream(ctx, e)
+    id_col = e.named1("id", "docid")
+    spark = df.sparkSession
+    n = delete_docids(spark, ctx.index_dirs[dest],
+                      df.select(F.col(id_col).alias("docid")))
+    return spark.createDataFrame([(dest, n)],
+                                 "dest string, totalDeleted long")
+
+
+def _h_cell(ctx, e):
+    """CellStream.java:40 — cell(name, <stream>): collapse the inner stream
+    into ONE tuple whose `name` field is the list of inner tuples (the
+    let()/zplot matrix-loading idiom). The reference keeps stream arrival
+    order; a distributed collect can't reproduce that, so the list is
+    canonically ordered by all fields (documented deviation — deterministic
+    on any cluster, and order-insensitive consumers like zplot/matrix
+    loaders see the same multiset)."""
+    names = e.positional_values()
+    if not names:
+        raise ValueError("cell() needs a name for the tuple list")
+    df = _input_stream(ctx, e)
+    packed = F.array_sort(F.collect_list(F.struct(*df.columns)))
+    return df.agg(packed.alias(names[0]))
+
+
 def _h_commit(ctx, e):
     """CommitStream.java:46 — commit(dest, <stream>): run the wrapped
     (usually update) stream, then make its adds durable. The LSM layout
@@ -904,6 +969,8 @@ _HANDLERS = {
     "list": _h_list,
     "plist": _h_list,
     "update": _h_update,
+    "delete": _h_delete,
+    "cell": _h_cell,
     "commit": _h_commit,
     "topic": _h_topic,
     "daemon": _h_daemon,

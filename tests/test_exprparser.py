@@ -566,3 +566,78 @@ def test_dispatch_shuffle_and_null(colls):
     n = nl.collect()
     assert len(n) == 1 and n[0].nullCount == colls["orders"].where(
         "o_orderstatus = 'F'").count()
+
+
+def test_dispatch_analyze_evaluator(spark, colls):
+    """analyze(field) (AnalyzeEvaluator) matches the direct JVM analyzer
+    chain, and cartesianProduct explodes its token array."""
+    from solr_spark.analysis.analyzer import tokenize_column
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    c = dict(colls, documents=docs)
+    out = run_expression(
+        'select(search(documents, q=*:*, fl="doc_id,text", '
+        'sort="doc_id asc"), doc_id as doc_id, analyze(text) as terms)', c)
+    direct = docs.select("doc_id",
+                         tokenize_column("text").alias("terms"))
+    assert out.orderBy("doc_id").collect() == \
+        direct.orderBy("doc_id").collect()
+    exploded = run_expression(
+        'cartesianProduct(select(search(documents, q=*:*, fl="doc_id,text", '
+        'sort="doc_id asc"), doc_id as doc_id, analyze(text) as terms), '
+        'terms)', c)
+    n_tokens = docs.select(F.explode(tokenize_column("text"))).count()
+    assert exploded.count() == n_tokens
+    with pytest.raises(ValueError, match="text_general"):
+        run_expression(
+            'select(search(documents, q=*:*, fl="doc_id,text", '
+            'sort="doc_id asc"), analyze(text, text_en) as terms)', c)
+
+
+def test_dispatch_delete_stream(spark, tmp_path):
+    """delete(dest, <stream>) tombstones the inner stream's docids; a
+    subsequent search no longer returns them (liveDocs semantics)."""
+    from solr_spark.config import IndexConfig
+    from solr_spark.data import synth_transcripts_spark
+    from solr_spark.indexing import build_index
+    from solr_spark.query import IndexReader, bm25_topk
+
+    corpus = synth_transcripts_spark(spark, 200, seed=7)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(range_shift=8, num_term_buckets=16)
+    build_index(spark, corpus, idx, cfg, input_token="t0")
+    reader = IndexReader.open(idx)
+    before = bm25_topk(spark, reader, "error timeout", k=5).collect()
+    assert before
+    victim = before[0]
+    fwd = reader.forward(spark)
+    doomed = fwd.where((F.col("conv_id") == victim.conv_id) &
+                       (F.col("turn_idx") == victim.turn_idx))
+    out = run_expression(
+        'delete(dest, search(victims, q=*:*, fl="docid", sort="docid asc"))',
+        {"victims": doomed.select("docid")}, index_dirs={"dest": idx})
+    row = out.collect()[0]
+    assert row.dest == "dest" and row.totalDeleted == 1
+    after = bm25_topk(spark, IndexReader.open(idx), "error timeout",
+                      k=5).collect()
+    assert (victim.conv_id, victim.turn_idx) not in \
+        [(r.conv_id, r.turn_idx) for r in after]
+    with pytest.raises(ValueError, match="not registered"):
+        run_expression(
+            'delete(other, search(victims, q=*:*, fl="docid", '
+            'sort="docid asc"))',
+            {"victims": doomed.select("docid")}, index_dirs={"dest": idx})
+
+
+def test_dispatch_cell(colls):
+    """cell(name, <stream>) collapses the stream to one tuple holding the
+    list of inner tuples (canonical field order, documented deviation)."""
+    out = run_expression(
+        'cell(rows, search(nation, q=*:*, fl="n_nationkey,n_name", '
+        'sort="n_nationkey asc"))', colls)
+    rows = out.collect()
+    assert len(rows) == 1
+    got = [(t.n_nationkey, t.n_name) for t in rows[0].rows]
+    want = [(r.n_nationkey, r.n_name) for r in
+            colls["nation"].orderBy("n_nationkey").collect()]
+    assert got == want
