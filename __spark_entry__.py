@@ -6673,6 +6673,31 @@ def _ft45_edismax_filtered(spark, sf_dir):
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _q117_analyze_expr(spark, sf_dir):
+    """analyze() evaluator (AnalyzeEvaluator.java:49) in expression text —
+    the reference's indexing/census idiom: tokenize a stored field inside
+    the DSL, explode with cartesianProduct (CartesianProductStream.java:47),
+    hashRollup a term census. The chain runs as the pure-JVM Column
+    analyzer (analysis/analyzer.py::tokenize_column), so the whole
+    expression compiles to one scan + one hash aggregate — no Python."""
+    from solr_spark.streaming.dispatch import run_expression
+
+    colls = {"documents": _t(spark, sf_dir, "documents")}
+    out = run_expression(
+        'hashRollup(cartesianProduct(select(search(documents, q=*:*, '
+        'fl="doc_id,text", sort="doc_id asc"), doc_id as doc_id, '
+        'analyze(text) as term), term), over="term", count(*))', colls)
+    return (out.select("term", F.col("`count(*)`").cast("long").alias("n"))
+            .orderBy("term"))
+
+
+_Q117_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT tok AS term, count(*)::BIGINT AS n
+FROM toks GROUP BY tok ORDER BY term
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6886,6 +6911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_json_heatmap": _q114_json_heatmap,
         "q115_query_facet_stats": _q115_query_facet_stats,
         "q116_range_subfacet": _q116_range_subfacet,
+        "q117_analyze_expr": _q117_analyze_expr,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -7700,6 +7726,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q113_stats_facet": _Q113_SQL,
         "q115_query_facet_stats": _Q115_SQL,
         "q116_range_subfacet": _Q116_SQL,
+        "q117_analyze_expr": _Q117_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (
