@@ -6698,6 +6698,132 @@ FROM toks GROUP BY tok ORDER BY term
 """
 
 
+def _ft46_maxscore(spark, sf_dir):
+    """`{!maxscore}` qparser (search/MaxScoreQParser.java:53): the ft01
+    query scored with SHOULD clauses DISMAXED (tie=0.3) and `merge` as a
+    MUST pass-through clause — score = contrib(merge) + max(other contribs)
+    + 0.3 * (sum(other contribs) - max). WAND pruning is unchanged: the
+    per-range sum-of-bounds dominates the dismax score for tie <= 1."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     combine="dismax", tie=0.3, required=["merge"])
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft46_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+contrib AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) AS c
+    FROM tf
+    JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+),
+agg AS (
+    SELECT doc_id,
+           sum(CASE WHEN term = 'merge' THEN c ELSE 0 END) AS must_c,
+           count(CASE WHEN term = 'merge' THEN 1 END) AS must_n,
+           max(CASE WHEN term <> 'merge' THEN c END) AS mx,
+           sum(CASE WHEN term <> 'merge' THEN c ELSE 0 END) AS sm
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id,
+       round(must_c + coalesce(mx, 0.0) + 0.3 * (sm - coalesce(mx, 0.0)), 4) AS score
+FROM agg WHERE must_n > 0
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+def _q118_graph_terms(spark, sf_dir):
+    """`{!graphTerms}` qparser (search/GraphTermsQParserPlugin.java:72): a
+    terms filter where a term whose docFreq exceeds maxDocFreq contributes
+    NO matches — the hub-node skip for graph traversals. maxDocFreq=386 at
+    sf0.01 keeps `spark` (df 385) and `vector` (382) but caps out `window`
+    (387) and `merge` (393); the cap resolves against the DICTIONARY before
+    any posting is decoded."""
+    from solr_spark.query.bm25 import graph_terms_docs
+
+    reader = _ft_index(spark, sf_dir)
+    docs = graph_terms_docs(spark, reader, list(_FT_TERMS), max_doc_freq=386)
+    return (docs.join(reader.doc_map(spark), "docid")
+            .select(_doc_id()).orderBy("doc_id"))
+
+
+def _q118_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id) AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+)
+SELECT DISTINCT doc_id FROM toks
+WHERE tok IN (SELECT term FROM dfreq WHERE df <= 386)
+ORDER BY doc_id
+"""
+
+
+_TX09_CONTENT = ("spark streaming checkpoint recovery merge vector spark "
+                 "shuffle partition skew")
+
+
+def _tx09_mlt_content(spark, sf_dir):
+    """mlt from FREE TEXT (search/mlt/MLTContentQParserPlugin.java — the
+    `{!mlt_content}` parser feeds arbitrary text to MoreLikeThis.like(Reader)
+    instead of a seed document): content terms are scored tf-in-content *
+    corpus idf, the top terms broadcast into the postings disjunction."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    pairs = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("term"),
+    )
+    return streams.mlt_content(pairs, _TX09_CONTENT.split(), n_docs,
+                               doc_col="doc_id", k=10)
+
+
+def _tx09_sql() -> str:
+    from collections import Counter
+
+    ctf = Counter(_TX09_CONTENT.split())
+    values = ", ".join(f"('{t}', {float(c)})" for t, c in sorted(ctf.items()))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, tok AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+dft AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+content(term, ctf) AS (VALUES {values}),
+seed AS (
+  SELECT c.term,
+         c.ctf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS boost
+  FROM content c JOIN dft USING (term)
+  ORDER BY boost DESC, term LIMIT 25
+)
+SELECT doc_id, round(sum(boost), 4) AS mlt_score, count(*)::BIGINT AS n_shared
+FROM pairs JOIN seed USING (term)
+GROUP BY doc_id ORDER BY mlt_score DESC, doc_id LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -6912,6 +7038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_query_facet_stats": _q115_query_facet_stats,
         "q116_range_subfacet": _q116_range_subfacet,
         "q117_analyze_expr": _q117_analyze_expr,
+        "ft46_maxscore": _ft46_maxscore,
+        "q118_graph_terms": _q118_graph_terms,
+        "tx09_mlt_content": _tx09_mlt_content,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -7727,6 +7856,9 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q115_query_facet_stats": _Q115_SQL,
         "q116_range_subfacet": _Q116_SQL,
         "q117_analyze_expr": _Q117_SQL,
+        "ft46_maxscore": _ft46_sql(),
+        "q118_graph_terms": _q118_sql(),
+        "tx09_mlt_content": _tx09_sql(),
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

@@ -255,6 +255,54 @@ def mlt_interesting_terms(docs_terms: DataFrame, doc_id, n_docs: int,
             .select(term_col, "idf", F.col("df").cast("long").alias("df")))
 
 
+def mlt_content(docs_terms: DataFrame, content_tokens: Sequence[str],
+                n_docs: int, term_col: str = "term", doc_col: str = "doc_id",
+                k: int = 10, max_query_terms: int = 25,
+                min_tf: int = 1, min_doc_freq: int = 1) -> DataFrame:
+    """mlt_content — MoreLikeThis seeded by FREE TEXT instead of a stored doc.
+
+    Reference: search/mlt/MLTContentQParserPlugin.java (the `{!mlt_content}`
+    parser: `v=` carries arbitrary text, MoreLikeThis.like(Reader) extracts
+    interesting terms from it) vs MLTQParserPlugin's seed-document mode.
+    Term selection follows MoreLikeThis.createQueue: score each content term
+    by tf-in-content * idf (idf = ln(n_docs/df) from the CORPUS dictionary),
+    keep the top max_query_terms; mintf/mindf prune low-signal terms
+    (SimpleMLTQParser's mintf/mindf knobs). Documents are then ranked by the
+    boost-weighted disjunction sum(tf_content * idf) over shared terms.
+
+    Scale shape: the content is query-side and tiny — its term table is
+    built on the driver, joined to the corpus df counts, and the surviving
+    <= max_query_terms seed rows are BROADCAST into the postings semi-join;
+    one groupBy(doc) shuffle bounded by the selected terms' postings.
+    Output: doc_id, mlt_score (round 4), n_shared — score desc, doc_id asc.
+    """
+    from collections import Counter
+
+    spark = docs_terms.sparkSession
+    ctf = Counter(t for t in content_tokens if t)
+    ctf = {t: c for t, c in ctf.items() if c >= min_tf}
+    if not ctf:
+        return spark.createDataFrame(
+            [], f"{doc_col} long, mlt_score double, n_shared long")
+    content = spark.createDataFrame(
+        [(t, float(c)) for t, c in sorted(ctf.items())],
+        f"{term_col} string, ctf double")
+    pairs = docs_terms.select(doc_col, term_col).dropDuplicates(
+        [doc_col, term_col])
+    df_counts = pairs.groupBy(term_col).agg(F.count(F.lit(1)).alias("df"))
+    seed = (content.join(df_counts, term_col)
+            .where(F.col("df") >= min_doc_freq)
+            .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+            .withColumn("boost", F.col("ctf") * F.col("idf"))
+            .orderBy(F.desc("boost"), term_col).limit(max_query_terms))
+    return (pairs.join(F.broadcast(seed.select(term_col, "boost")), term_col)
+            .groupBy(doc_col)
+            .agg(F.round(F.sum("boost"), 4).alias("mlt_score"),
+                 F.count(F.lit(1)).alias("n_shared"))
+            .orderBy(F.desc("mlt_score"), doc_col)
+            .limit(k))
+
+
 def child_docs(parents: DataFrame, children: DataFrame, key: str,
                order_cols: Sequence[str], child_filter: Column | None = None,
                limit: int | None = None) -> DataFrame:

@@ -177,7 +177,8 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
                  groups: dict | None = None, gweights: dict | None = None,
                  sim=None, params: dict | None = None,
                  prohibited: set | None = None, required: set | None = None,
-                 filtered: bool = False):
+                 filtered: bool = False,
+                 combine: str = "sum", tie: float = 0.0):
     """Score one range group; returns (docids, scores) numpy arrays.
 
     min_match is the edismax `mm` contract (ExtendedDismaxQParser.java:66):
@@ -198,7 +199,21 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
     skipping excluded docs before collection; they contribute no score and no
     mm count). required: canonical terms/groups that must ALL be present in a
     doc for it to match (BooleanClause.MUST over an otherwise-SHOULD query).
+
+    combine/tie: the `{!maxscore}` qparser's clause combiner (reference:
+    search/MaxScoreQParser.java:53 — SHOULD clauses are wrapped in a
+    DisjunctionMaxQuery with `tie` as the tiebreaker, MUST clauses pass
+    through as ordinary summed BooleanClauses). combine="dismax" scores a
+    doc as sum(MUST contribs) + max(SHOULD contribs) + tie * (sum(SHOULD
+    contribs) - max); combine="sum" (default) is the ordinary BooleanQuery
+    sum. Synonym groups are not combinable with dismax (the reference parses
+    `{!maxscore}` through the plain Lucene grammar, which has no graph
+    expansion at that point).
     """
+    if combine not in ("sum", "dismax"):
+        raise ValueError(f"combine must be 'sum' or 'dismax', got {combine!r}")
+    if combine == "dismax" and groups is not None:
+        raise ValueError("combine='dismax' does not support synonym groups")
     if sim is None:
         sim = _DEFAULT_SIM
     params = params or {}
@@ -211,6 +226,10 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
         dls = np.frombuffer(norm_blob, dtype=np.uint32).astype(np.float64)
     width = len(dls)
     acc = np.zeros(width, dtype=np.float64)
+    # dismax combiner state: max SHOULD contribution per doc, plus the
+    # pass-through sum of MUST contributions (MaxScoreQParser.java:63-78)
+    acc_max = np.zeros(width, dtype=np.float64) if combine == "dismax" else None
+    acc_must = np.zeros(width, dtype=np.float64) if combine == "dismax" else None
     present = np.zeros(width, dtype=np.int32) if min_match > 1 else None
     excl = None
     req_hit = np.zeros(width, dtype=np.int32) if required else None
@@ -224,8 +243,14 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
         allow = unpack_bits(bytes(pdf["filter_bits"].iloc[0]), width)
 
     def _finish():
+        if acc_max is not None:
+            final = acc_must + acc_max + tie * (acc - acc_max)
+        else:
+            final = acc
         if present is not None:
             keep = present >= min_match
+        elif acc_max is not None:
+            keep = final > 0.0
         else:
             keep = acc > 0.0
         if req_hit is not None:
@@ -235,7 +260,7 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
         if allow is not None:
             keep &= allow
         nz = np.flatnonzero(keep)
-        return nz + base, acc[nz]
+        return nz + base, final[nz]
 
     # fixed term order => deterministic float summation (matches the oracle)
     order = np.argsort(pdf["term"].to_numpy(), kind="stable")
@@ -251,8 +276,16 @@ def _score_group(pdf: pd.Series, weights: dict, cfg: IndexConfig, avgdl: float,
                 excl[off] = True
                 continue
             tf = t.astype(np.float64)
-            acc[off] += sim.contrib(tf, dls[off], weights[term],
-                                    params.get(term, 0.0), cfg, avgdl)
+            contrib = sim.contrib(tf, dls[off], weights[term],
+                                  params.get(term, 0.0), cfg, avgdl)
+            if acc_max is not None and required and term in required:
+                # MUST clauses bypass the dismax: ordinary summed clauses
+                acc_must[off] += contrib
+            else:
+                acc[off] += contrib
+                if acc_max is not None:
+                    # off is unique within one posting list: plain fancy-index max
+                    acc_max[off] = np.maximum(acc_max[off], contrib)
             if present is not None:
                 present[off] += 1
             if req_hit is not None and term in required:
@@ -384,6 +417,46 @@ def term_docs(spark: SparkSession, reader: IndexReader, term: str,
     return docs
 
 
+def graph_terms_docs(spark: SparkSession, reader: IndexReader,
+                     terms: list[str], max_doc_freq: int | None = None,
+                     apply_deletes: bool = True) -> DataFrame:
+    """`{!graphTerms}` — a terms filter that SKIPS high-frequency terms.
+
+    Reference: search/GraphTermsQParserPlugin.java:72-88 — match documents
+    containing any of `terms`, but a term whose docFreq exceeds maxDocFreq
+    contributes NO matches (graph traversals use this to avoid fanning out
+    through hub nodes). maxDocFreq=None (the reference's Integer.MAX_VALUE
+    default, :100) degrades to a plain set query.
+
+    Spark shape: the df cap is resolved against the DICTIONARY (tiny,
+    term-bucket pruned) before any posting is decoded — a capped-out term
+    costs one dictionary row, never a posting scan. Surviving terms ride the
+    same partition-pruned decode kernel as term_docs. Output: docid, distinct.
+    """
+    terms = sorted(set(terms))
+    if not terms:
+        return spark.createDataFrame([], "docid long")
+    if max_doc_freq is not None:
+        cfg = reader.config
+        buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
+        rows = (reader.dictionary(spark)
+                .where(F.col("term_bucket").isin(buckets)
+                       & F.col("term").isin(terms)
+                       & (F.col("df") <= max_doc_freq))
+                .select("term").collect())
+        terms = sorted(r["term"] for r in rows)
+        if not terms:
+            return spark.createDataFrame([], "docid long")
+    docs = terms_postings(spark, reader, terms).select("docid").distinct()
+    if apply_deletes:
+        from solr_spark.indexing.deletes import deletes_df
+
+        dels = deletes_df(spark, reader.index_dir)
+        if dels is not None:
+            docs = docs.join(dels, "docid", "left_anti")
+    return docs
+
+
 def bm25_topk(
     spark: SparkSession,
     reader: IndexReader,
@@ -400,6 +473,8 @@ def bm25_topk(
     filters: list[str] | str | None = None,
     filter_docids: DataFrame | None = None,
     now: str | None = None,
+    combine: str = "sum",
+    tie: float = 0.0,
 ) -> DataFrame:
     """Top-k scored retrieval. Returns DataFrame(conv_id, turn_idx, docid, score, rank).
 
@@ -436,7 +511,19 @@ def bm25_topk(
     (managed-schema.xml:309). Scored with Lucene SynonymQuery semantics: a
     group's member terms pool their tf per document (saturated once) and share
     one idf computed from the max member df. min_match counts GROUPS.
+
+    combine/tie: `{!maxscore}` semantics (search/MaxScoreQParser.java:53 —
+    SHOULD clauses dismaxed with tiebreaker `tie`, MUST clauses summed
+    through). WAND is unchanged: the per-range sum-of-term-bounds remains a
+    valid upper bound for the dismax score because tie <= 1 implies
+    max + tie * (sum - max) <= sum.
     """
+    if combine not in ("sum", "dismax"):
+        raise ValueError(f"combine must be 'sum' or 'dismax', got {combine!r}")
+    if combine == "dismax" and synonyms:
+        raise ValueError("combine='dismax' does not support synonyms")
+    if combine == "dismax" and not (0.0 <= tie <= 1.0):
+        raise ValueError(f"tie must be in [0, 1], got {tie}")
     cfg = reader.config
     sim = _resolve_sim(similarity)
     total_tokens = reader.n_docs * reader.avgdl
@@ -602,7 +689,8 @@ def bm25_topk(
             d, s = _score_group(pdf, weights, cfg, avgdl, length_table,
                                 min_match, group_of, gweights,
                                 sim, score_params,
-                                kernel_prohib, kernel_req, use_filter)
+                                kernel_prohib, kernel_req, use_filter,
+                                combine, tie)
             d, s = _live(d, s)
             d, s = _local_topk(d, s, k)
             return pd.DataFrame({"docid": d, "score": s})
@@ -642,7 +730,8 @@ def bm25_topk(
                 d, s = _score_group(group, weights, cfg, avgdl, length_table,
                                     min_match, group_of, gweights,
                                     sim, score_params,
-                                    kernel_prohib, kernel_req, use_filter)
+                                    kernel_prohib, kernel_req, use_filter,
+                                    combine, tie)
                 d, s = _live(d, s)
                 for di, si in zip(d.tolist(), s.tolist()):
                     item = (si, -di)

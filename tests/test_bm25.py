@@ -233,3 +233,99 @@ def test_boolean_occurs_prohibited_and_required(spark, built_index):
     # prohibited term not in the index: no-op
     assert bm25_topk(spark, reader, q, k=5,
                      prohibited=["qqqzz"]).count() == 5
+
+def test_maxscore_dismax_combiner(spark, built_index):
+    """`{!maxscore}` (search/MaxScoreQParser.java:53): SHOULD clauses are
+    dismaxed with a tiebreaker, MUST clauses pass through summed. Twin: the
+    per-term contributions ARE single-term bm25_topk scores, so the dismax
+    combination is recomputable doc-by-doc from single-term runs."""
+    import pytest as _pytest
+
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    q = "error timeout retry"
+    terms = q.split()
+    tie = 0.3
+
+    per_term = {
+        t: {r.docid: r.score
+            for r in bm25_topk(spark, reader, t, k=5000, mode="exact").collect()}
+        for t in terms
+    }
+
+    def expect(required=None):
+        docs = set()
+        for t in terms:
+            docs |= set(per_term[t])
+        out = []
+        for d in sorted(docs):
+            should = [per_term[t].get(d, 0.0) for t in terms
+                      if t != (required or "")]
+            must = per_term.get(required, {}).get(d) if required else None
+            if required is not None and must is None:
+                continue  # MUST not satisfied
+            mx = max(should) if should else 0.0
+            sc = (must or 0.0) + mx + tie * (sum(should) - mx)
+            if sc > 0.0:
+                out.append((d, sc))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return [(d, round(s, 9)) for d, s in out[:20]]
+
+    got_w = bm25_topk(spark, reader, q, k=20, mode="wand",
+                      combine="dismax", tie=tie)
+    got_e = bm25_topk(spark, reader, q, k=20, mode="exact",
+                      combine="dismax", tie=tie)
+    want = expect()
+    assert [(r.docid, round(r.score, 9)) for r in got_w.collect()] == want
+    assert [(r.docid, round(r.score, 9)) for r in got_e.collect()] == want
+
+    # MUST pass-through: `retry` summed outside the dismax
+    got_m = bm25_topk(spark, reader, q, k=20, mode="wand",
+                      combine="dismax", tie=tie, required=["retry"])
+    assert [(r.docid, round(r.score, 9))
+            for r in got_m.collect()] == expect(required="retry")
+
+    # tie=1.0 degrades to the ordinary BooleanQuery sum
+    got_1 = bm25_topk(spark, reader, q, k=20, mode="wand",
+                      combine="dismax", tie=1.0)
+    base = bm25_topk(spark, reader, q, k=20, mode="wand")
+    assert [(r.docid, round(r.score, 9)) for r in got_1.collect()] == \
+        [(r.docid, round(r.score, 9)) for r in base.collect()]
+
+    with _pytest.raises(ValueError, match="tie"):
+        bm25_topk(spark, reader, q, k=5, combine="dismax", tie=1.5)
+    with _pytest.raises(ValueError, match="synonyms"):
+        bm25_topk(spark, reader, q, k=5, combine="dismax",
+                  synonyms={"error": ["failure"]})
+    with _pytest.raises(ValueError, match="combine"):
+        bm25_topk(spark, reader, q, k=5, mode="exact", combine="nope")
+
+
+def test_graph_terms_df_cap(spark, built_index):
+    """`{!graphTerms}` (search/GraphTermsQParserPlugin.java:72): terms whose
+    docFreq exceeds maxDocFreq match NOTHING; the rest union like a set query."""
+    from solr_spark.query.bm25 import IndexReader, graph_terms_docs, term_docs
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    terms = ["error", "timeout", "retry"]
+    dfs = {t: {r.docid for r in term_docs(spark, reader, t).collect()}
+           for t in terms}
+    counts = sorted(len(v) for v in dfs.values())
+    cap = counts[1]  # keeps the two least-frequent terms, drops the max
+
+    kept = [t for t in terms if len(dfs[t]) <= cap]
+    want = sorted(set().union(*[dfs[t] for t in kept]))
+    got = graph_terms_docs(spark, reader, terms, max_doc_freq=cap)
+    assert sorted(r.docid for r in got.collect()) == want
+
+    # no cap = plain set query over all terms
+    got_all = graph_terms_docs(spark, reader, terms)
+    assert sorted(r.docid for r in got_all.collect()) == \
+        sorted(set().union(*dfs.values()))
+
+    # cap below every df -> empty; empty terms -> empty
+    assert graph_terms_docs(spark, reader, terms, max_doc_freq=0).count() == 0
+    assert graph_terms_docs(spark, reader, [], max_doc_freq=10).count() == 0

@@ -721,3 +721,38 @@ def test_elevate_marked_excludes(spark):
     assert marks[1] == (False, False)
     # doc 2 sorts by natural order among non-elevated
     assert ids == [3, 1, 2, 4]
+
+
+def test_mlt_content(spark):
+    """mlt_content (search/mlt/MLTContentQParserPlugin.java): free-text seed —
+    term boosts are tf-in-content * corpus idf; docs ranked by the boost sum
+    over shared terms. Hand-computed twin on a 4-doc corpus."""
+    import math
+
+    rows = [(0, "apple banana cherry"), (1, "apple banana date"),
+            (2, "apple elderberry"), (3, "fig grape")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = df.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+
+    # content: banana twice (ctf 2), fig once, kiwi not in the corpus
+    out = streams.mlt_content(pairs, ["banana", "banana", "fig", "kiwi"], 4,
+                              doc_col="doc_id", k=10).collect()
+    idf_banana = math.log(4 / 2)  # df(banana)=2
+    idf_fig = math.log(4 / 1)
+    got = {r["doc_id"]: (r["mlt_score"], r["n_shared"]) for r in out}
+    assert got[0] == (round(2 * idf_banana, 4), 1)
+    assert got[1] == (round(2 * idf_banana, 4), 1)
+    assert got[3] == (round(1 * idf_fig, 4), 1)
+    assert 2 not in got  # shares nothing with the content
+
+    # max_query_terms truncation: banana and fig tie on boost EXACTLY
+    # (2*ln2 == ln4), so the deterministic term-asc tiebreak keeps banana
+    out2 = streams.mlt_content(pairs, ["banana", "banana", "fig", "kiwi"], 4,
+                               doc_col="doc_id", k=10, max_query_terms=1)
+    assert {r["doc_id"] for r in out2.collect()} == {0, 1}
+
+    # mintf prunes single-occurrence content terms; empty content -> empty
+    out3 = streams.mlt_content(pairs, ["banana", "banana", "fig"], 4,
+                               doc_col="doc_id", min_tf=2)
+    assert {r["doc_id"] for r in out3.collect()} == {0, 1}
+    assert streams.mlt_content(pairs, [], 4, doc_col="doc_id").count() == 0
