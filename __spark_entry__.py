@@ -6824,6 +6824,108 @@ GROUP BY doc_id ORDER BY mlt_score DESC, doc_id LIMIT 10
 """
 
 
+def _q119_query_func(spark, sf_dir):
+    """`query($q)` function query (ValueSourceParser.java:389
+    QueryValueSource): a subquery's BM25 score as a per-document VALUE with
+    defVal=0 for non-matching docs — the `bf=query($qq)` / `boost(query($q),
+    f)` building block. The match-set scores left-join the filtered corpus;
+    scoring stats stay global."""
+    from solr_spark.functions.funcquery import query_scores, with_query_score
+
+    reader = _ft_index(spark, sf_dir)
+    scores = query_scores(spark, reader, _FT_QUERY)
+    dm = reader.doc_map(spark).select("docid", _doc_id())
+    base = (_t(spark, sf_dir, "documents")
+            .where(F.col("n_chars") >= 400).select("doc_id")
+            .join(dm, "doc_id"))
+    out = with_query_score(base, scores)
+    return (out.select("doc_id", _dround("qscore", 4).alias("qscore"))
+            .orderBy(F.desc("qscore"), "doc_id").limit(30))
+
+
+def _q119_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT d.doc_id, round(coalesce(s.score, 0.0), 4) AS qscore
+FROM documents d LEFT JOIN scored s USING (doc_id)
+WHERE d.n_chars >= 400
+ORDER BY qscore DESC, d.doc_id LIMIT 30
+"""
+
+
+def _q120_subquery(spark, sf_dir):
+    """[subquery] doc transformer (SubQueryAugmenterFactory.java): each
+    customer carries its top-2 orders by totalprice — the row-parameter
+    substitution (`orders.q={!terms f=o_custkey v=$row.c_custkey}`)
+    expressed as the salted-top-N + group-collect + one left join
+    (operators/streams.py::subquery_docs). Structs projected to a portable
+    string so both engines hash the nested payload identically."""
+    cust = (_t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") < 200).select("c_custkey"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+    out = streams.subquery_docs(
+        cust, orders, "c_custkey", "o_custkey",
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], rows=2)
+    sub_str = F.transform(
+        "subquery",
+        lambda s: F.concat_ws(":", s["o_orderkey"].cast("string"),
+                              F.round(s["o_totalprice"] * 100)
+                               .cast("long").cast("string")))
+    return (out.select("c_custkey",
+                       F.col("subquery_numFound").alias("num_found"),
+                       F.array_join(sub_str, ",").alias("top_orders"))
+            .orderBy("c_custkey"))
+
+
+_Q120_SQL = """
+WITH ranked AS (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+),
+agg AS (
+  SELECT c_custkey,
+         count(*)::BIGINT AS num_found,
+         string_agg(CASE WHEN rn <= 2
+                         THEN o_orderkey || ':' ||
+                              round(o_totalprice * 100)::BIGINT END,
+                    ',' ORDER BY rn) AS top_orders
+  FROM ranked GROUP BY c_custkey
+)
+SELECT c.c_custkey, coalesce(a.num_found, 0) AS num_found,
+       coalesce(a.top_orders, '') AS top_orders
+FROM customer c LEFT JOIN agg a USING (c_custkey)
+WHERE c.c_custkey < 200
+ORDER BY c.c_custkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7041,6 +7143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft46_maxscore": _ft46_maxscore,
         "q118_graph_terms": _q118_graph_terms,
         "tx09_mlt_content": _tx09_mlt_content,
+        "q119_query_func": _q119_query_func,
+        "q120_subquery": _q120_subquery,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -7859,6 +7963,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft46_maxscore": _ft46_sql(),
         "q118_graph_terms": _q118_sql(),
         "tx09_mlt_content": _tx09_sql(),
+        "q119_query_func": _q119_sql(),
+        "q120_subquery": _Q120_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

@@ -125,3 +125,39 @@ def with_ord(df: DataFrame, col: str, reverse: bool = False,
     return joined.withColumn(
         out, F.coalesce(F.col("__fq_ord"), F.lit(0)).cast("long")
     ).drop("__fq_ord")
+
+
+def query_scores(spark, reader, query_text: str, **bm25_kwargs) -> DataFrame:
+    """``query($q)`` function query — a subquery's relevance score as a VALUE.
+
+    Reference: search/ValueSourceParser.java:389 (QueryValueSource): the
+    nested query's score per document, usable anywhere a value source is —
+    ``bf=query($qq)``, ``boost(query($q), rating)``, ``fq={!frange l=0.5}
+    query($q)``. Returns DataFrame(docid, qscore) over the subquery's FULL
+    match set: k = n_docs in exact mode (WAND's bound pruning has nothing
+    to skip when every match is collected; the posting scan stays
+    term-bucket pruned, so cost is bounded by the subquery terms' postings,
+    never the corpus). Pair with ``with_query_score`` for the defVal join.
+    Extra bm25_kwargs (similarity=, boosts=, min_match=, ...) pass through.
+    """
+    from solr_spark.query.bm25 import bm25_topk
+
+    out = bm25_topk(spark, reader, query_text, k=reader.n_docs,
+                    mode="exact", **bm25_kwargs)
+    return out.select("docid", F.col("score").alias("qscore"))
+
+
+def with_query_score(df: DataFrame, scores: DataFrame, key: str = "docid",
+                     out: str = "qscore", default: float = 0.0) -> DataFrame:
+    """Attach ``query($q)`` values to a row set: left join on the docid with
+    QueryValueSource's defVal (ValueSourceParser.java:395 ``fp.parseFloat()``,
+    default 0.0) filling non-matching docs. The join key is the docid both
+    sides share, so Catalyst plans a plain equi-join — broadcastable by AQE
+    when the subquery match set is small, shuffle-join when it is not; the
+    caller never materializes scores on the driver.
+    """
+    sc = scores
+    if out != "qscore":
+        sc = sc.withColumnRenamed("qscore", out)
+    return (df.join(sc.select(key, out), key, "left")
+              .withColumn(out, F.coalesce(F.col(out), F.lit(float(default)))))

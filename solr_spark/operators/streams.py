@@ -303,6 +303,51 @@ def mlt_content(docs_terms: DataFrame, content_tokens: Sequence[str],
             .limit(k))
 
 
+def subquery_docs(parents: DataFrame, sub: DataFrame, parent_field: str,
+                  sub_field: str, order_by: Sequence[Column | str],
+                  rows: int = 10, sub_filter: Column | None = None,
+                  out: str = "subquery") -> DataFrame:
+    """`[subquery]` doc transformer — every result doc carries the top rows
+    of a SEPARATE query parameterized by the row.
+
+    Reference: response/transform/SubQueryAugmenterFactory.java — the
+    canonical idiom `fl=*,children:[subquery]` +
+    `children.q={!terms f=<sub_field> v=$row.<parent_field>}` re-executes
+    the subquery per result document with `$row.*` substitution; fromIndex
+    points it at another collection. Relationally the row-parameter
+    substitution IS an equi-join key, so the Spark shape is: optional
+    subquery filter -> salted two-stage top-`rows` per key
+    (windows.salted_top_n — a hot key never funnels one reducer) ->
+    group-collect the bounded survivors -> ONE left join onto parents.
+
+    Output adds `out` = array<struct> of the subquery's own columns in
+    subquery-sort order, and `out`_numFound = the per-parent TOTAL match
+    count pre-limit (what the reference reports as the subquery numFound).
+    """
+    from solr_spark.operators.windows import salted_top_n
+
+    if sub_filter is not None:
+        sub = sub.where(sub_filter)
+    keyed = (sub.withColumnRenamed(sub_field, parent_field)
+             if sub_field != parent_field else sub)
+    nf = f"{out}_numFound"
+    counts = keyed.groupBy(parent_field).agg(F.count(F.lit(1)).alias(nf))
+    top = salted_top_n(keyed, parent_field, order_by, rows, rank_col="__rn")
+    rest = [c for c in top.columns if c not in (parent_field, "__rn")]
+    # __rn leads the struct so sort_array reproduces the subquery sort order
+    kid = F.struct(F.col("__rn"), *[F.col(c) for c in rest])
+    grouped = (top.groupBy(parent_field)
+               .agg(F.sort_array(F.collect_list(kid)).alias("__sub")))
+    grouped = grouped.withColumn(
+        "__sub", F.transform("__sub", lambda s: F.struct(
+            *[s[c].alias(c) for c in rest])))
+    return (parents.join(grouped, parent_field, "left")
+            .join(counts, parent_field, "left")
+            .withColumn(out, F.coalesce(F.col("__sub"), F.array()))
+            .withColumn(nf, F.coalesce(F.col(nf), F.lit(0)).cast("long"))
+            .drop("__sub"))
+
+
 def child_docs(parents: DataFrame, children: DataFrame, key: str,
                order_cols: Sequence[str], child_filter: Column | None = None,
                limit: int | None = None) -> DataFrame:

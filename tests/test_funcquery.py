@@ -72,3 +72,29 @@ def test_external_file_field(spark, tmp_path):
     out = with_external_field(docs, ext, "id", "rank", default=0.5)
     vals = {r.id: r.rank for r in out.collect()}
     assert vals == {"a": 9.5, "b": 2.0, "z": 0.5}
+
+
+def test_query_value_source(spark, built_index):
+    """query($q) (ValueSourceParser.java:389 QueryValueSource): the
+    subquery's BM25 score as a value, defVal for non-matching docs; the
+    attached column equals the full-match-set bm25_topk scores."""
+    from solr_spark.functions.funcquery import query_scores, with_query_score
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    scores = query_scores(spark, reader, "error timeout")
+    want = {r.docid: r.score for r in
+            bm25_topk(spark, reader, "error timeout",
+                      k=reader.n_docs, mode="exact").collect()}
+    got = {r.docid: r.qscore for r in scores.collect()}
+    assert got == want and len(got) > 0
+
+    # defVal fills non-matching docids; matching docids keep their score
+    all_docs = reader.doc_map(spark).select("docid")
+    n_total = all_docs.count()
+    joined = with_query_score(all_docs, scores, default=-1.0)
+    rows = {r.docid: r.qscore for r in joined.collect()}
+    assert len(rows) == n_total
+    assert all(v == -1.0 for d, v in rows.items() if d not in want)
+    assert all(abs(rows[d] - s) < 1e-12 for d, s in want.items())

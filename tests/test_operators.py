@@ -756,3 +756,33 @@ def test_mlt_content(spark):
                                doc_col="doc_id", min_tf=2)
     assert {r["doc_id"] for r in out3.collect()} == {0, 1}
     assert streams.mlt_content(pairs, [], 4, doc_col="doc_id").count() == 0
+
+
+def test_subquery_transformer(spark):
+    """[subquery] (SubQueryAugmenterFactory.java): per-parent top rows of a
+    separate query — salted top-N + group-collect + one left join. The
+    subquery sort order must survive into the collected array, numFound is
+    the pre-limit match count, and a parent with no matches gets []/0."""
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pid int")
+    sub = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 9.0), (1, 12, 7.0),
+         (2, 20, 1.0)],
+        "fk int, sid int, weight double")
+
+    out = {r["pid"]: r for r in streams.subquery_docs(
+        parents, sub, "pid", "fk",
+        [F.desc("weight"), F.asc("sid")], rows=2).collect()}
+    assert out[1]["subquery_numFound"] == 3
+    assert [(s["sid"], s["weight"]) for s in out[1]["subquery"]] == \
+        [(11, 9.0), (12, 7.0)]  # weight desc, capped at 2
+    assert out[2]["subquery_numFound"] == 1
+    assert [(s["sid"], s["weight"]) for s in out[2]["subquery"]] == [(20, 1.0)]
+    assert out[3]["subquery_numFound"] == 0 and out[3]["subquery"] == []
+
+    # sub_filter narrows the subquery before ranking (numFound follows)
+    out_f = {r["pid"]: r for r in streams.subquery_docs(
+        parents, sub, "pid", "fk", [F.desc("weight"), F.asc("sid")],
+        rows=2, sub_filter=F.col("weight") >= 6.0, out="hits").collect()}
+    assert out_f[1]["hits_numFound"] == 2
+    assert [s["sid"] for s in out_f[1]["hits"]] == [11, 12]
+    assert out_f[2]["hits_numFound"] == 0 and out_f[2]["hits"] == []
