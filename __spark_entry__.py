@@ -6926,6 +6926,61 @@ ORDER BY c.c_custkey
 """
 
 
+def _dd22_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing + bucket-weighted sampling (Wenzek et al.
+    2019): self-scored bigram-LM perplexity (tx05's kernel) -> exact
+    value-granular head/middle/tail terciles (cumulative window over the
+    DISTINCT score table, the KS distributed-rank shape) -> md5-keyed keep
+    rates 1.0/0.5/0.1 per bucket (functions/sampling.py::perplexity_buckets
+    / ccnet_sample)."""
+    from solr_spark.functions.lm import bigram_lm_score
+    from solr_spark.functions.sampling import ccnet_sample, perplexity_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bigram_lm_score(d, "doc_id", "text")
+    kept = ccnet_sample(perplexity_buckets(scored), "doc_id")
+    return (kept.select("doc_id", F.col("ppl_bucket").alias("bucket"),
+                        "perplexity")
+            .orderBy("doc_id"))
+
+
+def _dd22_sql() -> str:
+    lm = lm_score_sql("text", "documents", "doc_id").strip().rstrip()
+    return f"""
+WITH lm AS ({lm}),
+valid AS (SELECT doc_id, perplexity FROM lm WHERE perplexity IS NOT NULL),
+dist AS (SELECT perplexity, count(*) AS c FROM valid GROUP BY perplexity),
+cum AS (
+  SELECT perplexity, c,
+         sum(c) OVER (ORDER BY perplexity
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT count(*) FROM valid) AS n
+  FROM dist
+),
+buck AS (
+  SELECT perplexity,
+         CASE floor((cum - c) * 3 / n)
+              WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM cum
+),
+tagged AS (
+  SELECT v.doc_id, b.bucket, v.perplexity
+  FROM valid v JOIN buck b USING (perplexity)
+),
+u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ccnet:' || doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 4294967296.0 AS u
+  FROM valid
+)
+SELECT t.doc_id, t.bucket, t.perplexity
+FROM tagged t JOIN u USING (doc_id)
+WHERE u < CASE t.bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+          ELSE 0.1 END
+ORDER BY t.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7145,6 +7200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx09_mlt_content": _tx09_mlt_content,
         "q119_query_func": _q119_query_func,
         "q120_subquery": _q120_subquery,
+        "dd22_ccnet_buckets": _dd22_ccnet_buckets,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -7965,6 +8021,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "tx09_mlt_content": _tx09_sql(),
         "q119_query_func": _q119_sql(),
         "q120_subquery": _Q120_SQL,
+        "dd22_ccnet_buckets": _dd22_sql(),
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

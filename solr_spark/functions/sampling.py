@@ -402,3 +402,71 @@ def cluster_balanced_sample(df: DataFrame, vec_col: str, budget: int,
     assigned = ivf_assign(df, vec_col, centroids, id_col=id_col)
     return temperature_mixture_sample(assigned, id_col, "cluster", budget,
                                       alpha=alpha)
+
+
+def perplexity_buckets(scored: DataFrame, ppl_col: str = "perplexity",
+                       n_buckets: int = 3,
+                       labels: tuple[str, ...] = ("head", "middle", "tail"),
+                       out_col: str = "ppl_bucket") -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2019, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"): split a scored
+    corpus into head/middle/tail by LM-perplexity quantiles — head = the
+    most-fluent third, tail = the most-perplexing.
+
+    Exact, VALUE-GRANULAR quantiles: the cumulative doc count runs over the
+    DISTINCT perplexity table (the KS/Mann-Whitney distributed-rank shape —
+    the window sees |distinct scores| rows, never |corpus|; perplexities
+    arrive pre-rounded from bigram_lm_score, so ties are real and the
+    distinct table is materially smaller than the corpus). Every doc sharing
+    a score lands in the bucket of that value's FIRST position —
+    deterministic and engine-portable, unlike ntile's arbitrary tie split.
+    Bucket k covers positions ((k-1)*N/n, k*N/n].
+
+    Unscorable docs (NULL perplexity — under 2 tokens) get a NULL bucket:
+    CCNet cannot place what the LM cannot score; route them separately.
+    """
+    from pyspark.sql import Window
+
+    if n_buckets != len(labels):
+        raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+    p = F.col(ppl_col)
+    valid = scored.where(p.isNotNull())
+    dist = valid.groupBy(ppl_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.orderBy(ppl_col).rowsBetween(Window.unboundedPreceding, 0)
+    dist = (dist.withColumn("__cum", F.sum("__c").over(w))
+                .withColumn("__n", F.sum("__c").over(
+                    Window.partitionBy())))
+    first_pos = F.col("__cum") - F.col("__c") + 1
+    idx = F.floor((first_pos - 1) * n_buckets / F.col("__n"))
+    label = None
+    for i, name in enumerate(labels):
+        label = (F.when(idx == i, name) if label is None
+                 else label.when(idx == i, name))
+    buckets = dist.select(ppl_col, label.alias(out_col))
+    return scored.join(F.broadcast(buckets), ppl_col, "left")
+
+
+def ccnet_sample(scored: DataFrame, id_col: str,
+                 keep: dict[str, float] | None = None,
+                 ppl_col: str = "perplexity",
+                 bucket_col: str = "ppl_bucket",
+                 seed: str = "ccnet") -> DataFrame:
+    """CCNet bucket-weighted downsampling: keep each perplexity bucket at
+    its own rate (the released pipeline keeps head, halves middle, drops
+    most of tail). Membership is md5-keyed on (seed, id) — deterministic,
+    engine-portable, and nesting (a higher rate's sample contains the
+    lower's), the same contract as deterministic_sample. NULL-bucket docs
+    (unscorable) are dropped — the caller routes them explicitly.
+    """
+    keep = {"head": 1.0, "middle": 0.5, "tail": 0.1} if keep is None else keep
+    df = scored
+    if bucket_col not in df.columns:
+        df = perplexity_buckets(df, ppl_col, len(keep), tuple(keep),
+                                out_col=bucket_col)
+    u = split_fraction_col(F.concat(F.lit(seed), F.lit(":"),
+                                    F.col(id_col).cast("string")))
+    rate = None
+    for name, frac in keep.items():
+        rate = (F.when(F.col(bucket_col) == name, float(frac)) if rate is None
+                else rate.when(F.col(bucket_col) == name, float(frac)))
+    return df.where(F.col(bucket_col).isNotNull() & (u < rate))

@@ -1102,3 +1102,41 @@ def test_cluster_balanced_sample(spark):
     trained = cluster_balanced_sample(df, "v", budget=10, n_centroids=2,
                                       id_col="vec_id")
     assert 0 < trained.count() <= 10
+
+
+def test_ccnet_perplexity_buckets(spark):
+    """perplexity_buckets: exact value-granular terciles — ties share a
+    bucket (the value's FIRST position decides), NULL scores get NULL
+    bucket; ccnet_sample keeps head fully and drops NULL-bucket docs."""
+    from solr_spark.functions.sampling import ccnet_sample, perplexity_buckets
+
+    rows = ([(i, 10.0) for i in range(4)]          # 4-way tie at the head
+            + [(10 + i, 20.0 + i) for i in range(4)]
+            + [(20 + i, 100.0 + i) for i in range(4)]
+            + [(30, None)])
+    df = spark.createDataFrame(rows, "doc_id int, perplexity double")
+    out = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(df).collect()}
+    # 12 scored docs -> positions 1-4 head, 5-8 middle, 9-12 tail;
+    # the tie block 10.0 starts at position 1 -> all head
+    assert all(out[i] == "head" for i in range(4))
+    assert all(out[10 + i] == "middle" for i in range(4))
+    assert all(out[20 + i] == "tail" for i in range(4))
+    assert out[30] is None
+
+    kept = ccnet_sample(perplexity_buckets(df), "doc_id",
+                        keep={"head": 1.0, "middle": 1.0, "tail": 0.0})
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == set(range(4)) | {10, 11, 12, 13}  # tail + NULL dropped
+
+    # nesting: a lower keep rate's sample is a subset of a higher one's
+    lo = {r.doc_id for r in ccnet_sample(
+        perplexity_buckets(df), "doc_id",
+        keep={"head": 0.3, "middle": 0.3, "tail": 0.3}).collect()}
+    hi = {r.doc_id for r in ccnet_sample(
+        perplexity_buckets(df), "doc_id",
+        keep={"head": 0.8, "middle": 0.8, "tail": 0.8}).collect()}
+    assert lo <= hi
+
+    with pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, n_buckets=4)
