@@ -572,6 +572,37 @@ def main() -> None:
         ["ReadSchema: struct<doc_id:bigint>"],
         ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"]))
 
+    # 37. [subquery] transformer: salted two-stage top-N (two window sorts,
+    # the first over (key, salt)), group-collect partial-aggregated, and the
+    # parent attach is a broadcastable equi-join — no Python anywhere
+    from solr_spark.operators.streams import subquery_docs
+    cust37 = t("customer").select("c_custkey")
+    ord37 = t("orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    p37 = plan_of(subquery_docs(
+        cust37, ord37, "c_custkey", "o_custkey",
+        [F.desc("o_totalprice"), F.asc("o_orderkey")], rows=2))
+    checks.append((
+        "subquery transformer: salted two-stage top-N + group-collect, "
+        "no Python",
+        p37,
+        ["xxhash64", "Window"],
+        ["BatchEvalPython", "ArrowEvalPython"]))
+
+    # 38. CCNet perplexity buckets: the quantile window runs over the
+    # DISTINCT-score table (HashAggregate BEFORE the single-partition
+    # window), and the bucket map joins back as a broadcast — the corpus
+    # never sorts globally
+    from solr_spark.functions.sampling import perplexity_buckets
+    scored38 = t("documents").select(
+        "doc_id", (F.col("n_chars") % 97).cast("double").alias("perplexity"))
+    p38 = plan_of(perplexity_buckets(scored38))
+    checks.append((
+        "ccnet buckets: distinct-score aggregate feeds the quantile window, "
+        "bucket map broadcast back, no Python",
+        p38,
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["Exchange rangepartitioning", "BatchEvalPython", "ArrowEvalPython"]))
+
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
              f"Run at sf dir `{SF_DIR}`. Each section asserts plan properties "
