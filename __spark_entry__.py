@@ -6981,6 +6981,26 @@ ORDER BY t.doc_id
 """
 
 
+def _ft47_suggest_contexts(spark, sf_dir):
+    """Suggester CONTEXT FILTERING (contextField + suggest.cfq —
+    SolrSuggester.getSuggestions with a contextFilterQuery, Lucene
+    ContextQuery): only documents in the requested context ('lang' = en)
+    feed the document-dictionary suggester; the context predicate pushes to
+    the scan alongside the prefix."""
+    from solr_spark.operators.components import suggest_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_documents(docs, "source", "src", weight_col="doc_id",
+                             k=10, contexts_col="lang", contexts=["en"])
+
+
+_FT47_SQL = """
+SELECT source AS term, max(doc_id)::DOUBLE AS weight
+FROM documents WHERE lang = 'en' AND starts_with(source, 'src')
+GROUP BY source ORDER BY weight DESC, term LIMIT 10
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7201,6 +7221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_query_func": _q119_query_func,
         "q120_subquery": _q120_subquery,
         "dd22_ccnet_buckets": _dd22_ccnet_buckets,
+        "ft47_suggest_contexts": _ft47_suggest_contexts,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -8022,6 +8043,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q119_query_func": _q119_sql(),
         "q120_subquery": _Q120_SQL,
         "dd22_ccnet_buckets": _dd22_sql(),
+        "ft47_suggest_contexts": _FT47_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

@@ -240,7 +240,9 @@ def suggest_infix(spark: SparkSession, index_dir: str, query: str,
 def suggest_documents(docs: DataFrame, field: str, prefix: str,
                       weight_col: str | None = None,
                       payload_col: str | None = None,
-                      k: int = 10) -> DataFrame:
+                      k: int = 10,
+                      contexts_col: str | None = None,
+                      contexts: Sequence[str] | None = None) -> DataFrame:
     """Document-dictionary suggester: suggestions are FIELD VALUES of a
     document table (not index terms), ranked by an explicit numeric weight
     column — the reference's DocumentDictionaryFactory
@@ -255,7 +257,27 @@ def suggest_documents(docs: DataFrame, field: str, prefix: str,
     One partial-aggregation shuffle over prefix-pruned rows; the prefix
     predicate pushes to the scan, so a value-sorted layout row-group-prunes.
     Output: term, weight (double)[, payload] — ordered weight desc, term asc.
+
+    contexts_col/contexts: suggester CONTEXT FILTERING — the reference's
+    contextField + suggest.cfq request filter (DocumentDictionaryFactory's
+    contextField through Lucene's ContextQuery;
+    spelling/suggest/SolrSuggester.java getSuggestions with contextFilterQuery):
+    only documents whose context value is in `contexts` feed suggestions.
+    A scalar context column becomes an IN predicate pushed to the scan; an
+    array column (multivalued contexts) matches on any-overlap.
     """
+    if (contexts is None) != (contexts_col is None):
+        raise ValueError("pass contexts_col and contexts together")
+    if contexts_col is not None:
+        from pyspark.sql import types as T
+
+        ctx = sorted(set(contexts))
+        if isinstance(docs.schema[contexts_col].dataType, T.ArrayType):
+            docs = docs.where(F.arrays_overlap(
+                F.col(contexts_col),
+                F.array(*[F.lit(c) for c in ctx])))
+        else:
+            docs = docs.where(F.col(contexts_col).isin(ctx))
     src = docs.where(F.col(field).startswith(prefix))
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))

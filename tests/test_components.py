@@ -1032,6 +1032,41 @@ def test_suggest_documents_weighted(spark):
     assert all(r["weight"] == 1.0 for r in flat)
 
 
+def test_suggest_documents_contexts(spark):
+    """Suggester context filtering (contextField + suggest.cfq,
+    ContextQuery): only docs in the requested contexts feed suggestions;
+    scalar contexts use IN, array contexts match on overlap; half-passed
+    params raise."""
+    import pytest as _pytest
+
+    from solr_spark.operators.components import suggest_documents
+
+    docs = spark.createDataFrame(
+        [("apple pie", 5.0, "us", ["food", "dessert"]),
+         ("apple tart", 9.0, "fr", ["dessert"]),
+         ("apple cider", 2.0, "us", ["drink"])],
+        "title string, pop double, region string, tags array<string>")
+
+    us = suggest_documents(docs, "title", "app", weight_col="pop",
+                           contexts_col="region", contexts=["us"]).collect()
+    assert [r["term"] for r in us] == ["apple pie", "apple cider"]
+
+    # array contexts: any-overlap semantics
+    sweet = suggest_documents(docs, "title", "app", weight_col="pop",
+                              contexts_col="tags",
+                              contexts=["dessert"]).collect()
+    assert [r["term"] for r in sweet] == ["apple tart", "apple pie"]
+    multi = suggest_documents(docs, "title", "app", weight_col="pop",
+                              contexts_col="tags",
+                              contexts=["drink", "dessert"]).collect()
+    assert len(multi) == 3
+
+    with _pytest.raises(ValueError, match="together"):
+        suggest_documents(docs, "title", "app", contexts_col="region")
+    with _pytest.raises(ValueError, match="together"):
+        suggest_documents(docs, "title", "app", contexts=["us"])
+
+
 def test_word_break_suggestions(spark, built_index):
     """WordBreakSpellChecker break direction: split a zero-hit word into
     dictionary words, fewest changes first."""
