@@ -600,6 +600,24 @@ def hash_partition_filter(col: Column | str, workers: int, worker: int) -> Colum
     return F.pmod(F.hash(c), F.lit(workers)) == worker
 
 
+def hash_range_filter(col: Column | str, lower: int, upper: int) -> Column:
+    """`{!hash_range f=... l=... u=...}` — docs whose 32-bit murmur3 hash of
+    the field falls in [lower, upper]; the reference uses it to address
+    CompositeId routing slices during shard splits / cross-collection joins
+    (search/join/HashRangeQParser.java:38, HashRangeQuery.java:83 — hash >=
+    lower && hash <= upper, murmurhash3_x86_32 at :127).
+
+    Spark's F.hash IS murmur3_x86_32 (seed 42 vs the reference's 0, and
+    Spark's own type-to-bytes encoding), so ranges partition the SAME space
+    consistently within this engine but are not bit-compatible with Solr's
+    slice boundaries — the same engine-hash caveat as hash_partition_filter.
+    """
+    if lower > upper:
+        raise ValueError(f"lower ({lower}) must be <= upper ({upper})")
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.hash(c) >= lower) & (F.hash(c) <= upper)
+
+
 def explain_scores(spark: SparkSession, reader, query_text: str, k: int = 10,
                    boosts: dict[str, float] | None = None) -> DataFrame:
     """`[explain]` doc transformer: per-(doc, term) BM25 score decomposition

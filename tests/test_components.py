@@ -81,6 +81,25 @@ def test_hash_partition_filter_covers_disjointly(spark):
     assert all(s > 0 for s in slices)
 
 
+def test_hash_range_filter_partitions_hash_space(spark):
+    """{!hash_range} (HashRangeQuery.java:83): inclusive murmur3 ranges —
+    adjacent ranges covering int32 reassemble the corpus exactly."""
+    import pytest as _pytest
+
+    from solr_spark.operators.components import hash_range_filter
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    mid = 0
+    a = df.where(hash_range_filter("k", lo, mid)).count()
+    b = df.where(hash_range_filter("k", mid + 1, hi)).count()
+    assert a + b == 1000 and a > 0 and b > 0
+    # inclusive bounds: the full range matches everything
+    assert df.where(hash_range_filter("k", lo, hi)).count() == 1000
+    with _pytest.raises(ValueError, match="lower"):
+        hash_range_filter("k", 5, 4)
+
+
 def test_bm25_min_match(spark, built_index, oracle):
     from solr_spark.query import IndexReader, bm25_topk
 
