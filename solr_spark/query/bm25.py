@@ -464,7 +464,7 @@ def bm25_topk(
     k: int = 10,
     mode: str = "wand",
     require_all: bool = False,
-    min_match: int | None = None,
+    min_match: int | str | None = None,
     synonyms: dict[str, list[str]] | None = None,
     boosts: dict[str, float] | None = None,
     similarity: str | object = "bm25",
@@ -568,6 +568,12 @@ def bm25_topk(
         terms = canon
     if require_all:
         min_match = len(canon)
+    if isinstance(min_match, str):
+        # the full Solr mm spec grammar ("75%", "2<-25%", conditionals) —
+        # util/SolrPluginUtils.java::calculateMinShouldMatch
+        from solr_spark.query.edismax import calculate_min_should_match
+
+        min_match = calculate_min_should_match(len(canon), min_match)
     min_match = max(1, min(min_match or 1, len(canon)))
     buckets = sorted(set(_term_buckets(terms, cfg.num_term_buckets)))
     dict_df = (

@@ -37,6 +37,67 @@ from solr_spark.query.bm25 import IndexReader, _idf, terms_postings
 _OUT_SCHEMA = "conv_id string, turn_idx int, docid long, score double, rank int"
 
 
+def calculate_min_should_match(n_optional: int, spec: str) -> int:
+    """Solr's `mm` spec grammar -> a concrete minShouldMatch count.
+
+    Reference: util/SolrPluginUtils.java::calculateMinShouldMatch — the
+    exact semantics, including its quirks:
+
+      * plain integer: that count; NEGATIVE n means "all minus n".
+      * "p%": floor(n * p / 100); negative percent subtracts from n.
+      * conditional list "a<specA b<specB ..." (space-separated, ascending):
+        pick the LAST condition whose bound is below the clause count; a
+        count at-or-under the first bound requires ALL clauses. Evaluation
+        short-circuits at the first bound >= count (Solr's loop returns the
+        running result), so out-of-order bounds behave exactly as the
+        reference's, not as a sorted table.
+      * result clamps into [0, n_optional].
+
+    Spaces around '<' are tolerated (the reference normalizes them).
+    """
+    import re
+
+    result = n_optional
+    spec = spec.strip()
+    if "<" in spec:
+        spec = re.sub(r"\s*<\s*", "<", spec)
+        for s in re.split(r"\s+", spec):
+            parts = s.split("<")
+            if len(parts) < 2 or not parts[0]:
+                raise ValueError(
+                    f"invalid mm spec {s!r}: expecting values before and "
+                    f"after '<'")
+            upper_bound = _checked_int(parts[0])
+            if n_optional <= upper_bound:
+                return result
+            result = calculate_min_should_match(n_optional, parts[1])
+        return result
+    if "%" in spec:
+        percent = _checked_int(spec[:spec.index("%")])
+        calc = result * percent / 100.0
+        result = result + int(calc) if calc < 0 else int(calc)
+    else:
+        calc = _checked_int(spec)
+        result = result + calc if calc < 0 else calc
+    return n_optional if n_optional < result else (0 if result < 0 else result)
+
+
+def _checked_int(s: str) -> int:
+    try:
+        return int(s)
+    except ValueError:
+        raise ValueError(f"invalid mm spec: expecting an integer, got {s!r}")
+
+
+def resolve_mm(min_match: int | str, n_clauses: int) -> int:
+    """min_match as the kernels take it: spec strings go through the Solr
+    grammar, ints pass through; both clamp to [1, n_clauses] (Lucene scores
+    a pure-SHOULD query only when >= 1 clause matches, so mm=0 == mm=1)."""
+    if isinstance(min_match, str):
+        min_match = calculate_min_should_match(n_clauses, min_match)
+    return max(1, min(min_match, n_clauses))
+
+
 def doc_lengths(spark: SparkSession, reader: IndexReader) -> DataFrame:
     """(docid, dl) from the norms artifact — quantized when the index was built
     with lucene_norms (scoring parity), exact uint32 otherwise. 1–4 bytes per
@@ -215,7 +276,7 @@ def edismax_topk(
     qf: dict[str, float],
     k: int = 10,
     tie: float = 0.0,
-    min_match: int = 1,
+    min_match: int | str = 1,
     pf: dict[str, float] | None = None,
     pf2: dict[str, float] | None = None,
     pf3: dict[str, float] | None = None,
@@ -278,7 +339,9 @@ def edismax_topk(
     if not keep:
         return spark.createDataFrame([], _OUT_SCHEMA)
     clause_by_field = {f: [cl[i] for i in keep] for f, cl in raw_clauses.items()}
-    min_match = max(1, min(min_match, len(keep)))
+    # mm accepts the full Solr spec grammar ("75%", "2<-25%", negatives) —
+    # util/SolrPluginUtils.java::calculateMinShouldMatch over SURVIVING clauses
+    min_match = resolve_mm(min_match, len(keep))
 
     contribs = []
     field_idfs: dict[str, dict[str, float]] = {}

@@ -314,3 +314,52 @@ def test_facet_percentile_metric(spark):
     # a: values 0..3 -> p50 = 1.5; b: values 4..9 -> p50 = 6.5
     assert out["a"] == (4, 1.5)
     assert out["b"] == (6, 6.5)
+
+
+def test_mm_spec_grammar():
+    """calculateMinShouldMatch (util/SolrPluginUtils.java) conformance —
+    vectors from the reference's SolrPluginUtilsTest.testMinShouldMatchCalculator."""
+    from solr_spark.query.edismax import calculate_min_should_match as mm
+
+    import pytest as _pytest
+
+    # plain integers, negative = all-minus
+    assert mm(5, "3") == 3
+    assert mm(5, "-2") == 3
+    assert mm(3, "-5") == 0          # clamps at 0
+    assert mm(3, "5") == 3           # clamps at n
+    # percentages (floor), negative percent subtracts
+    assert mm(10, "50%") == 5
+    assert mm(10, "49%") == 4
+    assert mm(10, "-25%") == 8       # 10 + int(-2.5) = 8
+    assert mm(4, "25%") == 1
+    assert mm(3, "75%") == 2         # floor(2.25)
+    # conditionals: last bound strictly below the count wins;
+    # count at-or-under the first bound requires ALL
+    assert mm(1, "3<-25% 10<25%") == 1
+    assert mm(3, "3<-25% 10<25%") == 3
+    assert mm(4, "3<-25% 10<25%") == 3    # 4 + int(-1.0)
+    assert mm(10, "3<-25% 10<25%") == 8   # 10 + int(-2.5)
+    assert mm(15, "3<-25% 10<25%") == 3   # int(15*0.25)
+    # spaces around '<' tolerated
+    assert mm(15, "3 < -25% 10 < 25%") == 3
+    with _pytest.raises(ValueError, match="mm spec"):
+        mm(5, "abc")
+    with _pytest.raises(ValueError, match="mm spec"):
+        mm(5, "<50%")
+
+
+def test_edismax_mm_spec_string(spark, built_index):
+    """mm spec strings reach the edismax clause filter: '100%' == AND,
+    '1' == OR, and bm25_topk takes the same grammar."""
+    from solr_spark.query.bm25 import IndexReader, bm25_topk
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    q = "error timeout"
+    and_rows = bm25_topk(spark, reader, q, k=2000, min_match="100%").collect()
+    want_and = bm25_topk(spark, reader, q, k=2000, require_all=True).collect()
+    assert [(r.docid, r.score) for r in and_rows] == \
+        [(r.docid, r.score) for r in want_and]
+    or_rows = bm25_topk(spark, reader, q, k=2000, min_match="-100%").count()
+    assert or_rows == bm25_topk(spark, reader, q, k=2000).count()
