@@ -7001,6 +7001,80 @@ GROUP BY source ORDER BY weight DESC, term LIMIT 10
 """
 
 
+def _dd23_unimax(spark, sf_dir):
+    """UniMax language-balanced sampling (Chung et al. 2023): uniform
+    cross-language budget with an epoch cap — exact integer waterfilling
+    over the language table (capped prefix + even split with remainder),
+    epoch-tagged materialization (full passes map-only, the fractional
+    epoch md5-ranked). Budget 702 / max_epochs 2 at sf0.01 exercises both
+    capped (fr, de) and waterfilled (es, zh, en) branches plus the
+    remainder's +1 (functions/sampling.py::unimax_allocations /
+    unimax_sample)."""
+    from solr_spark.functions.sampling import unimax_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = unimax_sample(d, "doc_id", "lang", total_budget=702, max_epochs=2)
+    return out.select("doc_id", "lang",
+                      F.col("epoch").cast("long").alias("epoch")) \
+              .orderBy("doc_id", "epoch")
+
+
+_DD23_SQL = """
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, (count(*) * 2)::BIGINT AS capacity
+  FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT lang, n_docs, capacity,
+         row_number() OVER (ORDER BY capacity, lang) AS i,
+         sum(capacity) OVER (ORDER BY capacity, lang
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT count(*) FROM counts) AS k
+  FROM counts
+),
+flags AS (
+  SELECT *, (capacity * (k - i + 1) <= 702 - (cum - capacity)) AS capped
+  FROM ranked
+),
+tot AS (
+  SELECT sum(CASE WHEN capped THEN capacity ELSE 0 END) AS cap_sum,
+         sum(CASE WHEN capped THEN 1 ELSE 0 END) AS n_capped
+  FROM flags
+),
+alloc AS (
+  SELECT f.lang, f.n_docs,
+    CASE WHEN f.capped THEN f.capacity
+         ELSE (702 - t.cap_sum) // (f.k - t.n_capped)
+              + CASE WHEN (f.i - t.n_capped)
+                          <= (702 - t.cap_sum) % (f.k - t.n_capped)
+                     THEN 1 ELSE 0 END
+    END AS allocation
+  FROM flags f CROSS JOIN tot t
+),
+docs AS (
+  SELECT d.doc_id, d.lang, a.n_docs, a.allocation,
+         ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+             / 4294967296.0 AS u
+  FROM documents d JOIN alloc a USING (lang)
+),
+rankd AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY u, doc_id::VARCHAR) AS r
+  FROM docs
+),
+epochs AS (
+  SELECT doc_id, lang,
+         (allocation // n_docs)
+           + CASE WHEN r <= allocation % n_docs THEN 1 ELSE 0 END AS n_e
+  FROM rankd
+)
+SELECT doc_id, lang, epoch FROM (
+  SELECT doc_id, lang, unnest(range(1, n_e::INT + 1))::BIGINT AS epoch
+  FROM epochs WHERE n_e > 0
+) ORDER BY doc_id, epoch
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7222,6 +7296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_subquery": _q120_subquery,
         "dd22_ccnet_buckets": _dd22_ccnet_buckets,
         "ft47_suggest_contexts": _ft47_suggest_contexts,
+        "dd23_unimax": _dd23_unimax,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -8044,6 +8119,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q120_subquery": _Q120_SQL,
         "dd22_ccnet_buckets": _dd22_sql(),
         "ft47_suggest_contexts": _FT47_SQL,
+        "dd23_unimax": _DD23_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

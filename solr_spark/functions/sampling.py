@@ -470,3 +470,102 @@ def ccnet_sample(scored: DataFrame, id_col: str,
         rate = (F.when(F.col(bucket_col) == name, float(frac)) if rate is None
                 else rate.when(F.col(bucket_col) == name, float(frac)))
     return df.where(F.col(bucket_col).isNotNull() & (u < rate))
+
+
+def unimax_allocations(df: DataFrame, lang_col: str, total_budget: int,
+                       max_epochs: int = 4) -> DataFrame:
+    """UniMax per-language document budgets (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread `total_budget` docs UNIFORMLY across languages,
+    but never take more than `max_epochs` passes over a language's corpus —
+    low-resource languages cap out at their epoch budget, the surplus
+    waterfills into the rest.
+
+    Exact integer waterfilling, closed-form over the LANGUAGE table (bounded
+    by |languages|, never corpus-sized): sort languages by capacity
+    cap_l = n_l * max_epochs ascending (name tiebreak); a language is capped
+    iff cap_l * langs_remaining <= budget_remaining at its position (the
+    prefix property holds because caps are sorted); uncapped languages split
+    the remainder evenly with the first `remainder mod k` (in sort order)
+    getting one extra — allocations sum EXACTLY to min(total_budget,
+    sum(cap_l)). Pure BIGINT arithmetic, so any engine reproduces it.
+    Output: lang, n_docs, capacity, allocation.
+    """
+    from pyspark.sql import Window
+
+    if total_budget < 0 or max_epochs <= 0:
+        raise ValueError("total_budget must be >= 0 and max_epochs >= 1")
+    counts = (df.groupBy(F.col(lang_col).alias("lang"))
+              .agg(F.count(F.lit(1)).alias("n_docs"))
+              .withColumn("capacity",
+                          (F.col("n_docs") * max_epochs).cast("long")))
+    w = Window.orderBy("capacity", "lang")
+    wall = Window.partitionBy()
+    ranked = (counts
+              .withColumn("__i", F.row_number().over(w))
+              .withColumn("__cum", F.sum("capacity").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("__k", F.count(F.lit(1)).over(wall)))
+    b = F.lit(int(total_budget))
+    # capped iff taking the full capacity still leaves >= an even share for
+    # everyone after it: cap_i * (k - i + 1) <= B - cum_{i-1}
+    capped = (F.col("capacity") * (F.col("__k") - F.col("__i") + 1)
+              <= b - (F.col("__cum") - F.col("capacity")))
+    ranked = ranked.withColumn("__capped", capped)
+    # the waterline sits after the last capped language
+    agg = ranked.withColumn(
+        "__cap_sum", F.sum(F.when(F.col("__capped"),
+                                  F.col("capacity")).otherwise(0)).over(wall)
+    ).withColumn(
+        "__n_capped", F.sum(F.col("__capped").cast("long")).over(wall))
+    rem_budget = b - F.col("__cap_sum")
+    rem_langs = F.col("__k") - F.col("__n_capped")
+    share = F.floor(rem_budget / rem_langs)
+    extra = rem_budget - share * rem_langs  # first `extra` uncapped get +1
+    uncapped_pos = (F.col("__i") - F.col("__n_capped"))  # 1-based in order
+    alloc = F.when(F.col("__capped"), F.col("capacity")).otherwise(
+        share + F.when(uncapped_pos <= extra, 1).otherwise(0))
+    return (agg.select("lang", "n_docs", "capacity",
+                       F.greatest(F.lit(0), alloc).cast("long")
+                        .alias("allocation")))
+
+
+def unimax_sample(df: DataFrame, key: Column | str, lang_col: str,
+                  total_budget: int, max_epochs: int = 4) -> DataFrame:
+    """Materialize the UniMax allocation as an epoch-tagged sample: every
+    doc of a language repeats floor(alloc / n_docs) full epochs, and the
+    `alloc mod n_docs` docs with the smallest md5 fraction take one extra
+    pass — exact allocation counts, deterministic on any engine, nesting
+    in the fractional epoch the way deterministic_sample nests.
+
+    Shape: the allocation table (|languages| rows) broadcasts onto the
+    corpus; repetition = explode(sequence(1, n_epochs)) — map-only, no
+    shuffle beyond the tiny allocation agg. Output: input columns + epoch
+    (1-based pass index).
+    """
+    allocs = (unimax_allocations(df, lang_col, total_budget, max_epochs)
+              .withColumnRenamed("lang", "__unimax_lang"))
+    tagged = df.join(
+        F.broadcast(allocs),
+        F.col(lang_col) == F.col("__unimax_lang"), "inner"
+    ).drop("__unimax_lang")
+    full = F.floor(F.col("allocation") / F.col("n_docs")).cast("int")
+    rem = (F.col("allocation") % F.col("n_docs")).cast("long")
+    kc = key if isinstance(key, Column) else F.col(key)
+    u = split_fraction_col(kc)
+    # rank docs inside a language by md5 fraction, key as tiebreak. This is
+    # an exact-count per-language window: like token_budget_packs' global
+    # variant, the fractional-epoch pick is honestly rank-bounded — a
+    # dominant language co-locates on one reducer for THIS stage (the full
+    # epochs are map-only). When rem/n_docs tolerance allows, swap the rank
+    # for the thresholded `u < rem/n_docs` (approximate, shuffle-free).
+    from pyspark.sql import Window
+
+    r = F.row_number().over(
+        Window.partitionBy(lang_col).orderBy(u.asc(), kc.cast("string")))
+    n_epochs = full + F.when(r <= rem, 1).otherwise(0)
+    out_cols = df.columns
+    return (tagged.withColumn("__e", n_epochs)
+            .where(F.col("__e") > 0)
+            .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__e"))))
+            .select(*out_cols, "epoch"))

@@ -1140,3 +1140,51 @@ def test_ccnet_perplexity_buckets(spark):
 
     with pytest.raises(ValueError, match="labels"):
         perplexity_buckets(df, n_buckets=4)
+
+
+def test_unimax_allocation_and_sample(spark):
+    """UniMax (Chung et al. 2023): uniform cross-language budget with an
+    epoch cap — low-resource languages cap at max_epochs * n_docs, the
+    surplus waterfills; allocations sum exactly to min(budget, capacity)."""
+    from solr_spark.functions.sampling import unimax_allocations, unimax_sample
+
+    rows = ([(i, "en") for i in range(100)]
+            + [(200 + i, "de") for i in range(20)]
+            + [(300 + i, "sw") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+
+    # budget 90, cap 2 epochs: sw caps at 6, de caps at 40 > share -> de and
+    # en split the remaining 84 evenly: 42 each (en uncapped, de capped at 40
+    # only if 40*2 <= 84? 80 <= 84 -> capped; then en gets 44)
+    alloc = {r.lang: r.allocation
+             for r in unimax_allocations(df, "lang", 90, 2).collect()}
+    assert sum(alloc.values()) == 90
+    assert alloc["sw"] == 6              # capacity-capped
+    assert alloc["de"] == 40             # capacity-capped (40*2 <= 90-6)
+    assert alloc["en"] == 44             # the waterfilled remainder
+
+    out = unimax_sample(df, "doc_id", "lang", 90, 2).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r.lang, []).append(r)
+    assert {k: len(v) for k, v in per_lang.items()} == alloc
+    # sw: 3 docs, alloc 6 -> every doc exactly 2 epochs
+    sw_epochs = sorted((r.doc_id, r.epoch) for r in per_lang["sw"])
+    assert sw_epochs == [(300, 1), (300, 2), (301, 1), (301, 2),
+                         (302, 1), (302, 2)]
+    # en: alloc 44 over 100 docs -> no full epoch, 44 distinct docs once
+    assert all(r.epoch == 1 for r in per_lang["en"])
+    assert len({r.doc_id for r in per_lang["en"]}) == 44
+
+    # budget above total capacity -> everyone at capacity
+    alloc_all = {r.lang: r.allocation
+                 for r in unimax_allocations(df, "lang", 10_000, 2).collect()}
+    assert alloc_all == {"en": 200, "de": 40, "sw": 6}
+
+    # tiny budget spreads one each to the smallest-capacity languages first
+    alloc_tiny = {r.lang: r.allocation
+                  for r in unimax_allocations(df, "lang", 2, 2).collect()}
+    assert sum(alloc_tiny.values()) == 2 and max(alloc_tiny.values()) == 1
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        unimax_allocations(df, "lang", 10, 0)
