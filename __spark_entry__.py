@@ -7075,6 +7075,69 @@ SELECT doc_id, lang, epoch FROM (
 """
 
 
+def _tx10_term_vectors(spark, sf_dir):
+    """/tv TermVectorComponent (handler/component/TermVectorComponent.java):
+    per-doc term vectors for 5 selected docs — tv.tf, tv.df (:386), and
+    tv.tf_idf pinned to the reference's literal freq/df (:391, the formula
+    its own comment disowns). Docid IN-list pushes into the forward scan;
+    df joins the dictionary bounded by the docs' distinct terms."""
+    from solr_spark.operators.components import term_vector_component
+
+    reader = _ft_index(spark, sf_dir)
+    dm = reader.doc_map(spark).select("docid", _doc_id())
+    ids = [r["docid"] for r in dm.where(F.col("doc_id") < 5).collect()]
+    tv = term_vector_component(spark, reader, ids)
+    return (tv.join(dm, "docid")
+            .select("doc_id", "term", "tf", "df",
+                    _dround("tf_idf", 6).alias("tf_idf"))
+            .orderBy("doc_id", "term"))
+
+
+def _tx10_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM toks GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+    FROM toks WHERE doc_id < 5 GROUP BY doc_id, tok
+)
+SELECT tf.doc_id, tf.term, tf.tf, d.df,
+       round(tf.tf::DOUBLE / d.df, 6) AS tf_idf
+FROM tf JOIN dfreq d USING (term)
+ORDER BY tf.doc_id, tf.term
+"""
+
+
+def _q121_luke_histogram(spark, sf_dir):
+    """/admin/luke docFreq histogram (LukeRequestHandler.java:1169): the
+    vocabulary counted into power-of-two df buckets with the handler's
+    exact slot arithmetic (32 - numberOfLeadingZeros(df - 1)); one
+    aggregate over the term dictionary."""
+    from solr_spark.operators.components import luke_histogram
+
+    reader = _ft_index(spark, sf_dir)
+    return luke_histogram(spark, reader.index_dir)
+
+
+_Q121_SQL = f"""
+WITH {_TOKS_CTE},
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM toks GROUP BY tok
+),
+slots AS (
+    SELECT CASE WHEN df <= 1 THEN 0
+                ELSE ceil(log2(df))::INT END AS slot
+    FROM dfreq
+)
+SELECT (1::BIGINT << slot) AS bucket, count(*)::BIGINT AS n_terms
+FROM slots GROUP BY slot ORDER BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7297,6 +7360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd22_ccnet_buckets": _dd22_ccnet_buckets,
         "ft47_suggest_contexts": _ft47_suggest_contexts,
         "dd23_unimax": _dd23_unimax,
+        "tx10_term_vectors": _tx10_term_vectors,
+        "q121_luke_histogram": _q121_luke_histogram,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -8120,6 +8185,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd22_ccnet_buckets": _dd22_sql(),
         "ft47_suggest_contexts": _FT47_SQL,
         "dd23_unimax": _DD23_SQL,
+        "tx10_term_vectors": _tx10_sql(),
+        "q121_luke_histogram": _Q121_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

@@ -850,3 +850,64 @@ def matched_queries(df: DataFrame, queries: "dict[str, Column]",
             .groupBy("name")
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
             .orderBy("name"))
+
+
+def term_vector_component(spark: SparkSession, reader, docids: Sequence[int],
+                          with_df: bool = True,
+                          with_tfidf: bool = True) -> DataFrame:
+    """/tv TermVectorComponent: per-document term vectors for selected docs.
+
+    Reference: handler/component/TermVectorComponent.java — tv.tf (term
+    frequency in the doc), tv.df (:386, corpus docFreq), tv.tf_idf (:391,
+    literally ``freq / df`` — the reference's own comment admits "this is
+    not TF/IDF by anyone's definition", and we pin THAT formula, quirk and
+    all). Positions/offsets live in the positional index
+    (query/phrase.py's tables) and are a separate surface.
+
+    Scale shape: the docid IN-list predicate pushes into the forward-table
+    parquet scan (k docs read, never the corpus), one explode + groupBy over
+    those docs' tokens, and df rides a dictionary join bounded by the
+    selected docs' distinct terms. Output: docid, term, tf[, df][, tf_idf].
+    """
+    ids = sorted(set(int(d) for d in docids))
+    # `toks` is the analyzed token string (space-joined) in the forward table
+    fwd = (reader.forward(spark)
+           .where(F.col("docid").isin(ids))
+           .select("docid",
+                   F.explode(F.filter(F.split("toks", " "),
+                                      lambda t: t != "")).alias("term")))
+    out = fwd.groupBy("docid", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    if with_df or with_tfidf:
+        d = (reader.dictionary(spark)
+             .select("term", F.col("df").cast("long").alias("df")))
+        out = out.join(d, "term")
+        if with_tfidf:
+            out = out.withColumn(
+                "tf_idf", F.col("tf").cast("double") / F.col("df"))
+        if not with_df:
+            out = out.drop("df")
+    cols = ["docid", "term", "tf"] + (["df"] if with_df else []) \
+        + (["tf_idf"] if with_tfidf else [])
+    return out.select(*cols)
+
+
+def luke_histogram(spark: SparkSession, index_dir: str) -> DataFrame:
+    """/admin/luke docFreq histogram: terms counted into power-of-two df
+    buckets.
+
+    Reference: handler/admin/LukeRequestHandler.java:1169 — slot =
+    32 - numberOfLeadingZeros(max(0, df - 1)), bucket label = 2^slot
+    (df=1 -> bucket 1, df=2 -> 2, df in (2,4] -> 4, (4,8] -> 8, ...), the
+    handler's exact "calculation seems odd, but" arithmetic. One aggregate
+    over the term DICTIONARY (vocabulary-sized).
+    Output: bucket (the 2^slot label), n_terms — bucket ascending.
+    """
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    slot = F.when(F.col("df") <= 1, F.lit(0)).otherwise(
+        F.ceil(F.log2(F.col("df"))).cast("int"))
+    # 2^slot as the bucket label; exact in doubles for any realistic slot
+    return (d.select(F.pow(F.lit(2.0), slot.cast("double"))
+                      .cast("long").alias("bucket"))
+             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_terms"))
+             .orderBy("bucket"))

@@ -1154,3 +1154,47 @@ def test_blended_infix_suggester(spark):
     lg = {r.suggestion: r.score for r in lin.collect()}
     assert lg["the merge policy"] == 9.0                # 10 * (1 - 0.1)
     assert abs(lg["a slow but thorough mergesort"] - 6.0) < 1e-9
+
+
+def test_term_vector_component(spark, built_index):
+    """/tv (TermVectorComponent.java): per-doc tf, corpus df, and the
+    reference's literal tf/df 'tf-idf' (:391); docid selection bounded."""
+    from solr_spark.operators.components import term_vector_component
+    from solr_spark.query.bm25 import IndexReader, term_docs
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    tv = term_vector_component(spark, reader, [0, 1]).collect()
+    assert tv and all(r.docid in (0, 1) for r in tv)
+    by_term = {(r.docid, r.term): r for r in tv}
+    for (docid, term), r in by_term.items():
+        assert r.tf >= 1
+        n_df = term_docs(spark, reader, term).count()
+        assert r.df == n_df
+        assert abs(r.tf_idf - r.tf / r.df) < 1e-12
+        break  # one spot-check per run keeps the test fast
+
+    flat = term_vector_component(spark, reader, [0], with_df=False,
+                                 with_tfidf=False)
+    assert flat.columns == ["docid", "term", "tf"]
+
+
+def test_luke_histogram(spark, built_index):
+    """/admin/luke histogram (LukeRequestHandler.java:1169): power-of-two df
+    buckets with the handler's slot arithmetic; bucket totals = vocabulary."""
+    from solr_spark.operators.components import luke_histogram
+
+    index_dir, cfg, _ = built_index
+    rows = luke_histogram(spark, index_dir).collect()
+    buckets = [r.bucket for r in rows]
+    assert buckets == sorted(buckets)
+    assert all(b >= 1 and (b & (b - 1)) == 0 for b in buckets)  # powers of 2
+    import os
+
+    d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    assert sum(r.n_terms for r in rows) == d.count()
+    # slot arithmetic spot checks: df=1 -> bucket 1, df in (2,4] -> bucket 4
+    df_counts = {r.df: r for r in d.groupBy("df").count().collect()}
+    if 1 in df_counts:
+        one = [r.n_terms for r in rows if r.bucket == 1]
+        assert one and one[0] >= 1
