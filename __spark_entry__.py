@@ -7138,6 +7138,51 @@ FROM slots GROUP BY slot ORDER BY bucket
 """
 
 
+def _vv08_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR / sentence-transformers triples): top-5
+    most-similar corpus vectors per query EXCLUDING the query's positives
+    (here its own identity pair) — broadcast query batch, codegen cosine,
+    anti-join exclusion, salted per-query top-k
+    (functions/vectors.py::hard_negative_mine)."""
+    from solr_spark.functions.vectors import hard_negative_mine
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    pos = qs.select("q_id", F.col("q_id").alias("vec_id"))
+    out = hard_negative_mine(qs, e, positives=pos, k=5)
+    return (out.select("q_id", "vec_id", "cosine",
+                       F.col("rank").cast("long").alias("rank"))
+            .orderBy("q_id", "rank"))
+
+
+_VV08_SQL = """
+WITH qs AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.q_id, e.vec_id, e.embedding AS cv, q.qv
+  FROM embeddings e CROSS JOIN qs q
+  WHERE e.vec_id <> q.q_id
+),
+flat AS (
+  SELECT q_id, vec_id, unnest(cv)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM pairs
+),
+sims AS (
+  SELECT q_id, vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+  FROM flat GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7362,6 +7407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd23_unimax": _dd23_unimax,
         "tx10_term_vectors": _tx10_term_vectors,
         "q121_luke_histogram": _q121_luke_histogram,
+        "vv08_hard_negatives": _vv08_hard_negatives,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -8187,6 +8233,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd23_unimax": _DD23_SQL,
         "tx10_term_vectors": _tx10_sql(),
         "q121_luke_histogram": _Q121_SQL,
+        "vv08_hard_negatives": _VV08_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

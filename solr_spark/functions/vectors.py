@@ -399,3 +399,50 @@ def cosine_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                  .select("a_id", "b_id", "cosine")
                  .dropDuplicates(["a_id", "b_id"])
                  .orderBy("a_id", "b_id"))
+
+
+def hard_negative_mine(queries: DataFrame, corpus: DataFrame,
+                       positives: DataFrame | None = None,
+                       q_id: str = "q_id", q_vec: str = "embedding",
+                       c_id: str = "vec_id", c_vec: str = "embedding",
+                       k: int = 5, max_sim: float | None = None) -> DataFrame:
+    """Hard-negative mining for embedding/retrieval training: for each query
+    vector, the top-k most-similar corpus docs EXCLUDING its known positives
+    (the DPR / sentence-transformers recipe: train on (query, positive,
+    hardest-non-positive) triples).
+
+    `positives` is a (q_id, c_id) pair table anti-joined away BEFORE
+    ranking, so a positive never burns a negative slot. `max_sim` trims the
+    band's top — similarity above it is treated as an unlabeled
+    near-positive (the RocketQA false-negative guard), not a negative.
+
+    Scale shape: the query batch is the BROADCAST side (mining batches are
+    bounded; the corpus side streams through one scan), the cosine is pure
+    codegen zip_with/aggregate, exclusion is one anti-join on (q, doc), and
+    per-query top-k is the salted two-stage rank — a query never funnels
+    the corpus through one reducer. For corpus-scale query sets, pre-bucket
+    both sides with ivf_assign and mine within clusters (the semantic_dedup
+    pairing shape) instead of the exact cross product.
+    Output: q_id, c_id, cosine (round 6), rank (1-based per query).
+    """
+    from solr_spark.operators.windows import salted_top_n
+
+    qs = queries.select(F.col(q_id).alias("__qid"),
+                        F.col(q_vec).cast("array<double>").alias("__qv"))
+    cs = corpus.select(F.col(c_id).alias("__cid"),
+                       F.col(c_vec).cast("array<double>").alias("__cv"))
+    sims = (cs.crossJoin(F.broadcast(qs))
+            .select("__qid", "__cid",
+                    (_dot(F.col("__qv"), F.col("__cv"))
+                     / (_norm(F.col("__qv")) * _norm(F.col("__cv"))))
+                    .alias("__sim")))
+    if positives is not None:
+        pos = positives.select(F.col(q_id).alias("__qid"),
+                               F.col(c_id).alias("__cid"))
+        sims = sims.join(pos, ["__qid", "__cid"], "left_anti")
+    if max_sim is not None:
+        sims = sims.where(F.col("__sim") <= max_sim)
+    top = salted_top_n(sims, "__qid", [F.desc("__sim"), F.asc("__cid")], k,
+                       rank_col="rank")
+    return top.select(F.col("__qid").alias(q_id), F.col("__cid").alias(c_id),
+                      F.round("__sim", 6).alias("cosine"), "rank")

@@ -1188,3 +1188,38 @@ def test_unimax_allocation_and_sample(spark):
 
     with pytest.raises(ValueError, match="max_epochs"):
         unimax_allocations(df, "lang", 10, 0)
+
+
+def test_hard_negative_mining(spark):
+    """hard_negative_mine: positives never burn a negative slot, max_sim
+    trims near-positives, ranks are per-query 1..k by similarity desc."""
+    from solr_spark.functions.vectors import hard_negative_mine
+
+    # corpus: unit vectors at varying angles from e1
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i * 0.2)) for i in range(8)],
+        "vec_id int, embedding array<double>")
+    qs = spark.createDataFrame([(0, vec(0.0))],
+                               "q_id int, embedding array<double>")
+    pos = spark.createDataFrame([(0, 0), (0, 1)], "q_id int, vec_id int")
+
+    out = hard_negative_mine(qs, corpus, positives=pos, k=3).collect()
+    ids = [r.vec_id for r in out]
+    assert ids == [2, 3, 4]            # 0 and 1 excluded, then angle order
+    assert [r.rank for r in out] == [1, 2, 3]
+    cos = [r.cosine for r in out]
+    assert cos == sorted(cos, reverse=True)
+
+    # max_sim: treat anything within ~0.84 rad as near-positive
+    band = hard_negative_mine(qs, corpus, positives=pos, k=3,
+                              max_sim=math.cos(0.84)).collect()
+    assert [r.vec_id for r in band] == [5, 6, 7]
+
+    # no positives: the query's own identical vector ranks first
+    raw = hard_negative_mine(qs, corpus, k=1).collect()
+    assert raw[0].vec_id == 0 and abs(raw[0].cosine - 1.0) < 1e-9
