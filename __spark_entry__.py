@@ -7183,6 +7183,25 @@ FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+def _ft48_json_queries_ref(spark, sf_dir):
+    """Top-level `queries` in the JSON Request API (RequestUtil.java:239):
+    named query strings referenced by {"param": name} from query/filter —
+    the localparams v=$name idiom. The ft33 request expressed entirely
+    through refs must produce the identical filtered WAND top-k (same
+    oracle)."""
+    from solr_spark.query.jsonapi import json_search
+
+    reader = _ft_index(spark, sf_dir)
+    topk = json_search(spark, reader, {
+        "queries": {"main": _FT_QUERY, "langfq": "lang:en",
+                    "sizefq": "n_chars:[200 TO *]"},
+        "query": {"param": "main"},
+        "filter": [{"param": "langfq"}, {"param": "sizefq"}],
+        "limit": 20,
+    })
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7408,6 +7427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx10_term_vectors": _tx10_term_vectors,
         "q121_luke_histogram": _q121_luke_histogram,
         "vv08_hard_negatives": _vv08_hard_negatives,
+        "ft48_json_queries_ref": _ft48_json_queries_ref,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -8234,6 +8254,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "tx10_term_vectors": _tx10_sql(),
         "q121_luke_histogram": _Q121_SQL,
         "vv08_hard_negatives": _VV08_SQL,
+        "ft48_json_queries_ref": _ft33_sql(),
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

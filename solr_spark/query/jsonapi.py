@@ -69,7 +69,46 @@ def _sort_cols(spec: str) -> list[Column]:
 # RequestUtil.java:263 throws 'Unknown top-level key in JSON request' — a typo
 # like {"fliter": ...} must not silently return unfiltered results.
 _TOP_KEYS = {"query", "filter", "fields", "sort", "offset", "limit", "facet",
-             "params"}
+             "params", "queries"}
+
+
+def _resolve_query_refs(req: dict, ctx: str) -> dict:
+    """Top-level `queries` (RequestUtil.java:239): a map of NAMED query
+    strings; `query` and `filter` entries may reference one as
+    ``{"param": "<name>"}`` (the JSON Query DSL's param ref — the
+    localparams ``v=$name`` idiom). Non-map `queries` and unknown refs
+    raise, matching the reference's 'Expected Map for queries' error."""
+    named = req.get("queries", {})
+    if not isinstance(named, dict):
+        raise ValueError(f"expected map for 'queries' in JSON {ctx}, "
+                         f"got {type(named).__name__}")
+    for n, v in named.items():
+        if not isinstance(v, str):
+            raise ValueError(
+                f"named query {n!r} in JSON {ctx} must be a string")
+
+    def resolve(x):
+        if isinstance(x, dict):
+            if set(x) == {"param"}:
+                name = x["param"]
+                if name not in named:
+                    raise ValueError(
+                        f"unknown query ref {name!r} in JSON {ctx} "
+                        f"(declared: {sorted(named)})")
+                return named[name]
+            raise ValueError(
+                f"query objects in JSON {ctx} support only "
+                f'{{"param": <name>}} refs, got keys {sorted(x)}')
+        return x
+
+    if "query" in req:
+        req["query"] = resolve(req["query"])
+    if "filter" in req:
+        f = req["filter"]
+        req["filter"] = ([resolve(e) for e in f] if isinstance(f, list)
+                         else resolve(f))
+    req.pop("queries", None)
+    return req
 
 
 def _check_params(req: dict, allowed: set[str], ctx: str) -> None:
@@ -232,6 +271,7 @@ def json_request(df: DataFrame, request: dict | str,
     req = json.loads(request) if isinstance(request, str) else dict(request)
     _check_keys(req, _TOP_KEYS - {"facet"}, "request")
     _check_params(req, {"NOW"}, "request")
+    req = _resolve_query_refs(req, "request")
     parser = LuceneQueryParser(default_field, text_fields or {default_field},
                                now=req.get("params", {}).get("NOW"))
     out = _domain(df, req, parser)
@@ -273,8 +313,9 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
     # (the reference re-sorts inside the scored collector, which this engine
     # expresses as separate operators) — reject rather than silently ignore
     _check_keys(req, {"query", "filter", "fields", "limit", "offset",
-                      "params"}, "search request")
+                      "params", "queries"}, "search request")
     _check_params(req, {"NOW", "similarity"}, "search request")
+    req = _resolve_query_refs(req, "search request")
     offset = int(req.get("offset", 0))
     limit = int(req.get("limit", 10))
     k = offset + limit
@@ -347,6 +388,7 @@ def json_facets(df: DataFrame, request: dict | str,
     req = json.loads(request) if isinstance(request, str) else dict(request)
     _check_keys(req, _TOP_KEYS, "facet request")
     _check_params(req, {"NOW"}, "facet request")
+    req = _resolve_query_refs(req, "facet request")
     parser = LuceneQueryParser(default_field, text_fields or {default_field},
                                now=req.get("params", {}).get("NOW"))
     dom = _domain(df, req, parser)

@@ -1198,3 +1198,34 @@ def test_luke_histogram(spark, built_index):
     if 1 in df_counts:
         one = [r.n_terms for r in rows if r.bucket == 1]
         assert one and one[0] >= 1
+
+
+def test_json_queries_named_refs(spark, built_index):
+    """Top-level `queries` (RequestUtil.java:239): named strings resolved
+    through {"param": name} refs in query/filter; non-map queries, unknown
+    refs, and non-ref query objects raise."""
+    import pytest as _pytest
+
+    from solr_spark.query.bm25 import IndexReader
+    from solr_spark.query.jsonapi import json_search
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    direct = json_search(spark, reader,
+                         {"query": "error timeout", "limit": 5}).collect()
+    via_ref = json_search(spark, reader, {
+        "queries": {"main": "error timeout"},
+        "query": {"param": "main"}, "limit": 5}).collect()
+    assert [(r.docid, r.score) for r in via_ref] == \
+        [(r.docid, r.score) for r in direct]
+
+    with _pytest.raises(ValueError, match="expected map"):
+        json_search(spark, reader, {"query": "x", "queries": ["a"]})
+    with _pytest.raises(ValueError, match="unknown query ref"):
+        json_search(spark, reader,
+                    {"query": {"param": "nope"}, "queries": {"a": "x"}})
+    with _pytest.raises(ValueError, match="param"):
+        json_search(spark, reader, {"query": {"lucene": "x"}})
+    with _pytest.raises(ValueError, match="must be a string"):
+        json_search(spark, reader,
+                    {"query": {"param": "a"}, "queries": {"a": {"q": 1}}})
