@@ -7202,6 +7202,32 @@ def _ft48_json_queries_ref(spark, sf_dir):
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _q122_group_offset(spark, sf_dir):
+    """group.offset (Grouping.java groupOffset): within-group paging — skip
+    the first 2 rows of each group's sort order, take the next 2, with
+    group_rank keeping the ABSOLUTE within-group position (3, 4). Runs on
+    the same salted two-stage top-(offset+n) shape as q13."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    out = windows.group_top_n(
+        li, "l_orderkey", [F.desc("l_extendedprice"), F.asc("l_linenumber")],
+        2, offset=2)
+    return out.select("l_orderkey", "l_linenumber", "l_extendedprice",
+                      F.col("group_rank").cast("long").alias("group_rank"))
+
+
+_Q122_SQL = """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber)
+           AS group_rank
+  FROM lineitem WHERE l_orderkey < 200
+)
+SELECT l_orderkey, l_linenumber, l_extendedprice, group_rank
+FROM ranked WHERE group_rank > 2 AND group_rank <= 4
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 block-max-WAND top-k over the inverted index built from
     /root/testdata/sf0.001 documents (full path: analyzer → docids → postings →
@@ -7428,6 +7454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_luke_histogram": _q121_luke_histogram,
         "vv08_hard_negatives": _vv08_hard_negatives,
         "ft48_json_queries_ref": _ft48_json_queries_ref,
+        "q122_group_offset": _q122_group_offset,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
         "ft43_word_combinations": _ft43_word_combinations,
@@ -8255,6 +8282,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q121_luke_histogram": _Q121_SQL,
         "vv08_hard_negatives": _VV08_SQL,
         "ft48_json_queries_ref": _ft33_sql(),
+        "q122_group_offset": _Q122_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """
 WITH pts AS (

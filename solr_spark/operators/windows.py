@@ -112,7 +112,7 @@ def salted_top_n(df: DataFrame, key: str | Sequence[str],
 
 
 def group_top_n(df: DataFrame, field: str, sort: Sequence[Column | str],
-                n: int) -> DataFrame:
+                n: int, offset: int = 0) -> DataFrame:
     """Result grouping (group.field, group.limit=n) — top-N rows per group value.
 
     Reference: search/Grouping.java:73; distributed via two-phase
@@ -121,8 +121,19 @@ def group_top_n(df: DataFrame, field: str, sort: Sequence[Column | str],
     then within group over the bounded survivors — so one hot group value
     never funnels through a single task. The `group_rank` column is the
     within-group position (1-based), matching the reference's within-group sort.
+
+    offset: group.offset — skip the first `offset` rows WITHIN each group
+    before taking n (within-group paging, Grouping.java groupOffset). The
+    salted stages rank to offset+n so the page's rows always survive
+    stage 1; group_rank keeps the absolute within-group position
+    (offset+1 .. offset+n), matching the reference's start-relative ranks.
     """
-    return salted_top_n(df, field, sort, n, rank_col="group_rank")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    out = salted_top_n(df, field, sort, n + offset, rank_col="group_rank")
+    if offset:
+        out = out.where(F.col("group_rank") > offset)
+    return out
 
 
 def group_ngroups(df: DataFrame, field: str) -> DataFrame:

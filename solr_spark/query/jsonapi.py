@@ -88,17 +88,19 @@ def _resolve_query_refs(req: dict, ctx: str) -> dict:
                 f"named query {n!r} in JSON {ctx} must be a string")
 
     def resolve(x):
-        if isinstance(x, dict):
-            if set(x) == {"param"}:
-                name = x["param"]
-                if name not in named:
-                    raise ValueError(
-                        f"unknown query ref {name!r} in JSON {ctx} "
-                        f"(declared: {sorted(named)})")
-                return named[name]
-            raise ValueError(
-                f"query objects in JSON {ctx} support only "
-                f'{{"param": <name>}} refs, got keys {sorted(x)}')
+        if isinstance(x, dict) and "param" in x:
+            if set(x) != {"param"}:
+                raise ValueError(
+                    f'a {{"param": <name>}} ref in JSON {ctx} takes no '
+                    f"other keys, got {sorted(x)}")
+            name = x["param"]
+            if name not in named:
+                raise ValueError(
+                    f"unknown query ref {name!r} in JSON {ctx} "
+                    f"(declared: {sorted(named)})")
+            return named[name]
+        # other dict shapes (e.g. the {"bool": ...} query DSL) pass through
+        # to the downstream query compiler untouched
         return x
 
     if "query" in req:

@@ -1224,8 +1224,9 @@ def test_json_queries_named_refs(spark, built_index):
     with _pytest.raises(ValueError, match="unknown query ref"):
         json_search(spark, reader,
                     {"query": {"param": "nope"}, "queries": {"a": "x"}})
-    with _pytest.raises(ValueError, match="param"):
-        json_search(spark, reader, {"query": {"lucene": "x"}})
+    with _pytest.raises(ValueError, match="no other keys"):
+        json_search(spark, reader, {"query": {"param": "a", "extra": 1},
+                                    "queries": {"a": "x"}})
     with _pytest.raises(ValueError, match="must be a string"):
         json_search(spark, reader,
                     {"query": {"param": "a"}, "queries": {"a": {"q": 1}}})

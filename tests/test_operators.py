@@ -786,3 +786,20 @@ def test_subquery_transformer(spark):
     assert out_f[1]["hits_numFound"] == 2
     assert [s["sid"] for s in out_f[1]["hits"]] == [11, 12]
     assert out_f[2]["hits_numFound"] == 0 and out_f[2]["hits"] == []
+
+
+def test_group_offset(spark, people):
+    """group.offset (Grouping.java groupOffset): within-group paging keeps
+    ABSOLUTE ranks; offset past a group's size empties that group."""
+    out = windows.group_top_n(
+        people, "dept", [F.desc("amount"), F.asc("id")], 1, offset=1)
+    got = {(r["dept"], r["id"], r["group_rank"]) for r in out.collect()}
+    # rank-2 row per dept: eng -> id 1 (100 < 250), ops -> 3, sales -> 6
+    assert got == {("eng", 1, 2), ("ops", 3, 2), ("sales", 6, 2)}
+    # offset beyond every group's size -> empty
+    assert windows.group_top_n(
+        people, "dept", [F.desc("amount"), F.asc("id")], 2, offset=5
+    ).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="offset"):
+        windows.group_top_n(people, "dept", [F.asc("id")], 1, offset=-1)
