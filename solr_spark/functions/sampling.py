@@ -413,37 +413,40 @@ def perplexity_buckets(scored: DataFrame, ppl_col: str = "perplexity",
     corpus into head/middle/tail by LM-perplexity quantiles — head = the
     most-fluent third, tail = the most-perplexing.
 
-    Exact, VALUE-GRANULAR quantiles: the cumulative doc count runs over the
-    DISTINCT perplexity table (the KS/Mann-Whitney distributed-rank shape —
-    the window sees |distinct scores| rows, never |corpus|; perplexities
-    arrive pre-rounded from bigram_lm_score, so ties are real and the
-    distinct table is materially smaller than the corpus). Every doc sharing
-    a score lands in the bucket of that value's FIRST position —
+    Exact, VALUE-GRANULAR quantiles over the DISTINCT perplexity table.
+    A 6-dp rounding grid over exp(cross-entropy) admits ~1e9+ distinct
+    values, so at corpus scale the distinct table can approach the corpus —
+    the cumulative count therefore runs through `distributed_cumsum`
+    (evaluators.py — range-partition, per-partition totals to the driver,
+    offsets broadcast back), never a global unpartitioned window. Every doc
+    sharing a score lands in the bucket of that value's FIRST position —
     deterministic and engine-portable, unlike ntile's arbitrary tie split.
-    Bucket k covers positions ((k-1)*N/n, k*N/n].
+    Bucket k covers positions ((k-1)*N/n, k*N/n]. The value->bucket map
+    joins back on the score column (a plain shuffle join; AQE broadcasts
+    it when the distinct table is actually small).
 
     Unscorable docs (NULL perplexity — under 2 tokens) get a NULL bucket:
     CCNet cannot place what the LM cannot score; route them separately.
     """
-    from pyspark.sql import Window
+    from solr_spark.functions.evaluators import distributed_cumsum
 
     if n_buckets != len(labels):
         raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
     p = F.col(ppl_col)
     valid = scored.where(p.isNotNull())
-    dist = valid.groupBy(ppl_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = Window.orderBy(ppl_col).rowsBetween(Window.unboundedPreceding, 0)
-    dist = (dist.withColumn("__cum", F.sum("__c").over(w))
-                .withColumn("__n", F.sum("__c").over(
-                    Window.partitionBy())))
-    first_pos = F.col("__cum") - F.col("__c") + 1
-    idx = F.floor((first_pos - 1) * n_buckets / F.col("__n"))
+    dist = valid.groupBy(ppl_col).agg(F.count(F.lit(1)).alias("__c")).cache()
+    n = dist.agg(F.sum("__c")).first()[0] or 0
+    if n == 0:
+        return scored.withColumn(out_col, F.lit(None).cast("string"))
+    cum = distributed_cumsum(dist, ppl_col, ["__c"])
+    first_pos = F.col("cum___c") - F.col("__c") + 1
+    idx = F.floor((first_pos - 1) * n_buckets / F.lit(float(n)))
     label = None
     for i, name in enumerate(labels):
         label = (F.when(idx == i, name) if label is None
                  else label.when(idx == i, name))
-    buckets = dist.select(ppl_col, label.alias(out_col))
-    return scored.join(F.broadcast(buckets), ppl_col, "left")
+    buckets = cum.select(ppl_col, label.alias(out_col))
+    return scored.join(buckets, ppl_col, "left")
 
 
 def ccnet_sample(scored: DataFrame, id_col: str,
@@ -461,7 +464,19 @@ def ccnet_sample(scored: DataFrame, id_col: str,
     keep = {"head": 1.0, "middle": 0.5, "tail": 0.1} if keep is None else keep
     df = scored
     if bucket_col not in df.columns:
-        df = perplexity_buckets(df, ppl_col, len(keep), tuple(keep),
+        # labels are POSITIONAL in perplexity_buckets (most-fluent first);
+        # a keep dict written tail-first must not invert the terciles, so
+        # the derived order is pinned to the canonical CCNet labels rather
+        # than dict insertion order. Custom labels require a pre-bucketed
+        # frame (the caller knows their fluency order; we don't).
+        order = tuple(l for l in ("head", "middle", "tail") if l in keep)
+        if len(order) != len(keep):
+            raise ValueError(
+                "ccnet_sample derives buckets only for the canonical "
+                "head/middle/tail labels; got "
+                f"{sorted(keep)} — pre-bucket the frame ({bucket_col!r}) "
+                "to use custom labels")
+        df = perplexity_buckets(df, ppl_col, len(order), order,
                                 out_col=bucket_col)
     u = split_fraction_col(F.concat(F.lit(seed), F.lit(":"),
                                     F.col(id_col).cast("string")))
@@ -495,6 +510,11 @@ def unimax_allocations(df: DataFrame, lang_col: str, total_budget: int,
 
     if total_budget < 0 or max_epochs <= 0:
         raise ValueError("total_budget must be >= 0 and max_epochs >= 1")
+    # NULL-language rows can never join back to their allocation
+    # (null == null is never true), so letting them form a group would
+    # silently strand budget — exclude them up front; the realized sample
+    # then sums exactly to min(budget, sum capacity) over REAL languages.
+    df = df.where(F.col(lang_col).isNotNull())
     counts = (df.groupBy(F.col(lang_col).alias("lang"))
               .agg(F.count(F.lit(1)).alias("n_docs"))
               .withColumn("capacity",
@@ -537,35 +557,74 @@ def unimax_sample(df: DataFrame, key: Column | str, lang_col: str,
     `alloc mod n_docs` docs with the smallest md5 fraction take one extra
     pass — exact allocation counts, deterministic on any engine, nesting
     in the fractional epoch the way deterministic_sample nests.
+    NULL-language rows are excluded (no allocation can reach them).
 
     Shape: the allocation table (|languages| rows) broadcasts onto the
-    corpus; repetition = explode(sequence(1, n_epochs)) — map-only, no
-    shuffle beyond the tiny allocation agg. Output: input columns + epoch
+    corpus; full epochs = explode(sequence) map-only. The fractional-epoch
+    pick is the THRESHOLD variant of distributed selection — no
+    per-language full-partition sort: bucket every doc by the top 16 bits
+    of its md5 fraction, per-(lang, bucket) counts (<= 65536 rows per
+    language in the cumulative window), locate the bucket containing the
+    rem-th smallest fraction, broadcast that boundary back; docs strictly
+    below the boundary bucket are selected map-side, and only the boundary
+    bucket's docs (expected n_lang / 65536) are rank-ordered to pick the
+    exact remainder — identical selection to a full (u, key) sort because
+    buckets are a prefix of u's bits. Output: input columns + epoch
     (1-based pass index).
     """
-    allocs = (unimax_allocations(df, lang_col, total_budget, max_epochs)
-              .withColumnRenamed("lang", "__unimax_lang"))
-    tagged = df.join(
-        F.broadcast(allocs),
-        F.col(lang_col) == F.col("__unimax_lang"), "inner"
-    ).drop("__unimax_lang")
-    full = F.floor(F.col("allocation") / F.col("n_docs")).cast("int")
-    rem = (F.col("allocation") % F.col("n_docs")).cast("long")
-    kc = key if isinstance(key, Column) else F.col(key)
-    u = split_fraction_col(kc)
-    # rank docs inside a language by md5 fraction, key as tiebreak. This is
-    # an exact-count per-language window: like token_budget_packs' global
-    # variant, the fractional-epoch pick is honestly rank-bounded — a
-    # dominant language co-locates on one reducer for THIS stage (the full
-    # epochs are map-only). When rem/n_docs tolerance allows, swap the rank
-    # for the thresholded `u < rem/n_docs` (approximate, shuffle-free).
     from pyspark.sql import Window
 
-    r = F.row_number().over(
-        Window.partitionBy(lang_col).orderBy(u.asc(), kc.cast("string")))
-    n_epochs = full + F.when(r <= rem, 1).otherwise(0)
+    valid = df.where(F.col(lang_col).isNotNull())
+    allocs = unimax_allocations(valid, lang_col, total_budget, max_epochs)
+    tagged = valid.join(
+        F.broadcast(allocs.withColumnRenamed("lang", "__unimax_lang")),
+        F.col(lang_col) == F.col("__unimax_lang"), "inner"
+    ).drop("__unimax_lang")
+    kc = key if isinstance(key, Column) else F.col(key)
+    u32 = (F.conv(F.substring(F.md5(kc.cast("string")), 1, 8), 16, 10)
+           .cast("long"))
+    u = split_fraction_col(kc)
+    rem = (F.col("allocation") % F.col("n_docs")).cast("long")
+
+    # per-(lang, bucket) histogram of md5-fraction top bits; the per-lang
+    # cumulative window is bounded by 65536 buckets, never corpus-sized
+    hist = (valid.select(F.col(lang_col).alias("__hl"),
+                         F.shiftright(u32, 16).alias("__b"))
+            .groupBy("__hl", "__b").agg(F.count(F.lit(1)).alias("__c")))
+    wb = (Window.partitionBy("__hl").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    hist = hist.withColumn("__cum", F.sum("__c").over(wb))
+    rem_tbl = allocs.select(
+        F.col("lang").alias("__hl"),
+        (F.col("allocation") % F.col("n_docs")).cast("long").alias("__rem"))
+    # boundary bucket per language: exclusive-cum < rem <= inclusive-cum;
+    # languages with rem == 0 simply have no boundary row
+    bounds = (hist.join(rem_tbl, "__hl")
+              .where((F.col("__cum") - F.col("__c") < F.col("__rem"))
+                     & (F.col("__rem") <= F.col("__cum")))
+              .select("__hl", F.col("__b").alias("__bb"),
+                      (F.col("__cum") - F.col("__c")).alias("__below")))
+
+    tagged = (tagged.withColumn("__b", F.shiftright(u32, 16))
+              .join(F.broadcast(bounds),
+                    F.col(lang_col) == F.col("__hl"), "left")
+              .drop("__hl"))
+    below = tagged.where(F.col("__bb").isNull()
+                         | (F.col("__b") != F.col("__bb"))) \
+                  .withColumn("__extra",
+                              (F.col("__b") < F.col("__bb")).cast("int"))
+    # only the boundary bucket's rows enter the ranking window
+    rw = Window.partitionBy(lang_col).orderBy(u.asc(), kc.cast("string"))
+    cand = (tagged.where(F.col("__b") == F.col("__bb"))
+            .withColumn("__r", F.row_number().over(rw))
+            .withColumn("__extra",
+                        (F.col("__below") + F.col("__r") <= rem).cast("int"))
+            .drop("__r"))
+    merged = below.unionByName(cand)
+    full = F.floor(F.col("allocation") / F.col("n_docs")).cast("int")
+    n_epochs = full + F.coalesce(F.col("__extra"), F.lit(0))
     out_cols = df.columns
-    return (tagged.withColumn("__e", n_epochs)
+    return (merged.withColumn("__e", n_epochs)
             .where(F.col("__e") > 0)
             .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__e"))))
             .select(*out_cols, "epoch"))

@@ -904,10 +904,13 @@ def luke_histogram(spark: SparkSession, index_dir: str) -> DataFrame:
     Output: bucket (the 2^slot label), n_terms — bucket ascending.
     """
     d = spark.read.parquet(os.path.join(index_dir, "dictionary"))
+    # exact integer arithmetic (the handler uses numberOfLeadingZeros, i.e.
+    # bit-length of df-1): float log2 misplaces exact powers of two >= 2^29
+    # one bucket high (ln-ratio rounds to k + 4e-16 and ceil overshoots)
     slot = F.when(F.col("df") <= 1, F.lit(0)).otherwise(
-        F.ceil(F.log2(F.col("df"))).cast("int"))
-    # 2^slot as the bucket label; exact in doubles for any realistic slot
-    return (d.select(F.pow(F.lit(2.0), slot.cast("double"))
-                      .cast("long").alias("bucket"))
+        F.length(F.bin(F.col("df") - 1)).cast("int"))
+    return (d.select(slot.alias("__slot"))
+             .select(F.expr("shiftleft(cast(1 as bigint), __slot)")
+                      .alias("bucket"))
              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_terms"))
              .orderBy("bucket"))

@@ -282,8 +282,11 @@ def mlt_content(docs_terms: DataFrame, content_tokens: Sequence[str],
     ctf = Counter(t for t in content_tokens if t)
     ctf = {t: c for t, c in ctf.items() if c >= min_tf}
     if not ctf:
+        # preserve doc_col's ACTUAL input type (string-keyed corpora must
+        # stay unionable with the normal path's result)
+        id_t = docs_terms.schema[doc_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{doc_col} long, mlt_score double, n_shared long")
+            [], f"{doc_col} {id_t}, mlt_score double, n_shared long")
     content = spark.createDataFrame(
         [(t, float(c)) for t, c in sorted(ctf.items())],
         f"{term_col} string, ctf double")

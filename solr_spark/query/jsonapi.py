@@ -76,8 +76,10 @@ def _resolve_query_refs(req: dict, ctx: str) -> dict:
     """Top-level `queries` (RequestUtil.java:239): a map of NAMED query
     strings; `query` and `filter` entries may reference one as
     ``{"param": "<name>"}`` (the JSON Query DSL's param ref — the
-    localparams ``v=$name`` idiom). Non-map `queries` and unknown refs
-    raise, matching the reference's 'Expected Map for queries' error."""
+    localparams ``v=$name`` idiom), at ANY depth: the reference resolves
+    ``v=$ref`` wherever it appears, so refs nested inside ``{"bool": ...}``
+    clause lists resolve too. Non-map `queries` and unknown refs raise,
+    matching the reference's 'Expected Map for queries' error."""
     named = req.get("queries", {})
     if not isinstance(named, dict):
         raise ValueError(f"expected map for 'queries' in JSON {ctx}, "
@@ -99,8 +101,18 @@ def _resolve_query_refs(req: dict, ctx: str) -> dict:
                     f"unknown query ref {name!r} in JSON {ctx} "
                     f"(declared: {sorted(named)})")
             return named[name]
-        # other dict shapes (e.g. the {"bool": ...} query DSL) pass through
-        # to the downstream query compiler untouched
+        if isinstance(x, dict) and "bool" in x and isinstance(x["bool"], dict):
+            # recurse into the bool DSL's clause lists so a ref nested in
+            # must/should/... resolves instead of failing as an unknown
+            # "param" query parser downstream
+            body = {
+                k: ([resolve(e) for e in v] if isinstance(v, list)
+                    else resolve(v)) if k in ("must", "filter", "must_not",
+                                              "should") else v
+                for k, v in x["bool"].items()}
+            return {**x, "bool": body}
+        # other dict shapes (e.g. {"lucene": ...}) pass through to the
+        # downstream query compiler untouched
         return x
 
     if "query" in req:

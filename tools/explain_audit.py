@@ -588,20 +588,36 @@ def main() -> None:
         ["xxhash64", "Window"],
         ["BatchEvalPython", "ArrowEvalPython"]))
 
-    # 38. CCNet perplexity buckets: the quantile window runs over the
-    # DISTINCT-score table (HashAggregate BEFORE the single-partition
-    # window), and the bucket map joins back as a broadcast — the corpus
-    # never sorts globally
+    # 38. CCNet perplexity buckets: the quantile prefix-sum runs through
+    # distributed_cumsum — DISTINCT-score aggregate, then RANGE partitioning
+    # with per-partition windows (Exchange rangepartitioning present,
+    # Exchange SinglePartition absent: no task ever sees the whole table)
     from solr_spark.functions.sampling import perplexity_buckets
     scored38 = t("documents").select(
         "doc_id", (F.col("n_chars") % 97).cast("double").alias("perplexity"))
     p38 = plan_of(perplexity_buckets(scored38))
     checks.append((
-        "ccnet buckets: distinct-score aggregate feeds the quantile window, "
-        "bucket map broadcast back, no Python",
+        "ccnet buckets: distinct-score aggregate feeds a RANGE-partitioned "
+        "distributed prefix sum — no single-partition window, no Python",
         p38,
-        ["HashAggregate", "BroadcastHashJoin"],
-        ["Exchange rangepartitioning", "BatchEvalPython", "ArrowEvalPython"]))
+        ["HashAggregate", "rangepartitioning"],
+        ["SinglePartition", "BatchEvalPython", "ArrowEvalPython"]))
+
+    # 39. UniMax fractional epoch: threshold variant — the md5-bucket
+    # histogram aggregates map-side, the boundary broadcast joins back, and
+    # the only per-language ranking window runs AFTER the boundary-bucket
+    # filter (the Union of the map-side and ranked branches is in the plan);
+    # the corpus itself never sorts per-language
+    from solr_spark.functions.sampling import unimax_sample
+    docs39 = t("documents").select("doc_id", "lang")
+    p39 = plan_of(unimax_sample(docs39, "doc_id", "lang",
+                                total_budget=500, max_epochs=2))
+    checks.append((
+        "unimax sample: histogram threshold pick (map-side below-boundary + "
+        "ranked boundary bucket union), boundary broadcast, no Python",
+        p39,
+        ["HashAggregate", "BroadcastHashJoin", "Union"],
+        ["BatchEvalPython", "ArrowEvalPython"]))
 
     failures = []
     lines = ["# PLANS — physical-plan audit (tools/explain_audit.py)\n",
