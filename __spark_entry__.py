@@ -7202,6 +7202,100 @@ def _ft48_json_queries_ref(spark, sf_dir):
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _ft49_field_sorted(spark, sf_dir):
+    """Field sort on the SCORED path (search/SolrIndexSearcher.java:1911
+    TopFieldCollectorManager; SortSpecParsing.java): q + sort=n_chars desc
+    + fq=lang:en — the match DocSet is the scored query's (terms OR
+    together, resolved from the term_bucket-pruned postings), the ordering
+    key is the stored field with doc-id tiebreak (TakeOrderedAndProject,
+    never a global sort), and fl=score still returns each page doc's REAL
+    BM25 score (global stats; only the page's posting ranges are decoded).
+    query/fieldsort.py::field_sorted_search."""
+    from solr_spark.query.fieldsort import field_sorted_search
+
+    reader = _ft_index(spark, sf_dir)
+    page = field_sorted_search(spark, reader, _FT_QUERY, "n_chars desc",
+                               k=20, filters=["lang:en"], with_score=True)
+    return page.select(_doc_id(), F.col("n_chars").cast("long")
+                       .alias("n_chars"),
+                       _dround("score", 4).alias("score"),
+                       F.col("rank").cast("long").alias("rank"))
+
+
+def _ft49_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _FT_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+q(term) AS (VALUES {terms_sql}),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN q USING (term) JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+),
+page AS (
+    SELECT s.doc_id, dd.n_chars::BIGINT AS n_chars, round(s.score, 4) AS score,
+           row_number() OVER (ORDER BY dd.n_chars DESC, s.doc_id) AS rank
+    FROM scored s JOIN documents dd USING (doc_id)
+    WHERE dd.lang = 'en'
+)
+SELECT doc_id, n_chars, score, rank::BIGINT AS rank
+FROM page WHERE rank <= 20 ORDER BY rank
+"""
+
+
+def _ft50_select_facets(spark, sf_dir):
+    """The full /select contract on the ranked path (SearchHandler.java:
+    104-118 component pipeline + facet/FacetModule.java:45): a JSON body
+    with query + filter + facet computes the facet block over the ENTIRE
+    q+fq match DocSet — every doc matching any query term AND the fq —
+    never just the returned page. jsonapi.py::json_select routes the facet
+    tree through the forward table semi-joined with the scored match set
+    (query/fieldsort.py::scored_match_docids, a postings-resolved DocSet)."""
+    from solr_spark.query.jsonapi import json_select
+
+    reader = _ft_index(spark, sf_dir)
+    res = json_select(spark, reader, {
+        "query": _FT_QUERY, "limit": 10,
+        "filter": ["n_chars:[200 TO *]"],
+        "facet": {"by_lang": {"type": "terms", "field": "lang",
+                              "limit": -1}}})
+    return res["facets"]["by_lang"].select(
+        "bucket", F.col("count").cast("long").alias("count"))
+
+
+def _ft50_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+matched AS (
+    SELECT DISTINCT doc_id FROM toks WHERE tok IN ({in_list})
+)
+SELECT d.lang AS bucket, count(*)::BIGINT AS count
+FROM documents d JOIN matched USING (doc_id)
+WHERE d.n_chars >= 200
+GROUP BY d.lang ORDER BY count DESC, bucket ASC
+"""
+
+
 def _q122_group_offset(spark, sf_dir):
     """group.offset (Grouping.java groupOffset): within-group paging — skip
     the first 2 rows of each group's sort order, take the next 2, with
@@ -7454,6 +7548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_luke_histogram": _q121_luke_histogram,
         "vv08_hard_negatives": _vv08_hard_negatives,
         "ft48_json_queries_ref": _ft48_json_queries_ref,
+        "ft49_field_sorted": _ft49_field_sorted,
+        "ft50_select_facets": _ft50_select_facets,
         "q122_group_offset": _q122_group_offset,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
@@ -8282,6 +8378,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "q121_luke_histogram": _Q121_SQL,
         "vv08_hard_negatives": _VV08_SQL,
         "ft48_json_queries_ref": _ft33_sql(),
+        "ft49_field_sorted": _ft49_sql(),
+        "ft50_select_facets": _ft50_sql(),
         "q122_group_offset": _Q122_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """

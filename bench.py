@@ -231,6 +231,14 @@ def main() -> None:
         run_query("ft_filtered", lambda: bm25_topk(
             spark, reader, "error timeout", k=10, mode="wand",
             filters=["role:assistant"]).collect())
+        # q + sort=field (round 5): the TopFieldCollector role — postings
+        # match set joined to the forward table, TakeOrdered on the field,
+        # page scored (query/fieldsort.py)
+        from solr_spark.query.fieldsort import field_sorted_search
+
+        run_query("ft_sorted", lambda: field_sorted_search(
+            spark, reader, "error timeout", "conv_id desc", k=10,
+            filters=["role:assistant"], with_score=True).collect())
 
         # ---- serving-path latency: the in-process LocalSearcher
         # (query/local.py — the reference's per-shard searcher role) over the
@@ -276,6 +284,22 @@ def main() -> None:
             series.append(round(time.time() - t0, 4))
         s = sorted(series)
         local_latency["ft_filtered"] = {
+            "p50": s[len(s) // 2],
+            "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+        }
+
+        # field-sorted serving (q + sort=field + fq, round 5): warm p50 of
+        # the serving TopFieldCollector twin, page scored
+        searcher.search("error timeout", k=10, sort="conv_id desc",
+                        filters=fq, with_score=True)  # warm
+        series = []
+        for _ in range(max(reps, 5)):
+            t0 = time.time()
+            searcher.search("error timeout", k=10, sort="conv_id desc",
+                            filters=fq, with_score=True)
+            series.append(round(time.time() - t0, 4))
+        s = sorted(series)
+        local_latency["ft_sorted"] = {
             "p50": s[len(s) // 2],
             "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
         }

@@ -317,19 +317,29 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
     (start/rows). ``fields`` is the fl on the ranked path: result columns
     plus any STORED field of the index (stored attributes join the top-k by
     docid — a broadcast of k rows against the column-pruned forward table).
-    ``sort`` is rejected loudly — re-sorting a ranked result is a separate
-    operator here, never a silent change of what "top k" means.
+    ``sort`` accepts the full SortSpec (SortSpecParsing.java): omitted or
+    ``score desc`` is the ranked collector; field clauses switch to the
+    TopFieldCollector role (query/fieldsort.py — same match DocSet, ordering
+    key moves from score to the fields, score still computed for the page
+    when ``fields`` asks for it). Mixing score with field clauses raises —
+    secondary-field tiebreaks under a float primary score are a documented
+    non-goal (ties beyond the page cannot be resolved post-hoc).
+    ``facet`` blocks compute over the ENTIRE q+fq match set (the /select
+    contract: facets count the DocSet, not the returned page) via the same
+    facet compiler the unranked path uses.
     """
     from solr_spark.query.scored import scored_topk
 
     req = json.loads(request) if isinstance(request, str) else dict(request)
-    # sort on the RANKED path would silently change what "top k" means
-    # (the reference re-sorts inside the scored collector, which this engine
-    # expresses as separate operators) — reject rather than silently ignore
     _check_keys(req, {"query", "filter", "fields", "limit", "offset",
-                      "params", "queries"}, "search request")
+                      "sort", "facet", "params", "queries"}, "search request")
     _check_params(req, {"NOW", "similarity"}, "search request")
     req = _resolve_query_refs(req, "search request")
+    if "facet" in req:
+        raise ValueError(
+            "json_search returns the docs DataFrame only; a request with a "
+            "facet block is the full /select contract — use json_select, "
+            "which returns {'docs': ..., 'facets': {...}}")
     offset = int(req.get("offset", 0))
     limit = int(req.get("limit", 10))
     k = offset + limit
@@ -338,6 +348,16 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
     if isinstance(filters, str):
         filters = [filters]
     now = params.get("NOW")
+    sort = (req.get("sort") or "").strip()
+    if sort and sort not in ("score desc", "score"):
+        from solr_spark.query.fieldsort import field_sorted_search
+
+        want = req.get("fields")
+        page = field_sorted_search(
+            spark, reader, req["query"], sort, k=limit, offset=offset,
+            filters=filters, now=now, fields=want,
+            with_score=bool(want) and "score" in want)
+        return page.select(*want) if want else page
     if "similarity" in params:
         from solr_spark.query.bm25 import bm25_topk
         topk = bm25_topk(spark, reader, req["query"], k=k,
@@ -371,6 +391,53 @@ def json_search(spark, reader, request: dict | str) -> DataFrame:
                     .orderBy("rank"))
         topk = topk.select(*want)
     return topk
+
+
+def json_select(spark, reader, request: dict | str) -> dict:
+    """The full /select contract in one call: ranked (or field-sorted) docs
+    PLUS facet blocks computed over the ENTIRE q+fq match set.
+
+    Reference: handler/component/SearchHandler.java:104-118 — the component
+    pipeline runs QueryComponent and FacetModule against the SAME DocSet,
+    so facets count every matching doc, never just the returned page.
+    Restated here: the docs page comes from json_search (scored or
+    field-sorted collector), and the facet tree compiles through
+    json_facets over the forward table narrowed by the same query+filter
+    predicates — one column-pruned scan per facet section, the filters
+    pushed down, nothing materialized per-doc.
+
+    Returns {"docs": DataFrame, "facets": {name: DataFrame}}.
+    """
+    req = json.loads(request) if isinstance(request, str) else dict(request)
+    # resolve named-query refs ONCE so both the docs page and the facet
+    # domain see the same resolved strings
+    req = _resolve_query_refs(req, "select request")
+    facet_block = req.pop("facet", None)
+    docs = json_search(spark, reader, req)
+    facets: dict[str, DataFrame] = {}
+    if facet_block:
+        fwd = reader.forward(spark).withColumnRenamed("toks", "text")
+        from solr_spark.indexing.deletes import deleted_array
+
+        dels = deleted_array(spark, reader.index_dir)
+        if len(dels):
+            fwd = fwd.where(~F.col("docid").isin([int(d) for d in dels]))
+        # the facet DocSet is the SCORED query's match set (OR / min_match
+        # term semantics, same as the docs page), never the fq parser's
+        # conjunctive reading of q; fq strings stay visible to the facet
+        # compiler so excludeTags multi-select still re-derives domains
+        q = req.get("query", "*:*")
+        if q and q != "*:*":
+            from solr_spark.query.fieldsort import scored_match_docids
+
+            fwd = fwd.join(scored_match_docids(spark, reader, q), "docid")
+        facets = json_facets(
+            fwd, {"query": "*:*",
+                  "filter": req.get("filter", []),
+                  "params": {k: v for k, v in req.get("params", {}).items()
+                             if k == "NOW"},
+                  "facet": facet_block})
+    return {"docs": docs, "facets": facets}
 
 
 def json_facets(df: DataFrame, request: dict | str,

@@ -381,9 +381,18 @@ class LocalSearcher:
                similarity: str | object = "bm25",
                require_all: bool = False, min_match: int | None = None,
                filters=None, filter_mask: np.ndarray | None = None,
-               now=None, offset: int = 0):
+               now=None, offset: int = 0, sort: str | None = None,
+               with_score: bool = False):
         """Top-k as a list of dicts (conv_id, turn_idx, docid, score, rank) —
         same contract and same scores as bm25_topk, no Spark session.
+
+        sort: a field SortSpec ("ts desc, n_chars asc") switches from the
+        score collector to the TopFieldCollector role (the serving twin of
+        query/fieldsort.py::field_sorted_search — same match DocSet, ordered
+        by the fields with docid tiebreak; rows carry the sort field values,
+        and `with_score=True` additionally scores exactly the returned
+        page). Ordering by score IS the default collector — a sort spec
+        naming score raises.
 
         filters / filter_mask: q+fq — classic filter strings (compiled via
         filter_mask()) or a precomputed dense bool DocSet; masked after
@@ -402,6 +411,12 @@ class LocalSearcher:
             raise ValueError(f"offset must be >= 0, got {offset}")
         flist = [filters] if isinstance(filters, str) else \
             list(filters) if filters is not None else []
+        if sort is not None:
+            if flist:
+                filter_mask = self.filter_mask(flist, now=now)
+            return self._field_sorted(query_text, sort, k, offset,
+                                      filter_mask, now, with_score,
+                                      similarity)
         need = offset + k
         cacheable = (filter_mask is None and isinstance(similarity, str)
                      and (now is not None
@@ -429,6 +444,69 @@ class LocalSearcher:
                             (rows, len(rows) < k_fetch), self._qr_cache_size)
         return [dict(r, rank=offset + i + 1)
                 for i, r in enumerate(rows[offset:need])]
+
+    def _field_sorted(self, query_text: str, sort: str, k: int, offset: int,
+                      filter_mask: "np.ndarray | None", now,
+                      with_score: bool, similarity):
+        """Serving twin of query/fieldsort.py::field_sorted_search: the q
+        (+fq) match rows of the resident forward table, stable-sorted by the
+        field spec with docid tiebreak; only the returned page is scored.
+        Match semantics are the scored collector's (terms OR together) —
+        the match mask comes from the POSTINGS, like the batch twin."""
+        from solr_spark.query.fieldsort import parse_sort_spec
+
+        self._load_forward()
+        tbl = self._fwd
+        spec = parse_sort_spec(sort, sortable=set(tbl.columns))
+        if any(n == "score" for n, _ in spec):
+            raise ValueError(
+                "ordering by score is the default collector (call search "
+                "without sort); sort takes field clauses only")
+        docids = tbl["docid"].to_numpy()
+        qterms = sorted(set(analyze_text(query_text, self.cfg)))
+        found = [t for t in qterms if t in self._df]
+        width = int(docids.max()) + 1 if len(docids) else 0
+        match = np.zeros(width, dtype=bool)
+        shift = self.cfg.range_shift
+        for term, lst in self._postings(found).items():
+            for rid, off, _tf in lst:
+                match[(int(rid) << shift) + off] = True
+        in_r = docids < width
+        rows = np.zeros(len(tbl), dtype=bool)
+        rows[in_r] = match[docids[in_r]]
+        if filter_mask is not None:
+            m = np.zeros(len(tbl), dtype=bool)
+            in_range = docids < len(filter_mask)
+            m[in_range] = filter_mask[docids[in_range]]
+            rows = rows & m
+        if len(self._deleted):
+            rows = rows & ~np.isin(docids, self._deleted)
+        sub = tbl.iloc[np.flatnonzero(rows)]
+        by = [n for n, _ in spec] + ["docid"]
+        asc = [a for _, a in spec] + [True]
+        page = sub.sort_values(by=by, ascending=asc, kind="mergesort") \
+                  .iloc[offset:offset + k]
+        scores: dict[int, float] = {}
+        if with_score and len(page):
+            pm = np.zeros(int(docids.max()) + 1, dtype=bool)
+            pm[page["docid"].to_numpy()] = True
+            for r in self._scored_topk(query_text, len(page), similarity,
+                                       filter_mask=pm):
+                scores[r["docid"]] = r["score"]
+        sort_fields = [n for n, _ in spec
+                       if n not in ("conv_id", "turn_idx", "docid")]
+        out = []
+        for i, (_, r) in enumerate(page.iterrows()):
+            row = {"conv_id": str(r["conv_id"]),
+                   "turn_idx": int(r["turn_idx"]), "docid": int(r["docid"])}
+            for f in sort_fields:
+                v = r[f]
+                row[f] = v.item() if hasattr(v, "item") else v
+            if with_score:
+                row["score"] = float(scores.get(int(r["docid"]), 0.0))
+            row["rank"] = offset + i + 1
+            out.append(row)
+        return out
 
     def _scored_topk(self, query_text: str, k: int,
                      similarity: str | object = "bm25",

@@ -185,8 +185,14 @@ def test_json_search_filter_offset_and_guards(spark, built):
                          "filter": FQ}).collect()
     assert [(r.docid, r.rank) for r in page2] == \
         [(r.docid, r.rank) for r in full[3:7]]
-    with pytest.raises(ValueError, match="unknown top-level key"):
-        json_search(spark, reader, {"query": Q, "sort": "score desc"})
+    # round-5: sort is now a supported key — "score desc" is the ranked
+    # collector; mixing score with field clauses still raises loudly
+    assert json_search(spark, reader,
+                       {"query": Q, "limit": 2,
+                        "sort": "score desc"}).count() == 2
+    with pytest.raises(ValueError, match="ranked path"):
+        json_search(spark, reader,
+                    {"query": Q, "sort": "score desc, ts asc"})
 
 
 def test_json_request_key_and_sort_guards(spark, built):
@@ -416,3 +422,128 @@ def test_edismax_filtered(spark, built):
                               filter_docids=ds)
     assert _rows(filtered.select("docid", "score")) == \
            _rows(via_handle.select("docid", "score"))
+
+
+# ----------------------------------------------------------- field sort (r5)
+
+
+def test_field_sort_matches_bruteforce(spark, built):
+    """q + sort=field: same match set as the scored path, ordered by the
+    field with docid tiebreak (TopFieldCollectorManager role,
+    SolrIndexSearcher.java:1911)."""
+    from solr_spark.query.fieldsort import field_sorted_search
+
+    reader = IndexReader.open(built, CFG)
+    got = field_sorted_search(spark, reader, Q, "ts desc", k=10,
+                              filters=FQ, with_score=True).collect()
+    assert len(got) == 10
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    # brute force: the scored path's full match set, joined to the forward
+    # table, sorted by (ts desc, docid)
+    allk = bm25_topk(spark, reader, Q, k=10**6, mode="exact")
+    fwd = reader.forward(spark).where(F.col("role") == "assistant") \
+        .select("docid", "ts")
+    brute = (allk.join(fwd, "docid")
+             .orderBy(F.desc("ts"), F.asc("docid")).limit(10).collect())
+    assert [r["docid"] for r in got] == [r["docid"] for r in brute]
+    # the page's scores are the REAL scores of those docs (global stats)
+    for g, b in zip(got, brute):
+        assert abs(g["score"] - b["score"]) < 1e-9
+    # ts rides along as a result column
+    assert all(r["ts"] is not None for r in got)
+
+
+def test_field_sort_offset_paging(spark, built):
+    from solr_spark.query.fieldsort import field_sorted_search
+
+    reader = IndexReader.open(built, CFG)
+    full = field_sorted_search(spark, reader, Q, "ts asc", k=10).collect()
+    page2 = field_sorted_search(spark, reader, Q, "ts asc", k=5,
+                                offset=5).collect()
+    assert [r["docid"] for r in page2] == [r["docid"] for r in full[5:]]
+    assert [r["rank"] for r in page2] == [6, 7, 8, 9, 10]
+
+
+def test_field_sort_rejects_score_and_unknown_field(spark, built):
+    from solr_spark.query.fieldsort import field_sorted_search
+
+    reader = IndexReader.open(built, CFG)
+    with pytest.raises(ValueError, match="ranked path"):
+        field_sorted_search(spark, reader, Q, "score desc, ts asc")
+    with pytest.raises(ValueError, match="not a sortable column"):
+        field_sorted_search(spark, reader, Q, "nope desc")
+    with pytest.raises(ValueError, match="unknown sort direction"):
+        field_sorted_search(spark, reader, Q, "ts descending")
+
+
+def test_local_searcher_sort_parity(spark, built):
+    """The serving-tier sort returns the identical page (docids, order,
+    sort values, scores) as the distributed field_sorted_search."""
+    from solr_spark.query.fieldsort import field_sorted_search
+
+    reader = IndexReader.open(built, CFG)
+    batch = field_sorted_search(spark, reader, Q, "ts desc", k=10,
+                                filters=FQ, with_score=True).collect()
+    ls = LocalSearcher(reader)
+    serv = ls.search(Q, k=10, sort="ts desc", filters=FQ, with_score=True)
+    assert [r["docid"] for r in serv] == [r["docid"] for r in batch]
+    assert [r["rank"] for r in serv] == [r["rank"] for r in batch]
+    for s, b in zip(serv, batch):
+        assert abs(s["score"] - b["score"]) < 1e-9
+    # offset paging keeps absolute ranks on both tiers
+    p2 = ls.search(Q, k=5, offset=5, sort="ts desc", filters=FQ)
+    assert [r["rank"] for r in p2] == [6, 7, 8, 9, 10]
+    assert [r["docid"] for r in p2] == [r["docid"] for r in serv[5:]]
+    with pytest.raises(ValueError, match="default collector"):
+        ls.search(Q, k=5, sort="score desc")
+
+
+def test_json_search_sort_routing(spark, built):
+    """sort in the JSON body: 'score desc' stays on the ranked collector;
+    field clauses switch to the field collector; fields projection holds."""
+    from solr_spark.query.fieldsort import field_sorted_search
+    from solr_spark.query.jsonapi import json_search
+
+    reader = IndexReader.open(built, CFG)
+    ranked = json_search(spark, reader, {"query": Q, "limit": 5})
+    ranked_s = json_search(spark, reader,
+                           {"query": Q, "limit": 5, "sort": "score desc"})
+    assert [r["docid"] for r in ranked.collect()] == \
+           [r["docid"] for r in ranked_s.collect()]
+    by_ts = json_search(spark, reader,
+                        {"query": Q, "limit": 5, "sort": "ts desc",
+                         "filter": FQ,
+                         "fields": ["conv_id", "ts", "score"]})
+    assert by_ts.columns == ["conv_id", "ts", "score"]
+    direct = field_sorted_search(spark, reader, Q, "ts desc", k=5,
+                                 filters=FQ, with_score=True)
+    assert [r["conv_id"] for r in by_ts.collect()] == \
+           [r["conv_id"] for r in direct.collect()]
+
+
+def test_json_select_facets_count_match_set(spark, built):
+    """/select contract: the facet block counts the ENTIRE q+fq match set,
+    not the returned page."""
+    from solr_spark.query.jsonapi import json_search, json_select
+
+    reader = IndexReader.open(built, CFG)
+    res = json_select(spark, reader,
+                      {"query": Q, "limit": 5,
+                       "facet": {"by_role": {"type": "terms",
+                                             "field": "role"}}})
+    assert res["docs"].count() == 5
+    fac = {r["bucket"]: r["count"] for r in res["facets"]["by_role"].collect()}
+    # oracle: count the SCORED match set (OR term semantics) per role —
+    # the same DocSet the docs page ranks over
+    from solr_spark.query.fieldsort import scored_match_docids
+
+    fwd = reader.forward(spark)
+    want = {r["role"]: r["n"] for r in
+            fwd.join(scored_match_docids(spark, reader, Q), "docid")
+               .groupBy("role")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert fac == want
+    assert sum(fac.values()) > 5  # strictly more than the page
+    # a facet block on json_search itself is a loud error
+    with pytest.raises(ValueError, match="json_select"):
+        json_search(spark, reader, {"query": Q, "facet": {"x": "sum(ts)"}})

@@ -161,6 +161,22 @@ def main() -> None:
             plan_of(ftk),
             ["PushedFilters: [IsNotNull(role), EqualTo(role,assistant)]",
              "filter_bits"], []))
+
+        # 40. field sort on the scored path (round 5): the match set comes
+        # from the term_bucket-pruned postings, fq pushes into the forward
+        # scan, and sort+limit lowers to TakeOrderedAndProject — never a
+        # global Sort+Exchange of the match set
+        from solr_spark.query.fieldsort import field_sorted_search
+
+        fs = field_sorted_search(spark, reader, "error timeout",
+                                 "conv_id desc", k=5,
+                                 filters=["role:assistant"])
+        checks.append((
+            "field-sorted search: pruned postings match + pushed fq + "
+            "TakeOrdered, no global sort",
+            plan_of(fs),
+            ["TakeOrderedAndProject", "EqualTo(role,assistant)",
+             "PartitionFilters: [term_bucket"], []))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
