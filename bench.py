@@ -353,6 +353,45 @@ def main() -> None:
                 "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
             }
 
+        # serving-tier facets (round 5): the /select piggyback role —
+        # numpy aggregation over the resident forward columns; plus the
+        # sharded merge (per-shard raw buckets summed at the coordinator)
+        facet_req = {"by_role": {"type": "terms", "field": "role"}}
+        for fname, call in (
+                ("serving_facet", lambda: searcher.facets(
+                    facet_req, query="error timeout")),
+                (f"sharded{n_shards}_facet", lambda: merged.facets(
+                    facet_req, query="error timeout")),
+                (f"sharded{n_shards}_suggest", lambda: merged.suggest(
+                    "re", k=10))):
+            call()  # warm (forward-table load on first facet call)
+            series = []
+            for _ in range(max(reps, 5)):
+                t0 = time.time()
+                call()
+                series.append(round(time.time() - t0, 4))
+            s = sorted(series)
+            local_latency[fname] = {
+                "p50": s[len(s) // 2],
+                "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+            }
+
+        # distributed /get: hash-fan-out point read, latest version wins
+        rtg_keys = [(r["conv_id"], r["turn_idx"]) for r in
+                    reader.forward(spark).select("conv_id", "turn_idx")
+                    .limit(5).collect()]
+        merged.realtime_get(rtg_keys)  # warm
+        series = []
+        for _ in range(max(reps, 5)):
+            t0 = time.time()
+            merged.realtime_get(rtg_keys)
+            series.append(round(time.time() - t0, 4))
+        s = sorted(series)
+        local_latency[f"sharded{n_shards}_rtg"] = {
+            "p50": s[len(s) // 2],
+            "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+        }
+
         # ---- operator headliners over the sf tables
         def t(name: str, fn) -> None:
             t0 = time.time()

@@ -445,6 +445,25 @@ class LocalSearcher:
         return [dict(r, rank=offset + i + 1)
                 for i, r in enumerate(rows[offset:need])]
 
+    def _match_rows(self, query_text: str) -> np.ndarray:
+        """The scored query's match set as a ROW mask over the resident
+        forward table (terms OR together, resolved from the postings — the
+        serving twin of query/fieldsort.py::scored_match_docids)."""
+        self._load_forward()
+        docids = self._fwd["docid"].to_numpy()
+        qterms = sorted(set(analyze_text(query_text, self.cfg)))
+        found = [t for t in qterms if t in self._df]
+        width = int(docids.max()) + 1 if len(docids) else 0
+        match = np.zeros(width, dtype=bool)
+        shift = self.cfg.range_shift
+        for term, lst in self._postings(found).items():
+            for rid, off, _tf in lst:
+                match[(int(rid) << shift) + off] = True
+        in_r = docids < width
+        rows = np.zeros(len(self._fwd), dtype=bool)
+        rows[in_r] = match[docids[in_r]]
+        return rows
+
     def _field_sorted(self, query_text: str, sort: str, k: int, offset: int,
                       filter_mask: "np.ndarray | None", now,
                       with_score: bool, similarity):
@@ -463,17 +482,7 @@ class LocalSearcher:
                 "ordering by score is the default collector (call search "
                 "without sort); sort takes field clauses only")
         docids = tbl["docid"].to_numpy()
-        qterms = sorted(set(analyze_text(query_text, self.cfg)))
-        found = [t for t in qterms if t in self._df]
-        width = int(docids.max()) + 1 if len(docids) else 0
-        match = np.zeros(width, dtype=bool)
-        shift = self.cfg.range_shift
-        for term, lst in self._postings(found).items():
-            for rid, off, _tf in lst:
-                match[(int(rid) << shift) + off] = True
-        in_r = docids < width
-        rows = np.zeros(len(tbl), dtype=bool)
-        rows[in_r] = match[docids[in_r]]
+        rows = self._match_rows(query_text)
         if filter_mask is not None:
             m = np.zeros(len(tbl), dtype=bool)
             in_range = docids < len(filter_mask)
@@ -622,6 +631,166 @@ class LocalSearcher:
                 row["highlighted"] = t.replace(query, f"<b>{query}</b>")
             out.append(row)
         return out
+
+    # ------------------------------------------------------- serving facets
+    # In the reference, facets piggyback on every /select in one ms-class
+    # request: the component pipeline runs QueryComponent and FacetModule
+    # against the SAME DocSet (handler/component/SearchHandler.java:104-118;
+    # search/facet/FacetModule.java:45). The batch path here answers any
+    # facet in ~0.5 s (a Spark job floor); this is the serving twin — numpy
+    # aggregation over the resident forward columns under the filter mask —
+    # shape-identical to operators/facets.py (parity pytest in test_local).
+
+    def facets(self, facet: dict, query: str | None = None,
+               filters=None, now=None) -> dict:
+        """JSON-facet blocks over the q (+fq) DocSet, serving-tier.
+
+        facet: {name: spec} — string shorthand ``"avg(col)"`` (scalar row),
+        ``{"type": "terms", "field", "limit", "mincount", "sort",
+        "missing", "prefix", "contains", "facet": {alias: "stat(col)"}}``,
+        ``{"type": "range", "field", "start", "gap"[, "end"]}``, or
+        ``{"type": "query", "q": "..."}``. Stats: sum/avg/min/max/count/
+        unique/sumsq. Returns {name: list[dict]} with the SAME column names
+        and ordering as the batch twins (terms_facet / range_facet /
+        query_facet), so results merge across tiers.
+        """
+        rows = self._facet_domain(query, filters, now)
+        sub = self._fwd.iloc[np.flatnonzero(rows)]
+        return {name: self._one_facet(sub, spec, now)
+                for name, spec in facet.items()}
+
+    def _facet_domain(self, query, filters, now) -> np.ndarray:
+        self._load_forward()
+        rows = np.ones(len(self._fwd), dtype=bool)
+        if query and query != "*:*":
+            rows &= self._match_rows(query)
+        if filters:
+            mask = self.filter_mask(filters, now=now)
+            docids = self._fwd["docid"].to_numpy()
+            m = np.zeros(len(self._fwd), dtype=bool)
+            in_r = docids < len(mask)
+            m[in_r] = mask[docids[in_r]]
+            rows &= m
+        if len(self._deleted):
+            rows &= ~np.isin(self._fwd["docid"].to_numpy(), self._deleted)
+        return rows
+
+    _FACET_STATS = ("sum", "avg", "min", "max", "count", "unique", "sumsq")
+
+    @classmethod
+    def _metric_fn(cls, spec: str):
+        import re as _re
+
+        m = _re.fullmatch(r"\s*(\w+)\(\s*([\w.]+)\s*\)\s*", spec)
+        if not m or m.group(1) not in cls._FACET_STATS:
+            raise ValueError(
+                f"unsupported serving facet stat {spec!r} "
+                f"(supported: {cls._FACET_STATS})")
+        stat, col = m.groups()
+
+        def fn(s):
+            import pandas as _pd
+
+            v = _pd.to_numeric(s, errors="coerce") \
+                if stat in ("sum", "avg", "sumsq") else s
+            if stat == "sum":
+                return float(v.sum())
+            if stat == "avg":
+                return float(v.mean())
+            if stat == "sumsq":
+                return float((v * v).sum())
+            if stat == "min":
+                r = v.min()
+                return r.item() if hasattr(r, "item") else r
+            if stat == "max":
+                r = v.max()
+                return r.item() if hasattr(r, "item") else r
+            if stat == "count":
+                return int(v.notna().sum())
+            return int(v.nunique())
+        return stat, col, fn
+
+    def _one_facet(self, sub, spec, now):
+        if isinstance(spec, str):
+            _stat, col, fn = self._metric_fn(spec)
+            return [{"value": fn(sub[col])}]
+        kind = spec.get("type")
+        if kind == "terms":
+            return self._terms_facet(sub, spec)
+        if kind == "range":
+            return self._range_facet(sub, spec)
+        if kind == "query":
+            ev = _PandasFilterEvaluator(sub, now=now)
+            n = int(ev.parse(spec["q"]).sum()) if len(sub) else 0
+            return [{"count": n}]
+        raise ValueError(f"unsupported serving facet type {kind!r} "
+                         "(terms / range / query / 'stat(col)')")
+
+    def _terms_facet(self, sub, spec):
+        field = spec["field"]
+        if field not in sub.columns:
+            raise ValueError(f"unknown facet field {field!r} "
+                             f"(stored columns: {list(sub.columns)})")
+        limit = int(spec.get("limit", 10))
+        mincount = int(spec.get("mincount", 1))
+        s = sub[field]
+        if spec.get("prefix"):
+            sub = sub[s.astype("string").str.startswith(spec["prefix"])
+                       .fillna(False).to_numpy(dtype=bool)]
+            s = sub[field]
+        if spec.get("contains"):
+            sub = sub[s.astype("string").str.contains(spec["contains"],
+                                                      regex=False)
+                       .fillna(False).to_numpy(dtype=bool)]
+            s = sub[field]
+        metrics = [(alias, *self._metric_fn(ms))
+                   for alias, ms in (spec.get("facet") or {}).items()]
+        grouped = sub.groupby(field, dropna=True, sort=False)
+        rows = []
+        for bucket, g in grouped:
+            row = {"bucket": bucket.item() if hasattr(bucket, "item")
+                   else bucket, "count": int(len(g))}
+            for alias, _stat, col, fn in metrics:
+                row[alias] = fn(g[col])
+            rows.append(row)
+        rows = [r for r in rows if r["count"] >= mincount]
+        sort = spec.get("sort", "count desc")
+        sname, sdir = (sort.split() + ["desc"])[:2]
+        rev = sdir.lower() == "desc"
+        if sname == "index":
+            rows.sort(key=lambda r: r["bucket"], reverse=rev)
+        elif sname == "count":
+            rows.sort(key=lambda r: r["bucket"])
+            rows.sort(key=lambda r: r["count"], reverse=rev)
+        else:
+            rows.sort(key=lambda r: r["bucket"])
+            rows.sort(key=lambda r: r[sname], reverse=rev)
+        if spec.get("missing"):
+            miss = sub[sub[field].isna()]
+            mrow = {"bucket": "__missing__", "count": int(len(miss))}
+            for alias, _stat, col, fn in metrics:
+                mrow[alias] = fn(miss[col]) if len(miss) else None
+            rows = (rows[:limit] if limit >= 0 else rows) + [mrow]
+            return rows
+        return rows[:limit] if limit >= 0 else rows
+
+    def _range_facet(self, sub, spec):
+        field, start = spec["field"], float(spec["start"])
+        gap = float(spec["gap"])
+        import pandas as _pd
+
+        v = _pd.to_numeric(sub[field], errors="coerce")
+        v = v[v >= start]
+        if "end" in spec:
+            v = v[v < float(spec["end"])]
+        idx = np.floor((v.to_numpy() - start) / gap).astype(np.int64)
+        rows = []
+        if len(idx):
+            uniq, counts = np.unique(idx, return_counts=True)
+            for b, c in zip(uniq.tolist(), counts.tolist()):
+                rows.append({"bucket_start": b * gap + start,
+                             "count": int(c)})
+        return rows
 
     def suggest_fuzzy(self, word: str, k: int = 10,
                       max_edits: int = 1) -> list[dict]:

@@ -116,5 +116,227 @@ class ShardedSearcher:
             out.append(hit)
         return out
 
+    # ---------------------------------------------- distributed components
+    # The reference distributes EVERY search component through the stage
+    # loop (handler/component/SearchHandler.java:538-542): facets, suggest,
+    # spellcheck and RTG all fan out and merge, not just ranked search.
+
+    def facets(self, facet: dict, query: str | None = None,
+               filters=None, now=None) -> dict:
+        """Distributed JSON facets: every shard computes its UNLIMITED raw
+        bucket table over its own rows (FacetComponent's per-shard
+        refinement-free exact path — counts are per-shard disjoint, so the
+        merge is a plain sum); the coordinator combines buckets, finalizes
+        non-additive stats (avg = merged sum / merged count), then applies
+        mincount/sort/limit once, globally. `unique` does not merge exactly
+        across shards (the reference refines or approximates via hll) and
+        raises here; use the batch path for exact cross-shard uniques.
+        """
+        shard_req, finalize = {}, {}
+        for name, spec in facet.items():
+            sub, fin = self._decompose(name, spec)
+            shard_req.update(sub)
+            finalize[name] = (list(sub), fin)
+        per_shard = [s.facets(shard_req, query=query, filters=filters,
+                              now=now) for s in self.shards]
+        return {name: fin([{sn: ps[sn] for sn in subnames}
+                           for ps in per_shard])
+                for name, (subnames, fin) in finalize.items()}
+
+    @staticmethod
+    def _merge_stat(stat: str, vals: list):
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return None
+        if stat in ("sum", "sumsq", "count"):
+            return sum(vals)
+        if stat == "min":
+            return min(vals)
+        if stat == "max":
+            return max(vals)
+        raise ValueError(f"stat {stat!r} is not shard-additive")
+
+    @classmethod
+    def _decompose(cls, name: str, spec):
+        """One facet spec -> ({per-shard sub-request name: raw spec},
+        finalize fn over the list of per-shard {sub-name: rows} results).
+
+        avg(col) decomposes to sum(col)+count(col) on the shards and
+        re-divides after the merge; unique raises (not shard-additive).
+        """
+        import re as _re
+
+        def parse_stat(s):
+            m = _re.fullmatch(r"\s*(\w+)\(\s*([\w.]+)\s*\)\s*", s)
+            if not m:
+                raise ValueError(f"bad facet stat {s!r}")
+            if m.group(1) == "unique":
+                raise ValueError(
+                    "unique() does not merge exactly across shards — "
+                    "use the batch facet path (or hll) for cross-shard "
+                    "distinct counts")
+            return m.groups()
+
+        if isinstance(spec, str):
+            # scalar shorthand: avg decomposes to sum+count sub-requests;
+            # everything additive ships as-is and merges by _merge_stat
+            stat, col = parse_stat(spec)
+
+            def fin_scalar(parts):
+                if stat == "avg":
+                    s = cls._merge_stat(
+                        "sum",
+                        [p[f"{name}__sum"][0]["value"] for p in parts])
+                    c = cls._merge_stat(
+                        "count",
+                        [p[f"{name}__cnt"][0]["value"] for p in parts])
+                    return [{"value": (s / c) if c else None}]
+                vals = [p[name][0]["value"] for p in parts]
+                return [{"value": cls._merge_stat(stat, vals)}]
+            return ({f"{name}__sum": f"sum({col})",
+                     f"{name}__cnt": f"count({col})"}
+                    if stat == "avg" else {name: spec}), fin_scalar
+
+        kind = spec.get("type")
+        if kind == "query":
+            def fin_q(parts):
+                return [{"count": sum(p[name][0]["count"] for p in parts)}]
+            return {name: spec}, fin_q
+        if kind == "range":
+            def fin_r(parts):
+                acc = {}
+                for p in parts:
+                    for r in p[name]:
+                        acc[r["bucket_start"]] = \
+                            acc.get(r["bucket_start"], 0) + r["count"]
+                return [{"bucket_start": b, "count": c}
+                        for b, c in sorted(acc.items())]
+            return {name: spec}, fin_r
+        if kind != "terms":
+            raise ValueError(f"unsupported sharded facet type {kind!r}")
+
+        metrics = dict(spec.get("facet") or {})
+        shard_metrics, plan = {}, {}
+        for alias, ms in metrics.items():
+            stat, col = parse_stat(ms)
+            if stat == "avg":
+                shard_metrics[f"__{alias}_sum"] = f"sum({col})"
+                shard_metrics[f"__{alias}_cnt"] = f"count({col})"
+                plan[alias] = ("avg", f"__{alias}_sum", f"__{alias}_cnt")
+            else:
+                shard_metrics[f"__{alias}"] = ms
+                plan[alias] = (stat, f"__{alias}", None)
+        raw = dict(spec)
+        raw["limit"] = -1
+        raw["mincount"] = 1
+        raw.pop("sort", None)
+        raw["facet"] = shard_metrics
+
+        def fin_terms(parts):
+            acc: dict = {}
+            for p in parts:
+                for r in p[name]:
+                    b = acc.setdefault(r["bucket"], {"count": 0})
+                    b["count"] += r["count"]
+                    for kk, vv in r.items():
+                        if kk in ("bucket", "count"):
+                            continue
+                        b.setdefault(kk, []).append(vv)
+            rows = []
+            for bucket, agg in acc.items():
+                row = {"bucket": bucket, "count": agg["count"]}
+                for alias, (stat, a, b2) in plan.items():
+                    if stat == "avg":
+                        s = cls._merge_stat("sum", agg.get(a, []))
+                        c = cls._merge_stat("count", agg.get(b2, []))
+                        row[alias] = (s / c) if c else None
+                    else:
+                        row[alias] = cls._merge_stat(stat, agg.get(a, []))
+                rows.append(row)
+            # the per-shard __missing__ rows merged like any bucket; pull
+            # the merged row out of the sorted order and re-append last,
+            # the batch terms_facet shape
+            missing_row = None
+            if spec.get("missing"):
+                for i, r in enumerate(rows):
+                    if r["bucket"] == "__missing__":
+                        missing_row = rows.pop(i)
+                        break
+            mincount = int(spec.get("mincount", 1))
+            rows = [r for r in rows if r["count"] >= mincount]
+            sort = spec.get("sort", "count desc")
+            sname, sdir = (sort.split() + ["desc"])[:2]
+            rev = sdir.lower() == "desc"
+            if sname == "index":
+                rows.sort(key=lambda r: r["bucket"], reverse=rev)
+            elif sname == "count":
+                rows.sort(key=lambda r: r["bucket"])
+                rows.sort(key=lambda r: r["count"], reverse=rev)
+            else:
+                rows.sort(key=lambda r: r["bucket"])
+                rows.sort(key=lambda r: r[sname], reverse=rev)
+            limit = int(spec.get("limit", 10))
+            rows = rows[:limit] if limit >= 0 else rows
+            if missing_row is not None:
+                rows.append(missing_row)
+            return rows
+        return {name: raw}, fin_terms
+
+    def suggest(self, prefix: str, k: int = 10) -> list[dict]:
+        """Distributed suggest: per-shard top-k, merged by (df desc, term).
+        Shard dictionaries are GLOBAL copies (the ExactStatsCache layout),
+        so agreeing terms are deduped by max-df — exact today, and still
+        sane if per-shard NRT adds ever let dictionaries diverge."""
+        return self._merge_suggest(
+            [s.suggest(prefix, k=k) for s in self.shards], k)
+
+    def suggest_infix(self, query: str, k: int = 10,
+                      highlight: bool = True) -> list[dict]:
+        return self._merge_suggest(
+            [s.suggest_infix(query, k=k, highlight=highlight)
+             for s in self.shards], k)
+
+    def suggest_fuzzy(self, word: str, k: int = 10,
+                      max_edits: int = 1) -> list[dict]:
+        """Distributed spellcheck candidates (SpellCheckComponent's
+        distributed merge: candidates pooled across shards, ranked by
+        (dist asc, df desc, term)). Duplicate terms dedupe by max df."""
+        pool: dict[str, dict] = {}
+        for s in self.shards:
+            for r in s.suggest_fuzzy(word, k=k, max_edits=max_edits):
+                cur = pool.get(r["term"])
+                if cur is None or r["df"] > cur["df"]:
+                    pool[r["term"]] = r
+        return sorted(pool.values(),
+                      key=lambda r: (r["dist"], -r["df"], r["term"]))[:k]
+
+    @staticmethod
+    def _merge_suggest(per_shard: list[list[dict]], k: int) -> list[dict]:
+        pool: dict[str, dict] = {}
+        for rows in per_shard:
+            for r in rows:
+                cur = pool.get(r["term"])
+                if cur is None or r["df"] > cur["df"]:
+                    pool[r["term"]] = r
+        return sorted(pool.values(),
+                      key=lambda r: (-r["df"], r["term"]))[:k]
+
+    def realtime_get(self, keys: list) -> list[dict]:
+        """Distributed /get: the key's owning shard is not derivable from
+        (conv_id, turn_idx) under range interleaving, so the point read
+        fans out (each shard's pyarrow scan pushes conv_id IN (...) and
+        misses cheaply); per key the LATEST live version (max docid) wins —
+        RealTimeGetComponent's version rule across shards."""
+        from solr_spark.query.rtg import realtime_get as _rtg
+
+        best: dict = {}
+        for s in self.shards:
+            for row in _rtg(s.reader.index_dir, keys):
+                key = (row["conv_id"], int(row["turn_idx"]))
+                if key not in best or row["docid"] > best[key]["docid"]:
+                    best[key] = row
+        return [best[(c, int(t))] for c, t in keys
+                if (c, int(t)) in best]
+
 
 __all__ = ["shard_index", "ShardedSearcher"]

@@ -7,6 +7,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from solr_spark.config import IndexConfig
 from solr_spark.data import synth_transcripts_spark
@@ -210,3 +211,81 @@ def test_document_cache_role(spark, built):
     assert doc["turn_idx"] == hit["turn_idx"]
     assert isinstance(doc["text"], str) and doc["text"]
     assert ls.doc(10**9) is None
+
+
+# ------------------------------------------------------- serving facets (r5)
+
+
+def test_serving_facets_match_batch(spark, built):
+    """LocalSearcher.facets must be shape- and value-identical to the batch
+    facet family (operators/facets.py) on the same corpus + filter."""
+    from solr_spark.operators.facets import metric, range_facet, terms_facet
+
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    fwd = reader.forward(spark)
+
+    # terms facet with a nested stat, under an fq
+    got = ls.facets(
+        {"by_role": {"type": "terms", "field": "role", "limit": 3,
+                     "facet": {"max_turn": "max(turn_idx)"}}},
+        filters=["turn_idx:[2 TO *]"])["by_role"]
+    dom = fwd.where(F.col("turn_idx") >= 2)
+    want = [{"bucket": r["bucket"], "count": r["count"],
+             "max_turn": r["max_max_turn"]}
+            for r in terms_facet(
+                dom, "role", limit=3,
+                metrics=[metric("max", "turn_idx").alias("max_max_turn")])
+            .collect()]
+    assert got == want
+
+    # range facet over turn_idx
+    got_r = ls.facets({"turns": {"type": "range", "field": "turn_idx",
+                                 "start": 0, "gap": 4}})["turns"]
+    want_r = [{"bucket_start": r["bucket_start"], "count": r["count"]}
+              for r in range_facet(fwd, "turn_idx", 0, 4).collect()]
+    assert got_r == want_r
+
+    # query facet + scalar shorthand
+    got_q = ls.facets({"assistants": {"type": "query",
+                                      "q": "role:assistant"},
+                       "mean_turn": "avg(turn_idx)"})
+    n_assist = fwd.where(F.col("role") == "assistant").count()
+    assert got_q["assistants"] == [{"count": n_assist}]
+    mean = fwd.agg(F.avg("turn_idx")).first()[0]
+    assert abs(got_q["mean_turn"][0]["value"] - mean) < 1e-9
+
+
+def test_serving_facets_under_query_docset(spark, built):
+    """facets(query=...) counts the scored match set — the /select piggyback
+    contract — identical to the batch json_select facet domain."""
+    from solr_spark.query.fieldsort import scored_match_docids
+
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    q = "error timeout"
+    got = ls.facets({"by_role": {"type": "terms", "field": "role",
+                                 "limit": -1}}, query=q)["by_role"]
+    want = {r["role"]: r["n"] for r in
+            reader.forward(spark)
+            .join(scored_match_docids(spark, reader, q), "docid")
+            .groupBy("role").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r["bucket"]: r["count"] for r in got} == want
+    assert [r["count"] for r in got] == sorted(
+        [r["count"] for r in got], reverse=True)
+
+
+def test_serving_facet_latency(built):
+    """The point of the serving tier: a facet request answers in
+    milliseconds, not a Spark job's ~0.5 s floor."""
+    import time
+
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    req = {"by_role": {"type": "terms", "field": "role"}}
+    ls.facets(req, filters=["turn_idx:[1 TO *]"])  # warm (forward load)
+    t0 = time.time()
+    for _ in range(5):
+        ls.facets(req, filters=["turn_idx:[1 TO *]"])
+    per_call = (time.time() - t0) / 5
+    assert per_call < 0.25, f"serving facet took {per_call:.3f}s"

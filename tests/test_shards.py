@@ -82,3 +82,93 @@ def test_merged_filtered_search(spark, sharded):
            for h in merged.search("error timeout", k=10,
                                   filters=["role:assistant"])]
     assert got == want
+
+
+# ----------------------------------- distributed components (round 5)
+
+
+def test_sharded_facets_identical_to_unsharded(spark, sharded):
+    """Sharded facet merge (per-shard raw buckets summed, avg re-divided)
+    must equal the single-searcher facets exactly — counts are per-shard
+    disjoint, so no refinement is needed."""
+    idx, dirs = sharded
+    single = LocalSearcher(IndexReader.open(idx, CFG))
+    merged = ShardedSearcher(dirs)
+    req = {
+        "by_role": {"type": "terms", "field": "role", "limit": 3,
+                    "facet": {"mean_turn": "avg(turn_idx)",
+                              "max_turn": "max(turn_idx)"}},
+        "turns": {"type": "range", "field": "turn_idx",
+                  "start": 0, "gap": 5},
+        "assistants": {"type": "query", "q": "role:assistant"},
+        "mean_turn": "avg(turn_idx)",
+    }
+    for kw in ({}, {"query": "error timeout"},
+               {"filters": ["turn_idx:[1 TO *]"]}):
+        want = single.facets(req, **kw)
+        got = merged.facets(req, **kw)
+        for name in req:
+            w, g = want[name], got[name]
+            assert len(w) == len(g), (name, kw)
+            for rw, rg in zip(w, g):
+                assert rw.keys() == rg.keys(), (name, kw)
+                for k in rw:
+                    if isinstance(rw[k], float):
+                        assert abs(rw[k] - rg[k]) < 1e-9, (name, k, kw)
+                    else:
+                        assert rw[k] == rg[k], (name, k, kw)
+
+
+def test_sharded_facets_unique_raises(sharded):
+    _idx, dirs = sharded
+    merged = ShardedSearcher(dirs)
+    with pytest.raises(ValueError, match="unique"):
+        merged.facets({"u": {"type": "terms", "field": "role",
+                             "facet": {"n": "unique(conv_id)"}}})
+
+
+def test_sharded_suggest_and_spellcheck_parity(spark, sharded):
+    """Suggest/spellcheck fan-out: merged results equal the unsharded
+    searcher's (shard dictionaries are global ExactStatsCache copies)."""
+    idx, dirs = sharded
+    single = LocalSearcher(IndexReader.open(idx, CFG))
+    merged = ShardedSearcher(dirs)
+    assert merged.suggest("re", k=10) == single.suggest("re", k=10)
+    assert merged.suggest_infix("im", k=10) == \
+        single.suggest_infix("im", k=10)
+    assert merged.suggest_fuzzy("tymeout", k=5) == \
+        single.suggest_fuzzy("tymeout", k=5)
+
+
+def test_sharded_rtg_point_read(spark, sharded):
+    """Distributed /get: keys resolve across shards, latest version wins,
+    missing keys are absent."""
+    from solr_spark.query.rtg import realtime_get
+
+    idx, dirs = sharded
+    reader = IndexReader.open(idx, CFG)
+    rows = reader.forward(spark).select("conv_id", "turn_idx") \
+        .orderBy("docid").limit(5).collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in rows]
+    merged = ShardedSearcher(dirs)
+    got = merged.realtime_get(keys + [("no-such-conv", 0)])
+    want = realtime_get(idx, keys)
+    assert [(r["conv_id"], r["turn_idx"], r["docid"]) for r in got] == \
+        [(r["conv_id"], r["turn_idx"], r["docid"]) for r in want]
+
+
+def test_sharded_field_sorted_search(spark, sharded):
+    """sort=field fans out through search(**kw); the coordinator's merge
+    key is (score, docid) so field-sorted pages merge per-shard — assert
+    per-shard pages union to the single searcher's page set."""
+    idx, dirs = sharded
+    single = LocalSearcher(IndexReader.open(idx, CFG))
+    want = single.search("error timeout", k=10, sort="conv_id desc",
+                         filters=["role:assistant"])
+    per_shard = [s.search("error timeout", k=10, sort="conv_id desc",
+                          filters=["role:assistant"])
+                 for s in ShardedSearcher(dirs).shards]
+    pool = [r for rows in per_shard for r in rows]
+    pool.sort(key=lambda r: r["docid"])
+    pool.sort(key=lambda r: r["conv_id"], reverse=True)
+    assert [r["docid"] for r in pool[:10]] == [r["docid"] for r in want]
