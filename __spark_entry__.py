@@ -7296,6 +7296,108 @@ GROUP BY d.lang ORDER BY count DESC, bucket ASC
 """
 
 
+def _q123_sibling_subfacets(spark, sf_dir):
+    """Sibling sub-facet MAPS (search/facet/FacetRequest.java:353 —
+    processSubs iterates a map of sub-facets, not a single child): one
+    terms node carries a stat AND a terms sub-facet AND a range sub-facet.
+    jsonapi._tree_chains decomposes the tree into root-to-leaf chains, each
+    compiled to its own single-scan facet_tree plan with identical root
+    buckets; the gate joins the two branches on the root bucket."""
+    from solr_spark.query.jsonapi import json_facets
+
+    docs = _t(spark, sf_dir, "documents")
+    req = {"query": "*:*", "filter": "n_chars:[100 TO *]",
+           "facet": {"langs": {
+               "type": "terms", "field": "lang", "limit": 3,
+               "facet": {
+                   "mean_chars": "avg(n_chars)",
+                   "by_src": {"type": "terms", "field": "source",
+                              "limit": 2},
+                   "sizes": {"type": "range", "field": "n_chars",
+                             "start": 100, "gap": 500, "end": 1100}}}}}
+    res = json_facets(docs, req)
+    a = res["langs/by_src"].select(
+        F.col("bucket").alias("lang"),
+        F.col("langs_count").cast("long").alias("lang_count"),
+        _dround("mean_chars", 4).alias("mean_chars"),
+        F.col("by_src").alias("src"),
+        F.col("count").cast("long").alias("src_count"))
+    b = res["langs/sizes"].select(
+        F.col("bucket").alias("lang"),
+        F.col("sizes").cast("long").alias("size_bucket"),
+        F.col("count").cast("long").alias("size_count"))
+    return a.join(b, "lang").orderBy("lang", "src", "size_bucket")
+
+
+_Q123_SQL = """
+WITH dom AS (SELECT lang, source, n_chars FROM documents
+             WHERE n_chars >= 100),
+lang_rank AS (
+  SELECT lang, count(*)::BIGINT AS lang_count,
+         sum(n_chars)::DOUBLE / count(*) AS mean_chars,
+         row_number() OVER (ORDER BY count(*) DESC, lang) AS lr
+  FROM dom GROUP BY lang
+),
+langs AS (SELECT * FROM lang_rank WHERE lr <= 3),
+src AS (
+  SELECT lang, source AS src, count(*)::BIGINT AS src_count,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, source) AS sr
+  FROM dom GROUP BY lang, source
+),
+sizes AS (
+  SELECT lang,
+         (floor((n_chars - 100) / 500) * 500 + 100)::BIGINT AS size_bucket,
+         count(*)::BIGINT AS size_count
+  FROM dom WHERE n_chars < 1100
+  GROUP BY lang, size_bucket
+)
+SELECT l.lang, l.lang_count, round(l.mean_chars, 4) AS mean_chars,
+       s.src, s.src_count, z.size_bucket, z.size_count
+FROM langs l JOIN src s ON l.lang = s.lang AND s.sr <= 2
+JOIN sizes z ON l.lang = z.lang
+ORDER BY l.lang, s.src, z.size_bucket
+"""
+
+
+def _q124_scored_block_join(spark, sf_dir):
+    """Scored block join `{!parent score=max}` (search/join/
+    BlockJoinParentQParser.java:56; ScoreMode per ScoreJoinQParserPlugin.
+    java:92): the child query is the scored path's FULL match set (BM25,
+    global stats) under a child fq (lang:en); each child's score rolls up
+    to its parent block (source groups) by MAX, and parents rank by the
+    rolled-up score. operators/streams.py::block_join_parent_scored —
+    children aggregate to one row per parent key BEFORE the join. The
+    child fq matches ft33's (lang:en + n_chars range), so the oracle
+    reuses ft33's scored derivation minus the top-20 cut."""
+    reader = _ft_index(spark, sf_dir)
+    kids = bm25_topk(spark, reader, _FT_QUERY, k=10 ** 6, mode="exact",
+                     filters=["lang:en", "n_chars:[200 TO *]"])
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kids = (kids.select(_doc_id(), _dround("score", 4).alias("score"))
+            .join(docs, "doc_id"))
+    parents = docs.select("source").distinct()
+    out = streams.block_join_parent_scored(parents, kids, "source",
+                                           "source", score_mode="max")
+    return out.select("source", "score")
+
+
+def _q124_sql() -> str:
+    base = _ft33_sql().rstrip()
+    # same scored derivation as ft33 (q + lang:en fq, global stats), WITHOUT
+    # the top-20 cut — every child hit feeds its parent's max
+    base_all = base.replace(
+        "SELECT doc_id, round(score, 4) AS score\n"
+        "FROM scored ORDER BY score DESC, doc_id LIMIT 20",
+        "SELECT doc_id, round(score, 4) AS score FROM scored")
+    return f"""
+WITH kids AS ({base_all})
+SELECT d.source, max(k.score) AS score
+FROM kids k JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY score DESC, d.source
+"""
+
+
 def _q122_group_offset(spark, sf_dir):
     """group.offset (Grouping.java groupOffset): within-group paging — skip
     the first 2 rows of each group's sort order, take the next 2, with
@@ -7550,6 +7652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft48_json_queries_ref": _ft48_json_queries_ref,
         "ft49_field_sorted": _ft49_field_sorted,
         "ft50_select_facets": _ft50_select_facets,
+        "q123_sibling_subfacets": _q123_sibling_subfacets,
+        "q124_scored_block_join": _q124_scored_block_join,
         "q122_group_offset": _q122_group_offset,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
@@ -8380,6 +8484,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft48_json_queries_ref": _ft33_sql(),
         "ft49_field_sorted": _ft49_sql(),
         "ft50_select_facets": _ft50_sql(),
+        "q123_sibling_subfacets": _Q123_SQL,
+        "q124_scored_block_join": _q124_sql(),
         "q122_group_offset": _Q122_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """

@@ -147,6 +147,38 @@ def scored_join(outer: DataFrame, inner: DataFrame, outer_key: str,
     return outer.join(scores, outer_key, "inner")
 
 
+def block_join_parent_scored(parents: DataFrame, children: DataFrame,
+                             parent_key: str, child_key: str,
+                             score_col: str = "score",
+                             score_mode: str = "max") -> DataFrame:
+    """``{!parent which=<parentFilter> score=max|avg|total|min}`` — the
+    SCORED block join: child hits' scores roll up to their parent block.
+
+    Reference: search/join/BlockJoinParentQParser.java:56 (the `score`
+    local param selects a Lucene ToParentBlockJoinQuery ScoreMode) with the
+    ScoreMode contract of ScoreJoinQParserPlugin.java:92 — max/avg/total/
+    min of the matching children's scores becomes the parent's score;
+    ScoreMode.None is the plain semi-join (q24's shape, `intersect`).
+
+    `children` is the CHILD QUERY's result (typically the scored path's
+    output — bm25_topk/scored_topk rows, optionally pre-filtered by a
+    child fq) carrying `score_col`; `parents` is the parent-filter domain.
+    Spark shape: the children aggregate FIRST (map-side partial agg shrinks
+    them to one row per parent key before any join — at 10^12 turns this
+    joins a key dictionary, not the child hit stream), then one equi-join
+    that AQE broadcasts when the aggregated side is small. Output: parent
+    columns + `score`, parents ranked score desc / key asc.
+    """
+    aggs = {"max": F.max, "min": F.min, "avg": F.avg, "total": F.sum}
+    if score_mode not in aggs:
+        raise ValueError(f"unknown block-join score mode {score_mode!r} "
+                         f"(use {sorted(aggs)}, or intersect() for none)")
+    rolled = (children.groupBy(F.col(child_key).alias(parent_key))
+              .agg(aggs[score_mode](score_col).alias("score")))
+    return (parents.join(rolled, parent_key, "inner")
+            .orderBy(F.desc("score"), F.asc(parent_key)))
+
+
 def fetch(stream: DataFrame, dim: DataFrame, on: Sequence[str],
           fl: Sequence[str]) -> DataFrame:
     """fetch() — batched lookup join enriching tuples from a collection by key.

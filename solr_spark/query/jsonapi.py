@@ -144,49 +144,60 @@ def _check_keys(req: dict, allowed: set[str], ctx: str) -> None:
             f"(allowed: {sorted(allowed)})")
 
 
-def _tree_levels(name: str, spec: dict) -> "list[FC.FacetLevel]":
-    """Compile a nested facet-node chain into facet_tree levels.
+def _compile_facet_node(name: str, node: dict
+                        ) -> "tuple[FC.FacetLevel, dict]":
+    """One facet-tree node -> (FacetLevel, {sub-facet name: sub spec}).
 
-    Each node may carry sibling stat STRINGS (computed over that node's
-    buckets — FacetRequest.processSubs) and at most one nested sub-facet
-    dict (a chain; sibling sub-TREES would need independent scans and are
-    rejected loudly).
-    """
-    levels: list[FC.FacetLevel] = []
-    node, node_name = spec, name
-    while True:
-        ftype = node.get("type")
-        if ftype not in ("terms", "range"):
-            raise ValueError(
-                f"nested facet {node_name!r} must be terms or range, "
-                f"got {ftype!r}")
-        stats: dict[str, tuple[str, str]] = {}
-        subs: dict[str, dict] = {}
-        for a, s in node.get("facet", {}).items():
-            if isinstance(s, dict):
-                subs[a] = s
-            else:
-                m = _METRIC_RE.fullmatch(s.strip())
-                if not m or m.group(1) not in FC._METRICS:
-                    raise ValueError(f"unsupported facet stat {s!r}")
-                stats[a] = (m.group(1), m.group(2))
-        if len(subs) > 1:
-            raise ValueError(
-                f"facet node {node_name!r} has {len(subs)} sub-facets; "
-                f"one chain per tree (run sibling trees as separate facets)")
-        kw: dict = {}
-        if ftype == "range":
-            kw = {"start": float(node["start"]), "gap": float(node["gap"]),
-                  "end": float(node["end"]) if "end" in node else None}
-        levels.append(FC.FacetLevel(
-            node_name, node["field"], kind=ftype,
-            limit=int(node.get("limit", 10)),
-            mincount=int(node.get("mincount", 1)),
-            sort=node.get("sort"), stats=stats,
-            prefix=node.get("prefix"), contains=node.get("contains"), **kw))
-        if not subs:
-            return levels
-        node_name, node = next(iter(subs.items()))
+    Sibling stat STRINGS belong to this node's buckets (the
+    FacetRequest.processSubs rule); sub-facet DICTS are this node's child
+    trees."""
+    ftype = node.get("type")
+    if ftype not in ("terms", "range"):
+        raise ValueError(
+            f"nested facet {name!r} must be terms or range, got {ftype!r}")
+    stats: dict[str, tuple[str, str]] = {}
+    subs: dict[str, dict] = {}
+    for a, s in node.get("facet", {}).items():
+        if isinstance(s, dict):
+            subs[a] = s
+        else:
+            m = _METRIC_RE.fullmatch(s.strip())
+            if not m or m.group(1) not in FC._METRICS:
+                raise ValueError(f"unsupported facet stat {s!r}")
+            stats[a] = (m.group(1), m.group(2))
+    kw: dict = {}
+    if ftype == "range":
+        kw = {"start": float(node["start"]), "gap": float(node["gap"]),
+              "end": float(node["end"]) if "end" in node else None}
+    level = FC.FacetLevel(
+        name, node["field"], kind=ftype,
+        limit=int(node.get("limit", 10)),
+        mincount=int(node.get("mincount", 1)),
+        sort=node.get("sort"), stats=stats,
+        prefix=node.get("prefix"), contains=node.get("contains"), **kw)
+    return level, subs
+
+
+def _tree_chains(name: str, spec: dict
+                 ) -> "list[tuple[str, list[FC.FacetLevel]]]":
+    """Decompose a facet TREE (a node may carry a MAP of sub-facets —
+    FacetRequest.java:353 processSubs iterates a map, not a single child)
+    into its root-to-leaf CHAINS: [(path key, [FacetLevel, ...]), ...].
+
+    Each chain compiles independently through facet_tree (one scan per
+    branch; the shared-prefix levels are recomputed per branch, with
+    identical bucket counts — the flat-DataFrame representation of a
+    sibling tree is one DataFrame per branch). A single-chain tree keeps
+    its root name as the key; sibling branches key by the "/"-joined node
+    path ("langs/by_src", "langs/sizes")."""
+    level, subs = _compile_facet_node(name, spec)
+    if not subs:
+        return [(name, [level])]
+    chains: list[tuple[str, list]] = []
+    for sn, ss in subs.items():
+        for path, lvls in _tree_chains(sn, ss):
+            chains.append((f"{name}/{path}", [level] + lvls))
+    return chains
 
 
 # `{!tag=a,b}lang:en` — the tag local param marks a filter so facet domains
@@ -547,18 +558,21 @@ def json_facets(df: DataFrame, request: dict | str,
                     if isinstance(s, dict)}
             if subs:
                 # arbitrary-depth sub-facet recursion (FacetRequest.java:353
-                # processSubs): the whole chain compiles to ONE facet_tree
-                # plan (single corpus scan, windows per level over the cells
-                # table). Sibling stat strings at any node are computed over
-                # THAT node's buckets — the reference's rule — not per leaf
-                # cell. Columns: bucket (outer), <name> per deeper level,
-                # count (leaf count), <name>_count per level, *stat aliases.
-                levels = _tree_levels(name, spec)
-                tree = FC.facet_tree(fdom, levels)
-                leaf_name = levels[-1].name
-                out[name] = (tree
-                             .withColumnRenamed(name, "bucket")
-                             .withColumnRenamed(f"{leaf_name}_count", "count"))
+                # processSubs — a node holds a MAP of sub-facets). The tree
+                # decomposes into root-to-leaf chains; each chain compiles
+                # to ONE facet_tree plan (single corpus scan, windows per
+                # level over the cells table). Sibling stat strings at any
+                # node are computed over THAT node's buckets. A single-chain
+                # tree keeps the root key; sibling branches emit one entry
+                # per "/"-joined path, sharing identical root bucket counts.
+                chains = _tree_chains(name, spec)
+                for path, levels in chains:
+                    tree = FC.facet_tree(fdom, levels)
+                    leaf_name = levels[-1].name
+                    out[name if len(chains) == 1 else path] = (
+                        tree.withColumnRenamed(name, "bucket")
+                            .withColumnRenamed(f"{leaf_name}_count",
+                                               "count"))
                 continue
             stats = {a: s for a, s in spec.get("facet", {}).items()
                      if isinstance(s, str)}
@@ -574,16 +588,17 @@ def json_facets(df: DataFrame, request: dict | str,
         elif ftype == "range":
             if any(isinstance(s, dict)
                    for s in spec.get("facet", {}).values()):
-                # range facet with a nested sub-facet: same facet_tree
-                # compilation the terms branch uses (_tree_levels accepts
-                # range nodes at any position in the chain)
-                levels = _tree_levels(name, spec)
-                tree = FC.facet_tree(fdom, levels)
-                leaf_name = levels[-1].name
-                out[name] = (tree
-                             .withColumnRenamed(name, "bucket")
-                             .withColumnRenamed(f"{leaf_name}_count",
-                                                "count"))
+                # range facet with nested sub-facets: same chain
+                # decomposition the terms branch uses (_tree_chains accepts
+                # range nodes at any position)
+                chains = _tree_chains(name, spec)
+                for path, levels in chains:
+                    tree = FC.facet_tree(fdom, levels)
+                    leaf_name = levels[-1].name
+                    out[name if len(chains) == 1 else path] = (
+                        tree.withColumnRenamed(name, "bucket")
+                            .withColumnRenamed(f"{leaf_name}_count",
+                                               "count"))
                 continue
             if "ranges" in spec:
                 # SOLR-6348 explicit range list (RangeFacetProcessor

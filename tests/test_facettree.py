@@ -227,3 +227,52 @@ def test_range_with_terms_subfacet(spark):
     assert got[(0.0, "en")] == 17 and got[(0.0, "de")] == 16
     assert got[(50.0, "de")] == 14 and got[(50.0, "en")] == 13
     assert len(got) == 6
+
+
+# ------------------------------------------------- sibling sub-facets (r5)
+
+
+def test_sibling_subfacets_branch_per_path(spark, docs):
+    """A node with a MAP of sub-facets (FacetRequest.processSubs) emits one
+    DataFrame per root-to-leaf chain, keyed by the '/'-joined path, with
+    identical root buckets/counts across branches."""
+    from solr_spark.query.jsonapi import json_facets
+
+    req = {"query": "*:*", "facet": {"langs": {
+        "type": "terms", "field": "lang", "limit": 2,
+        "facet": {
+            "mean_chars": "avg(n_chars)",
+            "by_src": {"type": "terms", "field": "source", "limit": 2},
+            "sizes": {"type": "range", "field": "n_chars",
+                      "start": 100, "gap": 200, "end": 500}}}}}
+    res = json_facets(docs, req)
+    assert set(res) == {"langs/by_src", "langs/sizes"}
+    a = res["langs/by_src"].collect()
+    b = res["langs/sizes"].collect()
+    # identical root buckets + counts + root stats in both branches
+    ra = {(r["bucket"], r["langs_count"], round(r["mean_chars"], 9))
+          for r in a}
+    rb = {(r["bucket"], r["langs_count"], round(r["mean_chars"], 9))
+          for r in b}
+    assert ra == rb and len(ra) == 2
+    # branch-specific leaves
+    assert all("by_src" in r.asDict() for r in a)
+    assert all("sizes" in r.asDict() for r in b)
+    # range branch counts respect start/end
+    dom = docs.where((F.col("n_chars") >= 100) & (F.col("n_chars") < 500))
+    for r in b:
+        n = dom.where((F.col("lang") == r["bucket"])
+                      & (F.col("n_chars") >= r["sizes"])
+                      & (F.col("n_chars") < r["sizes"] + 200)).count()
+        assert n == r["count"]
+
+
+def test_single_chain_key_unchanged(spark, docs):
+    """Back-compat: a tree with exactly one chain keeps its root name."""
+    from solr_spark.query.jsonapi import json_facets
+
+    res = json_facets(docs, {"query": "*:*", "facet": {"langs": {
+        "type": "terms", "field": "lang", "limit": 2,
+        "facet": {"by_src": {"type": "terms", "field": "source",
+                             "limit": 2}}}}})
+    assert set(res) == {"langs"}

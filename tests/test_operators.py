@@ -803,3 +803,28 @@ def test_group_offset(spark, people):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="offset"):
         windows.group_top_n(people, "dept", [F.asc("id")], 1, offset=-1)
+
+
+def test_block_join_parent_scored_modes(spark):
+    """{!parent score=...}: each ScoreMode aggregates matching children's
+    scores onto the parent; parents without matching children drop
+    (semi-join); ranking is score desc, key asc."""
+    from solr_spark.operators.streams import block_join_parent_scored
+
+    parents = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "pk string, attr int")
+    kids = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 2.0)], "pk string, score double")
+    got = {m: [(r["pk"], r["score"]) for r in
+               block_join_parent_scored(parents, kids, "pk", "pk",
+                                        score_mode=m).collect()]
+           for m in ("max", "min", "avg", "total")}
+    assert got["max"] == [("a", 3.0), ("b", 2.0)]
+    assert got["min"] == [("b", 2.0), ("a", 1.0)]
+    assert got["avg"] == [("a", 2.0), ("b", 2.0)]
+    assert got["total"] == [("a", 4.0), ("b", 2.0)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="score mode"):
+        block_join_parent_scored(parents, kids, "pk", "pk",
+                                 score_mode="none")
