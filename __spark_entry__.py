@@ -7398,6 +7398,70 @@ GROUP BY d.source ORDER BY score DESC, d.source
 """
 
 
+def _q125_currency(spark, sf_dir):
+    """`currency(field, TARGET)` value source (CurrencyFieldType.java:55 +
+    the currency parser in ValueSourceParser.java): (amount, code) pairs
+    convert through an exchange-rate table — cross rate via the common
+    base, request-metadata CASE chain, no join
+    (functions/funcquery.py::currency_convert). Codes synthesized
+    deterministically from the order key."""
+    from solr_spark.functions.funcquery import currency_convert
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    ccy = F.element_at(F.array(F.lit("USD"), F.lit("EUR"), F.lit("JPY")),
+                       (F.col("o_orderkey") % 3 + 1).cast("int"))
+    rates = {"USD": 1.0, "EUR": 0.92, "JPY": 155.0}
+    out = o.select("o_orderkey", ccy.alias("ccy"),
+                   currency_convert("o_totalprice", ccy, "USD", rates)
+                   .alias("usd"))
+    return out.select("o_orderkey", "ccy",
+                      _dround("usd", 4).alias("usd")).orderBy("o_orderkey")
+
+
+_Q125_SQL = """
+SELECT o_orderkey,
+       CASE (o_orderkey % 3) WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+            ELSE 'JPY' END AS ccy,
+       round(o_totalprice * CASE (o_orderkey % 3)
+             WHEN 0 THEN 1.0
+             WHEN 1 THEN 1.0 / 0.92
+             ELSE 1.0 / 155.0 END, 4) AS usd
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+def _q126_childfield(spark, sf_dir):
+    """`childfield(field)` value source (ChildFieldValueSourceParser,
+    registered in ValueSourceParser.java's standardVSParsers): while
+    ranking parents by their best child's score, a child doc's field value
+    rides along from THAT child — carried inside the same per-key
+    max-of-struct aggregate, deterministic tie-break by smallest doc_id
+    (operators/streams.py::block_join_parent_scored child_fields=)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("double")
+        .alias("score"))
+    parents = docs.select("source").distinct()
+    out = streams.block_join_parent_scored(
+        parents, docs, "source", "source", score_mode="max",
+        child_fields=["doc_id", "lang"], child_tiebreak="doc_id")
+    return out.select("source", F.col("score").cast("long").alias("score"),
+                      F.col("doc_id").alias("best_doc"),
+                      F.col("lang").alias("best_lang"))
+
+
+_Q126_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS r
+  FROM documents
+)
+SELECT source, n_chars::BIGINT AS score, doc_id AS best_doc,
+       lang AS best_lang
+FROM ranked WHERE r = 1 ORDER BY score DESC, source
+"""
+
+
 def _q122_group_offset(spark, sf_dir):
     """group.offset (Grouping.java groupOffset): within-group paging — skip
     the first 2 rows of each group's sort order, take the next 2, with
@@ -7654,6 +7718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft50_select_facets": _ft50_select_facets,
         "q123_sibling_subfacets": _q123_sibling_subfacets,
         "q124_scored_block_join": _q124_scored_block_join,
+        "q125_currency": _q125_currency,
+        "q126_childfield": _q126_childfield,
         "q122_group_offset": _q122_group_offset,
         "ft45_edismax_filtered": _ft45_edismax_filtered,
         "ft42_word_breaks": _ft42_word_breaks,
@@ -8486,6 +8552,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft50_select_facets": _ft50_sql(),
         "q123_sibling_subfacets": _Q123_SQL,
         "q124_scored_block_join": _q124_sql(),
+        "q125_currency": _Q125_SQL,
+        "q126_childfield": _Q126_SQL,
         "q122_group_offset": _Q122_SQL,
         "ft45_edismax_filtered": _ft11_sql(final_where="WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"),
         "q114_json_heatmap": """

@@ -161,3 +161,37 @@ def with_query_score(df: DataFrame, scores: DataFrame, key: str = "docid",
         sc = sc.withColumnRenamed("qscore", out)
     return (df.join(sc.select(key, out), key, "left")
               .withColumn(out, F.coalesce(F.col(out), F.lit(float(default)))))
+
+
+def currency_convert(amount: Column | str, ccy: Column | str,
+                     target: str, rates: dict[str, float],
+                     asymmetric: dict[tuple[str, str], float] | None = None
+                     ) -> Column:
+    """``currency(field, TARGET)`` value source (CurrencyFieldType.java:55;
+    the `currency()` parser in search/ValueSourceParser.java): convert a
+    (amount, currency-code) pair into the target currency through an
+    exchange-rate table.
+
+    `rates` maps each code to its rate AGAINST a common base (the
+    FileExchangeRateProvider model: amount_base = amount / rate[ccy],
+    amount_target = amount_base * rate[target]); `asymmetric` optionally
+    pins specific (from, to) pairs to their own rate, the currency.xml
+    asymmetric-rate surface. Unknown codes yield NULL (the reference throws
+    at query time; a NULL survives relational pipelines and is filterable).
+    Pure Column algebra over a broadcast-literal CASE chain — the rate
+    table is request metadata, never a join.
+    """
+    a = F.col(amount) if isinstance(amount, str) else amount
+    c = F.col(ccy) if isinstance(ccy, str) else ccy
+    if target not in rates:
+        raise ValueError(f"target currency {target!r} not in rates "
+                         f"({sorted(rates)})")
+    expr = None
+    for code, rate in sorted(rates.items()):
+        pair = (asymmetric or {}).get((code, target))
+        factor = float(pair) if pair is not None \
+            else float(rates[target]) / float(rate)
+        branch = a * F.lit(factor)
+        expr = F.when(c == code, branch) if expr is None \
+            else expr.when(c == code, branch)
+    return expr

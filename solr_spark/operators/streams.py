@@ -150,7 +150,9 @@ def scored_join(outer: DataFrame, inner: DataFrame, outer_key: str,
 def block_join_parent_scored(parents: DataFrame, children: DataFrame,
                              parent_key: str, child_key: str,
                              score_col: str = "score",
-                             score_mode: str = "max") -> DataFrame:
+                             score_mode: str = "max",
+                             child_fields: "Sequence[str] | None" = None,
+                             child_tiebreak: str | None = None) -> DataFrame:
     """``{!parent which=<parentFilter> score=max|avg|total|min}`` — the
     SCORED block join: child hits' scores roll up to their parent block.
 
@@ -168,13 +170,41 @@ def block_join_parent_scored(parents: DataFrame, children: DataFrame,
     joins a key dictionary, not the child hit stream), then one equi-join
     that AQE broadcasts when the aggregated side is small. Output: parent
     columns + `score`, parents ranked score desc / key asc.
+
+    child_fields: the ``childfield(field)`` value source
+    (search/join/BlockJoinParentQParser / ChildFieldValueSourceParser —
+    registered in ValueSourceParser.java's standardVSParsers): each listed
+    child column rides along from the BEST-scoring child of the block
+    (requires score_mode="max"; deterministic tie-break by
+    `child_tiebreak` ascending, default the child key). The carry is a
+    max-of-struct inside the SAME per-key aggregate — no second pass.
     """
     aggs = {"max": F.max, "min": F.min, "avg": F.avg, "total": F.sum}
     if score_mode not in aggs:
         raise ValueError(f"unknown block-join score mode {score_mode!r} "
                          f"(use {sorted(aggs)}, or intersect() for none)")
+    agg_cols = [aggs[score_mode](score_col).alias("score")]
+    if child_fields:
+        if score_mode != "max":
+            raise ValueError(
+                "child_fields (the childfield() value source) carries "
+                "values from the BEST child — it requires score_mode='max'")
+        tb = child_tiebreak or child_key
+        # max over (score asc-struct, NEGATED tiebreak, payload): the struct
+        # max picks the highest score, then the SMALLEST tiebreak (negated
+        # numerics sort reversed; for string tiebreaks pass an ordered
+        # surrogate), then the payload rides along deterministically
+        best = F.max(F.struct(
+            F.col(score_col).alias("__s"),
+            (-F.col(tb)).alias("__t"),
+            *[F.col(f).alias(f) for f in child_fields])).alias("__best")
+        agg_cols.append(best)
     rolled = (children.groupBy(F.col(child_key).alias(parent_key))
-              .agg(aggs[score_mode](score_col).alias("score")))
+              .agg(*agg_cols))
+    if child_fields:
+        for f in child_fields:
+            rolled = rolled.withColumn(f, F.col("__best").getField(f))
+        rolled = rolled.drop("__best")
     return (parents.join(rolled, parent_key, "inner")
             .orderBy(F.desc("score"), F.asc(parent_key)))
 
