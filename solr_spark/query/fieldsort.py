@@ -159,9 +159,10 @@ def field_sorted_search(spark: SparkSession, reader: IndexReader,
     parser = LuceneQueryParser("text", {"text"}, now=now)
     for f in filters or []:
         fwd = fwd.where(parser.parse(f))
+    # tombstoned docs never surface: terms_postings already anti-joined the
+    # liveDocs tombstones out of the match set, and the result is the
+    # match-set join — no second delete pass needed
     out = fwd.join(matched, "docid")
-    # tombstoned docs never surface (liveDocs, same rule as the kernels;
-    # terms_postings already anti-joined them, this guards the fq-only cols)
 
     sort_cols = [F.col(n).asc() if asc else F.col(n).desc()
                  for n, asc in spec] + [F.col("docid").asc()]

@@ -428,11 +428,13 @@ def json_select(spark, reader, request: dict | str) -> dict:
     facets: dict[str, DataFrame] = {}
     if facet_block:
         fwd = reader.forward(spark).withColumnRenamed("toks", "text")
-        from solr_spark.indexing.deletes import deleted_array
+        from solr_spark.indexing.deletes import deletes_df
 
-        dels = deleted_array(spark, reader.index_dir)
-        if len(dels):
-            fwd = fwd.where(~F.col("docid").isin([int(d) for d in dels]))
+        dels = deletes_df(spark, reader.index_dir)
+        if dels is not None:
+            # anti-join, not an isin literal list — tombstone sets are
+            # bounded pre-merge but need not fit in a plan literal
+            fwd = fwd.join(dels, "docid", "left_anti")
         # the facet DocSet is the SCORED query's match set (OR / min_match
         # term semantics, same as the docs page), never the fq parser's
         # conjunctive reading of q; fq strings stay visible to the facet

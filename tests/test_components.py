@@ -837,11 +837,12 @@ def test_json_subfacet_recursion(spark):
     assert got == [("en", "web", 2), ("fr", "book", 1)]
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="one chain per tree"):
-        json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
-            "facet": {"a": {"type": "terms", "field": "source"},
-                      "b": {"type": "terms", "field": "source"}}}}},
-            default_field="lang")
+    # round 5: sibling sub-facet MAPS decompose into per-branch chains
+    sib = json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
+        "facet": {"a": {"type": "terms", "field": "source"},
+                  "b": {"type": "terms", "field": "source"}}}}},
+        default_field="lang")
+    assert set(sib) == {"x/a", "x/b"}
     with _pytest.raises(ValueError, match="must be terms or range"):
         json_facets(df, {"facet": {"x": {"type": "terms", "field": "lang",
             "facet": {"a": {"type": "heatmap", "field": "source"}}}}},
@@ -875,13 +876,13 @@ def test_json_facet_domain_filter(spark):
     got_rf = {(r.bucket, r.x): r["count"] for r in rf.collect()}
     assert got_rf == {(0.0, "en"): 2, (0.0, "fr"): 1, (40.0, "fr"): 1}
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="one chain per tree"):
-        json_facets(df, {"facet": {"r": {"type": "range", "field": "n",
-            "start": 0, "gap": 10,
-            "facet": {"a": {"type": "terms", "field": "lang"},
-                      "b": {"type": "terms", "field": "lang"}}}}},
-            default_field="lang")
+    # round 5: a range node with sibling sub-facets branches per path
+    sib = json_facets(df, {"facet": {"r": {"type": "range", "field": "n",
+        "start": 0, "gap": 10,
+        "facet": {"a": {"type": "terms", "field": "lang"},
+                  "b": {"type": "terms", "field": "lang"}}}}},
+        default_field="lang")
+    assert set(sib) == {"r/a", "r/b"}
 
 
 def test_json_search_ranked(spark, built_index):
@@ -1002,8 +1003,16 @@ def test_json_search_fields_projection(spark, built_index):
     with _pt.raises(ValueError, match="neither result columns"):
         json_search(spark, reader, {"query": "error", "limit": 3,
                                     "fields": ["no_such_field"]})
-    with _pt.raises(ValueError, match="sort"):
-        json_search(spark, reader, {"query": "error", "sort": "score desc"})
+    # round 5: sort accepted — "score desc" IS the ranked collector; mixing
+    # score with field clauses still raises loudly
+    ranked = json_search(spark, reader, {"query": "error timeout",
+                                         "limit": 5, "sort": "score desc"})
+    assert [(r["conv_id"], round(r["score"], 10))
+            for r in ranked.collect()] == \
+        [(r["conv_id"], round(r["score"], 10)) for r in want]
+    with _pt.raises(ValueError, match="ranked path"):
+        json_search(spark, reader,
+                    {"query": "error", "sort": "score desc, conv_id asc"})
 
 
 def test_term_vectors_component(spark, built_index):
