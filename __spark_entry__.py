@@ -7296,6 +7296,86 @@ GROUP BY d.lang ORDER BY count DESC, bucket ASC
 """
 
 
+def _ft51_xml_boolean(spark, sf_dir):
+    """`{!xml}` query parser (XmlQParserPlugin.java; SolrCoreParser.java:50
+    wiring Lucene CoreParser + the LegacyNumericRangeQuery builder): a
+    BooleanQuery with should/must/mustNot term clauses plus a filter-occurs
+    numeric range. query/xmlquery.py lowers occurs onto the BM25 kernel's
+    required/prohibited masks and folds the range clause into a filter
+    docid-set riding the q+fq bitmap path — identical scoring to the classic
+    parser's `spark merge +window -vector` under fq n_chars:[150 TO 450]."""
+    from solr_spark.query.xmlquery import xml_query_topk
+
+    reader = _ft_index(spark, sf_dir)
+    xml = ("<BooleanQuery>"
+           "<Clause><TermQuery>spark</TermQuery></Clause>"
+           "<Clause><TermQuery>merge</TermQuery></Clause>"
+           '<Clause occurs="must"><TermQuery>window</TermQuery></Clause>'
+           '<Clause occurs="mustNot"><TermQuery>vector</TermQuery></Clause>'
+           '<Clause occurs="filter"><LegacyNumericRangeQuery '
+           'fieldName="n_chars" type="long" lowerTerm="150" upperTerm="450"/>'
+           "</Clause></BooleanQuery>")
+    # deep over-fetch so the rounded re-cut never straddles a raw-score tie
+    topk = xml_query_topk(spark, reader, xml, k=200)
+    return (topk.select(_doc_id(), _dround("score", 4).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(20))
+
+
+def _ft51_sql() -> str:
+    in_list = "'spark', 'merge', 'window'"
+    k1, b = _FT_CONFIG.k1, _FT_CONFIG.b
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+must AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'window'),
+mustnot AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'vector'),
+allowed AS (SELECT doc_id FROM documents WHERE n_chars BETWEEN 150 AND 450),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * tf.tf / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / (c.sum_dl / c.n_docs))) ) AS score
+    FROM tf
+    JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    WHERE tf.doc_id IN (SELECT doc_id FROM must)
+      AND tf.doc_id NOT IN (SELECT doc_id FROM mustnot)
+      AND tf.doc_id IN (SELECT doc_id FROM allowed)
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
+def _ft52_xml_spannear(spark, sf_dir):
+    """`{!xml}` span family: the CoreParser span elements (SpanNear/
+    SpanOrTerms/SpanTerm — the XML spelling of the surround algebra) must
+    compile to the exact span AST the surround parser builds, so this gate
+    shares ft23's oracle: 2W(OR(fast, slow), scan) as
+    <SpanNear slop=2 inOrder=true><SpanOrTerms>fast slow</SpanOrTerms>
+    <SpanTerm>scan</SpanTerm></SpanNear>."""
+    from solr_spark.query.xmlquery import xml_query_topk
+
+    reader = _ft_index(spark, sf_dir)
+    xml = ('<SpanNear slop="2" inOrder="true">'
+           "<SpanOrTerms>fast slow</SpanOrTerms><SpanTerm>scan</SpanTerm>"
+           "</SpanNear>")
+    topk = xml_query_topk(spark, reader, xml, k=20)
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
 def _q123_sibling_subfacets(spark, sf_dir):
     """Sibling sub-facet MAPS (search/facet/FacetRequest.java:353 —
     processSubs iterates a map of sub-facets, not a single child): one
@@ -7716,6 +7796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft48_json_queries_ref": _ft48_json_queries_ref,
         "ft49_field_sorted": _ft49_field_sorted,
         "ft50_select_facets": _ft50_select_facets,
+        "ft51_xml_boolean": _ft51_xml_boolean,
+        "ft52_xml_spannear": _ft52_xml_spannear,
         "q123_sibling_subfacets": _q123_sibling_subfacets,
         "q124_scored_block_join": _q124_scored_block_join,
         "q125_currency": _q125_currency,
@@ -8550,6 +8632,8 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft48_json_queries_ref": _ft33_sql(),
         "ft49_field_sorted": _ft49_sql(),
         "ft50_select_facets": _ft50_sql(),
+        "ft51_xml_boolean": _ft51_sql(),
+        "ft52_xml_spannear": _ft23_sql(),
         "q123_sibling_subfacets": _Q123_SQL,
         "q124_scored_block_join": _q124_sql(),
         "q125_currency": _Q125_SQL,

@@ -77,6 +77,14 @@ class SpanNot:
     exclude: object
 
 
+@dataclass(frozen=True)
+class SpanFirst:
+    """Spans of `inner` ending at or before position `end` (Lucene
+    SpanFirstQuery — the CoreParser `<SpanFirst end="N">` builder)."""
+    inner: object
+    end: int
+
+
 def span_term(text: str, config=None) -> SpanTerm:
     """Analyze `text` to exactly one term and wrap it (surround's leaf)."""
     terms = analyze_text(text, config) if config is not None \
@@ -105,6 +113,9 @@ def span_eval(node, positions: dict[str, list[int]]) -> list[tuple[int, int]]:
         exc = span_eval(node.exclude, positions)
         return [s for s in inc
                 if not any(s[0] < e[1] and e[0] < s[1] for e in exc)]
+    if isinstance(node, SpanFirst):
+        return [s for s in span_eval(node.inner, positions)
+                if s[1] <= node.end]
     if isinstance(node, SpanNear):
         child_spans = [span_eval(c, positions) for c in node.clauses]
         if any(not cs for cs in child_spans):
@@ -167,6 +178,8 @@ def _required_groups(node) -> list[set[str]]:
         return [terms] if terms else []
     if isinstance(node, SpanNot):
         return _required_groups(node.include)
+    if isinstance(node, SpanFirst):
+        return _required_groups(node.inner)
     if isinstance(node, SpanNear):
         out = []
         for c in node.clauses:
@@ -182,6 +195,8 @@ def _all_terms(node) -> set[str]:
         return set().union(*[_all_terms(c) for c in node.clauses])
     if isinstance(node, SpanNot):
         return _all_terms(node.include) | _all_terms(node.exclude)
+    if isinstance(node, SpanFirst):
+        return _all_terms(node.inner)
     if isinstance(node, SpanNear):
         return set().union(*[_all_terms(c) for c in node.clauses])
     raise TypeError(f"not a span node: {node!r}")
@@ -233,18 +248,15 @@ def _span_kernel(node, terms: list[str]):
     return it
 
 
-def span_topk(spark: SparkSession, reader: IndexReader, node,
-              k: int = 10) -> DataFrame:
-    """Top-k documents matching a span AST, BM25-scored with tf = |span set|
-    and query-time df = number of matching docs (the phrase path's scoring
-    contract). Candidates are index-prefiltered per _required_groups before
-    the forward-index evaluator runs."""
+def span_matches(spark: SparkSession, reader: IndexReader, node):
+    """Evaluate a span AST over the index: (matched, analyzed) where
+    `matched` is DataFrame(docid, tf, dl) — tf = |distinct span set| — and
+    `analyzed` is the live (delete-filtered) forward table the candidates
+    came from. Candidates are index-prefiltered per _required_groups before
+    the forward-index evaluator runs. Shared by span_topk (scored path) and
+    the XML query parser's filter path (query/xmlquery.py)."""
     from solr_spark.query.bm25 import term_docs
 
-    cfg = reader.config
-    out_schema = ("conv_id string, turn_idx int, docid long, "
-                  "score double, rank int")
-    k = min(k, reader.n_docs)  # uncapped k OOMs Spark's TakeOrdered
     terms = sorted(_all_terms(node))
     analyzed = spark.read.parquet(
         os.path.join(reader.index_dir, "analyzed", "batch-*")
@@ -266,6 +278,19 @@ def span_topk(spark: SparkSession, reader: IndexReader, node,
 
     matched = analyzed.select("docid", "dl", "toks").mapInArrow(
         _span_kernel(node, terms), "docid long, tf long, dl long")
+    return matched, analyzed
+
+
+def span_topk(spark: SparkSession, reader: IndexReader, node,
+              k: int = 10) -> DataFrame:
+    """Top-k documents matching a span AST, BM25-scored with tf = |span set|
+    and query-time df = number of matching docs (the phrase path's scoring
+    contract)."""
+    cfg = reader.config
+    out_schema = ("conv_id string, turn_idx int, docid long, "
+                  "score double, rank int")
+    k = min(k, reader.n_docs)  # uncapped k OOMs Spark's TakeOrdered
+    matched, analyzed = span_matches(spark, reader, node)
     df_span = matched.count()
     if df_span == 0:
         return spark.createDataFrame([], out_schema)
