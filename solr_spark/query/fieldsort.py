@@ -180,6 +180,13 @@ def field_sorted_search(spark: SparkSession, reader: IndexReader,
         keep.append(fld)
     # TakeOrderedAndProject: per-partition bounded heap + k-row driver merge
     page = out.select(*keep).orderBy(*sort_cols).limit(need)
+    # Materialize the page ONCE (bounded: <= offset+k rows, the same bound
+    # TakeOrdered's driver merge already holds). Every later consumer — the
+    # score pass's filter DocSet, the rank window, the final projection —
+    # would otherwise re-run the whole match+TakeOrdered subtree per
+    # reference (Spark reuses exchanges, not arbitrary subtrees), turning
+    # one job's work into three.
+    page = spark.createDataFrame(page.collect(), page.schema)
 
     if with_score:
         from solr_spark.query.scored import scored_topk
