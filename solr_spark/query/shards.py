@@ -37,6 +37,23 @@ from solr_spark.query.bm25 import IndexReader
 from solr_spark.query.local import LocalSearcher
 
 
+class _Desc:
+    """Order-inverting key wrapper: lets a descending SortSpec clause ride
+    inside an ascending tuple comparison for ANY comparable type (strings
+    can't be negated the way numbers can)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def shard_index(spark: SparkSession, reader: IndexReader, out_dir: str,
                 n_shards: int) -> list[str]:
     """Split a built index into n self-contained shard index dirs.
@@ -96,21 +113,47 @@ class ShardedSearcher:
                                      cache_bytes=cache_bytes)
                        for d in shard_dirs]
 
-    def search(self, query_text: str, k: int = 10, **kw) -> list[dict]:
+    def search(self, query_text: str, k: int = 10, offset: int = 0,
+               sort: str | None = None, **kw) -> list[dict]:
         """Merged top-k: rank/score-identical to the unsharded searcher.
 
-        Each shard collects its local top-k with GLOBAL stats (its dictionary
-        and stats.json are corpus-wide copies); the coordinator k-way merges
-        by (score desc, docid asc) — the ShardFieldSortedHitQueue order —
-        and re-ranks. In a real deployment the per-shard calls fan out over
-        the network; here they run in-process, same contract.
+        Each shard collects its local top-(offset+k) with GLOBAL stats (its
+        dictionary and stats.json are corpus-wide copies); the coordinator
+        k-way merges — by (score desc, docid asc) on the ranked path, or by
+        the field SortSpec with docid tiebreak when `sort` is given (the
+        ShardFieldSortedHitQueue order, handler/component/ShardDoc.java) —
+        then pages: distributed paging fetches start+rows FROM EVERY shard
+        and applies the offset at the merge (QueryComponent.mergeIds), never
+        per-shard, so page boundaries are global. In a real deployment the
+        per-shard calls fan out over the network; here they run in-process,
+        same contract.
         """
-        per_shard = [s.search(query_text, k=k, **kw) for s in self.shards]
-        merged = heapq.merge(
-            *per_shard, key=lambda h: (-h["score"], h["docid"]))
+        need = offset + k
+        per_shard = [s.search(query_text, k=need, sort=sort, **kw)
+                     for s in self.shards]
+        if sort is None:
+            def keyf(h):
+                return (-h["score"], h["docid"])
+        else:
+            from solr_spark.query.fieldsort import parse_sort_spec
+
+            spec = parse_sort_spec(sort)
+
+            def keyf(h):
+                key = []
+                for name, asc in spec:
+                    v = h[name]
+                    if not asc:
+                        # descending on arbitrary (incl. string) types:
+                        # per-clause reverse via a sortable wrapper
+                        v = _Desc(v)
+                    key.append(v)
+                key.append(h["docid"])
+                return tuple(key)
+        merged = heapq.nsmallest(need, heapq.merge(*per_shard, key=keyf),
+                                 key=keyf)
         out = []
-        for rank, hit in enumerate(heapq.nsmallest(
-                k, merged, key=lambda h: (-h["score"], h["docid"])), 1):
+        for rank, hit in enumerate(merged[offset:], offset + 1):
             hit = dict(hit)
             hit["rank"] = rank
             out.append(hit)

@@ -172,3 +172,40 @@ def test_sharded_field_sorted_search(spark, sharded):
     pool.sort(key=lambda r: r["docid"])
     pool.sort(key=lambda r: r["conv_id"], reverse=True)
     assert [r["docid"] for r in pool[:10]] == [r["docid"] for r in want]
+
+
+def test_sharded_field_sort_merge(spark, sharded):
+    """sort= through the sharded coordinator: merged page identical to the
+    unsharded field-sorted collector (ShardFieldSortedHitQueue order — sort
+    fields with docid tiebreak, NOT score)."""
+    idx, dirs = sharded
+    reader = IndexReader.open(idx, CFG)
+    single = LocalSearcher(reader)
+    merged = ShardedSearcher(dirs)
+    for sort in ("role desc, conv_id asc", "conv_id desc"):
+        want = single.search("error timeout", k=15, sort=sort,
+                             with_score=True)
+        got = merged.search("error timeout", k=15, sort=sort,
+                            with_score=True)
+        assert got == want, sort
+
+
+def test_sharded_offset_pages_globally(spark, sharded):
+    """Distributed paging: each shard supplies start+rows candidates and the
+    COORDINATOR applies the offset (QueryComponent.mergeIds) — per-shard
+    offsets would skip globally-ranked docs. Pages must tile the unsharded
+    ranking exactly."""
+    idx, dirs = sharded
+    reader = IndexReader.open(idx, CFG)
+    single = LocalSearcher(reader)
+    merged = ShardedSearcher(dirs)
+    full = single.search("error timeout", k=30)
+    paged = []
+    for off in (0, 10, 20):
+        paged.extend(merged.search("error timeout", k=10, offset=off))
+    assert [(h["docid"], h["rank"]) for h in paged] == \
+        [(h["docid"], h["rank"]) for h in full]
+    # and on the field-sorted path
+    full = single.search("error", k=20, sort="conv_id asc")
+    page2 = merged.search("error", k=10, offset=10, sort="conv_id asc")
+    assert page2 == full[10:20]
