@@ -132,6 +132,40 @@ class _PandasFilterEvaluator(LuceneQueryParser):
         return (s == self._pyval(val)).to_numpy()
 
 
+def _parse_select_body(request) -> dict:
+    """Normalize a JSON Request API /select body for the serving tier —
+    the same key set, unknown-key validation, and param-ref resolution the
+    batch path applies (jsonapi.py; RequestUtil.java:263 unknown-key 400).
+    Shared by LocalSearcher.select and ShardedSearcher.select."""
+    import json as _json
+
+    from solr_spark.query.jsonapi import (_check_keys, _check_params,
+                                          _resolve_query_refs)
+
+    req = _json.loads(request) if isinstance(request, str) else dict(request)
+    _check_keys(req, {"query", "filter", "fields", "limit", "offset",
+                      "sort", "facet", "params", "queries"},
+                "select request")
+    _check_params(req, {"NOW", "similarity"}, "select request")
+    req = _resolve_query_refs(req, "select request")
+    if "query" not in req:
+        raise ValueError("select request needs a 'query'")
+    filters = req.get("filter", [])
+    if isinstance(filters, str):
+        filters = [filters]
+    params = req.get("params", {})
+    sort = (req.get("sort") or "").strip()
+    if sort in ("score desc", "score"):
+        sort = ""  # ordering by score IS the default collector
+    return {"query": req["query"], "filters": list(filters),
+            "offset": int(req.get("offset", 0)),
+            "limit": int(req.get("limit", 10)),
+            "sort": sort or None, "now": params.get("NOW"),
+            "similarity": params.get("similarity", "bm25"),
+            "fields": list(req["fields"]) if "fields" in req else None,
+            "facet": req.get("facet")}
+
+
 class LocalSearcher:
     """In-process top-k searcher over one index (or one shard of one).
 
@@ -444,6 +478,62 @@ class LocalSearcher:
                             (rows, len(rows) < k_fetch), self._qr_cache_size)
         return [dict(r, rank=offset + i + 1)
                 for i, r in enumerate(rows[offset:need])]
+
+    def select(self, request) -> dict:
+        """The full /select contract on the serving tier: ONE JSON Request
+        API body — the same body `jsonapi.json_select` takes on the batch
+        path — answered entirely from the resident structures, no Spark job.
+
+        Reference: handler/component/SearchHandler.java:104-118 — the
+        component pipeline runs QueryComponent and FacetModule against the
+        SAME q+fq DocSet per request; RequestUtil.java's body keys
+        (query/filter/fields/sort/offset/limit/params/facet/queries).
+        Returns {"docs": list[dict], "facets": {name: list[dict]}} with the
+        batch twins' column names, so results compare across tiers
+        (pytest-pinned in tests/test_local.py).
+        """
+        p = _parse_select_body(request)
+        with_score = (p["sort"] is not None and p["fields"] is not None
+                      and "score" in p["fields"])
+        docs = self.search(
+            p["query"], k=p["limit"], offset=p["offset"], sort=p["sort"],
+            filters=p["filters"] or None, now=p["now"],
+            similarity=p["similarity"], with_score=with_score)
+        if p["fields"] is not None:
+            docs = self._project_fields(docs, p["fields"])
+        facets = {}
+        if p["facet"]:
+            facets = self.facets(p["facet"], query=p["query"],
+                                 filters=p["filters"] or None, now=p["now"])
+        return {"docs": docs, "facets": facets}
+
+    def _project_fields(self, docs: list[dict], want: list[str]):
+        """fl on the serving page: result keys pass through, any STORED
+        field resolves from the resident forward table (documentCache role);
+        unknown names raise, like the batch path's fields validation."""
+        self._load_forward()
+        stored = set(self._fwd.columns)
+        result_keys = {"conv_id", "turn_idx", "docid", "score", "rank"}
+        unknown = [f for f in want if f not in stored
+                   and f not in result_keys]
+        if unknown:
+            raise ValueError(
+                f"fields {unknown} are neither result columns "
+                f"({sorted(result_keys)}) nor stored fields "
+                f"({sorted(c for c in stored if c != 'text')})")
+        docids = self._fwd["docid"].to_numpy()  # sorted by _load_forward
+        out = []
+        for h in docs:
+            row = {}
+            for f in want:
+                if f in h:
+                    row[f] = h[f]
+                else:
+                    i = int(np.searchsorted(docids, h["docid"]))
+                    v = self._fwd.iloc[i][f]
+                    row[f] = v.item() if hasattr(v, "item") else v
+            out.append(row)
+        return out
 
     def _match_rows(self, query_text: str) -> np.ndarray:
         """The scored query's match set as a ROW mask over the resident

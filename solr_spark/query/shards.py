@@ -159,6 +159,62 @@ class ShardedSearcher:
             out.append(hit)
         return out
 
+    def select(self, request) -> dict:
+        """Distributed /select: one JSON Request API body, every component
+        fanned out and merged (SearchHandler.java:538-542 stage loop) —
+        docs through the SortSpec-aware merged collector, facet blocks
+        through the additive bucket merge. Same body and same result shape
+        as LocalSearcher.select / the batch json_select."""
+        from solr_spark.query.local import _parse_select_body
+
+        p = _parse_select_body(request)
+        with_score = (p["sort"] is not None and p["fields"] is not None
+                      and "score" in p["fields"])
+        docs = self.search(
+            p["query"], k=p["limit"], offset=p["offset"], sort=p["sort"],
+            filters=p["filters"] or None, now=p["now"],
+            similarity=p["similarity"], with_score=with_score)
+        if p["fields"] is not None:
+            docs = self._project_fields(docs, p["fields"])
+        facets = {}
+        if p["facet"]:
+            facets = self.facets(p["facet"], query=p["query"],
+                                 filters=p["filters"] or None, now=p["now"])
+        return {"docs": docs, "facets": facets}
+
+    def _project_fields(self, docs: list[dict], want: list[str]):
+        """fl across shards: stored fields resolve on the hit's OWNING
+        shard — docids partition by range_id % n_shards (shard_index), so
+        the owner is arithmetic, no probing. One documentCache read per
+        hit at most."""
+        n = len(self.shards)
+        shift = self.shards[0].reader.config.range_shift
+        out = []
+        for h in docs:
+            stored = None
+            row = {}
+            for f in want:
+                if f in h:
+                    row[f] = h[f]
+                    continue
+                if stored is None:
+                    owner = self.shards[(h["docid"] >> shift) % n]
+                    stored = owner.doc(h["docid"])
+                    if stored is None:  # caller-reordered shard dirs
+                        for s in self.shards:
+                            stored = s.doc(h["docid"])
+                            if stored is not None:
+                                break
+                    stored = stored or {}
+                if f not in stored:
+                    raise ValueError(
+                        f"field {f!r} is neither a result column "
+                        f"({sorted(h)}) nor a stored field "
+                        f"({sorted(k for k in stored if k != 'text')})")
+                row[f] = stored[f]
+            out.append(row)
+        return out
+
     # ---------------------------------------------- distributed components
     # The reference distributes EVERY search component through the stage
     # loop (handler/component/SearchHandler.java:538-542): facets, suggest,

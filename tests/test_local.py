@@ -289,3 +289,48 @@ def test_serving_facet_latency(built):
         ls.facets(req, filters=["turn_idx:[1 TO *]"])
     per_call = (time.time() - t0) / 5
     assert per_call < 0.25, f"serving facet took {per_call:.3f}s"
+
+
+def test_serving_select_full_body(spark, built):
+    """LocalSearcher.select: one JSON body -> docs + facets, matching the
+    batch json_select on the same index (the /select component-pipeline
+    contract answered serving-side)."""
+    from solr_spark.query.jsonapi import json_select
+
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    body = {"query": "error timeout", "limit": 8,
+            "filter": ["role:assistant"],
+            "facet": {"by_role": {"type": "terms", "field": "role",
+                                  "limit": 5}}}
+    got = ls.select(body)
+    want = json_select(spark, reader, body)
+    want_docs = [(r.docid, round(r.score, 10))
+                 for r in want["docs"].collect()]
+    assert [(h["docid"], round(h["score"], 10)) for h in got["docs"]] == \
+        want_docs
+    want_facet = [(r.bucket, r["count"])
+                  for r in want["facets"]["by_role"].collect()]
+    assert [(b["bucket"], b["count"]) for b in got["facets"]["by_role"]] == \
+        want_facet
+
+
+def test_serving_select_sorted_fields_and_validation(spark, built):
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    # field-sorted page with fl incl. a stored field and score
+    got = ls.select({"query": "error timeout", "limit": 5,
+                     "sort": "ts desc",
+                     "fields": ["conv_id", "role", "score"]})
+    assert len(got["docs"]) == 5
+    assert all(set(h) == {"conv_id", "role", "score"} for h in got["docs"])
+    # parity with the direct sorted search
+    direct = ls.search("error timeout", k=5, sort="ts desc",
+                       with_score=True)
+    assert [h["conv_id"] for h in got["docs"]] == \
+        [h["conv_id"] for h in direct]
+    # unknown top-level key and unknown field raise loudly
+    with pytest.raises(ValueError, match="[Uu]nknown"):
+        ls.select({"query": "error", "fliter": ["role:user"]})
+    with pytest.raises(ValueError, match="neither"):
+        ls.select({"query": "error", "fields": ["nope_col"]})

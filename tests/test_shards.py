@@ -209,3 +209,26 @@ def test_sharded_offset_pages_globally(spark, sharded):
     full = single.search("error", k=20, sort="conv_id asc")
     page2 = merged.search("error", k=10, offset=10, sort="conv_id asc")
     assert page2 == full[10:20]
+
+
+def test_sharded_select_matches_local(spark, sharded):
+    """ShardedSearcher.select: the distributed /select (docs merge + facet
+    merge + cross-shard fl resolution) must equal the unsharded serving
+    answer for the same body."""
+    idx, dirs = sharded
+    reader = IndexReader.open(idx, CFG)
+    single = LocalSearcher(reader)
+    merged = ShardedSearcher(dirs)
+    body = {"query": "error timeout", "limit": 10,
+            "filter": ["role:assistant"],
+            "fields": ["conv_id", "turn_idx", "docid", "role", "score",
+                       "rank"],
+            "facet": {"by_role": {"type": "terms", "field": "role"}}}
+    got = merged.select(body)
+    want = single.select(body)
+    assert got["docs"] == want["docs"]
+    assert got["facets"] == want["facets"]
+    # sorted variant
+    body2 = {"query": "error", "limit": 8, "offset": 3,
+             "sort": "conv_id desc", "fields": ["conv_id", "docid", "rank"]}
+    assert merged.select(body2)["docs"] == single.select(body2)["docs"]
