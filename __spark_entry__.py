@@ -7001,6 +7001,64 @@ GROUP BY source ORDER BY weight DESC, term LIMIT 10
 """
 
 
+def _dd24_doremi(spark, sf_dir):
+    """DoReMi domain-mixture reweighting (Xie et al. 2023, Algorithm 1):
+    per-(step, domain) clipped excess losses -> exponentiated-gradient
+    state in closed form (cumsum over steps), max-stabilized per-step
+    softmax, smoothing on the PLAYED distribution only, time-averaged
+    weights (functions/sampling.py::doremi_weights). The proxy/reference
+    loss log is synthesized deterministically from documents: step =
+    doc_id % 6, domain = source, loss = (n_chars % 89) / 29, ref 1.5."""
+    from solr_spark.functions.sampling import doremi_weights
+
+    log = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 6).cast("int").alias("step"),
+        F.col("source").alias("domain"),
+        ((F.col("n_chars") % 89) / 29.0).alias("loss"),
+        F.lit(1.5).alias("ref"))
+    w = doremi_weights(log, "step", "domain", "loss", "ref",
+                       eta=0.7, smoothing=0.01)
+    return w.select("domain", _dround("weight", 7).alias("weight"))
+
+
+_DD24_SQL = """
+WITH log AS (
+  SELECT doc_id % 6 AS step, source AS domain,
+         (n_chars % 89) / 29.0 AS loss, 1.5 AS ref
+  FROM documents
+),
+agg AS (
+  SELECT step, domain,
+         avg(CASE WHEN loss - ref > 0 THEN loss - ref ELSE 0 END) AS xl
+  FROM log GROUP BY step, domain
+),
+grid AS (
+  SELECT s.step, d.domain, coalesce(a.xl, 0) AS xl
+  FROM (SELECT DISTINCT step FROM agg) s
+  CROSS JOIN (SELECT DISTINCT domain FROM agg) d
+  LEFT JOIN agg a ON a.step = s.step AND a.domain = d.domain
+),
+cum AS (
+  SELECT step, domain,
+         sum(xl) OVER (PARTITION BY domain ORDER BY step) AS L
+  FROM grid
+),
+sm AS (
+  SELECT step, domain, L,
+         max(L) OVER (PARTITION BY step) AS m,
+         count(*) OVER (PARTITION BY step) AS k
+  FROM cum
+),
+ez AS (
+  SELECT step, domain, k, exp(0.7 * (L - m)) AS ex,
+         sum(exp(0.7 * (L - m))) OVER (PARTITION BY step) AS Z
+  FROM sm
+)
+SELECT domain, round(avg(0.99 * ex / Z + 0.01 / k), 7) AS weight
+FROM ez GROUP BY domain ORDER BY domain
+"""
+
+
 def _dd23_unimax(spark, sf_dir):
     """UniMax language-balanced sampling (Chung et al. 2023): uniform
     cross-language budget with an epoch cap — exact integer waterfilling
@@ -7790,6 +7848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd22_ccnet_buckets": _dd22_ccnet_buckets,
         "ft47_suggest_contexts": _ft47_suggest_contexts,
         "dd23_unimax": _dd23_unimax,
+        "dd24_doremi": _dd24_doremi,
         "tx10_term_vectors": _tx10_term_vectors,
         "q121_luke_histogram": _q121_luke_histogram,
         "vv08_hard_negatives": _vv08_hard_negatives,
@@ -8626,6 +8685,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "dd22_ccnet_buckets": _dd22_sql(),
         "ft47_suggest_contexts": _FT47_SQL,
         "dd23_unimax": _DD23_SQL,
+        "dd24_doremi": _DD24_SQL,
         "tx10_term_vectors": _tx10_sql(),
         "q121_luke_histogram": _Q121_SQL,
         "vv08_hard_negatives": _VV08_SQL,

@@ -628,3 +628,59 @@ def unimax_sample(df: DataFrame, key: Column | str, lang_col: str,
             .where(F.col("__e") > 0)
             .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__e"))))
             .select(*out_cols, "epoch"))
+
+
+def doremi_weights(df: DataFrame, step_col: str, domain_col: str,
+                   loss_col: str, ref_loss_col: str,
+                   eta: float = 1.0, smoothing: float = 1e-3) -> DataFrame:
+    """DoReMi domain-mixture reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    Algorithm 1): given a proxy-model training log of per-example losses and
+    reference-model losses, produce the time-averaged domain mixture weights
+    the paper feeds to the full-size pretraining run.
+
+    Exact restatement, closed-form over steps: the exponentiated-gradient
+    state after step t is w_t[d] ∝ exp(eta * Σ_{s<=t} λ_s[d]) where
+    λ_s[d] = mean over the step's domain-d examples of the CLIPPED excess
+    loss max(0, loss - ref_loss) (the paper's per-domain excess-loss
+    gradient); the played distribution is the smoothed
+    α_t = (1 - c) · softmax(eta · L_t) + c/k, and the returned weight is
+    avg_t α_t[d] — the paper's average over proxy training. Because
+    smoothing perturbs only the PLAYED α, never the EG state, the cumsum
+    closed form is exact, and the whole computation is Column algebra.
+
+    Scale shape: the corpus-sized work is ONE groupBy(step, domain) partial
+    agg; every window after it runs over the (steps × domains) census grid
+    — bounded by the training schedule, not the corpus. The per-step
+    softmax is max-stabilized so long schedules cannot overflow exp.
+    A (step, domain) cell with no examples contributes zero excess loss
+    (that domain was not sampled at that step — its EG state holds).
+
+    Returns DataFrame(domain_col, weight) with weights summing to 1.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= smoothing < 1.0:
+        raise ValueError(f"smoothing must be in [0, 1), got {smoothing}")
+    xl = F.greatest(F.lit(0.0),
+                    F.col(loss_col) - F.col(ref_loss_col))
+    agg = (df.groupBy(step_col, domain_col)
+             .agg(F.avg(xl).alias("__xl")))
+    # dense (step x domain) grid: absent cells hold the EG state (0 excess)
+    grid = (agg.select(step_col).distinct()
+               .crossJoin(agg.select(domain_col).distinct())
+               .join(agg, [step_col, domain_col], "left")
+               .fillna(0.0, subset=["__xl"]))
+    per_dom = Window.partitionBy(domain_col).orderBy(step_col)  # bounded:
+    per_step = Window.partitionBy(step_col)                     # census grid
+    grid = (grid.withColumn("__L", F.sum("__xl").over(per_dom))
+                .withColumn("__m", F.max("__L").over(per_step))
+                .withColumn("__e", F.exp(F.lit(float(eta))
+                                         * (F.col("__L") - F.col("__m"))))
+                .withColumn("__Z", F.sum("__e").over(per_step))
+                .withColumn("__k", F.count("*").over(per_step)))
+    alpha = (F.lit(1.0 - smoothing) * F.col("__e") / F.col("__Z")
+             + F.lit(float(smoothing)) / F.col("__k"))
+    return (grid.groupBy(domain_col)
+                .agg(F.avg(alpha).alias("weight"))
+                .orderBy(domain_col))

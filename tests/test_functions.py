@@ -1223,3 +1223,46 @@ def test_hard_negative_mining(spark):
     # no positives: the query's own identical vector ranks first
     raw = hard_negative_mine(qs, corpus, k=1).collect()
     assert raw[0].vec_id == 0 and abs(raw[0].cosine - 1.0) < 1e-9
+
+
+def test_doremi_weights_hand_vector(spark):
+    """DoReMi (Xie et al. 2023 Alg. 1) closed form against a hand-computed
+    two-domain / two-step schedule, with and without smoothing."""
+    import math
+
+    from solr_spark.functions.sampling import doremi_weights
+
+    rows = [  # (step, domain, loss, ref): clipped excess a=[1.0, 0.5], b=[0, 1.5]
+        (1, "a", 3.0, 2.0), (1, "b", 1.0, 2.0),
+        (2, "a", 2.5, 2.0), (2, "b", 3.5, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "step int, domain string, loss double, ref double")
+    got = {r.domain: r.weight
+           for r in doremi_weights(df, "step", "domain", "loss", "ref",
+                                   eta=1.0, smoothing=0.0).collect()}
+    # L_1 = (a: 1.0, b: 0.0) -> softmax (0.731.., 0.268..);
+    # L_2 = (a: 1.5, b: 1.5) -> (0.5, 0.5); weight = mean over steps
+    a1 = 1.0 / (1.0 + math.exp(-1.0))
+    assert got["a"] == pytest.approx((a1 + 0.5) / 2, abs=1e-12)
+    assert got["b"] == pytest.approx((1 - a1 + 0.5) / 2, abs=1e-12)
+    assert got["a"] + got["b"] == pytest.approx(1.0, abs=1e-12)
+
+    sm = {r.domain: r.weight
+          for r in doremi_weights(df, "step", "domain", "loss", "ref",
+                                  eta=1.0, smoothing=0.1).collect()}
+    assert sm["a"] == pytest.approx((0.9 * a1 + 0.05 + 0.5) / 2, abs=1e-12)
+
+    # a domain absent at a step holds its EG state (zero excess that step)
+    df2 = spark.createDataFrame(rows[:3],
+                                "step int, domain string, loss double, "
+                                "ref double")
+    got2 = {r.domain: r.weight
+            for r in doremi_weights(df2, "step", "domain", "loss", "ref",
+                                    eta=1.0, smoothing=0.0).collect()}
+    # b absent at step 2: L_2 = (a: 1.5, b: 0.0)
+    a2 = math.exp(1.5) / (math.exp(1.5) + 1.0)
+    assert got2["a"] == pytest.approx((a1 + a2) / 2, abs=1e-12)
+
+    with pytest.raises(ValueError, match="smoothing"):
+        doremi_weights(df, "step", "domain", "loss", "ref", smoothing=1.0)
