@@ -304,6 +304,24 @@ def main() -> None:
             "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
         }
 
+        # serving /select (round 5): ONE JSON body -> ranked docs + facet
+        # block from the component pipeline, all from resident structures
+        select_body = {"query": "error timeout", "limit": 10,
+                       "filter": list(fq),
+                       "facet": {"by_role": {"type": "terms",
+                                             "field": "role"}}}
+        searcher.select(select_body)  # warm
+        series = []
+        for _ in range(max(reps, 5)):
+            t0 = time.time()
+            searcher.select(select_body)
+            series.append(round(time.time() - t0, 4))
+        s = sorted(series)
+        local_latency["serving_select"] = {
+            "p50": s[len(s) // 2],
+            "p95": s[min(len(s) - 1, int(round(0.95 * (len(s) - 1))))],
+        }
+
         # serving-path suggesters (same tier): warm per-call p50 in ms-range
         for sname, call in (
                 ("suggest_prefix", lambda: searcher.suggest("re", k=10)),
@@ -363,7 +381,9 @@ def main() -> None:
                 (f"sharded{n_shards}_facet", lambda: merged.facets(
                     facet_req, query="error timeout")),
                 (f"sharded{n_shards}_suggest", lambda: merged.suggest(
-                    "re", k=10))):
+                    "re", k=10)),
+                (f"sharded{n_shards}_select", lambda: merged.select(
+                    select_body))):
             call()  # warm (forward-table load on first facet call)
             series = []
             for _ in range(max(reps, 5)):

@@ -180,17 +180,17 @@ def field_sorted_search(spark: SparkSession, reader: IndexReader,
         keep.append(fld)
     # TakeOrderedAndProject: per-partition bounded heap + k-row driver merge
     page = out.select(*keep).orderBy(*sort_cols).limit(need)
-    # Materialize the page ONCE (bounded: <= offset+k rows, the same bound
-    # TakeOrdered's driver merge already holds). Every later consumer — the
-    # score pass's filter DocSet, the rank window, the final projection —
-    # would otherwise re-run the whole match+TakeOrdered subtree per
-    # reference (Spark reuses exchanges, not arbitrary subtrees), turning
-    # one job's work into three.
-    page = spark.createDataFrame(page.collect(), page.schema)
 
     if with_score:
         from solr_spark.query.scored import scored_topk
 
+        # Materialize the page ONCE first (bounded: <= offset+k rows, the
+        # same bound TakeOrdered's driver merge already holds). The score
+        # pass's filter DocSet, the score join, and the rank window each
+        # reference the page; Spark reuses exchanges, not arbitrary
+        # subtrees, so without this the match+TakeOrdered job runs three
+        # times.
+        page = spark.createDataFrame(page.collect(), page.schema)
         # score EXACTLY the page: its docids are the filter DocSet, so the
         # kernels decode only the page's posting ranges
         scores = scored_topk(

@@ -177,6 +177,24 @@ def main() -> None:
             plan_of(fs),
             ["TakeOrderedAndProject", "EqualTo(role,assistant)",
              "PartitionFilters: [term_bucket"], []))
+        # 41. XML query parser ({!xml}) pure-predicate boolean: term + attribute
+        # + mustNot clauses FUSE into one Column over the forward scan — the
+        # attribute equality pushes to parquet, no join, no exchange, no Python
+        # (query/xmlquery.py::_combine_bool fast path)
+        from solr_spark.query.xmlquery import xml_query_docids
+        xml40 = ("<BooleanQuery>"
+                 '<Clause occurs="must"><TermQuery>error</TermQuery></Clause>'
+                 '<Clause occurs="must"><TermQuery fieldName="role">assistant'
+                 "</TermQuery></Clause>"
+                 '<Clause occurs="mustNot"><TermQuery fieldName="role">user'
+                 "</TermQuery></Clause></BooleanQuery>")
+        p40 = plan_of(xml_query_docids(spark, reader, xml40))
+        checks.append((
+            "xml query docids: boolean of term+attribute clauses fuses to ONE "
+            "pushed scan — no join, no exchange, no Python",
+            p40,
+            ["PushedFilters", "EqualTo(role,assistant)"],
+            ["Join", "Exchange", "BatchEvalPython", "ArrowEvalPython"]))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
