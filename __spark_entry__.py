@@ -7133,6 +7133,111 @@ SELECT doc_id, lang, epoch FROM (
 """
 
 
+_PHRASES_QUERY = "spark merge window"
+
+
+def _tx11_phrases(spark, sf_dir):
+    """PhrasesIdentificationComponent (`phrases.q` — handler/component/
+    PhrasesIdentificationComponent.java): every candidate span of the query
+    scored by the reference's Bayesian shingle model (computeFieldScore:
+    P(words|phrase)·(P(phrase)−maxWrapper) − P(words|¬phrase)·(1−…), scaled
+    by the query/indexed shingle-length ratio and the conjunction ratio).
+    operators/components.py::phrases_identify — two column-pruned scans
+    (gram census with map-side needed-grams filter; one conditional-agg
+    conjunction pass), bounded stats priced driver-side."""
+    from solr_spark.operators.components import phrases_identify
+
+    docs = _t(spark, sf_dir, "documents")
+    out = phrases_identify(docs, "text", _PHRASES_QUERY,
+                           max_indexed=2, max_query=3)
+    return out.select(
+        "phrase",
+        F.col("position_start").cast("long").alias("position_start"),
+        F.col("position_end").cast("long").alias("position_end"),
+        _dround("score", 7).alias("score"))
+
+
+def _tx11_sql() -> str:
+    """SQL twin GENERATED from the same pure lattice helper the operator
+    uses (phrase_structure) — the q65-tlogit pattern: the query is fixed, so
+    the span structure unrolls into explicit scalar-subquery arithmetic."""
+    from solr_spark.analysis import analyze_text
+    from solr_spark.operators.components import phrase_structure
+
+    mi, mq = 2, 3
+    tokens = analyze_text(_PHRASES_QUERY)
+    st = phrase_structure(tokens, mi, mq)
+    span_text = {(p["start"], p["end"]): p["text"] for p in st}
+    by_span = {(p["start"], p["end"]): p for p in st}
+
+    def ttf(g):
+        return f"COALESCE((SELECT ttf FROM stats WHERE g = '{g}'), 0)::DOUBLE"
+
+    def dfq(g):
+        return f"COALESCE((SELECT df FROM stats WHERE g = '{g}'), 0)::DOUBLE"
+
+    def conj(span):
+        words = sorted({tokens[q] for q in range(span[0], span[1])})
+        conds = " AND ".join(f"list_contains(a, '{w}')" for w in words)
+        return f"(SELECT count(*) FROM t WHERE {conds})::DOUBLE"
+
+    rows = []
+    for p in st:
+        s, e = p["start"], p["end"]
+        text = p["text"]
+        terms = [span_text[t] for t in p["terms"]]
+        conj_p = conj((s, e))
+        if e - s <= 1:
+            score = (f"CASE WHEN {dfq(text)} <= 0 THEN -1.0 "
+                     f"WHEN {conj_p} <= 0 THEN -1.0 ELSE 0.0 END")
+        else:
+            contribs = []
+            sub_conjs = [conj_p]
+            for (a, b) in p["sub"]:
+                w_text = span_text[(a, b)]
+                w_terms = [span_text[(q, q + 1)] for q in range(a, b)]
+                conj_w = conj((a, b))
+                sub_conjs.append(conj_w)
+                sups = by_span[(a, b)]["super"]
+                if sups:
+                    wr = ", ".join(
+                        f"CASE WHEN {conj(sp)} > 0 THEN "
+                        f"{dfq(span_text[sp])} / {conj(sp)} ELSE 0.0 END"
+                        for sp in sups)
+                    mw = f"GREATEST({wr}, 0.0)"
+                else:
+                    mw = "0.0"
+                tmin = f"LEAST({', '.join(ttf(t) for t in w_terms)})"
+                tmax = f"GREATEST({', '.join(ttf(t) for t in w_terms)})"
+                pp = f"({conj_p} / {conj_w})"
+                contribs.append(
+                    f"CASE WHEN {tmin} > 0 AND {conj_w} > 0 THEN "
+                    f"({ttf(w_text)} / {tmin}) * ({pp} - {mw}) "
+                    f"- ({ttf(w_text)} / {tmax}) * (1.0 - ({pp} - {mw})) "
+                    f"ELSE 0.0 END")
+            msc = f"GREATEST({', '.join(sub_conjs)})"
+            df_guard = " OR ".join(f"{dfq(t)} <= 0" for t in terms)
+            score = (f"CASE WHEN {df_guard} THEN -1.0 "
+                     f"WHEN {conj_p} <= 0 THEN -1.0 ELSE "
+                     f"(({' + '.join(contribs)}) * (1.0 / {1 + mq - mi}) "
+                     f"* ({conj_p} / {msc})) END")
+        rows.append(
+            f"SELECT '{text}' AS phrase, {s + 1}::BIGINT AS position_start, "
+            f"{e + 1}::BIGINT AS position_end, round({score}, 7) AS score")
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+pos AS (SELECT doc_id, unnest(a) AS g, generate_subscripts(a, 1) AS p FROM t),
+bi AS (SELECT x.doc_id AS doc_id, x.g || ' ' || y.g AS g
+       FROM pos x JOIN pos y ON x.doc_id = y.doc_id AND y.p = x.p + 1),
+allg AS (SELECT doc_id, g FROM pos UNION ALL SELECT doc_id, g FROM bi),
+stats AS (SELECT g, count(*) AS ttf, count(DISTINCT doc_id) AS df
+          FROM allg GROUP BY g)
+{union}
+ORDER BY position_start, position_end
+"""
+
+
 def _tx10_term_vectors(spark, sf_dir):
     """/tv TermVectorComponent (handler/component/TermVectorComponent.java):
     per-doc term vectors for 5 selected docs — tv.tf, tv.df (:386), and
@@ -7843,6 +7948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft46_maxscore": _ft46_maxscore,
         "q118_graph_terms": _q118_graph_terms,
         "tx09_mlt_content": _tx09_mlt_content,
+        "tx11_phrases_id": _tx11_phrases,
         "q119_query_func": _q119_query_func,
         "q120_subquery": _q120_subquery,
         "dd22_ccnet_buckets": _dd22_ccnet_buckets,
@@ -8680,6 +8786,7 @@ SELECT vec_id, round(c, 4) AS cosine FROM sims ORDER BY c DESC, vec_id LIMIT 10
         "ft46_maxscore": _ft46_sql(),
         "q118_graph_terms": _q118_sql(),
         "tx09_mlt_content": _tx09_sql(),
+        "tx11_phrases_id": _tx11_sql(),
         "q119_query_func": _q119_sql(),
         "q120_subquery": _Q120_SQL,
         "dd22_ccnet_buckets": _dd22_sql(),

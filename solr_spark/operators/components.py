@@ -914,3 +914,203 @@ def luke_histogram(spark: SparkSession, index_dir: str) -> DataFrame:
                       .alias("bucket"))
              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_terms"))
              .orderBy("bucket"))
+
+
+# ------------------------------------------------------ phrases identification
+
+def phrase_structure(tokens: "list[str]", max_indexed: int = 3,
+                     max_query: int = 7) -> "list[dict]":
+    """Candidate-phrase lattice of a query's analyzed token sequence — the
+    pure-Python restatement of PhrasesIdentificationComponent's extractPhrases
+    linking pass (handler/component/PhrasesIdentificationComponent.java:523
+    extractPhrases, :663 addLinkages). The query shingle analyzer emits every
+    span of length <= max_query (plus unigrams); a span is *indexed* when its
+    length <= max_indexed (the index analyzer's maxShingleSize).
+
+    Each entry: {start, end, text, indexed, terms (its unigrams),
+    sub (largest indexed sub-spans: length == max_indexed, or itself when
+    shorter), super (indexed spans STRICTLY containing it)} — spans as
+    (start, end) over token positions, text space-joined. Pure function:
+    shared by the Spark operator and the gate's SQL-twin generator, and
+    unit-testable against the reference linking rules."""
+    if max_indexed > max_query:
+        raise ValueError("max_indexed must be <= max_query")
+    n = len(tokens)
+    spans = [(i, j) for i in range(n)
+             for j in range(i + 1, min(i + max_query, n) + 1)]
+    out = []
+    for (i, j) in spans:
+        length = j - i
+        indexed = length <= max_indexed
+        # largestIndexedSubPhrases: sub-spans with length == max_indexed;
+        # an indexed span SHORTER than max_indexed is its own sole entry
+        if length < max_indexed:
+            sub = [(i, j)]
+        else:
+            sub = [(a, a + max_indexed) for a in range(i, j - max_indexed + 1)]
+        # indexedSuperPhrases of a span: indexed spans strictly containing it
+        sup = [(a, b) for (a, b) in spans
+               if b - a <= max_indexed and a <= i and j <= b
+               and (a, b) != (i, j)]
+        out.append({"start": i, "end": j,
+                    "text": " ".join(tokens[i:j]),
+                    "indexed": indexed,
+                    "terms": [(p, p + 1) for p in range(i, j)],
+                    "sub": sub, "super": sup})
+    return out
+
+
+def phrase_scores(structure: "list[dict]", ttf: "dict[str, int]",
+                  df: "dict[str, int]", conj: "dict[str, int]",
+                  max_indexed: int, max_query: int) -> "list[tuple]":
+    """The component's Bayesian scoring model over collected shingle stats
+    (PhrasesIdentificationComponent.java:1038 computeFieldScore, kept
+    line-for-line): for each candidate phrase, every largest indexed
+    sub-phrase contributes
+
+        P(words|phrase)·(P(phrase) − maxWrapper) −
+        P(words|¬phrase)·(1 − (P(phrase) − maxWrapper))
+
+    with P(words|phrase) = ttf(words)/min(unigram ttf), P(words|¬phrase) =
+    ttf(words)/max(unigram ttf), P(phrase) = conj(P)/conj(words), and
+    maxWrapper = max over indexed super-phrases of df/conj; the sum scales
+    by 1/(1 + max_query − max_indexed) and by conj(P)/max sub conj. Pure
+    function over bounded dicts — the Spark operator collects the stats,
+    this prices them."""
+    span_text = {(p["start"], p["end"]): p["text"] for p in structure}
+    results = []
+    for p in structure:
+        text = p["text"]
+        terms = [span_text[t] for t in p["terms"]]
+        length = p["end"] - p["start"]
+        if any(df.get(t, 0) <= 0 for t in terms):
+            results.append((text, p["start"], p["end"], -1.0))
+            continue
+        conj_p = conj.get(text, 0)
+        if conj_p <= 0:
+            results.append((text, p["start"], p["end"], -1.0))
+            continue
+        if length <= 1:
+            results.append((text, p["start"], p["end"], 0.0))
+            continue
+        field_score = 0.0
+        max_sub_conj = conj_p
+        for (a, b) in p["sub"]:
+            words = span_text[(a, b)]
+            words_terms = [span_text[(q, q + 1)] for q in range(a, b)]
+            phrase_ttf = ttf.get(words, 0)
+            words_conj = conj.get(words, 0)
+            max_sub_conj = max(max_sub_conj, words_conj)
+            wrappers = [
+                (df.get(span_text[s], 0) / conj[span_text[s]])
+                if conj.get(span_text[s], 0) > 0 else 0.0
+                for s in next(
+                    pp for pp in structure
+                    if (pp["start"], pp["end"]) == (a, b))["super"]]
+            max_wrapper = max(wrappers, default=0.0)
+            t_min = min(ttf.get(t, 0) for t in words_terms)
+            t_max = max(ttf.get(t, 0) for t in words_terms)
+            if t_min <= 0 or words_conj <= 0:
+                continue
+            wpp = phrase_ttf / t_min
+            wnp = phrase_ttf / t_max
+            phrase_prob = conj_p / words_conj
+            field_score += (wpp * (phrase_prob - max_wrapper)
+                            - wnp * (1 - (phrase_prob - max_wrapper)))
+        field_score *= 1.0 / (1 + max_query - max_indexed)
+        field_score *= conj_p / max_sub_conj
+        results.append((text, p["start"], p["end"], field_score))
+    return results
+
+
+def phrases_identify(docs: DataFrame, text_col: str, query: str,
+                     max_indexed: int = 3, max_query: int = 7,
+                     config=None) -> DataFrame:
+    """PhrasesIdentificationComponent (`phrases.q` — handler/component/
+    PhrasesIdentificationComponent.java): score every candidate phrase of
+    the query against corpus shingle statistics, Spark-first.
+
+    Two column-pruned corpus scans, both with map-side-combinable partial
+    aggregation and a needed-grams filter BEFORE the exchange (the shuffle
+    moves at most |candidate spans| rows):
+
+      1. gram stats — every doc emits its 1..max_indexed-gram stream from
+         ONE JVM array program (slice + array_join inside transform), kept
+         only where the gram is a candidate; groupBy gram -> ttf (count) +
+         df (distinct docs).
+      2. conjunction doc-counts — one conditional-aggregation pass: per
+         candidate span, count docs containing ALL its unigrams.
+
+    The bounded stat tables collect to the driver and price through the
+    reference scoring model (phrase_scores). Output: DataFrame(phrase,
+    position_start, position_end, score) in query-position order.
+
+    Contract: `text_col` holds WHITESPACE-JOINED tokens in the same token
+    space the query analyzer produces (pre-normalized corpora, or an index's
+    forward `toks` column) — the reference likewise requires the indexed
+    shingle field and the query analyzer to share one unigram chain
+    (the component's fieldType doc: same tokenizer + lowercase both sides).
+    """
+    from solr_spark.analysis import analyze_text
+
+    tokens = analyze_text(query, config) if config is not None \
+        else analyze_text(query)
+    out_schema = ("phrase string, position_start int, position_end int, "
+                  "score double")
+    spark = docs.sparkSession
+    if not tokens:
+        return spark.createDataFrame([], out_schema)
+    structure = phrase_structure(tokens, max_indexed, max_query)
+    needed = sorted({p["text"] for p in structure
+                     if p["end"] - p["start"] <= max_indexed})
+
+    toks = F.split(F.col(text_col), " ")
+    # all 1..max_indexed grams of a doc in one JVM expression: for each
+    # size s, transform positions 0..len-s (inclusive) to the joined slice;
+    # docs shorter than s emit no s-grams (guarded — F.sequence would
+    # otherwise step NEGATIVE for an end below the start)
+    def _gram_of(s):
+        # single-parameter lambda: a two-parameter one would be bound to
+        # transform's (value, index) binary form
+        return lambda i: F.array_join(F.slice(toks, i + 1, s), " ")
+
+    gram_arrays = [
+        F.when(F.size(toks) >= s,
+               F.transform(F.sequence(F.lit(0), F.size(toks) - s),
+                           _gram_of(s)))
+         .otherwise(F.array().cast("array<string>"))
+        for s in range(1, max_indexed + 1)]
+    grams = (docs.select(F.monotonically_increasing_id().alias("__doc"),
+                         F.explode(F.flatten(F.array(*gram_arrays)))
+                          .alias("gram"))
+                 .where(F.col("gram").isin(needed))
+                 .groupBy("gram")
+                 .agg(F.count("*").alias("ttf"),
+                      F.count_distinct("__doc").alias("df")))
+    stats = {r["gram"]: (int(r["ttf"]), int(r["df"]))
+             for r in grams.collect()}
+    ttf = {g: v[0] for g, v in stats.items()}
+    df_ = {g: v[1] for g, v in stats.items()}
+
+    # conjunction counts: one conditional agg, all spans in one scan
+    base = docs.select(toks.alias("__t"))
+    span_conds = {}
+    for p in structure:
+        words = sorted({tokens[q] for q in range(p["start"], p["end"])})
+        cond = None
+        for w in words:
+            c = F.array_contains(F.col("__t"), w)
+            cond = c if cond is None else (cond & c)
+        span_conds[p["text"]] = cond
+    aggs = [F.count(F.when(cond, True)).alias(f"c{i}")
+            for i, (g, cond) in enumerate(sorted(span_conds.items()))]
+    conj = {}
+    if aggs:
+        row = base.select(*aggs).collect()[0]
+        for i, (g, _) in enumerate(sorted(span_conds.items())):
+            conj[g] = int(row[f"c{i}"])
+
+    scored = phrase_scores(structure, ttf, df_, conj, max_indexed, max_query)
+    return spark.createDataFrame(
+        [(t, s + 1, e + 1, float(sc)) for (t, s, e, sc) in scored],
+        out_schema)

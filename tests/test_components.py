@@ -1239,3 +1239,46 @@ def test_json_queries_named_refs(spark, built_index):
     with _pytest.raises(ValueError, match="must be a string"):
         json_search(spark, reader,
                     {"query": {"param": "a"}, "queries": {"a": {"q": 1}}})
+
+
+def test_phrases_identification_hand_vector(spark):
+    """PhrasesIdentificationComponent restatement: candidate lattice
+    (extractPhrases/addLinkages linking rules) + the Bayesian field score
+    (computeFieldScore), checked against hand-computed values on a corpus
+    where every stat is countable by eye."""
+    import pytest as _pt
+
+    from solr_spark.operators.components import (phrase_structure,
+                                                 phrases_identify)
+
+    # linking rules: sub = length==max_indexed spans (or self when shorter),
+    # super = indexed spans STRICTLY containing the span
+    st = {(p["start"], p["end"]): p
+          for p in phrase_structure(["a", "b", "c"], 2, 3)}
+    assert st[(0, 3)]["sub"] == [(0, 2), (1, 3)]
+    assert st[(0, 1)]["sub"] == [(0, 1)]
+    assert st[(1, 2)]["super"] == [(0, 2), (1, 3)]
+    assert st[(0, 2)]["super"] == []
+    assert not st[(0, 3)]["indexed"]
+
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps"),
+         ("d2", "quick brown fox runs fast"),
+         ("d3", "brown paint and quick thinking"),
+         ("d4", "fox and quick brown fox")],
+        "id string, text string")
+    got = {r.phrase: r.score
+           for r in phrases_identify(docs, "text", "quick brown fox",
+                                     max_indexed=2, max_query=3).collect()}
+    # unigrams score exactly 0; ttf(brown fox)=3 over min/max unigram ttf 4,
+    # conj ratios hand-counted from the 4 docs (see formula in phrase_scores)
+    assert got["quick"] == 0.0 and got["fox"] == 0.0
+    assert got["brown fox"] == _pt.approx(0.375, abs=1e-12)
+    assert got["quick brown"] == _pt.approx(0.375, abs=1e-12)
+    assert got["quick brown fox"] == _pt.approx(0.421875, abs=1e-12)
+
+    # a phrase whose words never co-occur in one doc scores -1 (not a phrase)
+    got2 = {r.phrase: r.score
+            for r in phrases_identify(docs, "text", "paint jumps",
+                                      max_indexed=2, max_query=3).collect()}
+    assert got2["paint jumps"] == -1.0
