@@ -375,6 +375,52 @@ def _ft16_lmdirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(_doc_id(), _dround("score", 4).alias("score"))
 
 
+def _ft53_dfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: Divergence From Independence, standardized
+    measure (search/similarities/DFISimilarityFactory.java; Kocabas et al.
+    2014): e = (cf+1)·dl/(T+1), docs score log2((tf−e)/√e + 1) only when tf
+    exceeds independence expectation — WAND-bounded via the e = p·tf
+    substitution (query/similarity.py::DFISimilarity)."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     similarity="dfi")
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft53_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*)::DOUBLE AS total_tokens FROM toks),
+stats AS (
+    SELECT tok AS term, count(*)::DOUBLE AS cf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+pieces AS (
+    SELECT tf.doc_id,
+           tf.tf,
+           (s.cf + 1.0) * dl.dl / (c.total_tokens + 1.0) AS e
+    FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT doc_id,
+           sum(CASE WHEN tf > e
+                    THEN log2((tf - e) / sqrt(e) + 1.0) ELSE 0.0 END) AS score
+    FROM pieces GROUP BY doc_id
+    HAVING sum(CASE WHEN tf > e
+                    THEN log2((tf - e) / sqrt(e) + 1.0) ELSE 0.0 END) > 0.0
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
 def _ft15_sql() -> str:
     in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
     return f"""
@@ -7756,6 +7802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft14_fuzzy_scored": _ft14_fuzzy_scored,
         "ft15_classic_tfidf": _ft15_classic_tfidf,
         "ft16_lmdirichlet": _ft16_lmdirichlet,
+        "ft53_dfi": _ft53_dfi,
         "ft17_stemmed_search": _ft17_stemmed_search,
         "ft19_bf_boost": _ft19_bf_boost,
         "ft20_unified_highlight": _ft20_unified_highlight,
@@ -8015,6 +8062,7 @@ cand AS (
         "ft14_fuzzy_scored": _ft14_sql(),
         "ft15_classic_tfidf": _ft15_sql(),
         "ft16_lmdirichlet": _ft16_sql(),
+        "ft53_dfi": _ft53_sql(),
         "ft17_stemmed_search": _ft17_sql(),
         "ft19_bf_boost": _ft19_sql(),
         "ft20_unified_highlight": _ft20_sql(),

@@ -176,6 +176,85 @@ class LMJelinekMercerSimilarity:
             + F.lit(0.0) * F.col("max_tf")
 
 
+@dataclass(frozen=True)
+class DFISimilarity:
+    """Divergence From Independence (Kocabas, Dincer & Karaoglan 2014;
+    search/similarities/DFISimilarityFactory.java wrapping Lucene
+    DFISimilarity): expected tf under independence e = (cf+1)·dl/(T+1);
+    a doc scores only when tf EXCEEDS expectation, log2(measure+1) with
+    the chosen independence measure —
+
+        standardized  (tf − e)/√e       (the factory default)
+        saturated     (tf − e)/e
+        chisquared    (tf − e)²/e
+
+    WAND bound argument: e = p·dl with p = (cf+1)/(T+1) and dl ≥ tf, so
+    e ≥ p·tf; every measure is decreasing in e and (evaluated at e = p·tf)
+    nondecreasing in tf, so the range bound plugs (max_tf, p·max_tf) in —
+    saturated's bound is the tf-free constant log2(1 + (1−p)/p)."""
+
+    measure: str = "standardized"
+    name = "dfi"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return (cf + 1.0) / (total_tokens + 1.0)
+
+    def _measure(self, tf, e):
+        if self.measure == "standardized":
+            return (tf - e) / np.sqrt(e)
+        if self.measure == "saturated":
+            return (tf - e) / e
+        if self.measure == "chisquared":
+            return (tf - e) * (tf - e) / e
+        raise ValueError(
+            f"unknown DFI independence measure {self.measure!r} "
+            "(standardized|saturated|chisquared)")
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        e = p * dls
+        m = self._measure(tf.astype(np.float64), e)
+        return np.where(tf > e, w * np.log2(np.maximum(m, 0.0) + 1.0), 0.0)
+
+    def bound_expr(self, w_map, params, cfg):
+        p_map = _param_map(params)
+        p = p_map[F.col("term")]
+        tf = F.col("max_tf").cast("double")
+        e = p * tf
+        if self.measure == "standardized":
+            m = (tf - e) / F.sqrt(e)
+        elif self.measure == "saturated":
+            m = (F.lit(1.0) - p) / p
+        else:  # chisquared
+            m = (tf - e) * (tf - e) / e
+        return w_map[F.col("term")] \
+            * F.log2(F.greatest(m, F.lit(0.0)) + F.lit(1.0))
+
+
+@dataclass(frozen=True)
+class RawTFSimilarity:
+    """Raw term frequency: score = boost · tf, no length normalization
+    (the RawTF factory of SURVEY §2.10's shipped-similarity list — the
+    degenerate member that pins the registry's contract: contrib and the
+    WAND bound are both linear in tf)."""
+
+    name = "rawtf"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return 0.0
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        return w * tf.astype(np.float64)
+
+    def bound_expr(self, w_map, params, cfg):
+        return w_map[F.col("term")] * F.col("max_tf").cast("double")
+
+
 _REGISTRY = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
@@ -183,6 +262,8 @@ _REGISTRY = {
     "boolean": BooleanSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "lmjelinekmercer": LMJelinekMercerSimilarity,
+    "dfi": DFISimilarity,
+    "rawtf": RawTFSimilarity,
 }
 
 

@@ -17,7 +17,8 @@ from solr_spark.analysis import analyze_text
 from solr_spark.oracle.reference import _small_float_quantize
 from solr_spark.query.bm25 import IndexReader, bm25_topk
 
-SIMS = ["classic", "boolean", "lmdirichlet", "lmjelinekmercer"]
+SIMS = ["classic", "boolean", "lmdirichlet", "lmjelinekmercer",
+        "dfi", "rawtf"]
 QUERIES = ["error timeout", "deploy failed", "database connection retry"]
 K = 10
 
@@ -56,6 +57,12 @@ def _py_scores(oracle, qtext: str, sim: str) -> dict[int, float]:
                 lam, p = 0.7, (cf + 1.0) / (total_tokens + 1.0)
                 c = qtf * max(0.0, math.log1p(((1.0 - lam) * tf / dl)
                                               / (lam * p)))
+            elif sim == "dfi":
+                e = (cf + 1.0) * dl / (total_tokens + 1.0)
+                c = qtf * (math.log2((tf - e) / math.sqrt(e) + 1.0)
+                           if tf > e else 0.0)
+            elif sim == "rawtf":
+                c = qtf * float(tf)
             else:
                 raise ValueError(sim)
             scores[docid] = scores.get(docid, 0.0) + c
