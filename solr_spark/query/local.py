@@ -146,7 +146,8 @@ def _parse_select_body(request) -> dict:
     _check_keys(req, {"query", "filter", "fields", "limit", "offset",
                       "sort", "facet", "params", "queries"},
                 "select request")
-    _check_params(req, {"NOW", "similarity"}, "select request")
+    _check_params(req, {"NOW", "similarity", "hl", "hl.fragsize"},
+                  "select request")
     req = _resolve_query_refs(req, "select request")
     if "query" not in req:
         raise ValueError("select request needs a 'query'")
@@ -163,7 +164,9 @@ def _parse_select_body(request) -> dict:
             "sort": sort or None, "now": params.get("NOW"),
             "similarity": params.get("similarity", "bm25"),
             "fields": list(req["fields"]) if "fields" in req else None,
-            "facet": req.get("facet")}
+            "facet": req.get("facet"),
+            "hl": bool(params.get("hl", False)),
+            "hl_fragsize": int(params.get("hl.fragsize", 30))}
 
 
 class LocalSearcher:
@@ -488,8 +491,12 @@ class LocalSearcher:
         component pipeline runs QueryComponent and FacetModule against the
         SAME q+fq DocSet per request; RequestUtil.java's body keys
         (query/filter/fields/sort/offset/limit/params/facet/queries).
-        Returns {"docs": list[dict], "facets": {name: list[dict]}} with the
-        batch twins' column names, so results compare across tiers
+        `params.hl` adds a HighlightComponent snippet per page doc (the
+        same first-best-fragment semantics as the batch
+        components.highlight Column — parity-pinned), with
+        `params["hl.fragsize"]` as the context window. Returns
+        {"docs": list[dict], "facets": {name: list[dict]}} with the batch
+        twins' column names, so results compare across tiers
         (pytest-pinned in tests/test_local.py).
         """
         p = _parse_select_body(request)
@@ -501,11 +508,45 @@ class LocalSearcher:
             similarity=p["similarity"], with_score=with_score)
         if p["fields"] is not None:
             docs = self._project_fields(docs, p["fields"])
+        if p["hl"]:
+            from solr_spark.analysis import analyze_text
+
+            terms = analyze_text(p["query"], self.cfg)
+            for h in docs:
+                h["snippet"] = self.snippet(h["docid"], terms,
+                                            window_chars=p["hl_fragsize"])
         facets = {}
         if p["facet"]:
             facets = self.facets(p["facet"], query=p["query"],
                                  filters=p["filters"] or None, now=p["now"])
         return {"docs": docs, "facets": facets}
+
+    def snippet(self, docid: int, terms, window_chars: int = 30,
+                tag: str = "em") -> "str | None":
+        """HighlightComponent on the serving tier: first matching fragment
+        of the doc's resident text with +-window_chars context, matches
+        wrapped in <tag>. EXACTLY the batch components.highlight contract
+        (same patterns), so tiers agree snippet-for-snippet; None when no
+        term matches or the docid is unknown."""
+        import re as _re
+
+        self._load_forward()
+        docids = self._fwd["docid"].to_numpy()
+        i = int(np.searchsorted(docids, docid))
+        if i >= len(docids) or int(docids[i]) != int(docid):
+            return None
+        text = str(self._fwd.iloc[i]["text"])
+        alts = "|".join(_re.escape(t)
+                        for t in sorted(terms, key=len, reverse=True))
+        if not alts:
+            return None
+        m = _re.search(
+            rf"(?i).{{0,{window_chars}}}\b({alts})\b.{{0,{window_chars}}}",
+            text)
+        if m is None:
+            return None
+        return _re.sub(rf"(?i)\b({alts})\b", rf"<{tag}>\1</{tag}>",
+                       m.group(0))
 
     def _project_fields(self, docs: list[dict], want: list[str]):
         """fl on the serving page: result keys pass through, any STORED

@@ -176,6 +176,26 @@ class ShardedSearcher:
             similarity=p["similarity"], with_score=with_score)
         if p["fields"] is not None:
             docs = self._project_fields(docs, p["fields"])
+        if p["hl"]:
+            # highlight resolves on the hit's owning shard (the stage loop
+            # runs HighlightComponent shard-side in the reference)
+            from solr_spark.analysis import analyze_text
+
+            terms = analyze_text(p["query"],
+                                 self.shards[0].reader.config)
+            n = len(self.shards)
+            shift = self.shards[0].reader.config.range_shift
+            for h in docs:
+                owner = self.shards[(h["docid"] >> shift) % n]
+                snip = owner.snippet(h["docid"], terms,
+                                     window_chars=p["hl_fragsize"])
+                if snip is None and owner.doc(h["docid"]) is None:
+                    for s in self.shards:  # caller-reordered shard dirs
+                        snip = s.snippet(h["docid"], terms,
+                                         window_chars=p["hl_fragsize"])
+                        if s.doc(h["docid"]) is not None:
+                            break
+                h["snippet"] = snip
         facets = {}
         if p["facet"]:
             facets = self.facets(p["facet"], query=p["query"],

@@ -334,3 +334,28 @@ def test_serving_select_sorted_fields_and_validation(spark, built):
         ls.select({"query": "error", "fliter": ["role:user"]})
     with pytest.raises(ValueError, match="neither"):
         ls.select({"query": "error", "fields": ["nope_col"]})
+
+
+def test_serving_highlight_matches_batch(spark, built):
+    """params.hl on the serving /select: snippet-for-snippet identical to
+    the batch HighlightComponent Column over the same stored text."""
+    from solr_spark.analysis import analyze_text
+    from solr_spark.operators.components import highlight
+
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    res = ls.select({"query": "error timeout", "limit": 10,
+                     "params": {"hl": True, "hl.fragsize": 25}})
+    assert res["docs"] and all("snippet" in h for h in res["docs"])
+    terms = analyze_text("error timeout", CFG)
+    fwd = reader.forward(spark).withColumnRenamed("toks", "text")
+    batch = {r.docid: r.snip for r in fwd.select(
+        "docid", highlight(fwd, "text", terms,
+                           window_chars=25).alias("snip")).collect()}
+    for h in res["docs"]:
+        assert h["snippet"] == batch[h["docid"]], h["docid"]
+    # hl defaults off; unknown params key still rejected
+    assert "snippet" not in ls.select(
+        {"query": "error", "limit": 1})["docs"][0]
+    with pytest.raises(ValueError, match="unknown params"):
+        ls.select({"query": "error", "params": {"hl.frgsize": 10}})

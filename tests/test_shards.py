@@ -232,3 +232,14 @@ def test_sharded_select_matches_local(spark, sharded):
     body2 = {"query": "error", "limit": 8, "offset": 3,
              "sort": "conv_id desc", "fields": ["conv_id", "docid", "rank"]}
     assert merged.select(body2)["docs"] == single.select(body2)["docs"]
+
+
+def test_sharded_select_highlight(spark, sharded):
+    idx, dirs = sharded
+    reader = IndexReader.open(idx, CFG)
+    body = {"query": "error timeout", "limit": 8,
+            "params": {"hl": True, "hl.fragsize": 25}}
+    got = ShardedSearcher(dirs).select(body)
+    want = LocalSearcher(reader).select(body)
+    assert [h["snippet"] for h in got["docs"]] == \
+        [h["snippet"] for h in want["docs"]]
