@@ -421,6 +421,139 @@ FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
 """
 
 
+def _ft54_sweetspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: SweetSpot — Classic TF-IDF with a plateau
+    lengthNorm (docs of length 5..40 take NO length penalty, outside decays
+    hyperbolically with steepness 0.3) (search/similarities/
+    SweetSpotSimilarityFactory.java; the defaults degenerate to Classic, so
+    the gate pins a NON-trivial plateau)."""
+    from solr_spark.query.similarity import SweetSpotSimilarity
+
+    reader = _ft_index(spark, sf_dir)
+    sim = SweetSpotSimilarity(ln_min=5, ln_max=40, steepness=0.3)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     similarity=sim)
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft54_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs),
+dfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( pow(1.0 + ln((c.n_docs + 1.0) / (d.df + 1.0)), 2)
+                * sqrt(tf.tf)
+                / sqrt(0.3 * (abs(dl.dl - 5.0) + abs(dl.dl - 40.0) - 35.0)
+                       + 1.0) ) AS score
+    FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
+def _ft55_dfr_gl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: DFR GL2 — geometric basic model, Laplace
+    after-effect, H2 normalization (search/similarities/
+    DFRSimilarityFactory.java; one representative member of the DFR
+    submodel matrix): tfn = tf·log2(1 + avgdl/dl), λ = cf/(N+cf),
+    score = (log2(1+λ) + tfn·log2((1+λ)/λ))/(tfn+1)."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     similarity="dfr_gl2")
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft55_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+stats AS (
+    SELECT tok AS term, count(*)::DOUBLE AS cf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+pieces AS (
+    SELECT tf.doc_id,
+           s.cf / (c.n_docs + s.cf) AS lam,
+           tf.tf * log2(1.0 + (c.sum_dl / c.n_docs) / dl.dl) AS tfn
+    FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+),
+scored AS (
+    SELECT doc_id,
+           sum( (log2(1.0 + lam) + tfn * log2((1.0 + lam) / lam))
+                / (tfn + 1.0) ) AS score
+    FROM pieces GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
+def _ft56_ib_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable Similarity: IB LL — log-logistic information-based model,
+    TTF lambda, H2 normalization (search/similarities/
+    IBSimilarityFactory.java; Clinchant & Gaussier 2010):
+    λ = (cf+1)/(N+1), score = ln((tfn + λ)/λ)."""
+    reader = _ft_index(spark, sf_dir)
+    topk = bm25_topk(spark, reader, _FT_QUERY, k=20, mode="wand",
+                     similarity="ib_ll")
+    return topk.select(_doc_id(), _dround("score", 4).alias("score"))
+
+
+def _ft56_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+           (SELECT sum(dl) FROM dl)::DOUBLE AS sum_dl
+),
+stats AS (
+    SELECT tok AS term, count(*)::DOUBLE AS cf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY tok
+),
+tf AS (
+    SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+    FROM toks WHERE tok IN ({in_list}) GROUP BY doc_id, tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           sum( ln( (tf.tf * log2(1.0 + (c.sum_dl / c.n_docs) / dl.dl)
+                     + (s.cf + 1.0) / (c.n_docs + 1.0))
+                    / ((s.cf + 1.0) / (c.n_docs + 1.0)) ) ) AS score
+    FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN corpus c
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 20
+"""
+
+
 def _ft15_sql() -> str:
     in_list = ", ".join(f"'{t}'" for t in _FT_TERMS)
     return f"""
@@ -7803,6 +7936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft15_classic_tfidf": _ft15_classic_tfidf,
         "ft16_lmdirichlet": _ft16_lmdirichlet,
         "ft53_dfi": _ft53_dfi,
+        "ft54_sweetspot": _ft54_sweetspot,
+        "ft55_dfr_gl2": _ft55_dfr_gl2,
+        "ft56_ib_ll": _ft56_ib_ll,
         "ft17_stemmed_search": _ft17_stemmed_search,
         "ft19_bf_boost": _ft19_bf_boost,
         "ft20_unified_highlight": _ft20_unified_highlight,
@@ -8063,6 +8199,9 @@ cand AS (
         "ft15_classic_tfidf": _ft15_sql(),
         "ft16_lmdirichlet": _ft16_sql(),
         "ft53_dfi": _ft53_sql(),
+        "ft54_sweetspot": _ft54_sql(),
+        "ft55_dfr_gl2": _ft55_sql(),
+        "ft56_ib_ll": _ft56_sql(),
         "ft17_stemmed_search": _ft17_sql(),
         "ft19_bf_boost": _ft19_sql(),
         "ft20_unified_highlight": _ft20_sql(),

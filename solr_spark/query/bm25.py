@@ -715,6 +715,11 @@ def bm25_topk(
         w_map = F.create_map(
             *[x for t in scan_terms for x in (F.lit(t), F.lit(wand_weights[t]))]
         )
+        if hasattr(sim, "_bound_avgdl"):
+            # normalization-family similarities (DFR/IB H2) bound tfn with
+            # the corpus avgdl — stamp the query-time stat onto the frozen
+            # instance before asking for bounds
+            object.__setattr__(sim, "_bound_avgdl", float(avgdl))
         bounded = joined.withColumn(
             "term_bound", sim.bound_expr(w_map, wand_bparams, cfg))
         w = Window.partitionBy("range_id")

@@ -255,6 +255,133 @@ class RawTFSimilarity:
         return w_map[F.col("term")] * F.col("max_tf").cast("double")
 
 
+@dataclass(frozen=True)
+class SweetSpotSimilarity:
+    """Classic TF-IDF with plateau-tuned tf and lengthNorm
+    (search/similarities/SweetSpotSimilarityFactory.java wrapping Lucene
+    misc SweetSpotSimilarity): docs whose length falls inside
+    [ln_min, ln_max] get lengthNorm 1 (no penalty); outside, the norm decays
+    hyperbolically with `steepness`; tf uses the baseline form
+    sqrt(tf + tf_min² − tf_min) + tf_base (0 when tf ≤ tf_min with base 0).
+    Defaults mirror the factory's documented example posture.
+
+    WAND bound: lengthNorm ≤ 1 everywhere and baselineTf is increasing, so
+    idf² · baselineTf(max_tf) dominates."""
+
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+    name = "sweetspot"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        idf = 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
+        return qb * idf * idf
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return 0.0
+
+    def _baseline_tf(self, tf):
+        out = self.tf_base + np.sqrt(
+            tf + self.tf_min * self.tf_min - self.tf_min)
+        if self.tf_base == 0.0 and self.tf_min > 0.0:
+            out = np.where(tf <= self.tf_min, 0.0, out)
+        return out
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        span = self.ln_max - self.ln_min
+        dev = (np.abs(dls - self.ln_min) + np.abs(dls - self.ln_max)
+               - span)
+        norm = 1.0 / np.sqrt(self.steepness * dev + 1.0)
+        return w * self._baseline_tf(tf.astype(np.float64)) * norm
+
+    def bound_expr(self, w_map, params, cfg):
+        tf = F.col("max_tf").cast("double")
+        base = F.lit(self.tf_base) + F.sqrt(
+            tf + F.lit(self.tf_min * self.tf_min - self.tf_min))
+        if self.tf_base == 0.0 and self.tf_min > 0.0:
+            base = F.when(tf <= F.lit(self.tf_min), F.lit(0.0)) \
+                    .otherwise(base)
+        return w_map[F.col("term")] * base  # lengthNorm <= 1
+
+
+@dataclass(frozen=True)
+class DFRGL2Similarity:
+    """Divergence From Randomness, model GL2 — geometric basic model,
+    Laplace after-effect, H2 length normalization (Amati & van Rijsbergen
+    2002; search/similarities/DFRSimilarityFactory.java — one REPRESENTATIVE
+    member of the 7×2×3 DFR matrix, every member reusing this exact
+    contract): tfn = tf·log2(1 + c·avgdl/dl), λ = cf/(N + cf),
+
+        score = boost · 1/(tfn+1) · (log2(1+λ) + tfn·log2((1+λ)/λ)).
+
+    WAND bound: d(score)/d(tfn) has the sign of log2((1+λ)/λ) − log2(1+λ)
+    = −log2(λ) > 0 (λ = cf/(N+cf) < 1 always), so the score is increasing
+    in tfn, and tfn ≤ max_tf·log2(1 + c·avgdl) at dl ≥ 1."""
+
+    c: float = 1.0
+    name = "dfr_gl2"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return cf / (n_docs + cf)  # lambda of the geometric model
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        tfn = tf * np.log2(1.0 + self.c * avgdl / dls)
+        gl = (np.log2(1.0 + p)
+              + tfn * np.log2((1.0 + p) / p)) / (tfn + 1.0)
+        return w * gl
+
+    def bound_expr(self, w_map, params, cfg):
+        p_map = _param_map(params)
+        lam = p_map[F.col("term")]
+        # tfn <= max_tf * log2(1 + c*avgdl) at dl >= 1; avgdl is a query-time
+        # corpus stat the kernel stamps onto the instance (_bound_avgdl)
+        # right before asking for bounds — see bm25_topk's bound wiring
+        tfn = F.col("max_tf").cast("double") \
+            * F.lit(math.log2(1.0 + self.c * self._bound_avgdl))
+        gl = (F.log2(F.lit(1.0) + lam)
+              + tfn * F.log2((F.lit(1.0) + lam) / lam)) / (tfn + F.lit(1.0))
+        return w_map[F.col("term")] * gl
+
+    _bound_avgdl = 1.0  # overwritten per query via object.__setattr__
+
+
+@dataclass(frozen=True)
+class IBLLSimilarity:
+    """Information-Based model LL — log-logistic distribution, TTF lambda,
+    H2 normalization (Clinchant & Gaussier 2010;
+    search/similarities/IBSimilarityFactory.java — one representative of
+    the 2×2 IB matrix): tfn = tf·log2(1 + c·avgdl/dl),
+    λ = (cf+1)/(N+1), score = boost · log((tfn + λ)/λ) — increasing in
+    tfn, so the WAND bound plugs tfn_max in."""
+
+    c: float = 1.0
+    name = "ib_ll"
+
+    def weight(self, qb, n_docs, df, cf, total_tokens):
+        return qb
+
+    def term_param(self, df, cf, n_docs, total_tokens):
+        return (cf + 1.0) / (n_docs + 1.0)  # log-logistic lambda (TTF)
+
+    def contrib(self, tf, dls, w, p, cfg, avgdl):
+        tfn = tf * np.log2(1.0 + self.c * avgdl / dls)
+        return w * np.log((tfn + p) / p)
+
+    def bound_expr(self, w_map, params, cfg):
+        p_map = _param_map(params)
+        lam = p_map[F.col("term")]
+        tfn = F.col("max_tf").cast("double") \
+            * F.lit(math.log2(1.0 + self.c * self._bound_avgdl))
+        return w_map[F.col("term")] * F.log((tfn + lam) / lam)
+
+    _bound_avgdl = 1.0
+
+
 _REGISTRY = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
@@ -264,6 +391,9 @@ _REGISTRY = {
     "lmjelinekmercer": LMJelinekMercerSimilarity,
     "dfi": DFISimilarity,
     "rawtf": RawTFSimilarity,
+    "sweetspot": SweetSpotSimilarity,
+    "dfr_gl2": DFRGL2Similarity,
+    "ib_ll": IBLLSimilarity,
 }
 
 

@@ -18,7 +18,7 @@ from solr_spark.oracle.reference import _small_float_quantize
 from solr_spark.query.bm25 import IndexReader, bm25_topk
 
 SIMS = ["classic", "boolean", "lmdirichlet", "lmjelinekmercer",
-        "dfi", "rawtf"]
+        "dfi", "rawtf", "sweetspot", "dfr_gl2", "ib_ll"]
 QUERIES = ["error timeout", "deploy failed", "database connection retry"]
 K = 10
 
@@ -63,6 +63,22 @@ def _py_scores(oracle, qtext: str, sim: str) -> dict[int, float]:
                            if tf > e else 0.0)
             elif sim == "rawtf":
                 c = qtf * float(tf)
+            elif sim == "sweetspot":
+                # factory DEFAULTS (ln_min=ln_max=1, steepness=.5, tf sqrt
+                # baseline) — which degenerate exactly to Classic; the
+                # non-trivial plateau is covered by the instance test below
+                idf = 1.0 + math.log((n + 1.0) / (df + 1.0))
+                norm = 1.0 / math.sqrt(0.5 * (abs(dl - 1) + abs(dl - 1)) + 1.0)
+                c = qtf * idf * idf * math.sqrt(tf) * norm
+            elif sim == "dfr_gl2":
+                lam = cf / (n + cf)
+                tfn = tf * math.log2(1.0 + avgdl / dl)
+                c = qtf * (math.log2(1.0 + lam)
+                           + tfn * math.log2((1.0 + lam) / lam)) / (tfn + 1.0)
+            elif sim == "ib_ll":
+                lam = (cf + 1.0) / (n + 1.0)
+                tfn = tf * math.log2(1.0 + avgdl / dl)
+                c = qtf * math.log((tfn + lam) / lam)
             else:
                 raise ValueError(sim)
             scores[docid] = scores.get(docid, 0.0) + c
@@ -141,3 +157,39 @@ def test_unknown_similarity_raises(spark, built_index):
     reader = IndexReader.open(index_dir, cfg)
     with pytest.raises(ValueError, match="unknown similarity"):
         bm25_topk(spark, reader, "error", similarity="nope")
+
+
+def test_sweetspot_plateau_instance(spark, built_index, oracle):
+    """A non-default SweetSpot plateau: docs with dl inside [ln_min, ln_max]
+    take NO length penalty; outside decays hyperbolically; wand == exact."""
+    import math as _m
+
+    from solr_spark.query.similarity import SweetSpotSimilarity
+
+    index_dir, cfg, _ = built_index
+    reader = IndexReader.open(index_dir, cfg)
+    sim = SweetSpotSimilarity(ln_min=5, ln_max=40, steepness=0.3)
+    got = bm25_topk(spark, reader, "error timeout", k=K, mode="exact",
+                    similarity=sim).collect()
+    # closed form
+    n = len(oracle.doclen)
+    scores = {}
+    for t in ("error", "timeout"):
+        post = oracle.postings.get(t, {})
+        df = len(post)
+        idf = 1.0 + _m.log((n + 1.0) / (df + 1.0))
+        for docid, tf in post.items():
+            dl_raw = oracle.doclen[docid]
+            dl = float(_small_float_quantize(dl_raw)) if cfg.lucene_norms \
+                else float(dl_raw)
+            dev = abs(dl - 5) + abs(dl - 40) - 35
+            norm = 1.0 / _m.sqrt(0.3 * dev + 1.0)
+            scores[docid] = scores.get(docid, 0.0)                 + idf * idf * _m.sqrt(tf) * norm
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    assert [r["docid"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+    wand = bm25_topk(spark, reader, "error timeout", k=K, mode="wand",
+                     similarity=sim).collect()
+    assert [(r["docid"], r["score"]) for r in wand] == \
+        [(r["docid"], r["score"]) for r in got]
