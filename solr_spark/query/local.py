@@ -847,9 +847,9 @@ class LocalSearcher:
             return [{"value": fn(sub[col])}]
         kind = spec.get("type")
         if kind == "terms":
-            return self._terms_facet(sub, spec)
+            return self._terms_facet(sub, spec, now)
         if kind == "range":
-            return self._range_facet(sub, spec)
+            return self._range_facet(sub, spec, now)
         if kind == "query":
             ev = _PandasFilterEvaluator(sub, now=now)
             n = int(ev.parse(spec["q"]).sum()) if len(sub) else 0
@@ -857,7 +857,7 @@ class LocalSearcher:
         raise ValueError(f"unsupported serving facet type {kind!r} "
                          "(terms / range / query / 'stat(col)')")
 
-    def _terms_facet(self, sub, spec):
+    def _terms_facet(self, sub, spec, now=None):
         field = spec["field"]
         if field not in sub.columns:
             raise ValueError(f"unknown facet field {field!r} "
@@ -874,8 +874,15 @@ class LocalSearcher:
                                                       regex=False)
                        .fillna(False).to_numpy(dtype=bool)]
             s = sub[field]
-        metrics = [(alias, *self._metric_fn(ms))
-                   for alias, ms in (spec.get("facet") or {}).items()]
+        # the facet block mixes stat-string metrics with SUB-FACET dicts
+        # (FacetRequest.java:353 processSubs map) — sub-trees recurse over
+        # the bucket's own rows, exactly the batch facet_tree semantics
+        metrics, subfacets = [], []
+        for alias, ms in (spec.get("facet") or {}).items():
+            if isinstance(ms, dict):
+                subfacets.append((alias, ms))
+            else:
+                metrics.append((alias, *self._metric_fn(ms)))
         grouped = sub.groupby(field, dropna=True, sort=False)
         rows = []
         for bucket, g in grouped:
@@ -883,6 +890,8 @@ class LocalSearcher:
                    else bucket, "count": int(len(g))}
             for alias, _stat, col, fn in metrics:
                 row[alias] = fn(g[col])
+            for alias, subspec in subfacets:
+                row[alias] = self._one_facet(g, subspec, now)
             rows.append(row)
         rows = [r for r in rows if r["count"] >= mincount]
         sort = spec.get("sort", "count desc")
@@ -905,22 +914,29 @@ class LocalSearcher:
             return rows
         return rows[:limit] if limit >= 0 else rows
 
-    def _range_facet(self, sub, spec):
+    def _range_facet(self, sub, spec, now=None):
         field, start = spec["field"], float(spec["start"])
         gap = float(spec["gap"])
         import pandas as _pd
 
         v = _pd.to_numeric(sub[field], errors="coerce")
-        v = v[v >= start]
+        keep = v >= start
         if "end" in spec:
-            v = v[v < float(spec["end"])]
+            keep &= v < float(spec["end"])
+        v = v[keep]
         idx = np.floor((v.to_numpy() - start) / gap).astype(np.int64)
+        subfacets = [(alias, ms)
+                     for alias, ms in (spec.get("facet") or {}).items()
+                     if isinstance(ms, dict)]
         rows = []
         if len(idx):
             uniq, counts = np.unique(idx, return_counts=True)
             for b, c in zip(uniq.tolist(), counts.tolist()):
-                rows.append({"bucket_start": b * gap + start,
-                             "count": int(c)})
+                row = {"bucket_start": b * gap + start, "count": int(c)}
+                for alias, subspec in subfacets:
+                    g = sub.loc[v.index[idx == b]]
+                    row[alias] = self._one_facet(g, subspec, now)
+                rows.append(row)
         return rows
 
     def suggest_fuzzy(self, word: str, k: int = 10,

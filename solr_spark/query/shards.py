@@ -337,6 +337,12 @@ class ShardedSearcher:
         metrics = dict(spec.get("facet") or {})
         shard_metrics, plan = {}, {}
         for alias, ms in metrics.items():
+            if isinstance(ms, dict):
+                raise ValueError(
+                    f"sub-facet trees ({alias!r}) do not fan out across "
+                    "shards here — per-bucket sub-buckets need bucket-"
+                    "aligned merging; use LocalSearcher.facets on one "
+                    "shard, or the batch facet_tree path")
             stat, col = parse_stat(ms)
             if stat == "avg":
                 shard_metrics[f"__{alias}_sum"] = f"sum({col})"

@@ -359,3 +359,39 @@ def test_serving_highlight_matches_batch(spark, built):
         {"query": "error", "limit": 1})["docs"][0]
     with pytest.raises(ValueError, match="unknown params"):
         ls.select({"query": "error", "params": {"hl.frgsize": 10}})
+
+
+def test_serving_subfacet_trees(spark, built):
+    """Serving facets accept SUB-FACET dicts next to stat strings
+    (FacetRequest.java processSubs): a terms node nests a terms sub-facet
+    and a query sub-facet; a range node nests a terms sub-facet. Checked
+    against an independent Spark-side recomputation of each cell."""
+    reader = IndexReader.open(built, CFG)
+    ls = LocalSearcher(reader)
+    got = ls.facets({
+        "roles": {"type": "terms", "field": "role", "limit": 3,
+                  "facet": {"n": "count(docid)",
+                            "errs": {"type": "query", "q": "error"},
+                            "by_len": {"type": "range", "field": "dl",
+                                       "start": 0, "gap": 50}}}})
+    fwd = reader.forward(spark).withColumnRenamed("toks", "text")
+    buckets = {r["role"]: r["cnt"] for r in
+               fwd.groupBy("role").agg(F.count("*").alias("cnt")).collect()}
+    assert got["roles"]
+    for b in got["roles"]:
+        role = b["bucket"]
+        assert b["count"] == buckets[role]
+        assert b["n"] == b["count"]  # stat over the bucket rows
+        # query sub-facet: docs of this role containing 'error'
+        want_err = fwd.where(
+            (F.col("role") == role)
+            & F.col("text").rlike(r"(^|\W)error(\W|$)")).count()
+        assert b["errs"][0]["count"] == want_err
+        # range sub-facet partitions the bucket: counts sum to the bucket
+        assert sum(r["count"] for r in b["by_len"]) == b["count"]
+        for r in b["by_len"]:
+            lo = r["bucket_start"]
+            w = fwd.where((F.col("role") == role)
+                          & (F.col("dl") >= lo)
+                          & (F.col("dl") < lo + 50)).count()
+            assert r["count"] == w
