@@ -33,6 +33,10 @@ existing executors instead of duplicating any matching logic:
 Semantics pinned to Lucene's BooleanQuery contract: SHOULD clauses are
 optional when a MUST/FILTER clause exists (they then only contribute score);
 a should-only boolean requires at least one match; `filter` scores nothing.
+A pure-negative boolean (mustNot clauses only) matches everything MINUS the
+exclusions — Solr's top-level pure-negative rewrite (the `*:* AND -x` idiom
+SolrQueryParserBase applies), not raw Lucene's empty match; pinned by the
+random-tree property test.
 `disableCoord` is accepted and ignored (BM25 has no coord factor — same as
 Lucene 8+). BoostingTermQuery matches like a term; its payload *scoring*
 surface lives in functions/payloads.py (payload_score), which the batch

@@ -303,3 +303,50 @@ def test_scored_span_and_user(spark, xml_reader):
     want = [(r.conv_id, round(r.score, 9))
             for r in span_topk(spark, xml_reader, ast, k=10).collect()]
     assert got == want and got
+
+
+def test_random_boolean_trees_match_bruteforce(spark, xml_reader):
+    """Property check: random BooleanQuery trees over the fixture terms —
+    xml_query_docids must agree with a brute-force Python evaluation of the
+    Lucene boolean contract on every doc."""
+    import random
+
+    rng = random.Random(20260821)
+    TERMS = ["fast", "slow", "scan", "merge", "join", "vector", "runs"]
+    docs_tokens = {cid: set(t.split()) for cid, (t, _s) in DOCS.items()}
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return ("term", rng.choice(TERMS))
+        n = rng.randint(1, 3)
+        occurs = [rng.choice(["must", "mustNot", "should", "filter"])
+                  for _ in range(n)]
+        return ("bool", list(zip(occurs, [gen(depth - 1) for _ in range(n)])))
+
+    def to_xml(node):
+        if node[0] == "term":
+            return f"<TermQuery>{node[1]}</TermQuery>"
+        inner = "".join(
+            f'<Clause occurs="{o}">{to_xml(c)}</Clause>'
+            for o, c in node[1])
+        return f"<BooleanQuery>{inner}</BooleanQuery>"
+
+    def ev(node, toks):
+        if node[0] == "term":
+            return node[1] in toks
+        req = [ev(c, toks) for o, c in node[1] if o in ("must", "filter")]
+        neg = [ev(c, toks) for o, c in node[1] if o == "mustNot"]
+        opt = [ev(c, toks) for o, c in node[1] if o == "should"]
+        if req:
+            ok = all(req)
+        elif opt:
+            ok = any(opt)
+        else:
+            ok = True  # mustNot-only: everything minus the exclusions
+        return ok and not any(neg)
+
+    for _ in range(12):
+        tree = gen(2)
+        want = {cid for cid, toks in docs_tokens.items() if ev(tree, toks)}
+        got = _ids(spark, xml_reader, to_xml(tree))
+        assert got == want, to_xml(tree)
