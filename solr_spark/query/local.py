@@ -482,6 +482,22 @@ class LocalSearcher:
         return [dict(r, rank=offset + i + 1)
                 for i, r in enumerate(rows[offset:need])]
 
+    def xml_filter_mask(self, xml: str) -> np.ndarray:
+        """`{!xml}` fq on the serving tier: compile a CoreParser XML query
+        (query/xmlquery.py element set incl. the span family) against the
+        resident forward table into the dense docid BitDocSet `search()`
+        takes as filter_mask — the serving twin of xml_query_docids,
+        semantics-identical (parity pytest in tests/test_xmlquery.py)."""
+        from solr_spark.query.xmlquery import xml_match_rows
+
+        self._load_forward()
+        rows = xml_match_rows(self._fwd, xml, config=self.cfg)
+        docids = self._fwd["docid"].to_numpy()
+        mask = np.zeros(int(docids.max()) + 1 if len(docids) else 0,
+                        dtype=bool)
+        mask[docids[rows]] = True
+        return mask
+
     def select(self, request) -> dict:
         """The full /select contract on the serving tier: ONE JSON Request
         API body — the same body `jsonapi.json_select` takes on the batch

@@ -521,3 +521,139 @@ def xml_ids_of_node(node, spark: SparkSession,
     kind, val = _compile_filter(node, spark, reader, reader.config)
     return val if kind == "ids" \
         else _fwd(spark, reader).where(val).select("docid")
+
+
+# ---------------------------------------------------------- serving-tier twin
+
+def xml_match_rows(tbl, xml_or_node, config=None):
+    """Serving twin of `xml_query_docids`: a row-aligned numpy bool mask
+    over a RESIDENT forward pandas table (columns: `text` = space-joined
+    analyzed tokens, plus stored attribute columns) — same semantics,
+    including the pure-negative rewrite, no Spark job. Span clauses
+    prefilter candidates by required-term masks, then run the pure
+    spans.span_eval per candidate doc. Feeds LocalSearcher.xml_filter_mask
+    (the {!xml} fq on the serving tier)."""
+    import numpy as np
+
+    node = parse_xml_query(xml_or_node, config=config) \
+        if isinstance(xml_or_node, str) else xml_or_node
+    return _np_compile(node, tbl, config)
+
+
+def _np_term(tbl, field, text, config):
+    import numpy as np
+
+    if field == DEFAULT_FIELD:
+        terms = analyze_text(text, config) if config is not None \
+            else analyze_text(text)
+        if not terms:
+            return np.zeros(len(tbl), dtype=bool)
+        mask = np.ones(len(tbl), dtype=bool)
+        s = tbl["text"].astype(str)
+        for t in terms:
+            mask &= s.str.contains(rf"(?:^|\W){re.escape(t)}(?:\W|$)",
+                                   regex=True, na=False).to_numpy()
+        return mask
+    if field not in tbl.columns:
+        raise ValueError(f"unknown field {field!r} "
+                         f"(stored columns: {list(tbl.columns)})")
+    try:
+        val = int(text)
+    except ValueError:
+        try:
+            val = float(text)
+        except ValueError:
+            val = text
+    return (tbl[field] == val).to_numpy()
+
+
+def _np_compile(node, tbl, config):
+    import numpy as np
+
+    n = len(tbl)
+    if isinstance(node, XTerm):
+        return _np_term(tbl, node.field, node.text, config)
+    if isinstance(node, XTerms):
+        if node.field == DEFAULT_FIELD:
+            terms = analyze_text(node.text, config) if config is not None \
+                else analyze_text(node.text)
+            mask = np.zeros(n, dtype=bool)
+            s = tbl["text"].astype(str)
+            for t in terms:
+                mask |= s.str.contains(rf"(?:^|\W){re.escape(t)}(?:\W|$)",
+                                       regex=True, na=False).to_numpy()
+            return mask
+        mask = np.zeros(n, dtype=bool)
+        for v in node.text.split():
+            mask |= _np_term(tbl, node.field, v, config)
+        return mask
+    if isinstance(node, XMatchAll):
+        return np.ones(n, dtype=bool)
+    if isinstance(node, XRange):
+        import pandas as pd
+
+        s = pd.to_numeric(tbl[node.field], errors="coerce")
+        mask = np.ones(n, dtype=bool)
+        if node.lower is not None:
+            mask &= ((s >= node.lower) if node.include_lower
+                     else (s > node.lower)).to_numpy()
+        if node.upper is not None:
+            mask &= ((s <= node.upper) if node.include_upper
+                     else (s < node.upper)).to_numpy()
+        if node.lower is None and node.upper is None:
+            mask &= s.notna().to_numpy()
+        return mask
+    if isinstance(node, XConst):
+        return _np_compile(node.inner, tbl, config)
+    if isinstance(node, XUser):
+        from solr_spark.query.local import _PandasFilterEvaluator
+
+        return _PandasFilterEvaluator(tbl).parse(node.text)
+    if isinstance(node, XDisMax):
+        mask = np.zeros(n, dtype=bool)
+        for c in node.clauses:
+            mask |= _np_compile(c, tbl, config)
+        return mask
+    if isinstance(node, XBool):
+        req = [_np_compile(c, tbl, config) for o, c in node.clauses
+               if o in ("must", "filter")]
+        neg = [_np_compile(c, tbl, config) for o, c in node.clauses
+               if o == "mustNot"]
+        opt = [_np_compile(c, tbl, config) for o, c in node.clauses
+               if o == "should"]
+        if req:
+            mask = req[0].copy()
+            for m in req[1:]:
+                mask &= m
+        elif opt:
+            mask = np.zeros(n, dtype=bool)
+            for m in opt:
+                mask |= m
+        else:  # pure-negative rewrite (*:* AND -x)
+            mask = np.ones(n, dtype=bool)
+        for m in neg:
+            mask &= ~m
+        return mask
+    if isinstance(node, XSpan):
+        terms = sorted(S._all_terms(node.node))
+        # candidate prefilter: per required group, any member term present
+        cand = np.ones(n, dtype=bool)
+        s = tbl["text"].astype(str)
+        for group in S._required_groups(node.node):
+            gm = np.zeros(n, dtype=bool)
+            for t in sorted(group):
+                gm |= s.str.contains(rf"(?:^|\W){re.escape(t)}(?:\W|$)",
+                                     regex=True, na=False).to_numpy()
+            cand &= gm
+        mask = np.zeros(n, dtype=bool)
+        texts = tbl["text"].to_numpy()
+        tset = set(terms)
+        for i in np.flatnonzero(cand):
+            positions: dict = {}
+            for p, tok in enumerate(str(texts[i]).split(" ")):
+                if tok in tset:
+                    positions.setdefault(tok, []).append(p)
+            if S.span_eval(node.node, positions):
+                mask[i] = True
+        return mask
+    raise TypeError(f"not an XML query node: {node!r}")

@@ -350,3 +350,52 @@ def test_random_boolean_trees_match_bruteforce(spark, xml_reader):
         want = {cid for cid, toks in docs_tokens.items() if ev(tree, toks)}
         got = _ids(spark, xml_reader, to_xml(tree))
         assert got == want, to_xml(tree)
+
+
+def test_serving_xml_filter_mask_parity(spark, xml_reader):
+    """LocalSearcher.xml_filter_mask: the serving twin must produce the
+    SAME docid set as the batch xml_query_docids for every query shape —
+    terms, attribute ranges, booleans (incl. pure-negative), UserQuery,
+    spans, and mixes; and the mask plugs into search(filter_mask=...)."""
+    import numpy as np
+
+    from solr_spark.query import LocalSearcher
+
+    ls = LocalSearcher(xml_reader)
+    shapes = [
+        "<TermQuery>fast</TermQuery>",
+        "<TermsQuery>slow join</TermsQuery>",
+        '<TermQuery fieldName="size">20</TermQuery>',
+        '<PointRangeQuery fieldName="size" type="long" lowerTerm="15" '
+        'upperTerm="45"/>',
+        "<UserQuery>fast AND merge</UserQuery>",
+        "<BooleanQuery>"
+        '<Clause occurs="must"><TermQuery>fast</TermQuery></Clause>'
+        '<Clause occurs="mustNot"><TermQuery>merge</TermQuery></Clause>'
+        "</BooleanQuery>",
+        "<BooleanQuery>"
+        '<Clause occurs="mustNot"><TermQuery>scan</TermQuery></Clause>'
+        "</BooleanQuery>",
+        '<SpanNear slop="2" inOrder="true">'
+        "<SpanOrTerms>fast slow</SpanOrTerms><SpanTerm>scan</SpanTerm>"
+        "</SpanNear>",
+        '<SpanFirst end="2"><SpanTerm>scan</SpanTerm></SpanFirst>',
+        "<BooleanQuery>"
+        '<Clause occurs="must"><SpanNear slop="0" inOrder="true">'
+        "<SpanTerm>fast</SpanTerm><SpanTerm>scan</SpanTerm></SpanNear>"
+        "</Clause>"
+        '<Clause occurs="filter"><PointRangeQuery fieldName="size" '
+        'type="long" lowerTerm="0" upperTerm="30"/></Clause>'
+        "</BooleanQuery>",
+    ]
+    for xml in shapes:
+        want = {r.docid for r in
+                xml_query_docids(spark, xml_reader, xml).collect()}
+        mask = ls.xml_filter_mask(xml)
+        got = set(np.flatnonzero(mask).tolist())
+        assert got == want, xml
+    # the mask IS a search() filter DocSet
+    hits = ls.search("fast scan", k=10,
+                     filter_mask=ls.xml_filter_mask(
+                         '<TermQuery fieldName="size">10</TermQuery>'))
+    assert [h["conv_id"] for h in hits] == ["d1"]
